@@ -1,0 +1,24 @@
+"""hz_csv2parquet_spark — a PySpark-native analytics engine.
+
+A brand-new, Spark-first rebuild of the capabilities of the reference
+``hziv/hz_csv2parquet`` toolkit (CSV→Parquet conversion, uniform-grid
+binned aggregation, lookup enrichment — see SURVEY.md §2), extended
+with the operators a large-scale training-data pipeline needs:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding cosine), similarity search, text analysis, multimodal
+column plumbing, and Structured Streaming windows.
+
+Design principles (SURVEY.md §7):
+
+- Declarative DataFrame/SQL plans; let Catalyst do pushdown, pruning,
+  join selection, and AQE do runtime re-planning.
+- No custom Catalyst rules — every reference operator compiles to
+  built-in expressions (closed-form binning replaces materialized
+  numpy bin arrays, broadcast joins replace per-row HTTP geocoding).
+- Deterministic, order-insensitive numerics where results feed the
+  correctness oracle (decimal-exact sums, exact median).
+- JVM-side expressions in the hot path; Arrow-batched pandas UDFs
+  only where built-ins cannot express the semantics.
+"""
+
+__version__ = "0.1.0"

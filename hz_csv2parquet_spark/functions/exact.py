@@ -1,0 +1,45 @@
+"""Deterministic, order-insensitive numeric aggregates.
+
+Distributed double-precision SUM/AVG are order-dependent (partial
+aggregation order differs run to run and engine to engine). For
+results that must hash-match a single-threaded oracle — and for
+reproducible pipelines at 100 TB, where task order is never stable —
+we route sums through DECIMAL(38,10):
+
+    per-row expression evaluated in double (deterministic given the
+    row) → cast to decimal (fixed-point, well-defined rounding) →
+    SUM over decimals (exact, associative, commutative) → cast back
+    to double (deterministic).
+
+The decimal sum stays inside whole-stage codegen on the JVM; the cost
+over a double sum is small and buys bit-identical results under any
+partitioning. DuckDB mirror:
+``CAST(SUM(CAST(expr AS DECIMAL(38,10))) AS DOUBLE)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,10)"
+
+# SQL fragments for oracle mirroring (keep in sync with the Column fns)
+SQL_EXACT_SUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
+SQL_EXACT_AVG = "CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE) / COUNT({expr})"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def exact_sum(c: Column | str) -> Column:
+    """Order-insensitive SUM of a double expression (see module doc)."""
+    return F.sum(_col(c).cast(_DEC)).cast("double")
+
+
+def exact_avg(c: Column | str) -> Column:
+    """Order-insensitive AVG: exact decimal sum / count, divided in
+    double — identical on any engine for identical inputs."""
+    c = _col(c)
+    return F.sum(c.cast(_DEC)).cast("double") / F.count(c)

@@ -1,0 +1,64 @@
+"""Sources/sinks: CSV→Parquet conversion round-trip, format dispatch,
+recursive discovery, suffix naming (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hz_csv2parquet_spark.sources.io import (
+    add_suffix_to_path,
+    convert,
+    read_table,
+    write_table,
+)
+
+CSV_BODY = "a, b,c\n1, x,2.5\n2, y,3.5\n"
+
+
+@pytest.fixture()
+def csv_tree(tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "top.csv").write_text(CSV_BODY)
+    (tmp_path / "sub" / "nested.CSV").write_text(CSV_BODY)  # mixed-case ext
+    return tmp_path
+
+
+def test_convert_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text(CSV_BODY)
+    dest = convert(spark, str(src))
+    assert dest.endswith("in.parquet")
+    back = spark.read.parquet(dest)
+    assert back.count() == 2
+    # header parsed, leading whitespace trimmed, types inferred
+    assert set(back.columns) == {"a", "b", "c"}
+    row = {r["a"]: r for r in back.collect()}
+    assert row[1]["b"] == "x"
+    assert row[1]["c"] == 2.5
+
+
+def test_recursive_case_insensitive_discovery(spark, csv_tree):
+    df = read_table(spark, str(csv_tree), fmt="csv", recursive=True)
+    assert df.count() == 4  # both .csv and .CSV found
+
+
+def test_format_dispatch_and_sinks(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text(CSV_BODY)
+    df = read_table(spark, str(src))  # fmt inferred from extension
+    pq_dest = str(tmp_path / "out.parquet")
+    csv_dest = str(tmp_path / "out.csv")
+    write_table(df, pq_dest)
+    write_table(df, csv_dest)
+    assert read_table(spark, pq_dest).count() == 2
+    assert read_table(spark, csv_dest).count() == 2
+    with pytest.raises(ValueError):
+        read_table(spark, str(tmp_path / "in.xlsx"))
+
+
+def test_suffix_naming_no_double_dot(tmp_path):
+    # reference bug (add_country.py:79) produced 'b_x..csv' — fixed here
+    assert add_suffix_to_path("a/b.csv", "_x") == "a/b_x.csv"
+    assert add_suffix_to_path("a/b", "_x") == "a/b_x"

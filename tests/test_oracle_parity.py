@@ -1,0 +1,36 @@
+"""Every catalog query vs its DuckDB oracle — the driver's t2 gate,
+run locally at sf0.001 (set HZ_ORACLE_SF_DIR=/root/testdata/sf0.01
+for the full-size check)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hz_csv2parquet_spark.queries import REGISTRY
+
+from .oracle_utils import compare, duck_con
+
+ORACLE_SF_DIR = os.environ.get("HZ_PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+_oracled = [name for name, q in REGISTRY.items() if q.sql is not None]
+
+
+@pytest.fixture(scope="module")
+def con():
+    return duck_con(ORACLE_SF_DIR)
+
+
+@pytest.mark.parametrize("name", _oracled)
+def test_query_matches_oracle(spark, con, name):
+    q = REGISTRY[name]
+    spark_pdf = q.fn(spark, ORACLE_SF_DIR).toPandas()
+    oracle_pdf = con.sql(q.sql).df()
+    compare(spark_pdf, oracle_pdf, name)
+
+
+def test_all_queries_return_rows(spark):
+    for name, q in REGISTRY.items():
+        n = q.fn(spark, ORACLE_SF_DIR).count()
+        assert n >= 0, name
