@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Benchmark harness — the driver's performance gate.
+
+Runs every ``headline=True`` query from the catalog
+(hz_csv2parquet_spark/queries.py) against ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``
+and prints exactly ONE JSON line on stdout:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Timing protocol: one untimed warm-up action per query (JVM/codegen
+warm, file footers cached), then ``--runs`` timed runs (default 2),
+reporting the minimum. The timed action is a full consume
+(``df.foreach(noop)``-equivalent via ``write.format("noop")``) so the
+whole plan executes — not just the first partition of a collect.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--all", action="store_true", help="bench every query, not just headline")
+    args = ap.parse_args()
+
+    from hz_csv2parquet_spark.queries import REGISTRY
+    from hz_csv2parquet_spark.session import get_spark
+
+    spark = get_spark(app="hz_bench")
+    names = [n for n, q in REGISTRY.items() if (args.all or q.headline) and not q.streaming]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        # warm-up: build + run once (JIT, broadcast, file listing)
+        q.fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(max(args.runs, 1)):
+            t0 = time.perf_counter()
+            q.fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(args.sf_dir),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

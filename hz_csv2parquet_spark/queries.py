@@ -37,14 +37,15 @@ class Query:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # DuckDB-runnable oracle; None → rows-only check
     headline: bool = False  # included in bench.py
+    streaming: bool = False  # runs a Structured Streaming job internally
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, sql: str | None = None, headline: bool = False):
+def query(name: str, sql: str | None = None, headline: bool = False, streaming: bool = False):
     def deco(fn):
-        REGISTRY[name] = Query(name, fn, sql, headline)
+        REGISTRY[name] = Query(name, fn, sql, headline, streaming)
         return fn
 
     return deco
