@@ -63,8 +63,12 @@ def add_column_via_resolver(
     called once per row inside each Arrow batch; exceptions yield the
     sentinel (add_country.py:122-124 semantics)."""
     import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    schema = df.schema.add(out_col, "string")
+    # build a fresh StructType — StructType.add mutates in place and
+    # DataFrame.schema caches the object, so df's schema would grow a
+    # phantom column
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

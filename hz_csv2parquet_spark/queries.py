@@ -324,14 +324,21 @@ def window_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT DISTINCT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0
     """,
 )
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operation surface: nations with customers but no suppliers
-    (EXCEPT = Spark subtract, distinct semantics)."""
+    """Set operation surface: nations with customers but no
+    negative-balance suppliers (EXCEPT = Spark subtract, distinct
+    semantics). The predicate keeps the result non-empty on every
+    fixture SF (plain customer-minus-supplier nations is {} at
+    sf>=0.01, which made the oracle check vacuous)."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.distinct().subtract(s.distinct())
 
 
@@ -355,7 +362,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
     f AS (
-      SELECT user_id, tms,
+      SELECT user_id, event_id, tms,
         CASE WHEN LAG(tms) OVER w IS NULL
                   OR tms - LAG(tms) OVER w > 1800000
              THEN 1 ELSE 0 END AS new_s
@@ -364,7 +371,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, tms,
         CAST(SUM(new_s) OVER (
-          PARTITION BY user_id ORDER BY tms
+          PARTITION BY user_id ORDER BY tms, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS BIGINT) AS session_id
       FROM f
@@ -386,6 +393,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("tms", "event_id")
     flagged = ev.select(
         "user_id",
+        "event_id",
         "tms",
         F.when(
             F.lag("tms").over(w).isNull() | (F.col("tms") - F.lag("tms").over(w) > gap_ms),
@@ -394,7 +402,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_s"),
     )
-    wrun = Window.partitionBy("user_id").orderBy("tms").rowsBetween(Window.unboundedPreceding, 0)
+    # running sum ordered by the SAME (tms, event_id) key as the lag
+    # window — ties on tms would otherwise make session assignment
+    # nondeterministic (and Spark-vs-oracle divergent)
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("tms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     sess = flagged.select(
         "user_id", "tms", F.sum("new_s").over(wrun).cast("long").alias("session_id")
     )

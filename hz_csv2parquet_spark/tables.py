@@ -11,7 +11,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -27,21 +26,27 @@ TABLES = (
 )
 
 
+# events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+# rejects under schema inference. An explicit schema with ts as LONG reads
+# the raw nanos without touching any session conf (the round-1 version
+# mutated spark.sql.legacy.parquet.nanosAsLong session-globally).
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan → Catalyst gets full
     pushdown/pruning on anything layered on top."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as epoch-nanos LONG and rebuild a
-        # microsecond timestamp (integer division — nanos ≈ 1.7e18
-        # exceeds double's exact-integer range).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        # rebuild a microsecond timestamp from the nanos (integer
+        # division — nanos ≈ 1.7e18 exceeds double's exact range).
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -31,6 +31,10 @@ def test_query_matches_oracle(spark, con, name):
 
 
 def test_all_queries_return_rows(spark):
+    """Every catalog query must be non-trivially exercised by the
+    fixtures — an empty result makes its oracle hash check vacuous."""
     for name, q in REGISTRY.items():
+        if q.streaming:
+            continue  # covered by tests/test_streaming.py
         n = q.fn(spark, ORACLE_SF_DIR).count()
-        assert n >= 0, name
+        assert n > 0, f"{name} returned 0 rows — oracle check would be vacuous"
