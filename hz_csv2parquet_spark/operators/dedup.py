@@ -1,0 +1,269 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Extension surface (the reference has no dedup — SURVEY.md §2); these
+are the operators a training-data pipeline runs over a 100 TB
+``documents`` corpus, so every one of them is built around the same
+scale rule: **never compare all pairs**. Comparisons happen only
+inside hash buckets:
+
+- exact:    one shuffle on md5(normalized text) — groups are
+            identical docs only.
+- MinHash:  shuffle on (band_id, band_hash); docs meet only when a
+            band of their MinHash signatures collides (standard LSH
+            banding: P[collide] ≈ 1 - (1 - J^r)^b).
+- SimHash:  shuffle on (byte_id, byte of the 32-bit signature);
+            near-identical docs share ≥1 of 4 bytes whenever their
+            Hamming distance ≤ 3 (pigeonhole).
+- n-gram Jaccard: blocked by a caller-supplied key (e.g. ``source``)
+            — quadratic only within a block, never globally.
+
+All hashing goes through functions/hashing.py (seeded MD5 family +
+shingles), which both Spark and DuckDB compute bit-identically — the
+whole pipeline, including the LSH bucketing, is mirrored in oracle
+SQL by queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_md5, word_shingles
+from ..functions.text import normalize_text
+
+# ---------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------
+
+
+def exact_dedup_summary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct normalized text: its hash, how many
+    copies exist, and the representative (minimum) id — the
+    map-reduce shape of exact dedup: single shuffle on the hash,
+    output cardinality = number of distinct documents."""
+    return (
+        df.select(
+            F.md5(normalize_text(text_col)).alias("text_hash"), F.col(id_col).alias("__id")
+        )
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("__id").alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (minimum id) per distinct normalized
+    text. Window-min instead of join-back: one shuffle on the hash."""
+    w = Window.partitionBy(F.md5(normalize_text(text_col)))
+    return (
+        df.withColumn("__keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+# ---------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------
+
+
+def shingle_set(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text — the
+    set MinHash approximates Jaccard over."""
+    return F.array_distinct(word_shingles(normalize_text(text_col), n=n))
+
+
+def minhash_band_hashes(shingles: Column, num_hashes: int = 16, bands: int = 4) -> list[Column]:
+    """One hash per LSH band: band j's value is the MD5 of the
+    ``rows_per_band`` MinHashes it covers, concatenated. MinHash i =
+    min over shingles of md5('i|' + shingle) (seeded family,
+    functions/hashing.py) — min of a uniform pseudo-random order, the
+    classic permutation-free MinHash."""
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    r = num_hashes // bands
+
+    def seeded(i: int):
+        # closure factory, NOT `lambda x, i=i:` — a 2-parameter lambda
+        # makes PySpark's transform() pass the array index as the 2nd
+        # argument, silently overriding the default
+        return lambda x: stable_md5(x, seed=i)
+
+    minhashes = [F.array_min(F.transform(shingles, seeded(i))) for i in range(num_hashes)]
+    return [
+        F.md5(F.concat_ws("|", *minhashes[j * r : (j + 1) * r])) for j in range(bands)
+    ]
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(id_a < id_b)`` from MinHash
+    LSH banding. The only shuffle keys on (band_id, band_hash); the
+    self-join compares docs *within a bucket only* — never all pairs.
+    Output: id_a, id_b (distinct)."""
+    sh = df.select(F.col(id_col).alias("__id"), shingle_set(text_col, shingle_n).alias("__sh"))
+    bhs = minhash_band_hashes(F.col("__sh"), num_hashes, bands)
+    banded = sh.select(
+        "__id",
+        F.explode(
+            F.array(*[F.struct(F.lit(j).alias("band_id"), bh.alias("bh")) for j, bh in enumerate(bhs)])
+        ).alias("b"),
+    ).select("__id", "b.band_id", "b.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_shingles(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (already-distinct) shingle arrays, via
+    the engine-portable construction: |filter(a ∈ b)| / (|a|+|b|−∩)."""
+    inter = F.size(F.filter(a, lambda x: F.array_contains(b, x)))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / union.cast("double")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: LSH candidates → exact Jaccard
+    verify → pairs ≥ threshold. Output: id_a, id_b, jaccard.
+
+    Scale shape: candidates ≪ all-pairs (bucketed), and the verify
+    join touches only candidate ids — two broadcast-or-shuffle joins
+    proportional to the candidate count, not |corpus|²."""
+    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    sh = df.select(F.col(id_col).alias("__id"), shingle_set(text_col, shingle_n).alias("__sh"))
+    j = (
+        cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard_on_shingles(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash32(text_col: str) -> Column:
+    """32-bit SimHash of the normalized text's tokens (frequency-
+    weighted). Bit b is 1 iff the sum over tokens of ±1 (the token's
+    md5 bit b) is positive. Pure built-in expressions: per-token md5
+    once, then 32 integer folds over the token-hash array — no UDF,
+    engine-portable (bit b of a hex digest = digit arithmetic on
+    ``instr('0123456789abcdef', ...)``)."""
+    th = F.transform(F.split(normalize_text(text_col), " "), lambda t: F.md5(t))
+
+    def bit_fold(digit_pos: int, bit_w: int):
+        # returns a 2-arg merge fn (PySpark rejects extra default args)
+        def merge(acc, h):
+            hexval = F.instr(F.lit(_HEX), F.substring(h, digit_pos, 1)).cast("long") - 1
+            return acc + (F.floor(hexval / bit_w) % 2) * 2 - 1
+
+        return merge
+
+    total = F.lit(0).cast("long")
+    for b in range(32):
+        contrib = F.aggregate(th, F.lit(0).cast("long"), bit_fold(1 + b // 4, 2 ** (b % 4)))
+        total = total + F.when(contrib > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
+    return total
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    bucketed by signature bytes (pigeonhole: distance ≤ 3 over 4
+    bytes ⇒ at least one byte identical) — the shuffle keys on
+    (byte_id, byte value), never all pairs. Output: id_a, id_b,
+    hamming."""
+    sig = df.select(F.col(id_col).alias("__id"), simhash32(text_col).alias("__sig"))
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("byte_id"),
+                        F.floor(F.col("__sig") / F.lit(256**j)).cast("long").__mod__(256).alias("bv"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__sig", "b.byte_id", "b.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.byte_id") == F.col("b.byte_id"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------
+# blocked n-gram Jaccard
+# ---------------------------------------------------------------------
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All-pairs exact n-gram Jaccard *within a block* (same
+    ``block_col`` value) — the classic blocking strategy when a
+    natural partition key exists. Quadratic only in the block size;
+    the join shuffles on the block key. Output: block, id_a, id_b,
+    jaccard (≥ threshold)."""
+    sh = df.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        shingle_set(text_col, shingle_n).alias("__sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__blk").alias(block_col),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            jaccard_on_shingles(F.col("a.__sh"), F.col("b.__sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -444,3 +444,8 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_bucket", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("value_sum"))
     )
+
+
+# extension query modules register themselves into REGISTRY on import
+# (kept at the bottom to avoid a circular import at module load)
+from . import queries_text  # noqa: E402,F401

@@ -1,0 +1,306 @@
+"""Text-analysis + deduplication queries over the ``documents`` table.
+
+Extension surface (north star): every operator here is an entry a
+100 TB training-data pipeline needs — exact dedup, MinHash-LSH,
+SimHash, blocked n-gram Jaccard, language ID, quality scoring — each
+with a DuckDB oracle that mirrors the Spark plan *construction for
+construction* (same hashes, same folds, same casts), so the driver's
+hash gate is a hard check of the whole pipeline including the LSH
+bucketing.
+
+The fixture corpus has 500 unique documents, so dedup queries build
+a deterministic corpus-with-planted-duplicates first (UNION ALL with
+offset ids / perturbed text) — both engines build it from the same
+expression, and the plant is what makes the checks non-vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup_summary,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
+from .queries import query
+from .tables import table
+
+# ---------------------------------------------------------------------
+# SQL mirror helpers (DuckDB list-function dialect)
+# ---------------------------------------------------------------------
+
+_NORM = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
+
+
+def _sql_shingles(textexpr: str, n: int = 3) -> str:
+    """DuckDB mirror of operators.dedup.shingle_set: distinct word
+    n-grams of the normalized text."""
+    toks = f"string_split({_NORM.format(c=textexpr)}, ' ')"
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks})-{n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i+{n - 1}), ' ')))"
+    )
+
+
+def _sql_jaccard(a: str, b: str) -> str:
+    inter = f"len(list_filter({a}, x -> list_contains({b}, x)))"
+    union = f"(len({a}) + len({b}) - {inter})"
+    return f"CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE)"
+
+
+# =====================================================================
+# text statistics / language id / quality
+# =====================================================================
+
+
+@query(
+    "text_stats_documents",
+    sql=f"""
+    SELECT doc_id,
+           {T.sql_token_count("text")} AS n_tokens,
+           CAST(length({T.sql_normalize_text("text")}) AS BIGINT) AS n_chars_norm,
+           {T.sql_fingerprint("text")} AS fingerprint,
+           {T.sql_lang_id("text")} AS lang_pred,
+           CAST({T.sql_stopword_count("text", "en")} AS DOUBLE)
+             / CAST(greatest({T.sql_token_count("text")}, 1) AS DOUBLE) AS en_stop_ratio,
+           {T.sql_non_alnum_ratio("text")} AS non_alnum_ratio,
+           CAST({T.sql_quality_flags("text")["n_tokens_ok"]} AS INT)
+             + CAST({T.sql_quality_flags("text")["tok_len_ok"]} AS INT)
+             + CAST({T.sql_quality_flags("text")["symbols_ok"]} AS INT) AS quality_score
+    FROM documents
+    """,
+    headline=True,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: token/char counts, 64-bit
+    fingerprint, stopword-heuristic language ID, and a 0-3 quality
+    score (count of passed Gopher-style rule flags). All JVM-side
+    expressions — one narrow projection, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    flags = T.quality_flags("text")
+    quality = sum(f.cast("int") for f in flags.values())
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length(T.normalize_text("text")).cast("long").alias("n_chars_norm"),
+        T.fingerprint("text").alias("fingerprint"),
+        T.lang_id("text").alias("lang_pred"),
+        (
+            T.stopword_count("text", "en").cast("double")
+            / F.greatest(T.token_count("text"), F.lit(1)).cast("double")
+        ).alias("en_stop_ratio"),
+        T.non_alnum_ratio("text").alias("non_alnum_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+@query(
+    "text_quality_by_lang",
+    sql=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({T.sql_token_count("text")}) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST({T.sql_quality_flags("text")["tok_len_ok"]} AS INT)) AS BIGINT)
+             AS n_tok_len_ok,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality rollup per labeled language — the
+    monitoring aggregate a data pipeline emits per shard. Integer
+    sums (order-insensitive), one shuffle on the 5-value lang key
+    with map-side partial aggregation."""
+    d = table(spark, sf_dir, "documents")
+    flags = T.quality_flags("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+        F.sum(flags["tok_len_ok"].cast("int")).cast("long").alias("n_tok_len_ok"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# =====================================================================
+# deduplication
+# =====================================================================
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every 3rd doc (offset ids) — the
+    deterministic planted-duplicate corpus for exact dedup."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+_SQL_EXACT_CORPUS = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate copies of docs 0-99 (one appended
+    token, offset ids, same source) — planted near-dups for the
+    MinHash / SimHash / Jaccard pipelines."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    near = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
+    )
+    return d.unionByName(near)
+
+
+_SQL_NEAR_CORPUS = """
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, source, text || ' zz9' AS text
+        FROM documents WHERE doc_id < 100
+"""
+
+
+@query(
+    "dedup_exact_documents",
+    sql=f"""
+    WITH corpus AS ({_SQL_EXACT_CORPUS})
+    SELECT md5({_NORM.format(c="text")}) AS text_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keep_id
+    FROM corpus GROUP BY 1
+    """,
+    headline=True,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication summary over the planted corpus: one row
+    per distinct normalized text with copy count + representative id.
+    Single shuffle on the text hash; output = distinct docs."""
+    return exact_dedup_summary(_exact_corpus(spark, sf_dir), "text", "doc_id")
+
+
+def _sql_minhash_pairs(num_hashes: int = 16, bands: int = 4, threshold: float = 0.6) -> str:
+    """DuckDB mirror of operators.dedup.minhash_dedup_pairs on the
+    planted near-dup corpus — same seeded-md5 MinHashes, same band
+    hashes, same bucket join, same Jaccard verify."""
+    r = num_hashes // bands
+    mins = ",\n           ".join(
+        f"list_min(list_transform(sh, x -> md5('{i}|' || x))) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {j} AS band_id, md5({expr}) AS bh FROM sig".format(
+            j=j,
+            expr=" || '|' || ".join(f"m{i}" for i in range(j * r, (j + 1) * r)),
+        )
+        for j in range(bands)
+    )
+    return f"""
+    WITH corpus AS ({_SQL_NEAR_CORPUS}),
+    sh AS (
+      SELECT doc_id, {_sql_shingles("text")} AS sh FROM corpus
+    ),
+    sig AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh
+    ),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, {_sql_jaccard("sa.sh", "sb.sh")} AS jaccard
+    FROM cand
+    JOIN sh sa ON cand.id_a = sa.doc_id
+    JOIN sh sb ON cand.id_b = sb.doc_id
+    WHERE {_sql_jaccard("sa.sh", "sb.sh")} >= {threshold}
+    """
+
+
+@query("dedup_minhash_documents", sql=_sql_minhash_pairs(), headline=True)
+def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate detection over the planted corpus:
+    16 seeded-md5 MinHashes over word-3-shingles, 4 bands × 4 rows,
+    bucket join on (band, band-hash), exact-Jaccard verify ≥ 0.6.
+    Never compares all pairs — the shuffle keys on band hashes."""
+    return minhash_dedup_pairs(
+        _near_corpus(spark, sf_dir), "doc_id", "text", threshold=0.6, num_hashes=16, bands=4
+    )
+
+
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    hexs = "0123456789abcdef"
+    bit_terms = " + ".join(
+        f"""CASE WHEN list_sum(list_transform(th, h ->
+          (CAST(floor((instr('{hexs}', substring(h, {1 + b // 4}, 1)) - 1) / {2 ** (b % 4)}) AS BIGINT) % 2) * 2 - 1
+        )) > 0 THEN {2**b} ELSE 0 END"""
+        for b in range(32)
+    )
+    byte_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, sig, {j} AS byte_id, "
+        f"CAST(floor(sig / {256**j}) AS BIGINT) % 256 AS bv FROM sig"
+        for j in range(4)
+    )
+    return f"""
+    WITH corpus AS ({_SQL_NEAR_CORPUS}),
+    th AS (
+      SELECT doc_id,
+             list_transform(string_split({_NORM.format(c="text")}, ' '), h -> md5(h)) AS th
+      FROM corpus
+    ),
+    sig AS (
+      SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sig FROM th
+    ),
+    banded AS (
+{byte_rows}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.byte_id = b.byte_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_documents", sql=_sql_simhash_pairs())
+def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over the planted corpus: 32-bit
+    frequency-weighted signatures, byte-banded buckets (pigeonhole
+    for Hamming ≤ 3), XOR-popcount verify. All built-in expressions."""
+    return simhash_near_pairs(_near_corpus(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    sql=f"""
+    WITH corpus AS ({_SQL_NEAR_CORPUS}),
+    sh AS (
+      SELECT source, doc_id, {_sql_shingles("text")} AS sh FROM corpus
+    )
+    SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+           {_sql_jaccard("a.sh", "b.sh")} AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE {_sql_jaccard("a.sh", "b.sh")} >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: all pairs *within a source
+    block* (never global all-pairs), word-3-shingle Jaccard ≥ 0.5.
+    The planted near-dups share their original's source, so every
+    plant is discoverable within its block."""
+    return blocked_jaccard_pairs(
+        _near_corpus(spark, sf_dir), "doc_id", "text", block_col="source", threshold=0.5
+    )

@@ -1,0 +1,89 @@
+"""Dedup operator tests: tiny synthetic corpora with known near-dups
+(bucket behavior, representative selection), plus planted-pair recall
+on the fixture corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark.operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup,
+    exact_dedup_summary,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    simhash32,
+    simhash_near_pairs,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_A_NEAR = DOC_A + " again"  # one appended token → high Jaccard
+DOC_B = "completely different words about spark catalyst optimizer plans and shuffles"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "s1", DOC_A), (2, "s1", DOC_A_NEAR), (3, "s1", DOC_B), (4, "s2", "  The  QUICK brown fox jumps over the lazy dog near the river bank today ")],
+        "id long, src string, text string",
+    )
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark, corpus):
+    # doc 4 is doc 1 modulo case/whitespace → same hash group
+    summary = exact_dedup_summary(corpus, "text", "id")
+    groups = {r.keep_id: r.n_copies for r in summary.collect()}
+    assert groups[1] == 2  # docs 1 and 4
+    assert summary.count() == 3
+
+    kept = sorted(r.id for r in exact_dedup(corpus, "text", "id").collect())
+    assert kept == [1, 2, 3]  # doc 4 deduped into doc 1
+
+
+def test_lsh_buckets_near_dups_together(spark, corpus):
+    cand = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(corpus, "id", "text").collect()}
+    assert (1, 2) in cand  # near-dup pair shares >=1 band bucket
+    assert (1, 4) in cand  # exact-dup-modulo-normalization pair
+    assert (1, 3) not in cand and (2, 3) not in cand  # unrelated doc
+
+
+def test_minhash_pipeline_verifies_jaccard(spark, corpus):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_dedup_pairs(corpus, "id", "text").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.6
+    assert pairs[(1, 4)] == 1.0  # identical after normalization
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_distance_tracks_similarity(spark, corpus):
+    sigs = {
+        r.id: r.sig
+        for r in corpus.select("id", simhash32("text").alias("sig")).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sigs[1], sigs[4]) == 0  # identical normalized text
+    assert ham(sigs[1], sigs[2]) <= 3  # one-token delta
+    assert ham(sigs[1], sigs[3]) > 3  # different doc
+
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_pairs(corpus, "id", "text").collect()}
+    assert (1, 2) in pairs and (1, 4) in pairs
+
+
+def test_blocked_jaccard_respects_blocks(spark, corpus):
+    # doc 4 is in block s2 → never compared with block-s1 docs,
+    # even though it's a near-dup of doc 1
+    pairs = {(r.id_a, r.id_b) for r in blocked_jaccard_pairs(corpus, "id", "text", "src").collect()}
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_planted_pair_recall_on_fixtures(spark, sf_dir):
+    """The fixture dedup queries plant 100 near-dup pairs; MinHash-LSH
+    must recover every one (measured: 100/100 at 16 hashes × 4
+    bands with Jaccard ≈ 0.9 plants)."""
+    from hz_csv2parquet_spark.queries_text import _near_corpus
+
+    pairs = minhash_dedup_pairs(_near_corpus(spark, sf_dir), "doc_id", "text")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 1000000) for i in range(100)}
+    assert planted <= got
