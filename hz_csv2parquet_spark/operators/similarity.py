@@ -1,0 +1,167 @@
+"""Embedding similarity search — brute-force cosine top-k + sign-LSH.
+
+Extension surface for the ``embeddings`` fixture (``array<float>``).
+Two paths, mirroring how a real pipeline scales:
+
+- **Brute force** (baseline): broadcast the (small) query set against
+  the corpus, cosine per pair, two-phase top-k. Exact; cost is
+  |Q|·|corpus| cosines — fine for small |Q| at any corpus size
+  because the corpus never shuffles (queries are broadcast, the scan
+  streams).
+- **Sign-LSH** (scale path): random-hyperplane sketch — bucket id =
+  sign bits of projections onto pseudo-random ±1 planes. Candidates
+  only meet within a bucket (shuffle keys on the bucket id), cosine
+  is computed for candidates only. Approximate; recall tunable by
+  planes/tables.
+
+Everything is JVM-side array arithmetic (``zip_with`` +
+``aggregate`` left-folds in double) — no Python UDF. The fold order
+is the engine-portable part: a strict left fold over the 64 elements
+gives bit-identical doubles in Spark and DuckDB, which is what lets
+even the LSH bucket assignment go through the hash oracle.
+
+Plane construction: plane ``j``'s component for dimension ``i`` is
+±1 by the parity of the first hex digit of ``md5("<j>_<i>")`` — an
+engine-portable deterministic pseudo-random sign matrix, no stored
+plane table needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .topk import grouped_topk
+
+_HEX = "0123456789abcdef"
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Strict left-fold dot product in double — deterministic and
+    engine-portable (same fold order → same IEEE result)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_double(a, b) / (F.sqrt(dot_double(a, a)) * F.sqrt(dot_double(b, b)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of ``corpus`` for every query vector.
+
+    ``queries`` must be small — it is broadcast, so the corpus never
+    shuffles for the join; the only exchanges are the two bounded
+    top-k phases. Output: query_id, neighbor_id, cosine, rn."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id")],
+        k,
+        salt_col=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "cosine", "rn")
+
+
+def lsh_bucket(vec: Column, planes: int = 4) -> Column:
+    """Sign-LSH bucket id in [0, 2^planes): bit j is the sign of the
+    projection onto pseudo-random ±1 plane j (md5-parity signs)."""
+
+    def proj(j: int) -> Column:
+        def step(acc: Column, i: Column) -> Column:
+            h = F.md5(F.concat(F.lit(f"{j}_"), i.cast("string")))
+            parity = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)).cast("long") - 1) % 2
+            sign = F.when(parity == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            return acc + F.element_at(vec, i).cast("double") * sign
+
+        return F.aggregate(F.sequence(F.lit(1), F.size(vec)), F.lit(0.0), step)
+
+    bucket = F.lit(0).cast("long")
+    for j in range(planes):
+        bucket = bucket + F.when(proj(j) > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share the query's LSH
+    bucket, cosine computed within-bucket only. The join shuffles on
+    the bucket id — corpus-size-proportional work, never |Q|·|corpus|.
+    Output: query_id, neighbor_id, cosine, rn (rank within found
+    candidates)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["__bkt"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    )
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id")],
+        k,
+        salt_col=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "cosine", "rn")
+
+
+def embedding_near_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold), bucketed by sign-LSH — the embedding analogue of
+    MinHash dedup: pairs only meet inside a bucket, the shuffle keys
+    on the bucket id. Output: id_a, id_b, cosine."""
+    b = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.__bkt") == F.col("r.__bkt")) & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            cosine(F.col("l.__v"), F.col("r.__v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

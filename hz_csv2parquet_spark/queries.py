@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from .functions.exact import exact_avg, exact_sum
 from .operators.binned_agg import BinSpec, binned_agg
 from .operators.enrich import add_lookup_column
+from .operators.topk import grouped_topk
 from .tables import table
 
 
@@ -305,18 +306,20 @@ def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function surface: per-group top-3 by row_number with a
-    full deterministic tie-break."""
-    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    return (
-        table(spark, sf_dir, "customer")
-        .select(
-            "c_nationkey",
-            "c_custkey",
-            "c_acctbal",
-            F.row_number().over(w).cast("long").alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
+    full deterministic tie-break.
+
+    Two-phase (operators/topk.py): c_nationkey has only 25 distinct
+    values, so the naive single window would sort the whole customer
+    table inside ≤25 tasks at scale. The salted pre-reduce bounds
+    every sort; the result is identical to the plain window (the
+    oracle stays the single-window SQL)."""
+    return grouped_topk(
+        table(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        3,
+        salt_col=F.col("c_custkey"),
+    ).select("c_nationkey", "c_custkey", "c_acctbal", "rn")
 
 
 @query(
@@ -448,4 +451,4 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # extension query modules register themselves into REGISTRY on import
 # (kept at the bottom to avoid a circular import at module load)
-from . import queries_text  # noqa: E402,F401
+from . import queries_sim, queries_text  # noqa: E402,F401

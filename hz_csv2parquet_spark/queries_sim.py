@@ -1,0 +1,140 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+Brute-force cosine top-k (exact baseline), sign-LSH bucketed top-k
+(the 100 TB shape), and embedding-cosine near-dup pairs. The DuckDB
+oracles replay the identical computation — including the strict
+left-fold dot products and the md5-parity LSH planes — so cosine
+values and bucket assignments hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.similarity import brute_force_topk, embedding_near_pairs, lsh_topk
+from .queries import query
+from .tables import table
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Strict left-fold double dot product — mirrors
+    operators.similarity.dot_double exactly (same order, same casts)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def _sql_bucket(vec: str, planes: int = 4) -> str:
+    """Mirror of operators.similarity.lsh_bucket: sign bits of
+    projections onto md5-parity ±1 planes."""
+    terms = []
+    for j in range(planes):
+        sign = (
+            f"CASE WHEN (instr('0123456789abcdef', "
+            f"substring(md5('{j}_' || CAST(i AS VARCHAR)), 1, 1)) - 1) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({vec})), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * {sign})), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END")
+    return f"CAST({' + '.join(terms)} AS BIGINT)"
+
+
+@query(
+    "similarity_topk_embeddings",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("q.qv", "c.embedding")} AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    headline=True,
+)
+def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast queries
+    (corpus never shuffles), JVM-side left-fold cosine, two-phase
+    top-k. The brute-force ANN baseline."""
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "similarity_lsh_embeddings",
+    sql=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bkt FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("q.qv", "c.embedding")} AS cosine
+      FROM b c JOIN q ON c.bkt = q.bkt
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def similarity_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-LSH: candidates share the query's
+    4-plane bucket, cosine within-bucket only — the shuffle keys on
+    the bucket id, never |Q|·|corpus|. Oracle replays the identical
+    bucketing, so this checks the LSH itself, not just the cosines."""
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, planes=4)
+
+
+_SQL_VEC_CORPUS = """
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 50
+"""
+
+
+@query(
+    "embedding_near_pairs",
+    sql=f"""
+    WITH corpus AS ({_SQL_VEC_CORPUS}),
+    b AS (
+      SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bkt FROM corpus
+    )
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+           {_sql_cosine("l.embedding", "r.embedding")} AS cosine
+    FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
+    WHERE {_sql_cosine("l.embedding", "r.embedding")} >= 0.95
+    """,
+)
+def embedding_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over a planted corpus
+    (50 duplicated vectors): sign-LSH buckets, within-bucket cosine ≥
+    0.95. Identical vectors land in identical buckets by
+    construction, so every plant is found — the embedding analogue of
+    exact dedup at scale."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plant = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_pairs(emb.unionByName(plant), threshold=0.95, planes=4)

@@ -1,0 +1,88 @@
+"""Similarity-search operator tests: cosine correctness on known
+vectors, LSH bucketing behavior, and recall vs brute force."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_pairs,
+    lsh_bucket,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),  # near doc 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+        (5, [1.0, 0.0, 0.0, 0.0]),  # identical to 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_known_values(spark, vecs):
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    out = {
+        (r.ia, r.ib): r.cos
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .collect()
+    }
+    assert out[(1, 5)] == pytest.approx(1.0)
+    assert out[(1, 3)] == pytest.approx(0.0)
+    assert out[(1, 4)] == pytest.approx(-1.0)
+    assert out[(1, 2)] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01))
+
+
+def test_brute_force_topk_ordering(spark, vecs):
+    got = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=3).collect()
+    ranked = [(r.rn, r.neighbor_id) for r in sorted(got, key=lambda r: r.rn)]
+    # identical (5) first, then near (2), then orthogonal (3)
+    assert ranked == [(1, 5), (2, 2), (3, 3)]
+
+
+def test_identical_vectors_share_bucket(spark, vecs):
+    buckets = {
+        r.vec_id: r.b
+        for r in vecs.select("vec_id", lsh_bucket(F.col("embedding")).alias("b")).collect()
+    }
+    assert buckets[1] == buckets[5]
+    assert 0 <= min(buckets.values()) and max(buckets.values()) < 16
+
+
+def test_near_pairs_finds_identical(spark, vecs):
+    pairs = {(r.id_a, r.id_b): r.cosine for r in embedding_near_pairs(vecs).collect()}
+    assert (1, 5) in pairs and pairs[(1, 5)] == pytest.approx(1.0)
+    assert (1, 4) not in pairs  # opposite vector never passes 0.95
+
+
+def test_lsh_recall_vs_brute_force_on_fixtures(spark, sf_dir):
+    """LSH top-10 must agree with brute force for neighbors that share
+    the query's bucket — and find a reasonable fraction overall (4
+    planes ⇒ ~1/16 corpus per bucket)."""
+    from hz_csv2parquet_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, q, k=10, planes=4).collect()}
+    assert len(approx) == 50  # every query still fills its k within the bucket
+    overlap = len(brute & approx) / len(brute)
+    assert overlap > 0.1  # sanity: deterministic, measured ≈ bucket fraction
