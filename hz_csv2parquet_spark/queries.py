@@ -451,4 +451,4 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # extension query modules register themselves into REGISTRY on import
 # (kept at the bottom to avoid a circular import at module load)
-from . import queries_sim, queries_text  # noqa: E402,F401
+from . import queries_sim, queries_streaming, queries_text  # noqa: E402,F401

@@ -1,0 +1,75 @@
+"""Structured Streaming queries — real streams, oracle-checked.
+
+Each query runs an actual Structured Streaming job (file source →
+watermarked window agg → memory sink, availableNow trigger) and
+returns the final batch result. Because the aggregates are
+order-insensitive (counts + decimal-exact sums) the DuckDB oracle
+can hash-check streaming output exactly — these are hard-signal
+streaming checks, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries import query
+from .streaming.windows import run_to_memory, session_windows, stream_events, tumbling_counts
+
+
+@query(
+    "streaming_tumbling_counts",
+    sql="""
+    SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS window_start_ms,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    streaming=True,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a 2-hour watermark,
+    executed as a real stream (availableNow). Epoch-aligned windows ⇒
+    the oracle is plain FLOOR arithmetic over the batch table."""
+    return run_to_memory(tumbling_counts(stream_events(spark, sf_dir)))
+
+
+@query(
+    "streaming_session_windows",
+    sql="""
+    WITH o AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+    f AS (
+      SELECT user_id, event_id, tms,
+        CASE WHEN LAG(tms) OVER w IS NULL
+                  OR tms - LAG(tms) OVER w > 1800000
+             THEN 1 ELSE 0 END AS new_s
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+    ),
+    s AS (
+      SELECT user_id, tms,
+        SUM(new_s) OVER (
+          PARTITION BY user_id ORDER BY tms, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM f
+    )
+    SELECT user_id,
+           MIN(tms) AS session_start_ms,
+           COUNT(*) AS n_events,
+           MAX(tms) - MIN(tms) AS duration_ms
+    FROM s GROUP BY user_id, session_id
+    """,
+    streaming=True,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-min session windows via ``session_window``, run as
+    a real stream. Oracle: the batch lag/running-sum sessionization
+    grouped to (start, count, duration).
+
+    Boundary semantics (pinned empirically in
+    tests/test_streaming.py): Spark merges an event into a session
+    iff it arrives at or before session end (= last event + gap), so
+    the oracle's new-session condition is ``diff > gap`` — identical
+    to the batch sessionize_events idiom."""
+    return run_to_memory(session_windows(stream_events(spark, sf_dir)))

@@ -1,0 +1,98 @@
+"""Structured Streaming windows over the ``events`` table.
+
+The reference is strictly batch (SURVEY.md §2.8); this is extension
+surface built the idiomatic Spark way: ``readStream`` → event-time
+windowed aggregation with a watermark → ``writeStream``. For the
+correctness gate the streams run with ``trigger(availableNow=True)``
+into a memory sink in ``complete`` mode — the stream genuinely
+executes (file source, micro-batches, state store), then the final
+result is a plain batch DataFrame the DuckDB oracle can hash-check.
+That makes streaming a *hard* signal here, not a rows-only one.
+
+Scale notes: event-time windows + watermark bound the state store
+(late data beyond the watermark is dropped); ``session_window``
+state is per (user, open session) — both are the standard shapes
+that survive unbounded input. The memory sink is only the test
+harness; production sinks (parquet/kafka) take the same DataFrames.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_sum
+from ..tables import _EVENTS_RAW_SCHEMA
+
+#: gap used by both the streaming session windows and their batch /
+#: oracle mirror (30 min, in ms)
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (same explicit
+    nanos-as-long schema as the batch reader, tables.py)."""
+    # the file-source requires a directory: stream the sf dir with a
+    # glob filter selecting just the events file
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Per-(hour, event_type) counts + exact value sum over tumbling
+    event-time windows. The watermark bounds state; the decimal-exact
+    sum keeps the result order-insensitive (oracle-hashable)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("value_sum"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) — the
+    Structured Streaming analogue of the batch sessionize_events
+    query. Emits session start, event count, and duration (last−first
+    event, i.e. window length minus the trailing gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start_ms"),
+            "n_events",
+            (
+                F.unix_millis(F.col("session_window.end"))
+                - F.lit(SESSION_GAP_MS)
+                - F.unix_millis(F.col("session_window.start"))
+            ).alias("duration_ms"),
+        )
+    )
+
+
+def run_to_memory(sdf: DataFrame, mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    a memory sink; return the final result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

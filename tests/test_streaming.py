@@ -1,0 +1,76 @@
+"""Structured Streaming tests: real availableNow streams over
+fixture + synthetic parquet, pinning windowing and session-boundary
+semantics."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark.streaming.windows import (
+    SESSION_GAP_MS,
+    run_to_memory,
+    session_windows,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def _write_events(path, rows):
+    """rows: list of (event_id, ts_ms, user_id). Written in the raw
+    fixture schema (ts as TIMESTAMP-free epoch-nanos int64)."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["x"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(path))
+
+
+def test_stream_runs_on_fixtures(spark, sf_dir):
+    out = run_to_memory(tumbling_counts(stream_events(spark, sf_dir)))
+    n = out.count()
+    assert n > 0
+    # events span hours; every row is a (window, type) aggregate
+    assert out.filter(F.col("n") <= 0).count() == 0
+
+
+def test_session_gap_boundary_semantics(spark, tmp_path):
+    """Pin Spark's boundary rule: an event at exactly last + gap
+    MERGES into the session; one ms later starts a new one. (The
+    streaming_session_windows oracle's ``diff > gap`` condition
+    depends on exactly this.)"""
+    _write_events(
+        tmp_path / "events.parquet",
+        [
+            (1, 0, 1),
+            (2, SESSION_GAP_MS + 1, 1),  # past the boundary → new session
+            (3, 10_000_000, 2),
+            (4, 10_000_000 + SESSION_GAP_MS, 2),  # exactly at it → merges
+        ],
+    )
+    out = run_to_memory(session_windows(stream_events(spark, str(tmp_path)))).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2  # split past the boundary
+    assert len(by_user[2]) == 1  # merged at the exact boundary
+    assert by_user[2][0].n_events == 2
+    assert by_user[2][0].duration_ms == SESSION_GAP_MS
+
+
+def test_tumbling_windows_epoch_aligned(spark, tmp_path):
+    _write_events(
+        tmp_path / "events.parquet",
+        [(1, 100, 1), (2, 3_599_999, 1), (3, 3_600_000, 1)],
+    )
+    out = run_to_memory(tumbling_counts(stream_events(spark, str(tmp_path)))).collect()
+    got = {r.window_start_ms: r.n for r in out}
+    assert got == {0: 2, 3_600_000: 1}
