@@ -21,4 +21,28 @@ Design principles (SURVEY.md §7):
   only where built-ins cannot express the semantics.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+from .operators.binned_agg import BinSpec, binned_agg, geo_aggregate
+from .operators.dedup import exact_dedup, minhash_dedup_pairs, simhash_near_pairs
+from .operators.enrich import add_lookup_column
+from .operators.similarity import brute_force_topk, embedding_near_pairs, lsh_topk
+from .operators.topk import grouped_topk
+from .sources.io import convert, read_table, write_table
+
+__all__ = [
+    "BinSpec",
+    "binned_agg",
+    "geo_aggregate",
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "simhash_near_pairs",
+    "add_lookup_column",
+    "brute_force_topk",
+    "lsh_topk",
+    "embedding_near_pairs",
+    "grouped_topk",
+    "convert",
+    "read_table",
+    "write_table",
+]

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing — binary payloads with typed metadata.
+
+Extension surface: a training-data pipeline carries images / audio /
+video as opaque ``binary`` columns plus a typed metadata struct, and
+runs decode / feature-extraction / frame-sampling as Arrow-batched
+Python over ``mapInPandas``. The real media codecs (PIL, ffmpeg,
+torchaudio) are not in this environment, so the *decode* step is
+pluggable: callers pass a decoder, and the default is a clearly
+marked deterministic fake (see ``fake_decode``) — but everything
+Spark-side is real and tested: the schema contract, the Arrow batch
+shapes, the partition-preserving execution, and the byte-level
+feature extraction (numpy over the raw payload).
+
+Scale notes: ``mapInPandas`` is the sanctioned shape for this —
+Arrow transfer, vectorized per batch, no per-row Python. Payloads
+stay in the executors; nothing collects. Feature extraction emits
+fixed-width rows, so downstream is ordinary columnar work.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: metadata struct carried alongside every payload
+META_SCHEMA = "struct<modality:string,format:string,n_bytes:bigint>"
+
+
+def attach_payload_metadata(df: DataFrame, payload_col: str, modality: str, fmt: str) -> DataFrame:
+    """Add the typed metadata struct for an opaque binary column."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(fmt).alias("format"),
+            F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def byte_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Byte-level feature extraction over Arrow batches: length,
+    exact integer byte sum (order-independent → reproducible), mean
+    byte (int sum / n, so bit-stable), max byte. Real numpy over the
+    raw payload — the shape every real extractor (embedding model,
+    EXIF parser, spectrogram) plugs into."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_col} long, n_bytes long, byte_sum long, mean_byte double, max_byte long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                a = np.frombuffer(payload, dtype=np.uint8)
+                s = int(a.sum())
+                rows.append((int(i), len(a), s, s / len(a) if len(a) else 0.0, int(a.max()) if len(a) else 0))
+            yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "byte_sum", "mean_byte", "max_byte"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def fake_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic FAKE decoder standing in for PIL/ffmpeg (not
+    available in this environment): derives a plausible (width,
+    height) from the payload length and returns the byte grid. A real
+    deployment passes a real decoder to ``decode_payloads`` —
+    same signature, same Spark plumbing."""
+    n = len(payload)
+    width = max(int(n**0.5), 1)
+    height = max(n // width, 1)
+    return {"width": width, "height": height, "pixels": payload[: width * height]}
+
+
+def decode_payloads(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: Callable[[bytes], dict[str, Any]] = fake_decode,
+) -> DataFrame:
+    """Decode binary payloads via an Arrow-batched ``mapInPandas``.
+    Output: id, width, height, n_pixels. Decode failures yield
+    (-1, -1, 0) rather than failing the job — at 100 TB some corrupt
+    payloads are a certainty."""
+    import pandas as pd
+
+    out_schema = f"{id_col} long, width int, height int, n_pixels long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    d = decoder(bytes(payload))
+                    rows.append((int(i), d["width"], d["height"], len(d["pixels"])))
+                except Exception:
+                    rows.append((int(i), -1, -1, 0))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "n_pixels"])
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame, id_col: str, payload_col: str, frame_bytes: int = 64, every: int = 4
+) -> DataFrame:
+    """Frame sampling for chunked (video-like) payloads: split the
+    payload into fixed-size frames, keep every ``every``-th. Pure
+    built-in expressions (no Python): one output row per kept frame
+    with its index and bytes — the explode-shaped plumbing a video
+    pipeline needs."""
+    n_frames = F.ceil(F.length(F.col(payload_col)) / F.lit(frame_bytes)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    kept = F.filter(idx, lambda i: i % every == 0)
+    return df.select(
+        F.col(id_col), F.col(payload_col).alias("__p"), F.explode(kept).alias("frame_id")
+    ).select(
+        id_col,
+        "frame_id",
+        F.substring(F.col("__p"), F.col("frame_id") * frame_bytes + 1, F.lit(frame_bytes)).alias(
+            "frame"
+        ),
+    )

@@ -451,4 +451,10 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # extension query modules register themselves into REGISTRY on import
 # (kept at the bottom to avoid a circular import at module load)
-from . import queries_sim, queries_streaming, queries_text  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    queries_io,
+    queries_multimodal,
+    queries_sim,
+    queries_streaming,
+    queries_text,
+)

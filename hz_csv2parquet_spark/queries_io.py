@@ -1,0 +1,100 @@
+"""Oracle coverage for the I/O surface (S1-S11) and the geo wrapper.
+
+Round 1 left the CSV scan/sink path and ``geo_aggregate`` pytest-only
+(VERDICT.md "What's missing" #5). These queries put both behind the
+driver's hash gate:
+
+- ``csv_roundtrip_agg`` drives sink→scan→aggregate end-to-end: the
+  fixture ``customer`` table is written with the CSV sink (S9), read
+  back with the inferring CSV scan (S1/S2 projection), and
+  aggregated. The oracle runs on the *original* parquet table — the
+  hash matches only if the CSV round-trip is lossless (Spark writes
+  shortest-roundtrip doubles) and the inferred schema is right.
+- ``geo_aggregate_lineitem`` runs the reference's exact geo surface
+  (agg.py §3.2: meters→degrees grid, JDS prescale, median, bin-center
+  output named like the inputs) over lat/lon synthesized
+  deterministically from lineitem columns (the fixtures carry no
+  real coordinates — FIXTURES.md §B mapping note).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.binned_agg import geo_aggregate, meters_to_degrees
+from .queries import dlit, query
+from .sources.io import read_table, write_table
+from .tables import table
+
+
+@query(
+    "csv_roundtrip_agg",
+    sql="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS acctbal_sum,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV sink (S9) → inferring CSV scan (S1) + projection
+    (S2) → aggregate. Oracle runs on the original parquet table, so a
+    hash match proves the round-trip is value-lossless."""
+    out = os.path.join(tempfile.mkdtemp(prefix="hz_csv_rt_"), "customer_csv")
+    write_table(table(spark, sf_dir, "customer"), out, fmt="csv")
+    back = read_table(
+        spark, out, fmt="csv", columns=["c_mktsegment", "c_acctbal", "c_custkey"]
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double").alias("acctbal_sum"),
+        F.min("c_custkey").cast("long").alias("min_key"),
+    )
+
+
+_GEO_STEP = meters_to_degrees(100_000.0)  # 100 km grid ≈ 0.899°
+
+
+def _sql_geo_bin(col: str, lo: float, alias: str) -> str:
+    return (
+        f"(FLOOR(({col} - {dlit(lo)}) / {dlit(_GEO_STEP)}) + 0.5) "
+        f"* {dlit(_GEO_STEP)} + {dlit(lo)} AS {alias}"
+    )
+
+
+@query(
+    "geo_aggregate_lineitem",
+    sql=f"""
+    WITH pts AS (
+      SELECT CAST(l_discount AS DOUBLE) * 800 - 80 AS Latitude,
+             CAST(l_quantity AS DOUBLE) * 5 - 150 AS Longitude,
+             CAST(l_extendedprice AS DOUBLE) AS Data
+      FROM lineitem
+    )
+    SELECT MEDIAN(Data / CAST('10.0' AS DOUBLE)) AS Data,
+           {_sql_geo_bin("Latitude", -90.0, "Latitude")},
+           {_sql_geo_bin("Longitude", -180.0, "Longitude")}
+    FROM pts
+    WHERE Latitude >= -90.0 AND Latitude < 90.0
+      AND Longitude >= -180.0 AND Longitude < 180.0
+    GROUP BY FLOOR((Latitude - {dlit(-90.0)}) / {dlit(_GEO_STEP)}),
+             FLOOR((Longitude - {dlit(-180.0)}) / {dlit(_GEO_STEP)})
+    """,
+)
+def geo_aggregate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full geo pipeline (agg.py §3.2) on synthesized
+    coordinates: 100 km uniform grid, JDS prescale (Data/10), exact
+    median, bin centers emitted under the input column names in the
+    reference's (Data, Latitude, Longitude) order."""
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount").cast("double") * 800 - 80).alias("Latitude"),
+        (F.col("l_quantity").cast("double") * 5 - 150).alias("Longitude"),
+        F.col("l_extendedprice").cast("double").alias("Data"),
+    )
+    return geo_aggregate(li, grid_meters=100_000.0, mode="median")

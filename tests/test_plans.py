@@ -1,0 +1,85 @@
+"""Physical-plan shape assertions — the scale contract, checked.
+
+Correctness says the answer is right at sf0.01; these tests pin that
+the *plan* is the one that survives 100 TB: pushdown reaching the
+parquet scan, broadcast joins for dimension lookups, top-k without a
+global sort, the two-phase window pre-reduce, and whole-stage
+codegen in the hot paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hz_csv2parquet_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prune_filter_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_prune_filter")
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThanOrEqual(l_orderkey,1000)" in plan
+    # projection pruned into the reader: only the 3 selected columns
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_shipdate" not in read_schema and "l_tax" not in read_schema
+
+
+def test_enrich_uses_broadcast_joins_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "enrich_broadcast_lookup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_top_k_plans_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_k_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_binned_agg_single_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "binned_agg_mean_1d")
+    # one shuffle: partial agg -> exchange on bin ids -> final agg
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2  # partial + final
+    # closed-form binning is plain arithmetic in the projection (no
+    # UDF, no bin-array lookup) — codegen-able by construction
+    assert "FLOOR" in plan and "BatchEvalPython" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "PushedFilters" in plan  # shipdate predicate reaches the scan
+
+
+def test_window_rank_two_phase(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_rank_per_group")
+    # salted pre-reduce window + final window — never one giant
+    # 25-partition sort of the full table
+    assert plan.count("Window") >= 2
+    assert "__salt" in plan or "_salt" in plan
+
+
+def test_similarity_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "similarity_topk_embeddings")
+    # query side broadcast → the corpus never shuffles for the join;
+    # the only hash exchanges are the two bounded top-k phases
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    # Spark 4 pushes row_number top-k down as WindowGroupLimit
+    assert "WindowGroupLimit" in plan
+
+
+def test_minhash_join_keys_on_band_hash(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_minhash_documents")
+    # candidate join is an equi-join on (band_id, band hash) — a hash
+    # join/shuffle on the bucket key, not a nested-loop over all pairs
+    # (the only BroadcastNestedLoopJoin allowed is none)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
