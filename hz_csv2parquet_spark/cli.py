@@ -1,0 +1,144 @@
+"""CLI reproducing the reference's three tools (O4) on the Spark engine.
+
+    python -m hz_csv2parquet_spark.cli convert <src> [dest] [--single-file]
+    python -m hz_csv2parquet_spark.cli agg <glob> [suffix] [-m MODE] [-s METERS] [--collate] [--per-file]
+    python -m hz_csv2parquet_spark.cli add-country <glob> [suffix] --lookup PATH [--grid-deg D]
+
+Argv surfaces mirror the reference (csv2parquet.py:191-201,
+agg.py:259-273, add_country.py:198-207): same positionals, same
+defaults (suffix ``_geo_aggregated`` / ``_with_country``, mode
+``median``, grid ``10`` meters, opt-in ``--collate``). Differences
+are deliberate and documented:
+
+- ``add-country`` enriches from a local lookup table (broadcast
+  join, operators/enrich.py) instead of one OSM HTTP call per row —
+  the reference's per-row network boundary does not survive
+  distribution (SURVEY.md U1).
+- per-file mode (O3) preserves the reference's 1:1 input→output file
+  mapping; each output is a Spark directory-with-one-part (written
+  ``coalesce(1)``), since distributed writers emit directories.
+- the ``_x..csv`` double-dot bug (add_country.py:79) is not
+  reproduced.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import os
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .operators.binned_agg import geo_aggregate
+from .operators.enrich import add_lookup_column
+from .sources.io import add_suffix_to_path, convert, read_table, write_table
+
+
+def _spark() -> SparkSession:
+    from .session import get_spark
+
+    return get_spark(app="hz_cli")
+
+
+def _expand(pattern: str) -> list[str]:
+    files = sorted(globmod.glob(pattern, recursive=True))
+    if not files:
+        raise SystemExit(f"no input files match {pattern!r}")
+    return files
+
+
+def cmd_convert(args: argparse.Namespace) -> None:
+    spark = _spark()
+    if os.path.isdir(args.src):
+        # per-file layout (O3): every CSV under src gets its own
+        # parquet output, stem preserved (csv2parquet.py:63-79)
+        files = _expand(os.path.join(args.src, "**", "*.csv"))
+        dest_dir = args.dest or args.src.rstrip("/") + "_parquet"
+        for f in files:
+            out = os.path.join(dest_dir, os.path.splitext(os.path.basename(f))[0] + ".parquet")
+            df = read_table(spark, f, fmt="csv")
+            write_table(df.coalesce(1) if args.single_file else df, out, fmt="parquet")
+            print(out)
+    else:
+        print(convert(spark, args.src, args.dest))
+
+
+def _fmt_of(path: str) -> str:
+    return "csv" if path.lower().endswith(".csv") else "parquet"
+
+
+def cmd_agg(args: argparse.Namespace) -> None:
+    spark = _spark()
+    files = _expand(args.src)
+    if args.collate:
+        # one global aggregation over every matched file (agg.py:182-190)
+        df = read_table(spark, files, fmt=_fmt_of(files[0]))
+        out = add_suffix_to_path(files[0], args.suffix)
+        out = os.path.splitext(out)[0] + ".parquet"  # agg always writes parquet (agg.py:172)
+        write_table(geo_aggregate(df, args.size, args.mode), out, fmt="parquet")
+        print(out)
+        return
+    for f in files:  # per-file independence (agg.py:164-172)
+        df = read_table(spark, f, fmt=_fmt_of(f))
+        out = os.path.splitext(add_suffix_to_path(f, args.suffix))[0] + ".parquet"
+        res = geo_aggregate(df, args.size, args.mode)
+        write_table(res.coalesce(1) if args.per_file else res, out, fmt="parquet")
+        print(out)
+
+
+def cmd_add_country(args: argparse.Namespace) -> None:
+    spark = _spark()
+    files = _expand(args.src)
+    lookup = read_table(spark, args.lookup, fmt=_fmt_of(args.lookup))
+    grid = float(args.grid_deg)
+    for f in files:
+        df = read_table(spark, f, fmt=_fmt_of(f))
+        keyed = df.withColumn("lat_bin", F.floor(F.col("Latitude") / grid).cast("long")).withColumn(
+            "lon_bin", F.floor(F.col("Longitude") / grid).cast("long")
+        )
+        enriched = add_lookup_column(
+            keyed, lookup, on=["lat_bin", "lon_bin"], value_col="country", out_col="Country"
+        ).drop("lat_bin", "lon_bin")
+        out = add_suffix_to_path(f, args.suffix)
+        write_table(enriched.coalesce(1), out, fmt=_fmt_of(f))
+        print(out)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="hz-spark", description=__doc__)
+    sub = p.add_subparsers(dest="tool", required=True)
+
+    c = sub.add_parser("convert", help="CSV → Parquet (csv2parquet.py surface)")
+    c.add_argument("src", help="CSV file or directory")
+    c.add_argument("dest", nargs="?", default=None)
+    c.add_argument("--single-file", action="store_true", help="one part file per output (1:1 mapping)")
+    c.set_defaults(fn=cmd_convert)
+
+    a = sub.add_parser("agg", help="geo-grid binned aggregation (agg.py surface)")
+    a.add_argument("src", help="input file glob")
+    a.add_argument("suffix", nargs="?", default="_geo_aggregated")
+    a.add_argument("-m", "--mode", choices=("mean", "median", "max"), default="median")
+    a.add_argument("-s", "--size", type=float, default=10.0, help="grid size in meters")
+    a.add_argument("--collate", action="store_true", help="aggregate all inputs together")
+    a.add_argument("--per-file", action="store_true", help="single part file per output")
+    a.set_defaults(fn=cmd_agg)
+
+    d = sub.add_parser("add-country", help="lookup enrichment (add_country.py surface)")
+    d.add_argument("src", help="input file glob")
+    d.add_argument("suffix", nargs="?", default="_with_country")
+    d.add_argument("--lookup", required=True, help="lookup table (lat_bin, lon_bin, country)")
+    d.add_argument("--grid-deg", type=float, default=1.0, help="lookup grid resolution in degrees")
+    d.set_defaults(fn=cmd_add_country)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

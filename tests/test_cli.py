@@ -1,0 +1,82 @@
+"""CLI smoke tests: each of the three reference-tool surfaces driven
+end-to-end on tmp-path fixtures."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hz_csv2parquet_spark.cli import main
+
+
+@pytest.fixture()
+def geo_csv(tmp_path, spark):
+    p = tmp_path / "points_a.csv"
+    p.write_text(
+        "Latitude,Longitude,Data,Extra\n"
+        "10.0,20.0,100.0,x\n"
+        "10.00001,20.00001,200.0,y\n"
+        "-45.0,170.0,50.0,z\n"
+    )
+    q = tmp_path / "points_b.csv"
+    q.write_text("Latitude,Longitude,Data,Extra\n10.0,20.0,300.0,w\n")
+    return tmp_path
+
+
+def test_cli_convert_file(geo_csv, spark):
+    src = str(geo_csv / "points_a.csv")
+    assert main(["convert", src]) == 0
+    out = str(geo_csv / "points_a.parquet")
+    assert os.path.exists(out)
+    df = spark.read.parquet(out)
+    assert df.count() == 3 and "Extra" in df.columns
+
+
+def test_cli_convert_directory_per_file(geo_csv, spark):
+    assert main(["convert", str(geo_csv), "--single-file"]) == 0
+    dest = str(geo_csv).rstrip("/") + "_parquet"
+    assert os.path.exists(os.path.join(dest, "points_a.parquet"))
+    assert os.path.exists(os.path.join(dest, "points_b.parquet"))
+
+
+def test_cli_agg_per_file_vs_collate(geo_csv, spark):
+    pat = str(geo_csv / "points_*.csv")
+    assert main(["agg", pat, "-m", "mean", "-s", "1000", "--per-file"]) == 0
+    a = spark.read.parquet(str(geo_csv / "points_a_geo_aggregated.parquet"))
+    assert a.columns == ["Data", "Latitude", "Longitude"]
+    # rows 1+2 share a 1 km cell: mean of (100/10, 200/10) = 15;
+    # the far point aggregates alone: 50/10 = 5
+    assert sorted(r.Data for r in a.collect()) == pytest.approx([5.0, 15.0])
+
+    assert main(["agg", pat, "_collated", "-m", "mean", "-s", "1000", "--collate"]) == 0
+    c = spark.read.parquet(str(geo_csv / "points_a_collated.parquet"))
+    # collate folds file b's 300 into the shared cell: mean(10,20,30) = 20
+    assert sorted(r.Data for r in c.collect()) == pytest.approx([5.0, 20.0])
+
+
+def test_cli_add_country_with_sentinel(geo_csv, tmp_path, spark):
+    lk = tmp_path / "lookup.csv"
+    lk.write_text("lat_bin,lon_bin,country\n10,20,Atlantis\n")
+    assert (
+        main(
+            [
+                "add-country",
+                str(geo_csv / "points_a.csv"),
+                "--lookup",
+                str(lk),
+                "--grid-deg",
+                "1.0",
+            ]
+        )
+        == 0
+    )
+    out = spark.read.option("header", True).csv(str(geo_csv / "points_a_with_country.csv"))
+    got = {r.Data: r.Country for r in out.collect()}
+    assert got["100.0"] == "Atlantis" and got["200.0"] == "Atlantis"
+    assert got["50.0"] == "No country"  # no lookup cell → sentinel
+
+
+def test_cli_no_match_errors(geo_csv):
+    with pytest.raises(SystemExit):
+        main(["agg", str(geo_csv / "nope_*.csv")])
