@@ -14,7 +14,12 @@ we route sums through DECIMAL(38,10):
 The decimal sum stays inside whole-stage codegen on the JVM; the cost
 over a double sum is small and buys bit-identical results under any
 partitioning. DuckDB mirror:
-``CAST(SUM(CAST(expr AS DECIMAL(38,10))) AS DOUBLE)``.
+``CAST(CAST(SUM(CAST(expr AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)`` —
+the VARCHAR hop matters: DuckDB's direct DECIMAL→DOUBLE cast
+double-rounds (int128 → double, then the scale divide), which is 1
+ulp off Spark's correctly-rounded BigDecimal.doubleValue for sums
+whose unscaled value exceeds 2^53; decimal→string→double is
+correctly rounded in both engines.
 """
 
 from __future__ import annotations
@@ -25,8 +30,8 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,10)"
 
 # SQL fragments for oracle mirroring (keep in sync with the Column fns)
-SQL_EXACT_SUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
-SQL_EXACT_AVG = "CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE) / COUNT({expr})"
+SQL_EXACT_SUM = "CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+SQL_EXACT_AVG = "CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT({expr})"
 
 
 def _col(c: Column | str) -> Column:

@@ -99,7 +99,7 @@ def scan_prune_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "binned_agg_mean_1d",
     sql=f"""
     SELECT {sql_bin_center("user_id", 0.0, 25.0, "user_id_bin")},
-           CAST(SUM(CAST(value / CAST('10.0' AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value / CAST('10.0' AS DOUBLE) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
              / COUNT(value) AS value_mean
     FROM events
     WHERE {sql_in_range("user_id", 0.0, 150.0)}
@@ -178,7 +178,7 @@ def binned_agg_max_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM u GROUP BY event_type
     """,
 )
@@ -236,14 +236,14 @@ def enrich_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
         AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
         AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-      CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -428,7 +428,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_bucket,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM events
     GROUP BY 1, 2
     """,

@@ -36,7 +36,7 @@ from .tables import table
     sql="""
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS acctbal_sum,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS acctbal_sum,
            CAST(MIN(c_custkey) AS BIGINT) AS min_key
     FROM customer
     GROUP BY c_mktsegment

@@ -22,7 +22,7 @@ from .streaming.windows import run_to_memory, session_windows, stream_events, tu
     SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS window_start_ms,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS value_sum
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS value_sum
     FROM events
     GROUP BY 1, 2
     """,
