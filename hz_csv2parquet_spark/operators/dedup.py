@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import stable_md5, word_shingles
+from ..functions.hashing import word_shingles
 from ..functions.text import normalize_text
 
 # ---------------------------------------------------------------------
@@ -65,6 +65,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------
 
+#: modulus of the multiply-shift MinHash family: largest prime < 2^32.
+#: a·h + b stays < 2^52 (a, b < 2^20; h < 2^32), so the arithmetic is
+#: exact in both Spark longs and DuckDB BIGINTs (no overflow, which
+#: DuckDB would raise on).
+MINHASH_P = 4_294_967_291
+
+
+def _mh_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash i of the family, derived from
+    md5 so both engines can embed them as plain literals. a is odd."""
+    import hashlib
+
+    a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:5], 16) | 1
+    b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:5], 16)
+    return a, b
+
 
 def shingle_set(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text — the
@@ -72,26 +88,50 @@ def shingle_set(text_col: str, n: int = 3) -> Column:
     return F.array_distinct(word_shingles(normalize_text(text_col), n=n))
 
 
-def minhash_band_hashes(shingles: Column, num_hashes: int = 16, bands: int = 4) -> list[Column]:
-    """One hash per LSH band: band j's value is the MD5 of the
-    ``rows_per_band`` MinHashes it covers, concatenated. MinHash i =
-    min over shingles of md5('i|' + shingle) (seeded family,
-    functions/hashing.py) — min of a uniform pseudo-random order, the
-    classic permutation-free MinHash."""
+def shingle_hashes32(shingles: Column) -> Column:
+    """One 32-bit base hash per shingle (first 8 hex digits of its
+    md5) — computed ONCE; the k-hash family below is cheap integer
+    arithmetic on top, not k separate md5 passes."""
+    return F.transform(
+        shingles, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    )
+
+
+def minhash_band_hashes(
+    shingle_h32: Column, num_hashes: int = 16, bands: int = 4
+) -> list[Column]:
+    """One integer hash per LSH band. MinHash i = min over shingles
+    of (aᵢ·h32 + bᵢ) mod P — the classic multiply-mod permutation
+    family over the per-shingle base hash; band j combines its
+    ``num_hashes/bands`` MinHashes with an exact polynomial
+    (values < 2^47, no overflow)."""
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     r = num_hashes // bands
 
-    def seeded(i: int):
-        # closure factory, NOT `lambda x, i=i:` — a 2-parameter lambda
-        # makes PySpark's transform() pass the array index as the 2nd
-        # argument, silently overriding the default
-        return lambda x: stable_md5(x, seed=i)
+    def family(i: int):
+        a, b = _mh_coeffs(i)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
 
-    minhashes = [F.array_min(F.transform(shingles, seeded(i))) for i in range(num_hashes)]
-    return [
-        F.md5(F.concat_ws("|", *minhashes[j * r : (j + 1) * r])) for j in range(bands)
-    ]
+    minhashes = [F.array_min(F.transform(shingle_h32, family(i))) for i in range(num_hashes)]
+    out = []
+    for j in range(bands):
+        bh = minhashes[j * r]
+        for m in minhashes[j * r + 1 : (j + 1) * r]:
+            bh = bh * F.lit(31) + m
+        out.append(bh)
+    return out
+
+
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """(id, shingle set, per-shingle 32-bit hashes), persisted: the
+    signature table is read by both sides of the bucket self-join and
+    by the verify join — at scale this is the materialized signature
+    table every LSH dedup pipeline writes once and reuses."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingle_set(text_col, shingle_n).alias("__sh")
+    ).withColumn("__h32", shingle_hashes32(F.col("__sh")))
+    return sh.persist()
 
 
 def lsh_candidate_pairs(
@@ -101,13 +141,14 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(id_a < id_b)`` from MinHash
     LSH banding. The only shuffle keys on (band_id, band_hash); the
     self-join compares docs *within a bucket only* — never all pairs.
     Output: id_a, id_b (distinct)."""
-    sh = df.select(F.col(id_col).alias("__id"), shingle_set(text_col, shingle_n).alias("__sh"))
-    bhs = minhash_band_hashes(F.col("__sh"), num_hashes, bands)
+    sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_n)
+    bhs = minhash_band_hashes(F.col("__h32"), num_hashes, bands)
     banded = sh.select(
         "__id",
         F.explode(
@@ -150,11 +191,12 @@ def minhash_dedup_pairs(
     Scale shape: candidates ≪ all-pairs (bucketed), and the verify
     join touches only candidate ids — two broadcast-or-shuffle joins
     proportional to the candidate count, not |corpus|²."""
-    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
-    sh = df.select(F.col(id_col).alias("__id"), shingle_set(text_col, shingle_n).alias("__sh"))
+    sh = _shingle_frame(df, id_col, text_col, shingle_n)
+    cand = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n, _sh=sh)
+    shs = sh.select("__id", "__sh")
     j = (
-        cand.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        cand.join(shs.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(shs.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
         .select("id_a", "id_b", jaccard_on_shingles(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
     )
     return j.filter(F.col("jaccard") >= threshold)

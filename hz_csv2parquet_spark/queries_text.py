@@ -190,29 +190,44 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_minhash_pairs(num_hashes: int = 16, bands: int = 4, threshold: float = 0.6) -> str:
     """DuckDB mirror of operators.dedup.minhash_dedup_pairs on the
-    planted near-dup corpus — same seeded-md5 MinHashes, same band
-    hashes, same bucket join, same Jaccard verify."""
+    planted near-dup corpus — same 32-bit base hash per shingle, same
+    multiply-mod MinHash family, same polynomial band hashes, same
+    bucket join, same Jaccard verify."""
+    from .operators.dedup import MINHASH_P, _mh_coeffs
+
     r = num_hashes // bands
-    mins = ",\n           ".join(
-        f"list_min(list_transform(sh, x -> md5('{i}|' || x))) AS m{i}"
-        for i in range(num_hashes)
-    )
-    band_rows = "\n      UNION ALL\n".join(
-        "      SELECT doc_id, {j} AS band_id, md5({expr}) AS bh FROM sig".format(
-            j=j,
-            expr=" || '|' || ".join(f"m{i}" for i in range(j * r, (j + 1) * r)),
+    mins = []
+    for i in range(num_hashes):
+        a, b = _mh_coeffs(i)
+        mins.append(
+            f"list_min(list_transform(h32, h -> ({a} * h + {b}) % {MINHASH_P})) AS m{i}"
         )
+    band_exprs = []
+    for j in range(bands):
+        bh = f"m{j * r}"
+        for i in range(j * r + 1, (j + 1) * r):
+            bh = f"({bh} * 31 + m{i})"
+        band_exprs.append(bh)
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {j} AS band_id, {band_exprs[j]} AS bh FROM sig"
         for j in range(bands)
     )
+    mins_sql = ",\n           ".join(mins)
     return f"""
     WITH corpus AS ({_SQL_NEAR_CORPUS}),
     sh AS (
       SELECT doc_id, {_sql_shingles("text")} AS sh FROM corpus
     ),
+    sh32 AS (
+      SELECT doc_id, sh,
+             list_transform(sh, x ->
+               CAST(CAST(concat('0x', substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)) AS h32
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
-           {mins}
-      FROM sh
+           {mins_sql}
+      FROM sh32
     ),
     bands AS (
 {band_rows}
