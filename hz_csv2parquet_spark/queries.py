@@ -452,6 +452,7 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension query modules register themselves into REGISTRY on import
 # (kept at the bottom to avoid a circular import at module load)
 from . import (  # noqa: E402,F401
+    queries_extra,
     queries_io,
     queries_multimodal,
     queries_sim,

@@ -1,0 +1,108 @@
+"""Extended relational surface: as-of join, rollup, exact quantiles.
+
+Operators the reference lacks entirely but an analytics engine is
+expected to carry. Each is oracle-checked: DuckDB has a native ASOF
+JOIN (which pins our union–carry-forward construction against an
+independent implementation), plus ROLLUP and interpolating
+``quantile_cont`` matching Spark's ``rollup``/``percentile``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.exact import exact_sum
+from .operators.asof import asof_join
+from .queries import query
+from .tables import table
+
+
+@query(
+    "asof_last_click",
+    sql="""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type, value FROM events
+    ),
+    clicks AS (SELECT user_id, tms, event_id AS click_id, value AS click_value FROM ev
+               WHERE event_type = 'click')
+    SELECT ev.event_id, ev.user_id, ev.tms,
+           clicks.click_id AS last_click_id,
+           clicks.click_value AS last_click_value
+    FROM ev ASOF LEFT JOIN clicks
+      ON ev.user_id = clicks.user_id AND ev.tms >= clicks.tms
+    """,
+    headline=True,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attach to every event its
+    user's latest click at-or-before that moment — the canonical
+    time-series enrichment Spark has no native operator for. The
+    union–carry-forward plan is one shuffle on user_id; DuckDB's
+    native ASOF JOIN is the independent oracle."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("tms"), "event_type", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("tms").alias("click_tms"),
+        F.col("event_id").alias("last_click_id"),
+        F.col("value").alias("last_click_value"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "tms"),
+        clicks,
+        key="user_id",
+        fact_time="tms",
+        dim_time="click_tms",
+        payload_cols=["last_click_id", "last_click_value"],
+    )
+    return out.select("event_id", "user_id", "tms", "last_click_id", "last_click_value")
+
+
+@query(
+    "rollup_revenue",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates via ROLLUP: (flag, status), per-flag
+    subtotals, and the grand total in one pass — Spark plans a single
+    expand + hash aggregate, no multiple scans."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(exact_sum("l_extendedprice").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "percentiles_by_segment",
+    sql="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.5) AS p50,
+           quantile_cont(c_acctbal, 0.75) AS p75,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating quantiles per group (Spark ``percentile``
+    = DuckDB ``quantile_cont``). Exact percentile holds per-group
+    values — the grid/group key is the shrink step, same trade as
+    the median binned aggregation."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.25)).alias("p25"),
+        F.percentile("c_acctbal", F.lit(0.5)).alias("p50"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
