@@ -1,0 +1,74 @@
+"""Property-based invariants (hypothesis) for the binned-aggregation
+core — SURVEY.md §5's property test plan.
+
+Spark jobs per example are expensive; examples are capped and sized
+small, but the domains are adversarial (bin edges, denormal-adjacent
+steps, even/odd group sizes).
+"""
+
+from __future__ import annotations
+
+import math
+import statistics
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark.operators.binned_agg import BinSpec, binned_agg
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    xs=st.lists(st.floats(min_value=0.0, max_value=99.999, allow_nan=False), min_size=1, max_size=40),
+    step=st.sampled_from([0.5, 1.0, 2.5, 10.0]),
+)
+@SET
+def test_every_inrange_point_lands_in_exactly_one_bin(spark, xs, step):
+    df = spark.createDataFrame([(x, 1.0) for x in xs], "x double, v double")
+    spec = BinSpec("x", 0.0, 100.0, step)
+    out = binned_agg(df, [spec], "v", mode="count").collect()
+    # total count preserved (no point dropped or double-counted)
+    assert sum(r.v_count for r in out) == len(xs)
+    # every emitted center is a valid grid center within the range
+    n_bins = math.ceil(100.0 / step)
+    for r in out:
+        i = round((r.x_bin - 0.0) / step - 0.5)
+        assert 0 <= i < n_bins
+        assert r.x_bin == pytest.approx((i + 0.5) * step, abs=1e-9)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=30
+    )
+)
+@SET
+def test_median_matches_statistics_median(spark, vals):
+    df = spark.createDataFrame([(0.0, v) for v in vals], "x double, v double")
+    out = binned_agg(df, [BinSpec("x", 0.0, 1.0, 1.0)], "v", mode="median").collect()
+    assert len(out) == 1
+    assert out[0].v_median == pytest.approx(statistics.median(vals), rel=1e-12, abs=1e-9)
+
+
+@given(
+    a=st.lists(st.tuples(st.floats(0, 9.99), st.floats(-100, 100)), min_size=1, max_size=20),
+    b=st.lists(st.tuples(st.floats(0, 9.99), st.floats(-100, 100)), min_size=1, max_size=20),
+)
+@SET
+def test_collate_equals_aggregate_of_union(spark, a, b):
+    """agg.py's two modes: aggregating the union of files must equal
+    aggregating the concatenation (global bins make collate
+    associative) — the property that justifies multi-path reads."""
+    mk = lambda rows: spark.createDataFrame(rows, "x double, v double")
+    spec = [BinSpec("x", 0.0, 10.0, 2.0)]
+    union = mk(a).unionByName(mk(b))
+    together = {r.x_bin: r.v_count for r in binned_agg(union, spec, "v", mode="count").collect()}
+    concat = {r.x_bin: r.v_count for r in binned_agg(mk(a + b), spec, "v", mode="count").collect()}
+    assert together == concat
