@@ -113,6 +113,28 @@ def sql_fingerprint(col: str) -> str:
     return f"substring(md5({sql_normalize_text(col)}), 1, 16)"
 
 
+def char_fingerprint(c: Column | str, k: int = 5) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style, simplified
+    to global min): the minimum seeded hash over all character
+    k-shingles of the normalized text. A near-duplicate *signal* the
+    whole-text hash can't give: two documents collide iff they share
+    their minimum-hashed shingle (P = shingle-set Jaccard), e.g.
+    under appends/truncations. Built on functions/hashing.py."""
+    from .hashing import char_shingles, stable_md5
+
+    sh = char_shingles(normalize_text(c), k=k)
+    return F.array_min(F.transform(sh, lambda x: stable_md5(x, seed=0)))
+
+
+def sql_char_fingerprint(col: str, k: int = 5) -> str:
+    n = sql_normalize_text(col)
+    sh = (
+        f"list_transform(generate_series(1, greatest(length({n})-{k - 1}, 1)), "
+        f"i -> substring({n}, i, {k}))"
+    )
+    return f"list_min(list_transform({sh}, x -> md5('0|' || x)))"
+
+
 # ---------------------------------------------------------------------
 # language ID (stopword-ratio heuristic)
 # ---------------------------------------------------------------------

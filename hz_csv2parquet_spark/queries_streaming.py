@@ -73,3 +73,27 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's new-session condition is ``diff > gap`` — identical
     to the batch sessionize_events idiom."""
     return run_to_memory(session_windows(stream_events(spark, sf_dir)))
+
+
+@query(
+    "streaming_stateful_user_stats",
+    sql="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(epoch_ms(ts)) AS max_tms,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY user_id
+    """,
+    streaming=True,
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState,
+    streaming/stateful.py): per-user running totals evolved across
+    micro-batches. On the single-batch fixture stream the final state
+    equals the batch GROUP BY, so even arbitrary-state streaming gets
+    a hash-checked oracle; multi-batch state carry-over is pinned in
+    tests/test_streaming.py."""
+    from .streaming.stateful import running_user_stats
+
+    return run_to_memory(running_user_stats(stream_events(spark, sf_dir)), mode="append")

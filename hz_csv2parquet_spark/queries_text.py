@@ -65,6 +65,7 @@ def _sql_jaccard(a: str, b: str) -> str:
            {T.sql_token_count("text")} AS n_tokens,
            CAST(length({T.sql_normalize_text("text")}) AS BIGINT) AS n_chars_norm,
            {T.sql_fingerprint("text")} AS fingerprint,
+           {T.sql_char_fingerprint("text")} AS char_fp,
            {T.sql_lang_id("text")} AS lang_pred,
            CAST({T.sql_stopword_count("text", "en")} AS DOUBLE)
              / CAST(greatest({T.sql_token_count("text")}, 1) AS DOUBLE) AS en_stop_ratio,
@@ -77,10 +78,11 @@ def _sql_jaccard(a: str, b: str) -> str:
     headline=True,
 )
 def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text analysis: token/char counts, 64-bit
-    fingerprint, stopword-heuristic language ID, and a 0-3 quality
-    score (count of passed Gopher-style rule flags). All JVM-side
-    expressions — one narrow projection, no shuffle."""
+    """Per-document text analysis: token/char counts, whole-text and
+    char-shingle (winnowing-style) fingerprints, stopword-heuristic
+    language ID, and a 0-3 quality score (count of passed
+    Gopher-style rule flags). All JVM-side expressions — one narrow
+    projection, no shuffle."""
     d = table(spark, sf_dir, "documents")
     flags = T.quality_flags("text")
     quality = sum(f.cast("int") for f in flags.values())
@@ -89,6 +91,7 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count("text").alias("n_tokens"),
         F.length(T.normalize_text("text")).cast("long").alias("n_chars_norm"),
         T.fingerprint("text").alias("fingerprint"),
+        T.char_fingerprint("text").alias("char_fp"),
         T.lang_id("text").alias("lang_pred"),
         (
             T.stopword_count("text", "en").cast("double")
