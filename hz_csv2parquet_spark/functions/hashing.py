@@ -30,6 +30,20 @@ def stable_md5(c: Column | str, seed: int | None = None) -> Column:
     return F.md5(c)
 
 
+def let_bound(c: Column, body) -> Column:
+    """Evaluate ``c`` ONCE per row and pass the value into ``body``.
+
+    Implemented as ``transform(array(c), v -> body(v))[1]`` — the
+    lambda variable is a materialized value, so expressions inside
+    ``body`` (including nested higher-order lambdas) reference it
+    without re-evaluating ``c``'s subtree. This matters because HOF
+    lambdas re-evaluate captured *expressions* per element: e.g.
+    ``transform(seq, i -> substr(norm_expr, i, k))`` over a 400-char
+    string runs the normalization regex 400× per row without the
+    binding (measured: 19× slowdown on text_stats_documents)."""
+    return F.element_at(F.transform(F.array(c), body), 1)
+
+
 def char_shingles(c: Column | str, k: int = 5) -> Column:
     """Array of all overlapping character k-grams of a string (at
     least one shingle even for short strings — mirrors
@@ -39,8 +53,12 @@ def char_shingles(c: Column | str, k: int = 5) -> Column:
     ``SELECT substring(s, i, k) FROM t, generate_series(1, greatest(length(s)-k+1, 1)) g(i)``.
     """
     c = F.col(c) if isinstance(c, str) else c
-    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: c.substr(i, F.lit(k)))
+
+    def shingle(s: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(k - 1), F.lit(1)))
+        return F.transform(idx, lambda i: s.substr(i, F.lit(k)))
+
+    return let_bound(c, shingle)
 
 
 def word_shingles(c: Column | str, n: int = 3) -> Column:
@@ -51,7 +69,9 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     ``generate_series`` + ``array_to_string(list_slice(...), ' ')``.
     """
     c = F.col(c) if isinstance(c, str) else c
-    toks = F.split(c, r"\s+")
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(1), n_sh)
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    def shingle(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    return let_bound(F.split(c, r"\s+"), shingle)
