@@ -106,3 +106,93 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("c_acctbal", F.lit(0.75)).alias("p75"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "distinct_users_per_type",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: COUNT(DISTINCT) alongside a plain count
+    — Spark plans the two-phase expand/partial-distinct aggregate."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "semi_anti_customers",
+    sql="""
+    SELECT 'with_orders' AS side, c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    UNION ALL
+    SELECT 'no_orders' AS side, c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+)
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join surface: customers with / without a big-ticket
+    order (LEFT SEMI / LEFT ANTI), labeled and unioned. Both plan as
+    broadcast existence joins — no row multiplication, orders never
+    projected. The price predicate keeps BOTH sides non-empty on
+    every fixture SF (every customer has *some* order, which would
+    make the bare anti side vacuous)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    semi = c.join(o, c.c_custkey == o.o_custkey, "leftsemi").select(
+        F.lit("with_orders").alias("side"), "c_custkey", "c_mktsegment"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "leftanti").select(
+        F.lit("no_orders").alias("side"), "c_custkey", "c_mktsegment"
+    )
+    return semi.unionByName(anti)
+
+
+#: BPE-ish piece pattern: alpha runs, digit runs, punctuation runs —
+#: deliberately lookahead-free so Java regex and RE2 tokenize
+#: identically
+_PIECE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+@query(
+    "tokenize_regex_documents",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                       '{_PIECE_RE}')) AS BIGINT) AS n_pieces,
+           CAST(len(list_filter(regexp_extract_all(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                                                   '{_PIECE_RE}'),
+                                p -> p ~ '^[0-9]+$')) AS BIGINT) AS n_digit_pieces
+    FROM documents
+    """,
+)
+def tokenize_regex_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (alpha / digit / punct piece runs):
+    piece counts per document — the token-count shape an LLM-data
+    pipeline budgets by. Lookahead-free pattern keeps Java regex and
+    RE2 byte-identical."""
+    from .functions.text import normalize_text
+
+    pieces = F.regexp_extract_all(normalize_text("text"), F.lit(_PIECE_RE), 0)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]+$"))).cast("long").alias(
+            "n_digit_pieces"
+        ),
+    )
