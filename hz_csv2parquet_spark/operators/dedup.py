@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import word_shingles
 from ..functions.text import normalize_text
+from ..tables import spread
 
 # ---------------------------------------------------------------------
 # exact dedup
@@ -128,8 +129,8 @@ def _shingle_frame(df: DataFrame, id_col: str, text_col: str, shingle_n: int) ->
     signature table is read by both sides of the bucket self-join and
     by the verify join — at scale this is the materialized signature
     table every LSH dedup pipeline writes once and reuses."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingle_set(text_col, shingle_n).alias("__sh")
+    sh = spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
+        "__id", shingle_set("__t", shingle_n).alias("__sh")
     ).withColumn("__h32", shingle_hashes32(F.col("__sh")))
     return sh.persist()
 

@@ -83,7 +83,9 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     language ID, and a 0-3 quality score (count of passed
     Gopher-style rule flags). All JVM-side expressions — one narrow
     projection, no shuffle."""
-    d = table(spark, sf_dir, "documents")
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
     flags = T.quality_flags("text")
     quality = sum(f.cast("int") for f in flags.values())
     return d.select(

@@ -49,6 +49,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a too-coarse input before CPU-bound per-row work
+    (per-shingle hashing, regex tokenization). A single-row-group
+    parquet scans as ONE task; shuffling the raw rows is cheap
+    relative to the compute it parallelizes. No-op when the input
+    already has enough partitions — on a real multi-file corpus this
+    never fires."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql use)."""
     for name in TABLES:
