@@ -28,7 +28,7 @@ plane table needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .topk import grouped_topk
@@ -126,6 +126,72 @@ def lsh_topk(
         c.join(F.broadcast(q), ["__bkt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine"))
+    )
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id")],
+        k,
+        salt_col=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "cosine", "rn")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: each vector's ``nprobe`` nearest
+    centroids by cosine (deterministic tie-break on centroid id).
+    Centroids are broadcast; cost is |corpus|·K cosines — linear,
+    which is the whole point of IVF. Output: id, cell, rank."""
+    c = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    k = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("__kv"))
+    scored = c.join(F.broadcast(k)).select(
+        "__vid", "cell", cosine(F.col("__v"), F.col("__kv")).alias("__cos")
+    )
+    w = Window.partitionBy("__vid").orderBy(F.col("__cos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col("__vid").alias(id_col), "cell", F.col("__rn").alias("probe_rank"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flavored ANN: corpus vectors are assigned to their nearest
+    centroid cell (coarse quantizer = the first ``n_centroids``
+    corpus vectors — deterministic; a real deployment trains k-means
+    offline and ships the table); each query probes its ``nprobe``
+    nearest cells and ranks candidates by exact cosine within them.
+    The scan never compares a query against vectors outside probed
+    cells — the inverted-file structure IS the shuffle key. Output:
+    query_id, neighbor_id, cosine, rn."""
+    cents = corpus.filter(F.col(id_col) < n_centroids)
+    cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(id_col, "cell")
+    corpus_cells = corpus.join(cells, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
+    )
+    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), "cell"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    scored = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cosine"))
+        # no dedup needed: each corpus vector lives in exactly one cell
     )
     return grouped_topk(
         scored,

@@ -196,3 +196,67 @@ def tokenize_regex_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_digit_pieces"
         ),
     )
+
+
+@query(
+    "bucketed_join_revenue",
+    sql="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both sides written bucketed +
+    sorted on the join key, so the sort-merge join needs NO exchange
+    and NO sort — the pre-partitioning IS the shuffle, paid once at
+    write time and amortized over every subsequent join. This is the
+    standard layout for repeatedly-joined 100 TB fact tables.
+    tests/test_plans.py pins the exchange-free plan."""
+    import tempfile
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = tempfile.mkdtemp(prefix="hz_bucketed_")
+    spark.sql("DROP TABLE IF EXISTS hz_b_orders")
+    spark.sql("DROP TABLE IF EXISTS hz_b_customer")
+    (
+        o.write.mode("overwrite")
+        .option("path", f"{base}/orders")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("hz_b_orders")
+    )
+    (
+        c.write.mode("overwrite")
+        .option("path", f"{base}/customer")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("hz_b_customer")
+    )
+    bo, bc = spark.table("hz_b_orders"), spark.table("hz_b_customer")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query("approx_percentiles_by_segment", sql=None)
+def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based scale path next to percentiles_by_segment:
+    ``approx_percentile`` (KLL-style, mergeable, bounded memory) is
+    what replaces exact per-group value lists at 100 TB. No SQL
+    oracle — DuckDB's approx sketch differs by construction; accuracy
+    vs the exact quantiles is pinned in tests/test_extra.py."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

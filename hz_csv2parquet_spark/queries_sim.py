@@ -138,3 +138,57 @@ def embedding_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     return embedding_near_pairs(emb.unionByName(plant), threshold=0.95, planes=4)
+
+
+def _sql_ivf_topk(n_centroids: int = 8, nprobe: int = 2, k: int = 10) -> str:
+    """Mirror of operators.similarity.ivf_topk: same centroid choice,
+    same assignment tie-break, same probe set, same final ranking."""
+    cos = _sql_cosine("v.embedding", "c.embedding")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {n_centroids}),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos} DESC, c.cell) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos} DESC, c.cell) AS rn
+        FROM embeddings v CROSS JOIN cents c
+        WHERE v.vec_id < 5
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_sql_cosine("q.embedding", "n.embedding")} AS cosine
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings n ON n.vec_id = a.vec_id
+      WHERE p.query_id != a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@query("similarity_ivf_embeddings", sql=_sql_ivf_topk())
+def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flavored ANN (operators/similarity.py ivf_topk): corpus
+    partitioned into centroid cells (inverted file), queries probe
+    their 2 nearest cells, exact cosine within probed cells only.
+    The third scale path next to brute force and sign-LSH."""
+    from .operators.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=2)

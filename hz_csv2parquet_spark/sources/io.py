@@ -91,11 +91,23 @@ def read_table(
     return df
 
 
-def write_table(df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite") -> None:
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
     """Write a DataFrame as Parquet or CSV (S8–S10). No index column
-    exists to drop — Spark DataFrames are pure relations."""
+    exists to drop — Spark DataFrames are pure relations.
+
+    ``partition_by`` produces a Hive-style ``col=value/`` directory
+    layout — the 100 TB default for any column readers filter on
+    (partition pruning skips whole directories at plan time)."""
     fmt = fmt or _infer_format(path)
     writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         writer.option("header", True).csv(path)
     elif fmt == "parquet":
