@@ -23,10 +23,21 @@ Design principles (SURVEY.md §7):
 
 __version__ = "0.2.0"
 
+from .operators.asof import asof_join
 from .operators.binned_agg import BinSpec, binned_agg, geo_aggregate
-from .operators.dedup import exact_dedup, minhash_dedup_pairs, simhash_near_pairs
+from .operators.dedup import (
+    blocked_jaccard_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
 from .operators.enrich import add_lookup_column
-from .operators.similarity import brute_force_topk, embedding_near_pairs, lsh_topk
+from .operators.similarity import (
+    brute_force_topk,
+    embedding_near_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from .operators.topk import grouped_topk
 from .sources.io import convert, read_table, write_table
 
@@ -34,12 +45,15 @@ __all__ = [
     "BinSpec",
     "binned_agg",
     "geo_aggregate",
+    "asof_join",
     "exact_dedup",
     "minhash_dedup_pairs",
     "simhash_near_pairs",
+    "blocked_jaccard_pairs",
     "add_lookup_column",
     "brute_force_topk",
     "lsh_topk",
+    "ivf_topk",
     "embedding_near_pairs",
     "grouped_topk",
     "convert",

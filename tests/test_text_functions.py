@@ -1,0 +1,49 @@
+"""Text-function unit tests: lang-id on unambiguous inputs, quality
+flags on constructed edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark.functions.text import lang_id, normalize_text, quality_flags, token_count
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "t string").select(col("t").alias("v")).collect()[0].v
+
+
+def test_lang_id_picks_dominant_stopwords(spark):
+    assert _one(spark, "the cat and the dog in a house", lang_id) == "en"
+    assert _one(spark, "der Hund und die Katze ist ein Tier", lang_id) == "de"
+    assert _one(spark, "le chat et la maison est un animal", lang_id) == "fr"
+    assert _one(spark, "el gato y la casa es un animal", lang_id) == "es"
+    assert _one(spark, "xylophone zebra quark plasma", lang_id) == "und"
+
+
+def test_lang_id_tie_breaks_alphabetically(spark):
+    # 'la' is a stopword of both es and fr with equal ratio → 'es'
+    assert _one(spark, "zz la zz", lang_id) == "es"
+
+
+def test_normalize_collapses_all_whitespace(spark):
+    assert _one(spark, "  A \t b\n\nC  ", normalize_text) == "a b c"
+
+
+def test_token_count_on_degenerate_inputs(spark):
+    assert _one(spark, "one two three", token_count) == 3
+    assert _one(spark, "   spaced   out   ", token_count) == 2
+    assert _one(spark, "single", token_count) == 1
+
+
+def test_quality_flags_boundaries(spark):
+    df = spark.createDataFrame(
+        [("ok", "five words of decent length here"),
+         ("short", "too few"),
+         ("symbols", "@@ ## $$ %% ^^ && ** (( )) !!")],
+        "name string, t string",
+    )
+    flags = quality_flags("t")
+    rows = {r.name: r for r in df.select("name", *[v.alias(k) for k, v in flags.items()]).collect()}
+    assert rows["ok"].n_tokens_ok and rows["ok"].symbols_ok
+    assert not rows["short"].n_tokens_ok  # < 5 tokens
+    assert not rows["symbols"].symbols_ok  # punctuation-heavy
