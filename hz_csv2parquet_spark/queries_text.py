@@ -132,6 +132,65 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "repetition_stats_documents",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS t FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(t) AS tok FROM base),
+    per_tok AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    tstats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_cnt,
+             CAST(SUM(CASE WHEN regexp_matches(tok, '[a-z]') THEN c ELSE 0 END)
+                  AS BIGINT) AS n_alpha
+      FROM per_tok GROUP BY 1
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM base
+    ),
+    per_big AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    bstats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(*) AS BIGINT) AS d_bigrams
+      FROM per_big GROUP BY 1
+    )
+    SELECT t.doc_id,
+           t.n_tokens,
+           1.0 - CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+             AS dup_token_frac,
+           CAST(t.top_cnt AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+             AS top_token_frac,
+           coalesce(1.0 - CAST(b.d_bigrams AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE),
+                    0.0) AS dup_bigram_frac,
+           CAST(t.n_alpha AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS alpha_frac,
+           (1.0 - CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) <= 0.80
+             AND (CAST(t.top_cnt AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) <= 0.10
+             AND coalesce(1.0 - CAST(b.d_bigrams AS DOUBLE)
+                                / CAST(b.n_bigrams AS DOUBLE), 0.0) <= 0.40
+             AND (CAST(t.n_alpha AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) >= 0.80
+             AS passes_quality
+    FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
+    """,
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition heuristics per document: duplicate
+    token/bigram mass, most-common-token frequency, alphabetic-token
+    fraction, and the conjunctive quality gate. Scale-safe shape —
+    explode → (doc, token) partial-agg → per-doc stats (see
+    operators/repetition.py docstring for the design argument)."""
+    from .operators.repetition import repetition_stats
+
+    return repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 # =====================================================================
 # deduplication
 # =====================================================================

@@ -35,6 +35,26 @@ def test_token_count_on_degenerate_inputs(spark):
     assert _one(spark, "single", token_count) == 1
 
 
+def test_repetition_stats_edge_docs(spark):
+    from hz_csv2parquet_spark.operators.repetition import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),  # one token repeated
+            (2, "alpha beta gamma delta epsilon zeta"),  # all unique
+            (3, "12 34 56 78 90"),  # numeric-only tokens
+            (4, "word"),  # single token, no bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert rows[1].dup_token_frac == 0.8 and rows[1].top_token_frac == 1.0
+    assert rows[1].dup_bigram_frac == 0.75 and not rows[1].passes_quality
+    assert rows[2].dup_token_frac == 0.0 and rows[2].alpha_frac == 1.0
+    assert rows[3].alpha_frac == 0.0 and not rows[3].passes_quality
+    assert rows[4].n_tokens == 1 and rows[4].dup_bigram_frac == 0.0
+
+
 def test_quality_flags_boundaries(spark):
     df = spark.createDataFrame(
         [("ok", "five words of decent length here"),
