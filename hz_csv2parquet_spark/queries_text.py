@@ -192,6 +192,85 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# deterministic sampling / sharding
+# =====================================================================
+
+_SAMPLE_SEED = 7
+_SAMPLE_RATES = {"en": 0.5, "de": 0.3, "fr": 0.3}
+_SAMPLE_DEFAULT = 0.1
+_N_SHARDS = 8
+
+
+def _sql_u32(key: str, seed: int) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5('{seed}|' || {key}), 1, 8)) AS UBIGINT)"
+    )
+
+
+def _sql_sample_threshold() -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN {r * 2.0**32!r}" for v, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {_SAMPLE_DEFAULT * 2.0**32!r} END"
+
+
+@query(
+    "sample_stratified_documents",
+    sql=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST({_sql_u32("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)} AS DOUBLE)
+          < {_sql_sample_threshold()}
+    """,
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep-rates via
+    a content-hash gate (u32(md5(seed|doc_id)) < rate·2³²) — the
+    reproducible corpus-rebalancing pass. Pure narrow filter: no
+    shuffle, no rand(), identical result on any partitioning or
+    engine (operators/sampling.py)."""
+    from .operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id",
+        _SAMPLE_RATES,
+        seed=_SAMPLE_SEED,
+        strata_col="lang",
+        default_rate=_SAMPLE_DEFAULT,
+    )
+
+
+@query(
+    "shard_assignment_documents",
+    sql=f"""
+    SELECT CAST({_sql_u32("CAST(doc_id AS VARCHAR)", 0)} % {_N_SHARDS} AS INT)
+             AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment (hash mod N) + per-shard
+    balance summary — the fixed-count training-shard writer's
+    partitioner, checked for uniformity. One shuffle on the N-value
+    shard key with map-side partial aggregation."""
+    from .operators.sampling import shard_assign
+
+    d = shard_assign(
+        table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+        _N_SHARDS,
+    )
+    return d.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# =====================================================================
 # deduplication
 # =====================================================================
 
