@@ -191,6 +191,127 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@query(
+    "top_terms_per_lang",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split({_NORM.format(c="text")}, ' ') AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, lang, unnest(t) AS token FROM base),
+    tf AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM toks GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, token, tf, doc_freq,
+             CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE)
+               AS idf_score
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT lang, token, tf, doc_freq, idf_score, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY idf_score DESC, token
+      ) AS rn FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic terms per language: linear-idf-weighted term
+    frequency (tf·N/df — transcendental-free on purpose: ln() is not
+    bit-identical across engines, rational arithmetic is), exact
+    top-10 per lang via the two-phase salted top-k. Shuffles key on
+    high-cardinality ``token``; the final window sees ≤ k·salts rows
+    per lang."""
+    from .operators.topk import grouped_topk
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.tokens("text").alias("__t")
+    )
+    toks = d.select("doc_id", "lang", F.explode("__t").alias("token"))
+    tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf_score",
+            F.col("tf").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("doc_freq").cast("double"),
+        )
+    )
+    top = grouped_topk(
+        scored,
+        ["lang"],
+        [F.col("idf_score").desc(), F.col("token")],
+        10,
+        salt_col=F.hash("token"),
+    )
+    return top.select("lang", "token", "tf", "doc_freq", "idf_score", "rn")
+
+
+@query(
+    "contamination_check_documents",
+    sql=f"""
+    WITH probe AS (
+      SELECT doc_id AS probe_id, {_sql_shingles("text", 3)} AS psh
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    probe_grams AS (SELECT probe_id, unnest(psh) AS gram FROM probe),
+    corpus AS (
+      SELECT doc_id, unnest({_sql_shingles("text", 3)}) AS gram
+      FROM documents
+    ),
+    hits AS (
+      SELECT c.doc_id, p.probe_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM corpus c JOIN probe_grams p USING (gram)
+      WHERE c.doc_id <> p.probe_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, probe_id, n_shared
+    FROM hits WHERE n_shared >= 2
+    """,
+)
+def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination sweep: flag corpus documents sharing ≥2
+    distinct word-3-grams with any probe (benchmark) document — the
+    n-gram-overlap decontamination pass every training pipeline runs
+    before an eval. The probe set (every 50th doc as a stand-in
+    benchmark) is tiny by construction, so its exploded grams are
+    **broadcast**: the corpus scan joins in place, no corpus shuffle;
+    the only aggregation keys on the (corpus-doc, probe-doc) hit
+    pairs. At 100 TB this is exactly the published shape (map-side
+    gram join against a distributed eval-gram set)."""
+    from .operators.dedup import shingle_set
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", shingle_set("text", 3).alias("__sh")
+    )
+    probe = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("probe_id"), F.explode("__sh").alias("gram"))
+    )
+    corpus = d.select("doc_id", F.explode("__sh").alias("gram"))
+    hits = (
+        corpus.join(F.broadcast(probe), "gram")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return hits.select("doc_id", "probe_id", "n_shared")
+
+
 # =====================================================================
 # deterministic sampling / sharding
 # =====================================================================

@@ -76,6 +76,21 @@ def test_similarity_broadcasts_queries(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_contamination_broadcasts_probe_grams(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "contamination_check_documents")
+    # probe (benchmark) gram set is the broadcast side; the corpus
+    # explode never shuffles for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_sampling_is_narrow(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sample_stratified_documents")
+    # hash-gate sampling is filter+project only: no exchange at all
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_minhash_join_keys_on_band_hash(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_minhash_documents")
     # candidate join is an equi-join on (band_id, band hash) — a hash
