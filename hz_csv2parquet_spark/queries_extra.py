@@ -260,3 +260,77 @@ def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "pack_sequences_documents",
+    sql="""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(concat('0x', substring(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % 4 AS INT) AS shard_id
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard_id, n_chars,
+             CAST(SUM(n_chars) OVER (PARTITION BY shard_id ORDER BY doc_id)
+                  - n_chars AS BIGINT) AS start
+      FROM sharded
+    )
+    SELECT doc_id, shard_id,
+           CAST(floor(start / 2000) AS BIGINT) AS pack_id,
+           CAST(start % 2000 AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-pretraining shard
+    layout): documents are deterministically sharded (hash mod 4),
+    concatenated in doc_id order within each shard, and cut into
+    2000-char budget chunks; each doc gets the chunk it starts in plus
+    its offset. Window-sum + integer arithmetic only — bit-identical
+    across engines (operators/packing.py docstring has the design
+    rationale vs first-fit)."""
+    from .operators.packing import pack_assignment
+    from .operators.sampling import shard_assign
+
+    d = shard_assign(
+        table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+        4,
+    )
+    packed = pack_assignment(
+        d, "n_chars", 2000, order_cols=["doc_id"], shard_col="shard_id"
+    )
+    return packed.select("doc_id", "shard_id", "pack_id", "pack_offset")
+
+
+@query(
+    "skew_salted_event_counts",
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation over a 5-value key (the classic hot-key
+    shape): two-phase salted sums — partial on (event_type, salt)
+    across 32 parallel buckets, final re-sum on event_type. Identical
+    result to the plain groupBy (the oracle), but no single reducer
+    ever sees a whole hot key's rows. Integer sums only: float sums
+    would be order-sensitive and break cross-engine hashing."""
+    from .operators.packing import salted_sum
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return salted_sum(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.lit(1),
+            "n_big": F.when(F.col("value") > 10, 1).otherwise(0),
+        },
+        salt_col=F.col("event_id"),
+    )

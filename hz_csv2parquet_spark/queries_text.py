@@ -179,6 +179,7 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS passes_quality
     FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
     """,
+    headline=True,
 )
 def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition heuristics per document: duplicate
@@ -218,6 +219,7 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS rn FROM scored
     ) WHERE rn <= 10
     """,
+    headline=True,
 )
 def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Characteristic terms per language: linear-idf-weighted term

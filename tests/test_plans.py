@@ -91,6 +91,14 @@ def test_sampling_is_narrow(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_salted_agg_two_phase(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "skew_salted_event_counts")
+    # partial on (key, salt), final on key — plus Spark's own
+    # partial/final split inside each phase
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") == 4
+
+
 def test_minhash_join_keys_on_band_hash(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_minhash_documents")
     # candidate join is an equi-join on (band_id, band hash) — a hash
