@@ -106,6 +106,37 @@ def cmd_add_country(args: argparse.Namespace) -> None:
         print(out)
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """End-to-end training-data curation: exact dedup → quality gate →
+    (optional) deterministic sample → shard assignment → partitioned
+    parquet write. Every stage is one of the catalog operators; the
+    whole pipeline is a single lazy plan — one read, one shuffle for
+    the dedup, a narrow tail, `partitionBy(shard_id)` fan-out write."""
+    spark = _spark()
+    from .functions.text import normalize_text
+    from .operators.repetition import repetition_stats
+    from .operators.sampling import deterministic_sample, shard_assign
+
+    df = read_table(spark, args.src, fmt=_fmt_of(args.src))
+    id_col, text_col = args.id_col, args.text_col
+
+    # exact dedup: keep the lowest-id representative of each text
+    rep = F.min(F.col(id_col)).alias(id_col)
+    keep = df.groupBy(F.md5(normalize_text(text_col)).alias("__h")).agg(rep).drop("__h")
+    df = df.join(keep, id_col, "left_semi")
+
+    if not args.no_quality:
+        passing = repetition_stats(df, id_col, text_col).filter("passes_quality")
+        df = df.join(passing.select(id_col), id_col, "left_semi")
+
+    if args.rate < 1.0:
+        df = deterministic_sample(df, id_col, args.rate, seed=args.seed)
+
+    df = shard_assign(df, id_col, args.shards, seed=args.seed)
+    write_table(df, args.dest, fmt="parquet", partition_by=["shard_id"])
+    print(args.dest)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hz-spark", description=__doc__)
     sub = p.add_subparsers(dest="tool", required=True)
@@ -131,6 +162,20 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--lookup", required=True, help="lookup table (lat_bin, lon_bin, country)")
     d.add_argument("--grid-deg", type=float, default=1.0, help="lookup grid resolution in degrees")
     d.set_defaults(fn=cmd_add_country)
+
+    k = sub.add_parser(
+        "curate",
+        help="training-data curation pipeline: dedup → quality → sample → shards",
+    )
+    k.add_argument("src", help="documents table (parquet or csv)")
+    k.add_argument("dest", help="output directory (hive-partitioned by shard_id)")
+    k.add_argument("--id-col", default="doc_id")
+    k.add_argument("--text-col", default="text")
+    k.add_argument("--rate", type=float, default=1.0, help="deterministic sample keep-rate")
+    k.add_argument("--shards", type=int, default=8)
+    k.add_argument("--seed", type=int, default=0)
+    k.add_argument("--no-quality", action="store_true", help="skip the repetition/quality gate")
+    k.set_defaults(fn=cmd_curate)
     return p
 
 

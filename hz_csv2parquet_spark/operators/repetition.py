@@ -35,7 +35,7 @@ from ..functions.text import tokens
 #: conjunctive quality gate thresholds (Gopher-shaped, tuned so the
 #: synthetic fixture corpus splits instead of passing vacuously)
 MAX_DUP_TOKEN_FRAC = 0.80
-MAX_TOP_TOKEN_FRAC = 0.10
+MAX_TOP_TOKEN_FRAC = 0.20
 MAX_DUP_BIGRAM_FRAC = 0.40
 MIN_ALPHA_FRAC = 0.80
 

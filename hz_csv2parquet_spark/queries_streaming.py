@@ -97,3 +97,37 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     from .streaming.stateful import running_user_stats
 
     return run_to_memory(running_user_stats(stream_events(spark, sf_dir)), mode="append")
+
+
+@query(
+    "streaming_dedup_events",
+    sql="""
+    SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type, value
+    FROM events
+    """,
+    streaming=True,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (streaming/dedup.py,
+    ``dropDuplicatesWithinWatermark``) over an at-least-once stream:
+    the source is the events stream UNIONed with a duplicate copy of
+    every 5th event, so ~20% of arrivals are redundant; the operator
+    must emit each event_id exactly once. Oracle: the original
+    (already event_id-unique) events table — a hash match proves the
+    planted duplicates were dropped and nothing else was."""
+    from pyspark.sql import functions as F
+
+    from .streaming.dedup import dedup_within_watermark
+
+    ev = stream_events(spark, sf_dir)
+    dup = stream_events(spark, sf_dir).filter(F.col("event_id") % 5 == 0)
+    stream = ev.unionByName(dup)
+    deduped = dedup_within_watermark(stream, ["event_id"])
+    out = deduped.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("tms"),
+        "event_type",
+        "value",
+    )
+    return run_to_memory(out, mode="append")

@@ -172,7 +172,7 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                     0.0) AS dup_bigram_frac,
            CAST(t.n_alpha AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS alpha_frac,
            (1.0 - CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) <= 0.80
-             AND (CAST(t.top_cnt AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) <= 0.10
+             AND (CAST(t.top_cnt AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) <= 0.20
              AND coalesce(1.0 - CAST(b.d_bigrams AS DOUBLE)
                                 / CAST(b.n_bigrams AS DOUBLE), 0.0) <= 0.40
              AND (CAST(t.n_alpha AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) >= 0.80

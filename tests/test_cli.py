@@ -80,3 +80,37 @@ def test_cli_add_country_with_sentinel(geo_csv, tmp_path, spark):
 def test_cli_no_match_errors(geo_csv):
     with pytest.raises(SystemExit):
         main(["agg", str(geo_csv / "nope_*.csv")])
+
+
+def test_cli_curate_pipeline(tmp_path, spark):
+    src = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [
+            (1, "a quick brown fox jumps over the lazy dog near some river bank"),
+            (2, "a quick brown fox jumps over the lazy dog near some river bank"),
+            (3, "spam spam spam spam spam spam"),
+            (4, "a completely different document with plenty of unique words inside"),
+        ],
+        "doc_id bigint, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "curated"
+    assert main(["curate", str(src), str(out), "--shards", "2"]) == 0
+    res = spark.read.parquet(str(out))
+    ids = sorted(r.doc_id for r in res.collect())
+    # doc 2 (exact dup of 1, higher id) and doc 3 (repetition gate) dropped
+    assert ids == [1, 4]
+    assert "shard_id" in res.columns
+
+
+def test_cli_curate_rate_zero_keeps_nothing(tmp_path, spark):
+    src = tmp_path / "docs2.parquet"
+    spark.createDataFrame(
+        [(1, "one ordinary document with several distinct words here")],
+        "doc_id bigint, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "curated2"
+    assert main(["curate", str(src), str(out), "--rate", "0.0", "--no-quality"]) == 0
+    # empty partitioned write: _SUCCESS marker, zero data files (an
+    # empty hive dataset has no schema to infer — expected shape)
+    assert (out / "_SUCCESS").exists()
+    assert not list(out.rglob("*.parquet"))
