@@ -231,3 +231,54 @@ def embedding_near_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Arrow-batched alternative to :func:`brute_force_topk`: the
+    cosine runs as a vectorized ``pandas_udf`` (numpy over Arrow
+    batches) instead of the JVM left-fold — the sanctioned shape when
+    per-element logic outgrows built-in HOFs (real embedding math:
+    fp16 decode, quantized dot products, learned metrics).
+
+    Same plan skeleton as the JVM path (broadcast queries, two-phase
+    top-k); only the score expression crosses into Python, in Arrow
+    batches, never row-at-a-time. Results match the JVM fold to float
+    tolerance (numpy sums pairwise; the fold is strictly
+    left-to-right), so this path has no value-hash oracle — the
+    equivalence is pinned in tests/test_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: annotations must be real types, not strings — the module's
+    # `from __future__ import annotations` would stringify inline
+    # hints and break pandas_udf's signature inference
+    def _cos_impl(a, b):
+        av = np.array(a.tolist(), dtype=np.float64)
+        bv = np.array(b.tolist(), dtype=np.float64)
+        num = (av * bv).sum(axis=1)
+        den = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
+        return pd.Series(num / den)
+
+    _cos_impl.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    _cos = pandas_udf("double")(_cos_impl)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", _cos(F.col("__qv"), F.col("__cv")).alias("cosine")
+    )
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id")],
+        k,
+        salt_col=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "cosine", "rn")

@@ -192,3 +192,17 @@ def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=2)
+
+
+@query("similarity_topk_pandas_udf", sql=None)
+def similarity_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/pandas_udf variant of similarity_topk_embeddings —
+    the sanctioned escape hatch when score math outgrows built-in
+    HOFs. numpy's pairwise summation differs from the JVM left-fold
+    by float ulps, so this path is rows-only for the driver;
+    value-level equivalence to the JVM path is pinned in
+    tests/test_similarity.py."""
+    from .operators.similarity import brute_force_topk_pandas
+
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 5), k=10)

@@ -86,3 +86,22 @@ def test_lsh_recall_vs_brute_force_on_fixtures(spark, sf_dir):
     assert len(approx) == 50  # every query still fills its k within the bucket
     overlap = len(brute & approx) / len(brute)
     assert overlap > 0.1  # sanity: deterministic, measured ≈ bucket fraction
+
+
+def test_pandas_udf_path_matches_jvm_fold(spark, sf_dir):
+    from hz_csv2parquet_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+    from hz_csv2parquet_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(emb.vec_id < 5)
+    jvm = brute_force_topk(emb, q, k=10).toPandas().set_index(["query_id", "neighbor_id"])
+    arrow = (
+        brute_force_topk_pandas(emb, q, k=10).toPandas().set_index(["query_id", "neighbor_id"])
+    )
+    # same pairs survive the top-k; cosines agree to float tolerance
+    joined = jvm.join(arrow, lsuffix="_j", rsuffix="_a", how="outer")
+    assert not joined.cosine_j.isna().any() and not joined.cosine_a.isna().any()
+    assert (joined.cosine_j - joined.cosine_a).abs().max() < 1e-12
