@@ -206,3 +206,61 @@ def similarity_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "quantize_embeddings_int8",
+    sql="""
+    WITH s AS (
+      SELECT vec_id,
+             embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+                      1e-30) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(scale AS DOUBLE) AS q_scale,
+           CAST(u.i AS BIGINT) AS i,
+           CAST(u.q AS BIGINT) AS q
+    FROM (
+      SELECT vec_id, scale,
+             unnest(list_transform(generate_series(1, len(embedding)),
+               i -> struct_pack(i := i,
+                                q := floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5))))
+               AS u
+      FROM s
+    ) t
+    """,
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (max-abs
+    scale per vector, round-half-up via floor(x/s + 0.5) — the
+    portable rounding: both engines floor identically, unlike their
+    round() tie rules). The storage-compression pass an embedding
+    pipeline runs before writing an ANN index; exploded to
+    (vec_id, i, q) so the oracle hash pins every element. Narrow: one
+    projection + posexplode, no shuffle. All-zero vectors quantize
+    to zeros via the 1e-30 scale floor (no div-by-zero NaNs)."""
+    emb = table(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        "embedding",
+        (
+            F.greatest(
+                F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+                F.lit(1e-30),
+            )
+            / F.lit(127.0)
+        ).alias("scale"),
+    )
+    ex = s.select(
+        "vec_id",
+        F.col("scale").cast("double").alias("q_scale"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    return ex.select(
+        "vec_id",
+        "q_scale",
+        (F.col("pos") + 1).cast("long").alias("i"),
+        F.floor(F.col("x").cast("double") / F.col("q_scale") + F.lit(0.5)).cast("long").alias("q"),
+    )
