@@ -72,3 +72,52 @@ def test_collate_equals_aggregate_of_union(spark, a, b):
     together = {r.x_bin: r.v_count for r in binned_agg(union, spec, "v", mode="count").collect()}
     concat = {r.x_bin: r.v_count for r in binned_agg(mk(a + b), spec, "v", mode="count").collect()}
     assert together == concat
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60, unique=True),
+    rate=st.sampled_from([0.0, 0.2, 0.5, 0.8, 1.0]),
+    seed=st.integers(min_value=0, max_value=5),
+)
+@SET
+def test_sample_is_pure_function_of_id_rate_seed(spark, ids, rate, seed):
+    from hz_csv2parquet_spark.operators.sampling import deterministic_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    kept = {r.doc_id for r in deterministic_sample(df, "doc_id", rate, seed=seed).collect()}
+    # monotone in rate: anything kept at r is kept at every r' > r
+    if rate < 1.0:
+        wider = {
+            r.doc_id
+            for r in deterministic_sample(df, "doc_id", min(rate + 0.2, 1.0), seed=seed).collect()
+        }
+        assert kept <= wider
+    if rate == 1.0:
+        assert kept == set(ids)
+    if rate == 0.0:
+        assert kept == set()
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=40),
+    budget=st.sampled_from([100, 250, 1000]),
+)
+@SET
+def test_pack_invariants(spark, sizes, budget):
+    from hz_csv2parquet_spark.operators.packing import pack_assignment
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id bigint, sz bigint")
+    out = sorted(
+        pack_assignment(df, "sz", budget, order_cols=["doc_id"]).collect(),
+        key=lambda r: r.doc_id,
+    )
+    # pack ids are nondecreasing in stream order and start at 0
+    assert out[0].pack_id == 0 and out[0].pack_offset == 0
+    for a, b in zip(out, out[1:]):
+        assert b.pack_id >= a.pack_id
+    # offset is the running size mod budget; pack_id the running size div
+    run = 0
+    for r in out:
+        assert r.pack_id == run // budget and r.pack_offset == run % budget
+        run += r.sz
