@@ -376,3 +376,116 @@ def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q3_shipping_priority",
+    sql="""
+    SELECT l_orderkey,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+                AS VARCHAR) AS DOUBLE) AS revenue,
+           epoch_ms(o_orderdate) AS orderdate_ms
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (filtered customer ⋈ orders ⋈
+    lineitem), revenue per order, global top-10. The filtered
+    customer side is broadcast into orders (the fact tables join on
+    their natural key); the final top-10 plans as
+    TakeOrderedAndProject — no global sort. Decimal-exact revenue so
+    the ORDER BY is deterministic cross-engine."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(exact_sum(disc).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            # o_orderdate scans as TIMESTAMP_NTZ; the session tz is
+            # pinned UTC, so the cast reinterprets the wall clock
+            # exactly like DuckDB's epoch_ms on a naive timestamp
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 1000)
+            .cast("long")
+            .alias("orderdate_ms"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "rolling_hourly_user_counts",
+    sql="""
+    WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events)
+    SELECT user_id, event_id, tms,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY tms
+             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_trailing_hour
+    FROM ev
+    """,
+)
+def rolling_hourly_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame window: per user, how many of their
+    events fall in the trailing hour (inclusive). Numeric range frame
+    over epoch-ms — identical semantics in both engines (interval
+    frames are dialect traps; integer frames are not). Partitioned by
+    high-cardinality user_id: scale-safe."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("tms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tms")
+        .rangeBetween(-3600000, Window.currentRow)
+    )
+    return ev.withColumn("n_trailing_hour", F.count(F.lit(1)).over(w).cast("long"))
+
+
+@query(
+    "cube_order_stats",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS total_price,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
+             AS grouping_id
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate (all 4 grouping sets of a 2-key cube) with
+    GROUPING() disambiguation of real NULLs vs subtotal rows —
+    the other hierarchical-aggregation surface next to rollup_revenue.
+    One expand + single hash agg."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_price"),
+            F.grouping_id().cast("long").alias("grouping_id"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price", "grouping_id")
+    )
