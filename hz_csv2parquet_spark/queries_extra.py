@@ -489,3 +489,43 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price", "grouping_id")
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    sql="""
+    WITH avg_q AS (
+      SELECT l_partkey AS ap_partkey,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS total_price
+    FROM lineitem JOIN avg_q ON l_partkey = ap_partkey
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-scalar-subquery pattern,
+    decorrelated by hand the way Catalyst does it: aggregate the
+    per-part average once, join it back, filter. The self-join keys
+    on high-cardinality l_partkey (co-partitioned shuffle both
+    sides); no per-row subquery execution exists at any scale."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    from .functions.exact import exact_avg
+
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        exact_avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avg_q, li.l_partkey == avg_q.ap_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_sum("l_extendedprice").alias("total_price"),
+        )
+    )

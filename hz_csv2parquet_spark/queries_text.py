@@ -585,3 +585,40 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_jaccard_pairs(
         _near_corpus(spark, sf_dir), "doc_id", "text", block_col="source", threshold=0.5
     )
+
+
+@query(
+    "levenshtein_near_pairs",
+    sql=f"""
+    WITH corpus AS ({_SQL_NEAR_CORPUS}),
+    n AS (
+      SELECT doc_id, source, {_NORM.format(c="text")} AS nt FROM corpus
+    )
+    SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substring(a.nt, 1, 64), substring(b.nt, 1, 64)) AS BIGINT)
+             AS edit_distance
+    FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(substring(a.nt, 1, 64), substring(b.nt, 1, 64)) <= 8
+    """,
+)
+def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs, blocked by source (never global
+    all-pairs) and computed on a 64-char prefix — Levenshtein is
+    O(n·m) per pair, so bounding the operand length is what keeps the
+    in-block quadratic affordable; the prefix distance lower-bounds
+    full-document distance for the planted truncation/append dups.
+    Both engines implement identical Wagner-Fischer semantics."""
+    d = _near_corpus(spark, sf_dir)
+    n = d.select(
+        "doc_id", "source", F.substring(T.normalize_text("text"), 1, 64).alias("__nt")
+    )
+    a = n.select(F.col("source"), F.col("doc_id").alias("id_a"), F.col("__nt").alias("__na"))
+    b = n.select(
+        F.col("source").alias("__sb"), F.col("doc_id").alias("id_b"), F.col("__nt").alias("__nb")
+    )
+    pairs = a.join(b, (a.source == b.__sb) & (a.id_a < b.id_b))
+    dist = F.levenshtein(F.col("__na"), F.col("__nb"))
+    return (
+        pairs.select("source", "id_a", "id_b", dist.cast("long").alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 8)
+    )
