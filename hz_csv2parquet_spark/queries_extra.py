@@ -529,3 +529,101 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("l_extendedprice").alias("total_price"),
         )
     )
+
+
+@query(
+    "full_outer_nation_presence",
+    sql="""
+    WITH c AS (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+               FROM customer WHERE c_acctbal > 9800 GROUP BY 1),
+    s AS (SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+          FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(c.n_customers, 0) AS n_customers,
+           coalesce(s.n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join surface: per-nation customer vs rich-supplier
+    presence, zero-filled on either missing side. Pre-aggregated
+    before the join, so the outer join touches ≤ |nations| rows per
+    side — the aggregate-then-join order is the scale move."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9800)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("s_nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    j = c.join(s, c.nationkey == s.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce(c.nationkey, s.s_nationkey).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).cast("long").alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+    )
+
+
+@query(
+    "intersect_active_nations",
+    sql="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def intersect_active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT surface (the set op next to set_except_nations):
+    nations with both a high-balance customer and a high-balance
+    supplier (thresholds keep the result non-empty at every
+    fixture SF — no vacuous oracle). Distinct semantics, single
+    shuffle per side."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.intersect(s)
+
+
+@query(
+    "pivot_event_counts",
+    sql="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot surface: per-user event counts spread across one column
+    per event type. The pivot values are DECLARED (not discovered) —
+    an undeclared pivot runs a blocking distinct scan first and can
+    explode the schema at scale; declared values keep it a single
+    pass. Oracle: the CASE-sum expansion, which is exactly what the
+    pivot plans to."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves missing cells null; the oracle's CASE sums emit 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
