@@ -57,3 +57,71 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("byte_sum").cast("double") / F.col("n_bytes").cast("double")).alias("mean_byte"),
         "max_byte",
     )
+
+
+@query(
+    "multimodal_decode_shapes",
+    sql="""
+    WITH p AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+    d AS (
+      SELECT doc_id, n,
+             greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS width
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(width AS INT) AS width,
+           CAST(greatest(CAST(floor(CAST(n AS DOUBLE) / width) AS BIGINT), 1) AS INT)
+             AS height,
+           CAST(least(n, width * greatest(CAST(floor(CAST(n AS DOUBLE) / width) AS BIGINT), 1))
+                AS BIGINT) AS n_pixels
+    FROM d
+    """,
+)
+def multimodal_decode_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode step through the real mapInPandas/Arrow plumbing
+    with the deterministic fake decoder (real codecs aren't in this
+    container — operators/multimodal.py `fake_decode` is the
+    documented stand-in). Because the fake derives (width, height)
+    arithmetically from payload length, the whole Python decode path
+    has an exact SQL mirror — the hash gate checks the Arrow batch
+    execution itself. IEEE sqrt is correctly rounded in both engines,
+    so floor(sqrt(n)) agrees exactly."""
+    from .operators.multimodal import decode_payloads
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_payloads(d, "doc_id", "payload")
+
+
+@query(
+    "multimodal_frame_index",
+    sql="""
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_id,
+           CAST(length(substring(text, CAST(f * 64 + 1 AS BIGINT), 64)) AS BIGINT)
+             AS frame_bytes
+    FROM documents,
+         unnest(list_filter(generate_series(0,
+                  CAST(ceil(length(text) / 64.0) AS BIGINT) - 1),
+                i -> i % 4 = 0)) t(f)
+    """,
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 4th 64-byte frame) through the pure-
+    expression explode path (operators/multimodal.py `frame_sample`):
+    one row per kept frame with its length (the tail frame is short).
+    Frame content equality is pinned byte-for-byte in
+    tests/test_multimodal.py; the oracle checks ids + boundaries,
+    which is where the off-by-one risk lives."""
+    from .operators.multimodal import frame_sample
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = frame_sample(d, "doc_id", "payload", frame_bytes=64, every=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_id").cast("long").alias("frame_id"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
