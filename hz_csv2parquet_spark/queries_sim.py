@@ -72,7 +72,9 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 5 query vectors: broadcast queries
     (corpus never shuffles), JVM-side left-fold cosine, two-phase
     top-k. The brute-force ANN baseline."""
-    emb = table(spark, sf_dir, "embeddings")
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -103,7 +105,9 @@ def similarity_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-plane bucket, cosine within-bucket only — the shuffle keys on
     the bucket id, never |Q|·|corpus|. Oracle replays the identical
     bucketing, so this checks the LSH itself, not just the cosines."""
-    emb = table(spark, sf_dir, "embeddings")
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, planes=4)
 
 
@@ -133,7 +137,9 @@ def embedding_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.95. Identical vectors land in identical buckets by
     construction, so every plant is found — the embedding analogue of
     exact dedup at scale."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     plant = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
@@ -190,7 +196,9 @@ def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     The third scale path next to brute force and sign-LSH."""
     from .operators.similarity import ivf_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=2)
 
 
@@ -204,7 +212,9 @@ def similarity_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     from .operators.similarity import brute_force_topk_pandas
 
-    emb = table(spark, sf_dir, "embeddings")
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
     return brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -241,7 +251,9 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, i, q) so the oracle hash pins every element. Narrow: one
     projection + posexplode, no shuffle. All-zero vectors quantize
     to zeros via the 1e-30 scale floor (no div-by-zero NaNs)."""
-    emb = table(spark, sf_dir, "embeddings")
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
     s = emb.select(
         "vec_id",
         "embedding",

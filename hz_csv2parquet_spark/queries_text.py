@@ -189,7 +189,9 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/repetition.py docstring for the design argument)."""
     from .operators.repetition import repetition_stats
 
-    return repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text")
+    from .tables import spread
+
+    return repetition_stats(spread(table(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 @query(
@@ -230,7 +232,9 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per lang."""
     from .operators.topk import grouped_topk
 
-    d = table(spark, sf_dir, "documents").select(
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", T.tokens("text").alias("__t")
     )
     toks = d.select("doc_id", "lang", F.explode("__t").alias("token"))
@@ -296,7 +300,9 @@ def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     gram join against a distributed eval-gram set)."""
     from .operators.dedup import shingle_set
 
-    d = table(spark, sf_dir, "documents").select(
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", shingle_set("text", 3).alias("__sh")
     )
     probe = (
@@ -401,7 +407,9 @@ def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies of every 3rd doc (offset ids) — the
     deterministic planted-duplicate corpus for exact dedup."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
@@ -419,7 +427,9 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-duplicate copies of docs 0-99 (one appended
     token, offset ids, same source) — planted near-dups for the
     MinHash / SimHash / Jaccard pipelines."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "source", "text")
     near = d.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         "source",
