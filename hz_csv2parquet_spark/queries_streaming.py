@@ -131,3 +131,38 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     return run_to_memory(out, mode="append")
+
+
+@query(
+    "streaming_enrich_events",
+    sql="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           n.n_name AS segment_name,
+           CAST(epoch_ms(e.ts) AS BIGINT) AS tms
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+    streaming=True,
+)
+def streaming_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against a
+    static dimension (nation, keyed by user_id mod 25) — the
+    standard streaming-ingest enrichment. The static side is loaded
+    once per micro-batch and broadcast; stream state is zero (no
+    watermark needed for a stateless join). Deterministic join ⇒
+    full hash-checked oracle, same as the batch queries."""
+    from pyspark.sql import functions as F
+
+    from .tables import table
+
+    ev = stream_events(spark, sf_dir)
+    dim = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__key"), F.col("n_name").alias("segment_name")
+    )
+    joined = ev.join(F.broadcast(dim), ev.user_id % 25 == F.col("__key")).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "segment_name",
+        (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("tms"),
+    )
+    return run_to_memory(joined, mode="append")

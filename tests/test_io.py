@@ -62,3 +62,16 @@ def test_suffix_naming_no_double_dot(tmp_path):
     # reference bug (add_country.py:79) produced 'b_x..csv' — fixed here
     assert add_suffix_to_path("a/b.csv", "_x") == "a/b_x.csv"
     assert add_suffix_to_path("a/b", "_x") == "a/b_x"
+
+
+def test_spread_is_noop_when_parallel_enough(spark):
+    from hz_csv2parquet_spark.tables import spread
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target)
+    assert spread(wide) is wide  # same object: no shuffle inserted
+    narrow = spark.range(1000).coalesce(1)
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 1000
