@@ -5,8 +5,11 @@ A brand-new, Spark-first rebuild of the capabilities of the reference
 binned aggregation, lookup enrichment — see SURVEY.md §2), extended
 with the operators a large-scale training-data pipeline needs:
 deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-embedding cosine), similarity search, text analysis, multimodal
-column plumbing, and Structured Streaming windows.
+edit-distance / embedding cosine), similarity search (brute force /
+sign-LSH / IVF / Arrow pandas_udf), text analysis, repetition/quality
+gating, deterministic sampling + sharding, sequence packing, int8
+quantization, multimodal column plumbing, and Structured Streaming
+(windows, stateful ops, exactly-once dedup, stream-static joins).
 
 Design principles (SURVEY.md §7):
 
@@ -32,14 +35,19 @@ from .operators.dedup import (
     simhash_near_pairs,
 )
 from .operators.enrich import add_lookup_column
+from .operators.packing import pack_assignment, salted_sum
+from .operators.repetition import repetition_stats
+from .operators.sampling import deterministic_sample, shard_assign
 from .operators.similarity import (
     brute_force_topk,
+    brute_force_topk_pandas,
     embedding_near_pairs,
     ivf_topk,
     lsh_topk,
 )
 from .operators.topk import grouped_topk
 from .sources.io import convert, read_table, write_table
+from .streaming.dedup import dedup_within_watermark
 
 __all__ = [
     "BinSpec",
@@ -51,7 +59,14 @@ __all__ = [
     "simhash_near_pairs",
     "blocked_jaccard_pairs",
     "add_lookup_column",
+    "pack_assignment",
+    "salted_sum",
+    "repetition_stats",
+    "deterministic_sample",
+    "shard_assign",
+    "dedup_within_watermark",
     "brute_force_topk",
+    "brute_force_topk_pandas",
     "lsh_topk",
     "ivf_topk",
     "embedding_near_pairs",
