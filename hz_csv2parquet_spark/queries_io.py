@@ -98,3 +98,28 @@ def geo_aggregate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("double").alias("Data"),
     )
     return geo_aggregate(li, grid_meters=100_000.0, mode="median")
+
+
+@query(
+    "streaming_convert_roundtrip",
+    sql="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    streaming=True,
+)
+def streaming_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's convert tool as a real Structured Streaming
+    job (sources/io.py `convert_streaming`): nation → CSV landing
+    dir → streaming file source → checkpointed parquet sink
+    (availableNow) → read back. Oracle = the original table; a hash
+    match proves the streamed conversion is value-lossless and
+    exactly-once (no dup/missing rows)."""
+    from .sources.io import convert_streaming
+
+    base = tempfile.mkdtemp(prefix="hz_stream_cv_")
+    landing = os.path.join(base, "landing")
+    dest = os.path.join(base, "out_parquet")
+    src = table(spark, sf_dir, "nation")
+    write_table(src, landing, fmt="csv")
+    convert_streaming(spark, landing, dest, schema=src.schema, fmt="csv")
+    return spark.read.parquet(dest).select("n_nationkey", "n_name", "n_regionkey")

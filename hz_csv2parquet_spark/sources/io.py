@@ -145,3 +145,33 @@ def add_suffix_to_path(path: str, suffix: str) -> str:
     """
     root, ext = os.path.splitext(path)
     return f"{root}{suffix}{ext}"
+
+
+def convert_streaming(
+    spark, src_dir: str, dest: str, schema, fmt: str = "csv"
+) -> None:
+    """Incremental conversion: the reference's csv2parquet tool as a
+    Structured Streaming job. New files landing in ``src_dir`` are
+    discovered by the file source and appended to the parquet sink
+    with exactly-once semantics (checkpointed file index) — the
+    deployment shape when the input is a landing zone, not a static
+    directory. ``availableNow`` drains everything present and stops,
+    so the same code serves both backfill and continuous tails.
+
+    Streaming file sources require an explicit ``schema`` (no
+    inference on an unbounded input — cite: Spark structured
+    streaming guide)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .format(fmt)
+        .option("header", "true")
+        .load(src_dir)
+    )
+    (
+        stream.writeStream.format("parquet")
+        .option("path", dest)
+        .option("checkpointLocation", dest + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -100,3 +100,20 @@ def test_stateful_state_carries_across_batches(spark, tmp_path):
     # emission cumulative 3 with the later timestamp
     assert by_user[7] == [(2, 2000), (3, 3000)]
     assert by_user[9] == [(1, 4000)]
+
+
+def test_convert_streaming_incremental_exactly_once(tmp_path, spark):
+    from hz_csv2parquet_spark.sources.io import convert_streaming
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.csv").write_text("id,v\n1,x\n2,y\n")
+    dest = str(tmp_path / "out")
+    convert_streaming(spark, str(landing), dest, schema="id bigint, v string")
+    assert spark.read.parquet(dest).count() == 2
+    # second drain: a.csv must NOT be reprocessed (checkpointed file
+    # index), the new file must land exactly once
+    (landing / "b.csv").write_text("id,v\n3,z\n")
+    convert_streaming(spark, str(landing), dest, schema="id bigint, v string")
+    got = sorted(r.id for r in spark.read.parquet(dest).collect())
+    assert got == [1, 2, 3]
