@@ -682,3 +682,21 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(exact_sum(disc).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+@query("approx_distinct_users_per_type", sql=None)
+def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based scale path next to distinct_users_per_type:
+    HLL++ (``approx_count_distinct``) replaces the exact two-phase
+    expand at 100 TB — mergeable fixed-size sketches instead of
+    per-key distinct sets. No SQL oracle (DuckDB's approx sketch
+    differs by construction); accuracy vs the exact count is pinned
+    in tests/test_extra.py."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

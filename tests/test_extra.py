@@ -66,3 +66,19 @@ def test_partition_by_layout(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(c_mktsegment" in plan
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    from hz_csv2parquet_spark.queries import REGISTRY
+
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in REGISTRY["approx_distinct_users_per_type"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in REGISTRY["distinct_users_per_type"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 2), (k, approx[k], exact[k])
