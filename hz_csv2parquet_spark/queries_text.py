@@ -632,3 +632,49 @@ def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("source", "id_a", "id_b", dist.cast("long").alias("edit_distance"))
         .filter(F.col("edit_distance") <= 8)
     )
+
+
+@query(
+    "grouped_lang_stats_pandas",
+    sql=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({T.sql_token_count("text")}) AS BIGINT) AS total_tokens,
+           CAST(MAX({T.sql_token_count("text")}) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def grouped_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map UDF path (``groupBy().applyInPandas`` — the
+    fourth and last Arrow surface after scalar pandas_udf,
+    mapInPandas, and applyInPandasWithState): per-language corpus
+    stats computed with pandas inside each group. Integer-only
+    aggregates keep the Python path hash-checkable against the plain
+    GROUP BY oracle. Scale note: one shuffle on lang; a group must
+    fit one executor's Arrow batch stream — fine for per-key
+    reductions, wrong for unbounded raw-row collection (use
+    mapInPandas + groupBy for that)."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", T.token_count("text").alias("n_tokens")
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf.lang.iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_tokens": [int(pdf.n_tokens.sum())],
+                "max_tokens": [int(pdf.n_tokens.max())],
+                "total_chars": [int(pdf.n_chars.sum())],
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        stats,
+        schema="lang string, n_docs bigint, total_tokens bigint, "
+        "max_tokens bigint, total_chars bigint",
+    )
