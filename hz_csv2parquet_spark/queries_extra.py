@@ -700,3 +700,30 @@ def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "ntile_customer_quartiles",
+    sql="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(NTILE(4) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+           ) AS BIGINT) AS quartile
+    FROM customer
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE window surface: account-balance quartiles per market
+    segment (total order via the c_custkey tie-break — NTILE assigns
+    remainder rows to the leading tiles, identically in both
+    engines). Segment keys are low-cardinality but NTILE needs the
+    full partition ordered anyway; for a true 100 TB quantile cut use
+    approx_percentile thresholds + a join instead (the documented
+    trade, percentiles_by_segment)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_custkey", F.ntile(4).over(w).cast("long").alias("quartile"))
+    )

@@ -678,3 +678,40 @@ def grouped_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="lang string, n_docs bigint, total_tokens bigint, "
         "max_tokens bigint, total_chars bigint",
     )
+
+
+@query(
+    "quota_sample_per_source",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {T.sql_token_count("text")} AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY n_tokens DESC, doc_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 10
+    """,
+)
+def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: keep the 10 longest documents per
+    source — the per-domain cap every curation pipeline applies so no
+    single crawl host dominates the corpus. Two-phase salted top-k
+    (operators/topk.py), so a hot domain with millions of docs never
+    sorts inside one task; the oracle stays the plain window SQL."""
+    from .operators.topk import grouped_topk
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", T.token_count("text").alias("n_tokens")
+    )
+    return grouped_topk(
+        d,
+        ["source"],
+        [F.col("n_tokens").desc(), F.col("doc_id")],
+        10,
+        salt_col=F.col("doc_id"),
+    ).select("doc_id", "source", "n_tokens", "rn")
