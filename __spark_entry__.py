@@ -16,7 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hz_csv2parquet_spark.queries import REGISTRY
+from hz_csv2parquet_spark.queries import REGISTRY, ordered_registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,11 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
-    extension operators). Callables take (spark, sf_dir)."""
-    return {name: q.fn for name, q in REGISTRY.items()}
+    extension operators). Callables take (spark, sf_dir). Ordered so
+    queries that most need a driver CORRECTNESS row come first (the
+    driver verifies a capped prefix of this dict)."""
+    return {name: q.fn for name, q in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL mirror for each query (omitted for
     non-SQL-expressible ops → rows-only check)."""
-    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}
+    return {name: q.sql for name, q in ordered_registry().items() if q.sql is not None}

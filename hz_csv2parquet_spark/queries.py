@@ -39,17 +39,35 @@ class Query:
     sql: str | None  # DuckDB-runnable oracle; None → rows-only check
     headline: bool = False  # included in bench.py
     streaming: bool = False  # runs a Structured Streaming job internally
+    priority: bool = False  # surfaced first to the driver's capped verify window
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, sql: str | None = None, headline: bool = False, streaming: bool = False):
+def query(
+    name: str,
+    sql: str | None = None,
+    headline: bool = False,
+    streaming: bool = False,
+    priority: bool = False,
+):
     def deco(fn):
-        REGISTRY[name] = Query(name, fn, sql, headline, streaming)
+        REGISTRY[name] = Query(name, fn, sql, headline, streaming, priority)
         return fn
 
     return deco
+
+
+def ordered_registry() -> dict[str, Query]:
+    """The catalog in driver-verify order: ``priority=True`` queries
+    first (stable within each class). The driver's correctness gate
+    checks only the first N registered queries, so queries that have
+    never earned a driver-green CORRECTNESS row — plus anything new
+    this round — are marked priority so the capped window always
+    covers them; long-green relational queries take the tail."""
+    items = sorted(REGISTRY.items(), key=lambda kv: not kv[1].priority)
+    return dict(items)
 
 
 def dlit(x: float) -> str:

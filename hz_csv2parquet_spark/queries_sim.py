@@ -130,6 +130,7 @@ _SQL_VEC_CORPUS = """
     FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
     WHERE {_sql_cosine("l.embedding", "r.embedding")} >= 0.95
     """,
+    priority=True,
 )
 def embedding_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over a planted corpus
@@ -188,7 +189,7 @@ def _sql_ivf_topk(n_centroids: int = 8, nprobe: int = 2, k: int = 10) -> str:
     """
 
 
-@query("similarity_ivf_embeddings", sql=_sql_ivf_topk())
+@query("similarity_ivf_embeddings", sql=_sql_ivf_topk(), priority=True)
 def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flavored ANN (operators/similarity.py ivf_topk): corpus
     partitioned into centroid cells (inverted file), queries probe

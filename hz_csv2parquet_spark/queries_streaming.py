@@ -142,6 +142,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
     """,
     streaming=True,
+    priority=True,
 )
 def streaming_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events stream enriched against a

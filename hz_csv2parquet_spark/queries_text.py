@@ -76,6 +76,7 @@ def _sql_jaccard(a: str, b: str) -> str:
     FROM documents
     """,
     headline=True,
+    priority=True,
 )
 def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token/char counts, whole-text and
@@ -116,6 +117,7 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang
     """,
+    priority=True,
 )
 def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level quality rollup per labeled language — the
@@ -180,6 +182,7 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
     """,
     headline=True,
+    priority=True,
 )
 def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition heuristics per document: duplicate
@@ -222,6 +225,7 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 10
     """,
     headline=True,
+    priority=True,
 )
 def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Characteristic terms per language: linear-idf-weighted term
@@ -287,6 +291,7 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, probe_id, n_shared
     FROM hits WHERE n_shared >= 2
     """,
+    priority=True,
 )
 def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set contamination sweep: flag corpus documents sharing ≥2
@@ -351,6 +356,7 @@ def _sql_sample_threshold() -> str:
     WHERE CAST({_sql_u32("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)} AS DOUBLE)
           < {_sql_sample_threshold()}
     """,
+    priority=True,
 )
 def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-language keep-rates via
@@ -380,6 +386,7 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY 1
     """,
+    priority=True,
 )
 def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment (hash mod N) + per-shard
@@ -456,6 +463,7 @@ _SQL_NEAR_CORPUS = """
     FROM corpus GROUP BY 1
     """,
     headline=True,
+    priority=True,
 )
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication summary over the planted corpus: one row
@@ -521,7 +529,7 @@ def _sql_minhash_pairs(num_hashes: int = 16, bands: int = 4, threshold: float = 
     """
 
 
-@query("dedup_minhash_documents", sql=_sql_minhash_pairs(), headline=True)
+@query("dedup_minhash_documents", sql=_sql_minhash_pairs(), headline=True, priority=True)
 def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate detection over the planted corpus:
     16 seeded-md5 MinHashes over word-3-shingles, 4 bands × 4 rows,
@@ -566,7 +574,7 @@ def _sql_simhash_pairs(max_hamming: int = 3) -> str:
     """
 
 
-@query("dedup_simhash_documents", sql=_sql_simhash_pairs())
+@query("dedup_simhash_documents", sql=_sql_simhash_pairs(), priority=True)
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the planted corpus: 32-bit
     frequency-weighted signatures, byte-banded buckets (pigeonhole
@@ -586,6 +594,7 @@ def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE {_sql_jaccard("a.sh", "b.sh")} >= 0.5
     """,
+    priority=True,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: all pairs *within a source
@@ -610,6 +619,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE levenshtein(substring(a.nt, 1, 64), substring(b.nt, 1, 64)) <= 8
     """,
+    priority=True,
 )
 def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs, blocked by source (never global
@@ -645,6 +655,7 @@ def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang
     """,
+    priority=True,
 )
 def grouped_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The grouped-map UDF path (``groupBy().applyInPandas`` — the
@@ -695,6 +706,7 @@ def grouped_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS rn FROM scored
     ) WHERE rn <= 10
     """,
+    priority=True,
 )
 def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota capping: keep the 10 longest documents per
