@@ -54,10 +54,21 @@ def spread(df: DataFrame) -> DataFrame:
     (per-shingle hashing, regex tokenization). A single-row-group
     parquet scans as ONE task; shuffling the raw rows is cheap
     relative to the compute it parallelizes. No-op when the input
-    already has enough partitions — on a real multi-file corpus this
-    never fires."""
+    already spans enough files — on a real multi-file corpus this
+    never fires.
+
+    The coarseness probe is ``inputFiles()`` (a listing already cached
+    by the scan relation) for file-backed plans — NOT
+    ``df.rdd.getNumPartitions()``, whose Python-RDD conversion
+    re-triggers plan analysis on every call, needless overhead in a
+    helper every text query goes through. Non-file plans (in-memory
+    ranges in tests) fall back to a single JVM-side partition count."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    files = df.inputFiles()
+    if files:
+        return df.repartition(target) if len(files) < target else df
+    n = df._jdf.rdd().getNumPartitions()
+    return df.repartition(target) if n < target else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
