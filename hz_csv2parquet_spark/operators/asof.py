@@ -42,15 +42,20 @@ def asof_join(
     f = facts.withColumn("__side", F.lit(1)).withColumn("__t", F.col(fact_time))
     d = dims.withColumn("__side", F.lit(0)).withColumn("__t", F.col(dim_time))
 
-    # align schemas for the union: fact rows carry null payloads,
-    # dim rows carry null fact columns
+    # align schemas for the union: fact rows carry a null payload
+    # struct, dim rows carry null fact columns. The payload travels as
+    # ONE struct — carrying each column independently with
+    # last(ignorenulls) could stitch values from different dim rows
+    # when a dim payload column is legitimately NULL (and would
+    # resurrect an older value over a newer NULL); a row-atomic struct
+    # matches the semantics of a real ASOF JOIN.
     fact_cols = facts.columns
-    for c in payload_cols:
-        f = f.withColumn(c, F.lit(None).cast(dims.schema[c].dataType))
+    d = d.withColumn("__payload", F.struct(*[F.col(c) for c in payload_cols]))
+    f = f.withColumn("__payload", F.lit(None).cast(d.schema["__payload"].dataType))
     for c in fact_cols:
         if c not in d.columns:
             d = d.withColumn(c, F.lit(None).cast(facts.schema[c].dataType))
-    cols = [key, "__t", "__side", *[c for c in fact_cols if c != key], *payload_cols]
+    cols = [key, "__t", "__side", *[c for c in fact_cols if c != key], "__payload"]
     u = f.select(*cols).unionByName(d.select(*cols))
 
     w = (
@@ -58,8 +63,8 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = u.select(
-        *[c for c in cols if c not in payload_cols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    carried = u.withColumn("__pl", F.last("__payload", ignorenulls=True).over(w))
+    return carried.filter(F.col("__side") == 1).select(
+        *fact_cols,
+        *[F.col("__pl").getField(c).alias(c) for c in payload_cols],
     )
-    return carried.filter(F.col("__side") == 1).drop("__side", "__t")

@@ -113,7 +113,11 @@ def frame_sample(
     with its index and bytes — the explode-shaped plumbing a video
     pipeline needs."""
     n_frames = F.ceil(F.length(F.col(payload_col)) / F.lit(frame_bytes)).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    # empty payload → NULL index array → explode emits no rows (the
+    # greatest(n-1, 0) clamp used to fabricate a phantom frame 0)
+    idx = F.when(
+        F.length(F.col(payload_col)) > 0, F.sequence(F.lit(0), n_frames - 1)
+    )
     kept = F.filter(idx, lambda i: i % every == 0)
     return df.select(
         F.col(id_col), F.col(payload_col).alias("__p"), F.explode(kept).alias("frame_id")

@@ -31,3 +31,18 @@ def test_asof_preserves_fact_rows(spark):
     dims = spark.createDataFrame([(9, 0, "x")], "k long, dt long, v string")
     out = asof_join(facts, dims, "k", "t", "dt", ["v"])
     assert out.count() == 2  # left semantics: every fact row survives
+
+
+def test_asof_payload_rows_are_atomic(spark):
+    """A NULL inside the latest dim row must NOT be patched with an
+    older dim row's value (per-column carry-forward would do exactly
+    that); the whole dim row is carried as one struct — matching
+    DuckDB's row-atomic ASOF JOIN."""
+    facts = spark.createDataFrame([(1, 20, "f1")], "k long, t long, fid string")
+    dims = spark.createDataFrame(
+        [(1, 5, "old_v", "old_w"), (1, 10, None, "new_w")],
+        "k long, dt long, v string, w string",
+    )
+    row = asof_join(facts, dims, "k", "t", "dt", ["v", "w"]).collect()[0]
+    assert row.w == "new_w"
+    assert row.v is None  # the newest dim row's NULL wins, atomically

@@ -52,6 +52,14 @@ def test_frame_sample_indices_and_bytes(spark):
     assert frames[2] == bytes(range(128, 192))
 
 
+def test_frame_sample_empty_payload_emits_no_rows(spark):
+    # a zero-length payload has zero frames — no phantom frame_id 0
+    # (the DuckDB mirror emits no rows for empty text; must match)
+    df = spark.createDataFrame([(1, b""), (2, bytes(range(64)))], "id long, payload binary")
+    rows = frame_sample(df, "id", "payload", frame_bytes=64, every=2).collect()
+    assert [(r.id, r.frame_id) for r in rows] == [(2, 0)]
+
+
 def test_byte_features_distributed_partitions(spark):
     # many partitions → many Arrow batches; results identical
     df = _corpus(spark).repartition(8)
