@@ -11,9 +11,9 @@ inside hash buckets:
 - MinHash:  shuffle on (band_id, band_hash); docs meet only when a
             band of their MinHash signatures collides (standard LSH
             banding: P[collide] ≈ 1 - (1 - J^r)^b).
-- SimHash:  shuffle on (byte_id, byte of the 32-bit signature);
-            near-identical docs share ≥1 of 4 bytes whenever their
-            Hamming distance ≤ 3 (pigeonhole).
+- SimHash:  shuffle on (band_id, 16-bit chunk of the 64-bit
+            signature); near-identical docs share ≥1 of 4 bands
+            whenever their Hamming distance ≤ 3 (pigeonhole).
 - n-gram Jaccard: blocked by a caller-supplied key (e.g. ``source``)
             — quadratic only within a block, never globally.
 
@@ -229,13 +229,24 @@ def minhash_dedup_pairs(
 _HEX = "0123456789abcdef"
 
 
-def simhash32(text_col: str) -> Column:
-    """32-bit SimHash of the normalized text's tokens (frequency-
-    weighted). Bit b is 1 iff the sum over tokens of ±1 (the token's
-    md5 bit b) is positive. Pure built-in expressions: per-token md5
-    once, then 32 integer folds over the token-hash array — no UDF,
+def simhash64(text_col: str) -> Column:
+    """64-bit SimHash of the normalized text's tokens (frequency-
+    weighted), as a struct of two 32-bit words ``(s0, s1)`` — the
+    split keeps every value well inside a signed long (a single
+    64-bit integer would need bit 63 = 2⁶³, which overflows, and
+    DuckDB BIGINTs raise on overflow rather than wrap). Word 0 takes
+    md5 hex digits 1-8 (bits 0-31), word 1 digits 9-16 (bits 32-63).
+
+    Bit b is 1 iff the sum over tokens of ±1 (the token's md5 bit b)
+    is positive. Pure built-in expressions: per-token md5 once, then
+    64 integer folds over the token-hash array — no UDF,
     engine-portable (bit b of a hex digest = digit arithmetic on
-    ``instr('0123456789abcdef', ...)``)."""
+    ``instr('0123456789abcdef', ...)``).
+
+    64 bits (vs the round-2 32) is what makes the banding below
+    scale: 16-bit bands give 65 536 bucket keys per band instead of
+    256 — the published SimHash-dedup shape (Manku et al., WWW'07
+    use 64-bit fingerprints with Hamming ≤ 3)."""
     from ..functions.hashing import let_bound
 
     th_expr = F.transform(F.split(normalize_text(text_col), " "), lambda t: F.md5(t))
@@ -248,58 +259,75 @@ def simhash32(text_col: str) -> Column:
 
         return merge
 
-    def body(th: Column) -> Column:
-        # th is a materialized lambda variable: the 32 folds iterate
-        # the already-computed digest array. Without the let-binding
-        # each fold re-evaluates normalize+split+md5 — measured 15×
-        # slower at sf0.1 (the HOF re-evaluation trap, see let_bound).
+    def word(th: Column, digit_base: int) -> Column:
+        # th is a materialized lambda variable: the folds iterate the
+        # already-computed digest array. Without the let-binding each
+        # fold re-evaluates normalize+split+md5 — measured 15× slower
+        # at sf0.1 (the HOF re-evaluation trap, see let_bound).
         total = F.lit(0).cast("long")
         for b in range(32):
             contrib = F.aggregate(
-                th, F.lit(0).cast("long"), bit_fold(1 + b // 4, 2 ** (b % 4))
+                th, F.lit(0).cast("long"), bit_fold(digit_base + b // 4, 2 ** (b % 4))
             )
             total = total + F.when(contrib > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
         return total
 
-    return let_bound(th_expr, body)
+    return let_bound(
+        th_expr, lambda th: F.struct(word(th, 1).alias("s0"), word(th, 9).alias("s1"))
+    )
 
 
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
-    bucketed by signature bytes (pigeonhole: distance ≤ 3 over 4
-    bytes ⇒ at least one byte identical) — the shuffle keys on
-    (byte_id, byte value), never all pairs. Output: id_a, id_b,
+    """Near-dup pairs by 64-bit SimHash Hamming distance ≤
+    ``max_hamming``, bucketed by 16-bit signature chunks (pigeonhole:
+    distance ≤ 3 over 4 bands ⇒ at least one band identical) — the
+    shuffle keys on (band_id, 16-bit value), never all pairs.
+
+    Scale math: 4 × 2¹⁶ band keys (vs 4 × 2⁸ for byte-banded 32-bit)
+    means expected bucket occupancy n/65 536 per band — the
+    within-bucket self-join stays near-linear on a 10⁹-doc corpus
+    where a 256-bucket scheme goes quadratic. Output: id_a, id_b,
     hamming."""
-    sig = df.select(F.col(id_col).alias("__id"), simhash32(text_col).alias("__sig"))
+    sig = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__sig")).select(
+        "__id", F.col("__sig.s0").alias("__s0"), F.col("__sig.s1").alias("__s1")
+    )
+    bands = [
+        F.floor(F.col("__s0") / F.lit(65536)).cast("long"),
+        (F.col("__s0") % F.lit(65536)).cast("long"),
+        F.floor(F.col("__s1") / F.lit(65536)).cast("long"),
+        (F.col("__s1") % F.lit(65536)).cast("long"),
+    ]
     banded = sig.select(
         "__id",
-        "__sig",
+        "__s0",
+        "__s1",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).alias("byte_id"),
-                        F.floor(F.col("__sig") / F.lit(256**j)).cast("long").__mod__(256).alias("bv"),
-                    )
-                    for j in range(4)
+                    F.struct(F.lit(j).alias("band_id"), bv.alias("bv"))
+                    for j, bv in enumerate(bands)
                 ]
             )
         ).alias("b"),
-    ).select("__id", "__sig", "b.byte_id", "b.bv")
+    ).select("__id", "__s0", "__s1", "b.band_id", "b.bv")
     a, b = banded.alias("a"), banded.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.__s0").bitwiseXOR(F.col("b.__s0")))
+        + F.bit_count(F.col("a.__s1").bitwiseXOR(F.col("b.__s1")))
+    ).cast("long")
     pairs = (
         a.join(
             b,
-            (F.col("a.byte_id") == F.col("b.byte_id"))
+            (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).cast("long").alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
     )

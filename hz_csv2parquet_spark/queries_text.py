@@ -540,19 +540,32 @@ def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+def _sql_simhash_word(digit_base: int) -> str:
+    """One 32-bit SimHash word from md5 hex digits
+    ``digit_base..digit_base+7`` — mirrors operators.dedup.simhash64's
+    ``word`` fold (same digit arithmetic, same >0 sign rule)."""
     hexs = "0123456789abcdef"
     bit_terms = " + ".join(
         f"""CASE WHEN list_sum(list_transform(th, h ->
-          (CAST(floor((instr('{hexs}', substring(h, {1 + b // 4}, 1)) - 1) / {2 ** (b % 4)}) AS BIGINT) % 2) * 2 - 1
+          (CAST(floor((instr('{hexs}', substring(h, {digit_base + b // 4}, 1)) - 1) / {2 ** (b % 4)}) AS BIGINT) % 2) * 2 - 1
         )) > 0 THEN {2**b} ELSE 0 END"""
         for b in range(32)
     )
-    byte_rows = "\n      UNION ALL\n".join(
-        f"      SELECT doc_id, sig, {j} AS byte_id, "
-        f"CAST(floor(sig / {256**j}) AS BIGINT) % 256 AS bv FROM sig"
-        for j in range(4)
+    return f"CAST({bit_terms} AS BIGINT)"
+
+
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
+    band_exprs = [
+        "CAST(floor(s0 / 65536) AS BIGINT)",
+        "CAST(s0 % 65536 AS BIGINT)",
+        "CAST(floor(s1 / 65536) AS BIGINT)",
+        "CAST(s1 % 65536 AS BIGINT)",
+    ]
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, s0, s1, {j} AS band_id, {bv} AS bv FROM sig"
+        for j, bv in enumerate(band_exprs)
     )
+    ham = "(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)))"
     return f"""
     WITH corpus AS ({_SQL_NEAR_CORPUS}),
     th AS (
@@ -561,24 +574,26 @@ def _sql_simhash_pairs(max_hamming: int = 3) -> str:
       FROM corpus
     ),
     sig AS (
-      SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sig FROM th
+      SELECT doc_id, {_sql_simhash_word(1)} AS s0, {_sql_simhash_word(9)} AS s1 FROM th
     ),
     banded AS (
-{byte_rows}
+{band_rows}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           CAST({ham} AS BIGINT) AS hamming
     FROM banded a JOIN banded b
-      ON a.byte_id = b.byte_id AND a.bv = b.bv AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+      ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
     """
 
 
 @query("dedup_simhash_documents", sql=_sql_simhash_pairs(), priority=True)
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over the planted corpus: 32-bit
-    frequency-weighted signatures, byte-banded buckets (pigeonhole
-    for Hamming ≤ 3), XOR-popcount verify. All built-in expressions."""
+    """SimHash near-dup pairs over the planted corpus: 64-bit
+    frequency-weighted signatures (two 32-bit words), 16-bit-chunk
+    bands (pigeonhole for Hamming ≤ 3, 65 536 keys per band — the
+    Manku-et-al scale shape), XOR-popcount verify. All built-in
+    expressions."""
     return simhash_near_pairs(_near_corpus(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
 

@@ -13,7 +13,7 @@ from hz_csv2parquet_spark.operators.dedup import (
     exact_dedup_summary,
     lsh_candidate_pairs,
     minhash_dedup_pairs,
-    simhash32,
+    simhash64,
     simhash_near_pairs,
 )
 
@@ -57,16 +57,46 @@ def test_minhash_pipeline_verifies_jaccard(spark, corpus):
 
 def test_simhash_distance_tracks_similarity(spark, corpus):
     sigs = {
-        r.id: r.sig
-        for r in corpus.select("id", simhash32("text").alias("sig")).collect()
+        r.id: (r.sig.s0, r.sig.s1)
+        for r in corpus.select("id", simhash64("text").alias("sig")).collect()
     }
-    ham = lambda a, b: bin(a ^ b).count("1")
+    for s0, s1 in sigs.values():  # both words are 32-bit non-negative
+        assert 0 <= s0 < 2**32 and 0 <= s1 < 2**32
+    ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
     assert ham(sigs[1], sigs[4]) == 0  # identical normalized text
     assert ham(sigs[1], sigs[2]) <= 3  # one-token delta
     assert ham(sigs[1], sigs[3]) > 3  # different doc
 
     pairs = {(r.id_a, r.id_b) for r in simhash_near_pairs(corpus, "id", "text").collect()}
     assert (1, 2) in pairs and (1, 4) in pairs
+
+
+def test_simhash_pigeonhole_banding(spark):
+    """Any pair within Hamming ≤ 3 of a 64-bit signature shares at
+    least one 16-bit band (4 bands, ≤3 differing bits ⇒ one band
+    untouched) — i.e. the bucketed join cannot miss a qualifying
+    pair. Verified by comparing the banded operator against a direct
+    all-pairs Hamming computation on the same corpus."""
+    import itertools
+
+    docs = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon " + tail
+        for tail in ["", "x1", "x2", "y1 y2", "phi chi psi omega extra words here"]
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)), "id long, text string")
+    sigs = {
+        r.id: (r.sig.s0, r.sig.s1)
+        for r in df.select("id", simhash64("text").alias("sig")).collect()
+    }
+    ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+    expected = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(sigs), 2)
+        if ham(sigs[i], sigs[j]) <= 3
+    }
+    got = {(r.id_a, r.id_b) for r in simhash_near_pairs(df, "id", "text").collect()}
+    assert got == expected
 
 
 def test_blocked_jaccard_respects_blocks(spark, corpus):
