@@ -202,33 +202,96 @@ def ivf_topk(
     ).select("query_id", "neighbor_id", "cosine", "rn")
 
 
+def plane_signs(table: int, plane: int, dim: int) -> list[float]:
+    """±1 components of pseudo-random plane ``plane`` in LSH table
+    ``table``: the parity of the first hex digit of
+    ``md5("t<table>:<plane>_<i>")`` — the same md5-parity family as
+    :func:`lsh_bucket`, but hashed ONCE driver-side and shipped as a
+    literal array, so the per-row work is pure multiply-add (no
+    per-element md5 in the hot path). Deterministic, no stored plane
+    table, replayable in any engine."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"t{table}:{plane}_{i}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for i in range(1, dim + 1)
+    ]
+
+
+def banded_lsh_bucket(vec: Column, table: int, planes: int, dim: int) -> Column:
+    """Sign-LSH bucket id in [0, 2^planes) for one hash table: bit j
+    is the sign of the projection onto literal ±1 plane j (strict
+    left-fold in double — engine-portable). ``dim`` must equal the
+    vector length (zip_with would null-pad otherwise)."""
+    bucket = F.lit(0).cast("long")
+    for j in range(planes):
+        signs = F.array(*[F.lit(s) for s in plane_signs(table, j, dim)])
+        prods = F.zip_with(vec, signs, lambda x, s: x.cast("double") * s)
+        proj = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
 def embedding_near_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    planes: int = 4,
+    dim: int = 64,
+    planes: int = 16,
+    tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    threshold), bucketed by sign-LSH — the embedding analogue of
-    MinHash dedup: pairs only meet inside a bucket, the shuffle keys
-    on the bucket id. Output: id_a, id_b, cosine."""
-    b = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bkt"),
-    )
-    l, r = b.alias("l"), b.alias("r")
-    return (
+    threshold) via banded multi-table sign-LSH — the embedding
+    analogue of MinHash-LSH banding: candidates meet only inside a
+    (table, bucket) cell, the exact cosine runs on candidates only.
+
+    Scale math (the reason for the shape): one 16-plane table has
+    2¹⁶ = 65 536 buckets, so expected occupancy is n/65 536 and the
+    within-bucket self-join stays near-linear at 10⁹ rows — where the
+    round-2 single-table planes=4 design (16 buckets, O(n²/16)) went
+    quadratic. Multiple tables buy recall the way MinHash bands do:
+    P[meet] = 1 − (1 − p^planes)^tables for per-plane agreement p, so
+    4 tables × 16 planes catches high-cosine pairs while keeping
+    random pairs apart. Identical vectors collide in every table.
+
+    Plan: corpus → explode to (table, bucket) keys → per-cell
+    self-join → DISTINCT candidate ids → join vectors back → exact
+    cosine ≥ threshold. Shuffles key on (table, bucket) and on id —
+    never all-pairs. Output: id_a, id_b, cosine."""
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    banded = base.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        banded_lsh_bucket(F.col("__v"), t, planes, dim).alias("bkt"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "b.tbl", "b.bkt")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
         l.join(
             r,
-            (F.col("l.__bkt") == F.col("r.__bkt")) & (F.col("l.__id") < F.col("r.__id")),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.__id") < F.col("r.__id")),
         )
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            cosine(F.col("l.__v"), F.col("r.__v")).alias("cosine"),
-        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -118,33 +118,68 @@ _SQL_VEC_CORPUS = """
 """
 
 
-@query(
-    "embedding_near_pairs",
-    sql=f"""
-    WITH corpus AS ({_SQL_VEC_CORPUS}),
-    b AS (
-      SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bkt FROM corpus
+def _sql_banded_bucket(vec: str, tbl: int, planes: int, dim: int) -> str:
+    """Mirror of operators.similarity.banded_lsh_bucket: the SAME
+    literal ±1 sign lists (plane_signs is plain hashlib, shared by
+    both emitters), same strict left-fold projection."""
+    from .operators.similarity import plane_signs
+
+    terms = []
+    for j in range(planes):
+        lst = "[" + ", ".join(
+            "1.0" if s > 0 else "-1.0" for s in plane_signs(tbl, j, dim)
+        ) + "]"
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({vec})), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lst})[i])), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END")
+    return f"CAST({' + '.join(terms)} AS BIGINT)"
+
+
+def _sql_embedding_near_pairs(
+    threshold: float = 0.95, dim: int = 64, planes: int = 16, tables: int = 4
+) -> str:
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, {t} AS tbl, "
+        f"{_sql_banded_bucket('embedding', t, planes, dim)} AS bkt FROM corpus"
+        for t in range(tables)
     )
-    SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-           {_sql_cosine("l.embedding", "r.embedding")} AS cosine
-    FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
-    WHERE {_sql_cosine("l.embedding", "r.embedding")} >= 0.95
-    """,
-    priority=True,
-)
+    return f"""
+    WITH corpus AS ({_SQL_VEC_CORPUS}),
+    banded AS (
+{band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.tbl = r.tbl AND l.bkt = r.bkt AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, {_sql_cosine("ca.embedding", "cb.embedding")} AS cosine
+    FROM cand
+    JOIN corpus ca ON cand.id_a = ca.vec_id
+    JOIN corpus cb ON cand.id_b = cb.vec_id
+    WHERE {_sql_cosine("ca.embedding", "cb.embedding")} >= {threshold}
+    """
+
+
+@query("embedding_near_pairs", sql=_sql_embedding_near_pairs(), priority=True)
 def embedding_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over a planted corpus
-    (50 duplicated vectors): sign-LSH buckets, within-bucket cosine ≥
-    0.95. Identical vectors land in identical buckets by
-    construction, so every plant is found — the embedding analogue of
-    exact dedup at scale."""
+    (50 duplicated vectors): banded multi-table sign-LSH (4 tables ×
+    16 planes → 65 536 buckets per table), candidate pairs verified
+    by exact cosine ≥ 0.95. Identical vectors land in identical
+    buckets in every table, so every plant is found — the embedding
+    analogue of MinHash-banded dedup at corpus scale."""
     from .tables import spread
 
     emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     plant = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
-    return embedding_near_pairs(emb.unionByName(plant), threshold=0.95, planes=4)
+    return embedding_near_pairs(
+        emb.unionByName(plant), threshold=0.95, dim=64, planes=16, tables=4
+    )
 
 
 def _sql_ivf_topk(n_centroids: int = 8, nprobe: int = 2, k: int = 10) -> str:

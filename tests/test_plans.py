@@ -106,3 +106,17 @@ def test_minhash_join_keys_on_band_hash(spark, sf_dir):
     # (the only BroadcastNestedLoopJoin allowed is none)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_near_pairs_joins_on_table_bucket(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "embedding_near_pairs")
+    # multi-table sign-LSH: the candidate self-join must key on the
+    # (table, bucket) pair — never a nested loop over all vector pairs
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_join_keys_on_band_chunk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_simhash_documents")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
