@@ -124,31 +124,20 @@ def minhash_band_hashes(
     return out
 
 
-#: single-slot signature-table cache keyed by semantic plan hash.
-#: Repeated calls over the same corpus (bench warm-up + timed runs,
-#: parity tests) reuse ONE persisted frame instead of re-persisting an
-#: identical plan per call ("Asked to cache already cached data"
-#: warnings); switching corpora unpersists the previous slot, so a
-#: long-lived session holds at most one signature table.
-_SIG_CACHE: dict[str, DataFrame] = {}
-
-
 def _shingle_frame(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
-    """(id, shingle set, per-shingle 32-bit hashes), persisted: the
-    signature table is read by both sides of the bucket self-join and
-    by the verify join — at scale this is the materialized signature
-    table every LSH dedup pipeline writes once and reuses."""
+    """(id, shingle set, per-shingle 32-bit hashes), persisted via the
+    single-slot memo (tables.memo_persist): the signature table is
+    read by both sides of the bucket self-join and by the verify join
+    — at scale this is the materialized signature table every LSH
+    dedup pipeline writes once and reuses. Repeated runs over the
+    same corpus reuse one cached frame; switching corpora unpersists
+    the previous one."""
+    from ..tables import memo_persist
+
     sh = spread(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
         "__id", shingle_set("__t", shingle_n).alias("__sh")
     ).withColumn("__h32", shingle_hashes32(F.col("__sh")))
-    key = str(sh.semanticHash())
-    if key in _SIG_CACHE:
-        return _SIG_CACHE[key]
-    for old in _SIG_CACHE.values():
-        old.unpersist()
-    _SIG_CACHE.clear()
-    _SIG_CACHE[key] = sh.persist()
-    return sh
+    return memo_persist(sh, "minhash_signatures")
 
 
 def lsh_candidate_pairs(

@@ -136,6 +136,60 @@ def lsh_topk(
     ).select("query_id", "neighbor_id", "cosine", "rn")
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    train_mod: int = 4,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column —
+    the trained coarse quantizer for IVF. Output: (cell, vec_col).
+
+    Every step is engine-portable so a SQL oracle can replay the
+    whole training loop and the hash gate covers the centroids
+    themselves:
+
+    - init: the first ``k`` corpus vectors (no RNG);
+    - train sample: ids ≡ 0 mod ``train_mod`` — a deterministic,
+      content-keyed sample, so training cost is sample-sized while
+      the full corpus is only touched at assignment time (the
+      offline-train / online-assign split a real IVF deployment
+      uses);
+    - E-step: nearest centroid by the strict-left-fold cosine
+      (bit-identical doubles), ties broken on cell id;
+    - M-step: element-wise mean via exact DECIMAL(38,10) sums
+      (order-independent under any partitioning) divided in double.
+
+    Cells that attract no sample vectors drop out identically in
+    both engines (inner-join semantics)."""
+    sample = corpus.filter((F.col(id_col) % train_mod) == 0) if train_mod > 1 else corpus
+    cents = corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("long").alias("cell"), F.col(vec_col).alias("__kv")
+    )
+    s = sample.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    for _ in range(iters):
+        scored = s.join(F.broadcast(cents)).select(
+            "__vid", "__v", "cell", cosine(F.col("__v"), F.col("__kv")).alias("__cos")
+        )
+        w = Window.partitionBy("__vid").orderBy(F.col("__cos").desc(), F.col("cell"))
+        assigned = scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+        ex = assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
+        m = ex.groupBy("cell", "pos").agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mu")
+        )
+        cents = m.groupBy("cell").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mu"))), lambda st: st["mu"]
+            ).alias("__kv")
+        )
+    return cents.select("cell", F.col("__kv").alias(vec_col))
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -145,10 +199,12 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF cell assignment: each vector's ``nprobe`` nearest
     centroids by cosine (deterministic tie-break on centroid id).
-    Centroids are broadcast; cost is |corpus|·K cosines — linear,
-    which is the whole point of IVF. Output: id, cell, rank."""
+    ``centroids`` is a (cell, vec_col) table — e.g. the output of
+    :func:`kmeans_centroids` — and is broadcast; cost is |corpus|·K
+    cosines — linear, which is the whole point of IVF. Output: id,
+    cell, probe_rank."""
     c = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-    k = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("__kv"))
+    k = centroids.select("cell", F.col(vec_col).alias("__kv"))
     scored = c.join(F.broadcast(k)).select(
         "__vid", "cell", cosine(F.col("__v"), F.col("__kv")).alias("__cos")
     )
@@ -168,16 +224,24 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    iters: int = 2,
+    train_mod: int = 4,
 ) -> DataFrame:
-    """IVF-flavored ANN: corpus vectors are assigned to their nearest
-    centroid cell (coarse quantizer = the first ``n_centroids``
-    corpus vectors — deterministic; a real deployment trains k-means
-    offline and ships the table); each query probes its ``nprobe``
-    nearest cells and ranks candidates by exact cosine within them.
-    The scan never compares a query against vectors outside probed
-    cells — the inverted-file structure IS the shuffle key. Output:
-    query_id, neighbor_id, cosine, rn."""
-    cents = corpus.filter(F.col(id_col) < n_centroids)
+    """IVF ANN with a TRAINED coarse quantizer: centroids come from
+    deterministic Lloyd's k-means (:func:`kmeans_centroids` — init =
+    first ``n_centroids`` vectors, ``iters`` refinement passes over a
+    1/``train_mod`` sample), corpus vectors are assigned to their
+    nearest cell, each query probes its ``nprobe`` nearest cells and
+    ranks candidates by exact cosine within them. The scan never
+    compares a query against vectors outside probed cells — the
+    inverted-file structure IS the shuffle key. Output: query_id,
+    neighbor_id, cosine, rn."""
+    from ..tables import memo_persist
+
+    cents = memo_persist(
+        kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters, train_mod),
+        "ivf_centroids",
+    )
     cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(id_col, "cell")
     corpus_cells = corpus.join(cells, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"

@@ -182,18 +182,57 @@ def embedding_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivf_topk(n_centroids: int = 8, nprobe: int = 2, k: int = 10) -> str:
-    """Mirror of operators.similarity.ivf_topk: same centroid choice,
-    same assignment tie-break, same probe set, same final ranking."""
-    cos = _sql_cosine("v.embedding", "c.embedding")
+def _sql_ivf_topk(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+    iters: int = 2,
+    train_mod: int = 4,
+) -> str:
+    """Mirror of operators.similarity.ivf_topk INCLUDING the k-means
+    training loop (same init, same sample, same cosine assignment
+    tie-break, same exact-decimal element-wise means — the VARCHAR
+    hop on the decimal sum is the DuckDB correct-rounding route, see
+    functions/exact.py), same probe set, same final ranking."""
+    cos = _sql_cosine("v.embedding", "c.kv")
+    ctes = [
+        f"cents0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS kv "
+        f"FROM embeddings WHERE vec_id < {n_centroids})"
+    ]
+    prev = "cents0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+      SELECT vec_id, cell, embedding FROM (
+        SELECT v.vec_id, c.cell, v.embedding,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos} DESC, c.cell) AS rn
+        FROM embeddings v CROSS JOIN {prev} c
+        WHERE v.vec_id % {train_mod} = 0
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""m{it} AS (
+      SELECT cell, u.i AS i,
+             CAST(CAST(SUM(CAST(u.x AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mu
+      FROM (
+        SELECT cell, unnest(list_transform(generate_series(1, len(embedding)),
+                 i -> struct_pack(i := i, x := CAST(embedding[i] AS DOUBLE)))) AS u
+        FROM a{it}
+      ) t GROUP BY cell, u.i
+    )""")
+        ctes.append(
+            f"cents{it} AS (SELECT cell, list(mu ORDER BY i) AS kv FROM m{it} GROUP BY cell)"
+        )
+        prev = f"cents{it}"
+    cte_sql = ",\n    ".join(ctes)
     return f"""
-    WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {n_centroids}),
+    WITH {cte_sql},
     assign AS (
       SELECT vec_id, cell FROM (
         SELECT v.vec_id, c.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                   ORDER BY {cos} DESC, c.cell) AS rn
-        FROM embeddings v CROSS JOIN cents c
+        FROM embeddings v CROSS JOIN {prev} c
       ) WHERE rn = 1
     ),
     probes AS (
@@ -201,7 +240,7 @@ def _sql_ivf_topk(n_centroids: int = 8, nprobe: int = 2, k: int = 10) -> str:
         SELECT v.vec_id, c.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                   ORDER BY {cos} DESC, c.cell) AS rn
-        FROM embeddings v CROSS JOIN cents c
+        FROM embeddings v CROSS JOIN {prev} c
         WHERE v.vec_id < 5
       ) WHERE rn <= {nprobe}
     ),
@@ -224,18 +263,24 @@ def _sql_ivf_topk(n_centroids: int = 8, nprobe: int = 2, k: int = 10) -> str:
     """
 
 
-@query("similarity_ivf_embeddings", sql=_sql_ivf_topk(), priority=True)
+@query("similarity_ivf_embeddings", sql=_sql_ivf_topk(nprobe=3), priority=True)
 def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flavored ANN (operators/similarity.py ivf_topk): corpus
-    partitioned into centroid cells (inverted file), queries probe
-    their 2 nearest cells, exact cosine within probed cells only.
-    The third scale path next to brute force and sign-LSH."""
+    """IVF ANN with a trained quantizer (operators/similarity.py
+    ivf_topk): centroids from deterministic Lloyd's k-means (2
+    refinement passes over a 1/4 sample, init = first 8 vectors),
+    corpus partitioned into centroid cells (inverted file), queries
+    probe their 3 nearest cells, exact cosine within probed cells
+    only. The third scale path next to brute force and sign-LSH. The
+    oracle replays the ENTIRE training loop, so the hash gate checks
+    the centroids, the assignment, and the ranking."""
     from .operators.similarity import ivf_topk
 
     from .tables import spread
 
     emb = spread(table(spark, sf_dir, "embeddings"))
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=2)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=3, iters=2, train_mod=4
+    )
 
 
 @query("similarity_topk_pandas_udf", sql=None)

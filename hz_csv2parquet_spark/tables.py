@@ -71,6 +71,29 @@ def spread(df: DataFrame) -> DataFrame:
     return df.repartition(target) if n < target else df
 
 
+#: single-slot persisted-plan cache keyed by semantic plan hash —
+#: repeated calls with the same plan (bench warm-up + timed runs,
+#: parity tests) reuse ONE persisted frame instead of re-persisting an
+#: identical plan per call ("Asked to cache already cached data");
+#: a new plan evicts and unpersists the old slot, so a long-lived
+#: session holds at most one cached frame per slot name.
+_MEMO: dict[str, tuple[str, DataFrame]] = {}
+
+
+def memo_persist(df: DataFrame, slot: str) -> DataFrame:
+    """Persist ``df``, memoized per ``slot`` on the plan's semantic
+    hash (see _MEMO). Returns the cached frame when the plan is
+    unchanged; otherwise unpersists the slot's previous frame first."""
+    key = str(df.semanticHash())
+    hit = _MEMO.get(slot)
+    if hit is not None:
+        if hit[0] == key:
+            return hit[1]
+        hit[1].unpersist()
+    _MEMO[slot] = (key, df.persist())
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql use)."""
     for name in TABLES:
