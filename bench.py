@@ -7,13 +7,20 @@ Runs every ``headline=True`` query from the catalog
 and prints exactly ONE JSON line on stdout:
 
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "queries": {"<name>": <sec>, ...}, "sf": <float>}
+     "queries": {"<name>": <sec>, ...}, "sf": <float>,
+     "vs_baseline": {"<name>": <ratio>, ...}, "regressions": [...]}
 
 Timing protocol: one untimed warm-up action per query (JVM/codegen
 warm, file footers cached), then ``--runs`` timed runs (default 2),
 reporting the minimum. The timed action is a full consume
 (``df.foreach(noop)``-equivalent via ``write.format("noop")``) so the
 whole plan executes — not just the first partition of a collect.
+
+Regression tracking: BENCH_BASELINE.json (tracked) holds the accepted
+per-query timings at sf0.1. Each run reports per-query ratios against
+it; any query slower than ``--regression-factor`` (default 1.5×) its
+committed number is named in ``regressions``. Baselines only apply at
+the SF they were recorded for.
 """
 
 from __future__ import annotations
@@ -36,6 +43,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--all", action="store_true", help="bench every query, not just headline")
+    ap.add_argument("--regression-factor", type=float, default=1.5)
     args = ap.parse_args()
 
     from hz_csv2parquet_spark.queries import REGISTRY
@@ -57,13 +65,36 @@ def main() -> int:
         timings[name] = round(best, 4)
         print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    sf = _sf_from_dir(args.sf_dir)
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_from_dir(args.sf_dir),
+        "sf": sf,
     }
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline = json.load(fh)
+        if baseline.get("sf") == sf:
+            ratios = {
+                n: round(t / baseline["queries"][n], 3)
+                for n, t in timings.items()
+                if baseline["queries"].get(n)
+            }
+            out["vs_baseline"] = ratios
+            out["regressions"] = sorted(
+                n for n, r in ratios.items() if r > args.regression_factor
+            )
+            for n in out["regressions"]:
+                print(
+                    f"[bench] REGRESSION {n}: {timings[n]:.3f}s is "
+                    f"{ratios[n]:.2f}x its baseline {baseline['queries'][n]:.3f}s",
+                    file=sys.stderr,
+                )
+
     print(json.dumps(out))
     return 0
 

@@ -291,6 +291,7 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, probe_id, n_shared
     FROM hits WHERE n_shared >= 2
     """,
+    headline=True,
     priority=True,
 )
 def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,7 +588,7 @@ def _sql_simhash_pairs(max_hamming: int = 3) -> str:
     """
 
 
-@query("dedup_simhash_documents", sql=_sql_simhash_pairs(), priority=True)
+@query("dedup_simhash_documents", sql=_sql_simhash_pairs(), headline=True, priority=True)
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the planted corpus: 64-bit
     frequency-weighted signatures (two 32-bit words), 16-bit-chunk
@@ -634,6 +635,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE levenshtein(substring(a.nt, 1, 64), substring(b.nt, 1, 64)) <= 8
     """,
+    headline=True,
     priority=True,
 )
 def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
