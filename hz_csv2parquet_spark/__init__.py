@@ -32,6 +32,7 @@ from .operators.dedup import (
     blocked_jaccard_pairs,
     exact_dedup,
     minhash_dedup_pairs,
+    simhash64_frame,
     simhash_near_pairs,
 )
 from .operators.enrich import add_lookup_column
@@ -56,6 +57,7 @@ __all__ = [
     "asof_join",
     "exact_dedup",
     "minhash_dedup_pairs",
+    "simhash64_frame",
     "simhash_near_pairs",
     "blocked_jaccard_pairs",
     "add_lookup_column",

@@ -14,6 +14,7 @@ from hz_csv2parquet_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_dedup_pairs,
     simhash64,
+    simhash64_frame,
     simhash_near_pairs,
 )
 
@@ -69,6 +70,45 @@ def test_simhash_distance_tracks_similarity(spark, corpus):
 
     pairs = {(r.id_a, r.id_b) for r in simhash_near_pairs(corpus, "id", "text").collect()}
     assert (1, 2) in pairs and (1, 4) in pairs
+
+
+def test_simhash_frame_matches_column_form(spark, corpus, sf_dir):
+    """The aggregate-form signature (explode → conv words → bit-sum
+    hash agg) is bit-identical to the HOF-fold column form on both
+    the synthetic corpus and the fixture documents — the frame form
+    is purely a physical-plan rewrite."""
+    col_sigs = {
+        r.id: (r.sig.s0, r.sig.s1)
+        for r in corpus.select("id", simhash64("text").alias("sig")).collect()
+    }
+    frame_sigs = {
+        r["__id"]: (r["__s0"], r["__s1"])
+        for r in simhash64_frame(corpus, "id", "text").collect()
+    }
+    assert frame_sigs == col_sigs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    col_docs = {
+        r.doc_id: (r.sig.s0, r.sig.s1)
+        for r in docs.select("doc_id", simhash64("text").alias("sig")).collect()
+    }
+    frame_docs = {
+        r["__id"]: (r["__s0"], r["__s1"])
+        for r in simhash64_frame(docs, "doc_id", "text").collect()
+    }
+    assert frame_docs == col_docs
+
+
+def test_simhash_frame_null_text_matches_column_form(spark):
+    df = spark.createDataFrame([(1, None), (2, "alpha beta"), (3, None)], "id long, text string")
+    col_sigs = {
+        r.id: (r.sig.s0, r.sig.s1)
+        for r in df.select("id", simhash64("text").alias("sig")).collect()
+    }
+    frame_sigs = {
+        r["__id"]: (r["__s0"], r["__s1"]) for r in simhash64_frame(df, "id", "text").collect()
+    }
+    assert frame_sigs == col_sigs
 
 
 def test_simhash_pigeonhole_banding(spark):

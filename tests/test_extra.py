@@ -22,7 +22,11 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        bo, bc = spark.table("hz_b_orders"), spark.table("hz_b_customer")
+        import hashlib
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        bo = spark.table(f"hz_b_orders_{tag}")
+        bc = spark.table(f"hz_b_customer_{tag}")
         j = bo.join(bc, bo.o_custkey == bc.c_custkey)
         p = j._jdf.queryExecution().executedPlan().toString()
         assert "SortMergeJoin" in p
