@@ -137,8 +137,46 @@ def cmd_curate(args: argparse.Namespace) -> None:
     print(args.dest)
 
 
+def _setup_logging(log_file: str | None) -> None:
+    """Dual file + console logging, mirroring the reference's surface
+    (csv2parquet.py:203-244: append-mode file next to console, DEBUG
+    level, timestamped lines). The log file is append-mode so repeated
+    runs accumulate history like the reference's; a file that cannot
+    be opened raises up-front rather than silently dropping logs."""
+    import logging
+
+    log = logging.getLogger("hz_csv2parquet_spark.cli")
+    # scoped to the package logger, NOT logging.basicConfig: the CLI
+    # runs in-process in tests and long-lived sessions, and a root-
+    # logger FileHandler would capture py4j/Spark shutdown logs (and
+    # outlive the file's tmp dir). Handlers are replaced per main()
+    # call so repeated invocations don't stack duplicates.
+    for h in list(log.handlers):
+        log.removeHandler(h)
+        h.close()
+    handlers: list[logging.Handler] = [logging.StreamHandler(sys.stderr)]
+    if log_file:
+        try:
+            handlers.append(logging.FileHandler(log_file, mode="a"))
+        except OSError as e:
+            raise SystemExit(f"error opening log file {log_file!r}: {e}")
+    fmt = logging.Formatter(
+        "%(asctime)s %(levelname)s %(message)s", datefmt="%Y/%m/%d %I:%M:%S %p"
+    )
+    for h in handlers:
+        h.setFormatter(fmt)
+        log.addHandler(h)
+    log.setLevel(logging.DEBUG if log_file else logging.INFO)
+    log.propagate = False
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="hz-spark", description=__doc__)
+    p.add_argument(
+        "--log-file",
+        default=None,
+        help="append timestamped progress to this file in addition to the console",
+    )
     sub = p.add_subparsers(dest="tool", required=True)
 
     c = sub.add_parser("convert", help="CSV → Parquet (csv2parquet.py surface)")
@@ -180,8 +218,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import logging
+
     args = build_parser().parse_args(argv)
+    _setup_logging(args.log_file)
+    log = logging.getLogger("hz_csv2parquet_spark.cli")
+    shown = {k: v for k, v in vars(args).items() if k not in ("fn", "log_file") and v is not None}
+    log.info("start tool=%s %s", args.tool, shown)
     args.fn(args)
+    log.info("done tool=%s", args.tool)
     return 0
 
 

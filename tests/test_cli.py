@@ -33,6 +33,19 @@ def test_cli_convert_file(geo_csv, spark):
     assert df.count() == 3 and "Extra" in df.columns
 
 
+def test_cli_log_file_dual_surface(geo_csv, spark):
+    """--log-file mirrors the reference's dual console+file logging
+    (csv2parquet.py:203-244): timestamped lines appended to the file,
+    accumulated across runs."""
+    src = str(geo_csv / "points_a.csv")
+    log = str(geo_csv / "run.log")
+    assert main(["--log-file", log, "convert", src]) == 0
+    text = open(log).read()
+    assert "start tool=convert" in text and "done tool=convert" in text
+    assert main(["--log-file", log, "convert", src]) == 0  # append mode
+    assert open(log).read().count("done tool=convert") == 2
+
+
 def test_cli_convert_directory_per_file(geo_csv, spark):
     assert main(["convert", str(geo_csv), "--single-file"]) == 0
     dest = str(geo_csv).rstrip("/") + "_parquet"
