@@ -1,0 +1,100 @@
+"""Connected components over near-duplicate pair graphs.
+
+The missing last step of every fuzzy-dedup pipeline: MinHash/SimHash
+verification emits *pairs*, but duplicates are transitive — doc A ~ B
+and B ~ C must collapse into ONE cluster with one kept representative,
+or the corpus keeps ⌈cluster/2⌉ copies. The published pipelines
+(RefinedWeb, SlimPajama, Dolma) all run a connected-components pass
+over the verified-pair graph for exactly this reason.
+
+Spark-first shape: iterative **min-label propagation** on DataFrames —
+each vertex starts labeled with its own id; every iteration each
+vertex takes the minimum label among itself and its neighbors. Labels
+are monotone non-increasing and reach the component-minimum fixpoint
+in ``diameter`` iterations.
+
+Scale analysis (the reason this survives 100 TB):
+
+- Per iteration: ONE shuffle join of edges against labels keyed on
+  the (high-cardinality) vertex id + one min-aggregate. No all-pairs
+  anything; cost is O(|E| + |V|) per iteration.
+- Iteration count = graph diameter. Near-dup clusters are dense
+  (every member pairs with most others through LSH), so diameters are
+  tiny — 2-3 hops covers real dup clusters; ``max_iter`` is a safety
+  bound, not the expected count. For adversarial long-chain graphs
+  the alternating large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14) halves
+  diameters per round; min-propagation is the right trade for dup
+  graphs.
+- Convergence detection is a single scalar aggregate (sum of labels,
+  exact decimal so 10⁹-scale ids can't overflow) — labels only
+  decrease, so an unchanged sum IS the fixpoint. One driver-side
+  scalar per iteration, never a row collect.
+- Each iteration's label frame is persisted and the previous one
+  unpersisted — the working set is one (v, lbl) table, not the
+  lineage chain. For very high ``max_iter`` add a checkpoint every
+  ~10 rounds to bound plan growth; dup graphs converge long before
+  that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Component label (= minimum member id) for every vertex.
+
+    ``vertices`` must have column ``v``; ``edges`` columns
+    ``src``/``dst`` (undirected — symmetrized internally). Returns
+    ``(v, lbl)`` where ``lbl`` is the smallest vertex id reachable
+    from ``v``. Isolated vertices keep their own id.
+    """
+    e = edges.select("src", "dst")
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = vertices.select("v", F.col("v").alias("lbl")).persist()
+    prev_sum = None
+    for _ in range(max_iter):
+        msgs = sym.join(labels, sym["src"] == labels["v"]).select(
+            F.col("dst").alias("v"), F.col("lbl")
+        )
+        new = (
+            labels.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        # labels are monotone non-increasing, so sum(lbl) is a strict
+        # decrease until the fixpoint — one exact-decimal scalar per
+        # iteration is the whole convergence protocol.
+        s = new.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
+        labels.unpersist()
+        labels = new
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def dup_clusters(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Cluster verdict per row from a verified near-dup pair table.
+
+    ``pairs`` has columns ``id_a``/``id_b`` (e.g. the output of
+    ``dedup.minhash_dedup_pairs``). Output per input row:
+    ``(id_col, cluster_id, cluster_size, keep)`` — ``cluster_id`` is
+    the minimum id in the row's component, ``keep`` marks the one
+    representative per cluster (the published keep-first policy).
+    The final window is one shuffle keyed on ``cluster_id``.
+    """
+    verts = df.select(F.col(id_col).alias("v"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    lab = connected_components(verts, edges, max_iter=max_iter)
+    w = Window.partitionBy("lbl")
+    return lab.select(
+        F.col("v").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("v") == F.col("lbl")).alias("keep"),
+    )

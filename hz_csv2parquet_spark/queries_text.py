@@ -473,11 +473,13 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_summary(_exact_corpus(spark, sf_dir), "text", "doc_id")
 
 
-def _sql_minhash_pairs(num_hashes: int = 16, bands: int = 4, threshold: float = 0.6) -> str:
-    """DuckDB mirror of operators.dedup.minhash_dedup_pairs on the
-    planted near-dup corpus — same 32-bit base hash per shingle, same
-    multiply-mod MinHash family, same polynomial band hashes, same
-    bucket join, same Jaccard verify."""
+def _sql_minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.6) -> str:
+    """DuckDB CTE block mirroring operators.dedup.minhash_dedup_pairs
+    on the planted near-dup corpus — same 32-bit base hash per
+    shingle, same multiply-mod MinHash family, same polynomial band
+    hashes, same bucket join, same Jaccard verify. Ends with a
+    ``pairs`` CTE so downstream oracles (the pair query itself, the
+    connected-components clustering) can build on it."""
     from .operators.dedup import MINHASH_P, _mh_coeffs
 
     r = num_hashes // bands
@@ -498,8 +500,7 @@ def _sql_minhash_pairs(num_hashes: int = 16, bands: int = 4, threshold: float = 
         for j in range(bands)
     )
     mins_sql = ",\n           ".join(mins)
-    return f"""
-    WITH corpus AS ({_SQL_NEAR_CORPUS}),
+    return f"""corpus AS ({_SQL_NEAR_CORPUS}),
     sh AS (
       SELECT doc_id, {_sql_shingles("text")} AS sh FROM corpus
     ),
@@ -521,12 +522,20 @@ def _sql_minhash_pairs(num_hashes: int = 16, bands: int = 4, threshold: float = 
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, {_sql_jaccard("sa.sh", "sb.sh")} AS jaccard
-    FROM cand
-    JOIN sh sa ON cand.id_a = sa.doc_id
-    JOIN sh sb ON cand.id_b = sb.doc_id
-    WHERE {_sql_jaccard("sa.sh", "sb.sh")} >= {threshold}
+    ),
+    pairs AS (
+      SELECT id_a, id_b, {_sql_jaccard("sa.sh", "sb.sh")} AS jaccard
+      FROM cand
+      JOIN sh sa ON cand.id_a = sa.doc_id
+      JOIN sh sb ON cand.id_b = sb.doc_id
+      WHERE {_sql_jaccard("sa.sh", "sb.sh")} >= {threshold}
+    )"""
+
+
+def _sql_minhash_pairs(num_hashes: int = 16, bands: int = 4, threshold: float = 0.6) -> str:
+    return f"""
+    WITH {_sql_minhash_ctes(num_hashes, bands, threshold)}
+    SELECT id_a, id_b, jaccard FROM pairs
     """
 
 
@@ -539,6 +548,49 @@ def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(
         _near_corpus(spark, sf_dir), "doc_id", "text", threshold=0.6, num_hashes=16, bands=4
     )
+
+
+@query(
+    "dedup_cluster_documents",
+    sql=f"""
+    WITH RECURSIVE {_sql_minhash_ctes()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(v, lbl) AS (
+      SELECT doc_id AS v, doc_id AS lbl FROM corpus
+      UNION
+      SELECT e.dst AS v, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    lab AS (SELECT v AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS keep
+    FROM lab
+    """,
+    priority=True,
+)
+def dedup_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup endgame: MinHash-verified near-dup PAIRS are
+    transitive, so they must collapse into clusters (A~B, B~C ⇒ one
+    cluster {A,B,C}) with one kept representative — the connected-
+    components pass every published dedup pipeline (RefinedWeb,
+    SlimPajama, Dolma) runs after LSH. Iterative min-label
+    propagation on DataFrames (operators/graph.py): one edges⋈labels
+    shuffle + one min-agg per round, converging in cluster-diameter
+    rounds (2-3 for dup graphs). The oracle replays the clustering
+    as a recursive CTE over the SAME pair table, so the hash gate
+    covers the transitive closure itself. Output per corpus doc:
+    (doc_id, cluster_id = min member id, cluster_size, keep)."""
+    from .operators.graph import dup_clusters
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", threshold=0.6, num_hashes=16, bands=4
+    )
+    return dup_clusters(corpus, "doc_id", pairs)
 
 
 def _sql_simhash_word(digit_base: int) -> str:

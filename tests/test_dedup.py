@@ -159,3 +159,31 @@ def test_planted_pair_recall_on_fixtures(spark, sf_dir):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     planted = {(i, i + 1000000) for i in range(100)}
     assert len(planted & got) >= 95
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """A 5-vertex chain (needs several propagation rounds to reach
+    the far end) collapses to one component labeled by its minimum;
+    isolated vertices keep their own label."""
+    from hz_csv2parquet_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(7)], ["v"])
+    # chain 4-3-2-1-0 plus isolates 5, 6
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0)], ["src", "dst"]
+    )
+    lab = {r.v: r.lbl for r in connected_components(verts, edges).collect()}
+    assert lab == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6}
+
+
+def test_dup_clusters_transitive_merge(spark):
+    """A~B and B~C pairs merge into one cluster of 3 with exactly one
+    keep; the pair (id_a < id_b) orientation doesn't matter."""
+    from hz_csv2parquet_spark.operators.graph import dup_clusters
+
+    df = spark.createDataFrame([(10,), (11,), (12,), (13,)], ["doc_id"])
+    pairs = spark.createDataFrame([(10, 11), (11, 12)], ["id_a", "id_b"])
+    rows = {r.doc_id: r for r in dup_clusters(df, "doc_id", pairs).collect()}
+    assert all(rows[i].cluster_id == 10 and rows[i].cluster_size == 3 for i in (10, 11, 12))
+    assert [rows[i].keep for i in (10, 11, 12, 13)] == [True, False, False, True]
+    assert rows[13].cluster_id == 13 and rows[13].cluster_size == 1
