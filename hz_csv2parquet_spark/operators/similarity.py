@@ -360,6 +360,62 @@ def embedding_near_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 2,
+    train_mod: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    compare vectors ONLY within their cluster — a ≥``threshold``
+    cosine to a lower-id cluster-mate marks a vector as a semantic
+    duplicate. Output: (id_col, cell, keep).
+
+    Keep policy: minimum id per ε-neighborhood (deterministic and
+    engine-portable; the paper keeps the member farthest from the
+    centroid — same cardinality, different representative).
+
+    Scale shape: centroids are broadcast (assignment is |corpus|·k
+    cosines, narrow); the pair join shuffles on the cell id, and the
+    within-cell comparison is O(n²/k) total — the published config
+    scales k with the corpus (k ≈ n / target-cluster-size, e.g.
+    50k clusters for 100M embeddings) precisely so cell occupancy
+    stays bounded. The k-means training loop is sample-sized
+    (1/``train_mod``), deterministic, and oracle-replayable."""
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters, train_mod)
+    cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("__id"), "cell"
+    )
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    withv = cells.join(base, "__id")
+    a, b = withv.alias("a"), withv.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("b.__id").alias("__dropped"),
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("__dropped")
+        .distinct()
+    )
+    return (
+        cells.join(dropped, cells["__id"] == dropped["__dropped"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cell",
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,

@@ -182,22 +182,21 @@ def embedding_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivf_topk(
+def _sql_kmeans_ctes(
+    tbl: str = "embeddings",
     n_centroids: int = 8,
-    nprobe: int = 2,
-    k: int = 10,
     iters: int = 2,
     train_mod: int = 4,
-) -> str:
-    """Mirror of operators.similarity.ivf_topk INCLUDING the k-means
-    training loop (same init, same sample, same cosine assignment
+) -> tuple[list[str], str]:
+    """CTE list replaying operators.similarity.kmeans_centroids over
+    table ``tbl`` (same init, same sample, same cosine assignment
     tie-break, same exact-decimal element-wise means — the VARCHAR
     hop on the decimal sum is the DuckDB correct-rounding route, see
-    functions/exact.py), same probe set, same final ranking."""
+    functions/exact.py). Returns (ctes, final centroid CTE name)."""
     cos = _sql_cosine("v.embedding", "c.kv")
     ctes = [
         f"cents0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, embedding AS kv "
-        f"FROM embeddings WHERE vec_id < {n_centroids})"
+        f"FROM {tbl} WHERE vec_id < {n_centroids})"
     ]
     prev = "cents0"
     for it in range(1, iters + 1):
@@ -206,7 +205,7 @@ def _sql_ivf_topk(
         SELECT v.vec_id, c.cell, v.embedding,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                   ORDER BY {cos} DESC, c.cell) AS rn
-        FROM embeddings v CROSS JOIN {prev} c
+        FROM {tbl} v CROSS JOIN {prev} c
         WHERE v.vec_id % {train_mod} = 0
       ) WHERE rn = 1
     )""")
@@ -224,17 +223,38 @@ def _sql_ivf_topk(
             f"cents{it} AS (SELECT cell, list(mu ORDER BY i) AS kv FROM m{it} GROUP BY cell)"
         )
         prev = f"cents{it}"
-    cte_sql = ",\n    ".join(ctes)
-    return f"""
-    WITH {cte_sql},
-    assign AS (
+    return ctes, prev
+
+
+def _sql_assign_cte(tbl: str, cents: str) -> str:
+    """Nearest-centroid assignment CTE body (mirror of
+    operators.similarity.ivf_assign at nprobe=1)."""
+    cos = _sql_cosine("v.embedding", "c.kv")
+    return f"""(
       SELECT vec_id, cell FROM (
         SELECT v.vec_id, c.cell,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                   ORDER BY {cos} DESC, c.cell) AS rn
-        FROM embeddings v CROSS JOIN {prev} c
+        FROM {tbl} v CROSS JOIN {cents} c
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _sql_ivf_topk(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 10,
+    iters: int = 2,
+    train_mod: int = 4,
+) -> str:
+    """Mirror of operators.similarity.ivf_topk INCLUDING the k-means
+    training loop, same probe set, same final ranking."""
+    cos = _sql_cosine("v.embedding", "c.kv")
+    ctes, prev = _sql_kmeans_ctes("embeddings", n_centroids, iters, train_mod)
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_sql},
+    assign AS {_sql_assign_cte("embeddings", prev)},
     probes AS (
       SELECT vec_id AS query_id, cell FROM (
         SELECT v.vec_id, c.cell,
@@ -281,6 +301,50 @@ def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=3, iters=2, train_mod=4
     )
+
+
+def _sql_semantic_dedup(threshold: float = 0.95) -> str:
+    """Mirror of operators.similarity.semantic_dedup on the planted
+    corpus: same k-means training (over the planted corpus), same
+    nearest-cell assignment, same within-cell pair cosines, same
+    min-id keep policy."""
+    ctes, prev = _sql_kmeans_ctes("corpus")
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH corpus AS ({_SQL_VEC_CORPUS}),
+    {cte_sql},
+    assign AS {_sql_assign_cte("corpus", prev)},
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS id_b
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN corpus ca ON ca.vec_id = a.vec_id
+      JOIN corpus cb ON cb.vec_id = b.vec_id
+      WHERE {_sql_cosine("ca.embedding", "cb.embedding")} >= {threshold}
+    )
+    SELECT s.vec_id, s.cell, d.id_b IS NULL AS keep
+    FROM assign s LEFT JOIN dropped d ON s.vec_id = d.id_b
+    """
+
+
+@query("semantic_dedup_embeddings", sql=_sql_semantic_dedup(), priority=True)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over a planted corpus (50
+    duplicated vectors): k-means-cluster the embedding space, mark
+    any vector with a ≥0.95-cosine lower-id neighbor IN ITS CLUSTER
+    as a semantic duplicate, keep the minimum id. Comparisons never
+    leave a cluster — O(n²/k) with k scaling with the corpus — and
+    the oracle replays training, assignment, and keep policy, so the
+    hash gate covers the whole pipeline. Planted copies are identical
+    vectors ⇒ same cell, cosine 1 ⇒ exactly the 50 plants drop."""
+    from .operators.similarity import semantic_dedup
+
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    plant = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(emb.unionByName(plant), threshold=0.95)
 
 
 @query("similarity_topk_pandas_udf", sql=None)

@@ -159,3 +159,21 @@ def test_pandas_udf_path_matches_jvm_fold(spark, sf_dir):
     joined = jvm.join(arrow, lsuffix="_j", rsuffix="_a", how="outer")
     assert not joined.cosine_j.isna().any() and not joined.cosine_a.isna().any()
     assert (joined.cosine_j - joined.cosine_a).abs().max() < 1e-12
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    """Identical planted vectors land in the same k-means cell with
+    cosine 1 to their source, so exactly the plants drop; every
+    original is kept; comparisons never cross cells."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.operators.similarity import semantic_dedup
+    from hz_csv2parquet_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plant = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    out = semantic_dedup(emb.unionByName(plant), threshold=0.95).toPandas()
+    dropped = set(out[~out.keep].vec_id)
+    assert dropped == {1000000 + i for i in range(20)}
