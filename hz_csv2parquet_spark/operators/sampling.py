@@ -16,7 +16,7 @@ per-row projection that pushes through scans, so sampling 1% of
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _U32_RANGE = float(2**32)
@@ -59,6 +59,97 @@ def deterministic_sample(
     else:
         threshold = F.lit(rate * _U32_RANGE)
     return df.filter(u < threshold)
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    default: float = 1.0,
+) -> DataFrame:
+    """Weighted mixture resampling WITH replacement — the data-mixing
+    pass that turns per-source epoch weights (à la the Pile /
+    DoReMi-style mixtures) into a physical corpus: weight 2.5 means
+    every row appears twice and a deterministic 50% of rows a third
+    time; weight 0.25 keeps a deterministic quarter.
+
+    copies(row) = ⌊w⌋ + [u32(md5(seed|id)) < frac(w)·2³²] — the
+    fractional part is a content-hash gate (no rand(), identical
+    under retry/AQE/engine), and the integer threshold is computed
+    once driver-side so both engines compare exact integers. Rows
+    explode into (row, copy_id 1..n); weight-0 strata drop out.
+    Narrow: hash → explode, no shuffle; output size = Σ wᵢ·|stratumᵢ|.
+    """
+    u = _gate_u32(F.col(id_col).cast("string"), seed)
+    floor_expr = F.lit(int(default))
+    fthr_expr = F.lit(int((default - int(default)) * 2**32))
+    for v, w in sorted(weights.items()):
+        floor_expr = F.when(F.col(strata_col) == v, F.lit(int(w))).otherwise(floor_expr)
+        fthr_expr = F.when(
+            F.col(strata_col) == v, F.lit(int((w - int(w)) * 2**32))
+        ).otherwise(fthr_expr)
+    n = floor_expr + F.when(u < fthr_expr, F.lit(1)).otherwise(F.lit(0))
+    # sequence(1, 0) would count DOWN in Spark — guard empty strata
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy_id", F.explode(copies))
+
+
+def global_shuffle_positions(
+    df: DataFrame, id_col: str, shard_size: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic global shuffle → contiguous training shards:
+    every row gets a position in the md5-of-id total order, and
+    shards are contiguous ``shard_size``-row slices of it — the
+    "shuffle once, stream shards sequentially" layout a training run
+    wants (any prefix of shards is itself an unbiased sample).
+
+    A naive global ``row_number() OVER (ORDER BY key)`` is a
+    single-task sort at 100 TB, so this is the two-phase scalable
+    form of the same number:
+
+    1. bucket = first byte of the shuffle key → 256 hash-prefix
+       buckets, each a contiguous slice of the global key order
+       (hex-lex order == bucket-integer order);
+    2. per-bucket row counts → cumulative offsets — a 256-row frame
+       (single tiny window) broadcast back;
+    3. position = bucket offset + rank within bucket, where the
+       within-bucket ranks run in parallel across buckets (one
+       shuffle keyed on the bucket id).
+
+    The result is bit-equal to the naive global ROW_NUMBER — which is
+    exactly what the DuckDB oracle runs. For deeper parallelism raise
+    the prefix to 2 bytes (65 536 buckets); the offsets frame stays
+    driver-trivial either way.
+
+    Output: (id_col, rn [0-based global position], shard_id, pos
+    [position within shard]).
+    """
+    key = F.md5(F.concat(F.lit(f"gshuf{seed}|"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        key.alias("__key"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("__bkt"),
+    )
+    counts = base.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    cum = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bkt", F.coalesce(F.sum("__n").over(cum), F.lit(0)).alias("__off")
+    )
+    within = Window.partitionBy("__bkt").orderBy("__key", id_col)
+    ranked = (
+        base.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__rn", F.row_number().over(within) + F.col("__off") - 1)
+    )
+    return ranked.select(
+        id_col,
+        F.col("__rn").cast("long").alias("rn"),
+        F.floor(F.col("__rn") / shard_size).cast("int").alias("shard_id"),
+        (F.col("__rn") % shard_size).cast("long").alias("pos"),
+    )
 
 
 def shard_assign(

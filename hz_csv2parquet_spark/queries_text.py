@@ -407,6 +407,157 @@ def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHUF_SEED = 42
+_SHUF_SHARD_SIZE = 64
+
+
+@query(
+    "global_shuffle_documents",
+    sql=f"""
+    SELECT doc_id,
+           CAST(rn1 - 1 AS BIGINT) AS rn,
+           CAST((rn1 - 1) // {_SHUF_SHARD_SIZE} AS INT) AS shard_id,
+           CAST((rn1 - 1) % {_SHUF_SHARD_SIZE} AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('gshuf{_SHUF_SEED}|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn1
+      FROM documents
+    ) t
+    """,
+    priority=True,
+)
+def global_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle → contiguous training shards:
+    position = rank in the md5-of-id total order; shards are
+    contiguous 64-row slices, so any shard prefix is an unbiased
+    corpus sample. The Spark plan is the two-phase scalable global
+    row-number (256 hash-prefix buckets → cumulative offsets →
+    parallel within-bucket ranks, operators/sampling.py) — bit-equal
+    to the naive single-task ORDER BY the oracle runs, which is the
+    point: the hash gate proves the distributed rank IS the global
+    rank."""
+    from .operators.sampling import global_shuffle_positions
+
+    return global_shuffle_positions(
+        table(spark, sf_dir, "documents").select("doc_id"),
+        "doc_id",
+        _SHUF_SHARD_SIZE,
+        seed=_SHUF_SEED,
+    )
+
+
+_MIX_SEED = 11
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 1.5, "src3": 0.0}
+_MIX_DEFAULT = 1.0
+
+
+def _sql_mixture_counts() -> str:
+    """CASE expressions mirroring operators.sampling.mixture_resample:
+    integer floor + integer u32 threshold per stratum, same literals
+    both engines (computed once here, in Python)."""
+    floors = " ".join(
+        f"WHEN '{v}' THEN {int(w)}" for v, w in sorted(_MIX_WEIGHTS.items())
+    )
+    fthrs = " ".join(
+        f"WHEN '{v}' THEN {int((w - int(w)) * 2**32)}"
+        for v, w in sorted(_MIX_WEIGHTS.items())
+    )
+    u32 = _sql_u32("CAST(doc_id AS VARCHAR)", _MIX_SEED)
+    return (
+        f"CASE source {floors} ELSE {int(_MIX_DEFAULT)} END"
+        f" + CASE WHEN CAST({u32} AS BIGINT) < "
+        f"CASE source {fthrs} ELSE {int((_MIX_DEFAULT - int(_MIX_DEFAULT)) * 2**32)} END"
+        f" THEN 1 ELSE 0 END"
+    )
+
+
+@query(
+    "mixture_resample_documents",
+    sql=f"""
+    WITH w AS (
+      SELECT doc_id, source, {_sql_mixture_counts()} AS n FROM documents
+    )
+    SELECT doc_id, source, CAST(c AS BIGINT) AS copy_id
+    FROM (SELECT doc_id, source, unnest(generate_series(1, n)) AS c FROM w) t
+    """,
+    priority=True,
+)
+def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture resampling with replacement — per-source
+    epoch weights made physical (src0×2.5, src1×0.25, src2×1.5,
+    src3 dropped, everything else ×1): ⌊w⌋ guaranteed copies plus a
+    content-hash-gated fractional copy. The corpus-mixing pass of
+    every LLM data recipe, deterministic under retry/AQE/engine.
+    Narrow plan: hash → explode, no shuffle
+    (operators/sampling.py)."""
+    from .operators.sampling import mixture_resample
+
+    out = mixture_resample(
+        table(spark, sf_dir, "documents").select("doc_id", "source"),
+        "doc_id",
+        "source",
+        _MIX_WEIGHTS,
+        seed=_MIX_SEED,
+        default=_MIX_DEFAULT,
+    )
+    return out.select("doc_id", "source", F.col("copy_id").cast("long").alias("copy_id"))
+
+
+@query(
+    "rare_token_quality_documents",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split({_NORM.format(c="text")}, ' '))) AS token
+      FROM documents
+    ),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfq FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN 10 * d.dfq < 3 * n.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(SUM(CASE WHEN 10 * d.dfq < 3 * n.n_docs THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+    FROM tok JOIN dfreq d USING (token) CROSS JOIN n
+    GROUP BY tok.doc_id
+    """,
+    priority=True,
+)
+def rare_token_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality scoring: per document, how many of its
+    distinct tokens are corpus-RARE (document frequency < 30% of
+    docs — the integer form 10·df < 3·N keeps the comparison exact).
+    High rare-fraction flags gibberish/noise the way an LM-perplexity
+    filter would, but transcendental-free (ln() is not bit-identical
+    across engines; integer counts and one IEEE division are). The
+    doc-frequency table is vocabulary-sized — broadcast to the token
+    stream (no corpus shuffle); per-doc aggregation keys on doc_id."""
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", T.tokens("text").alias("__t")
+    )
+    tok = d.select("doc_id", F.explode(F.array_distinct("__t")).alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("dfq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = (F.lit(10) * F.col("dfq") < F.lit(3) * F.col("n_docs")).cast("long")
+    return (
+        tok.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(rare).alias("n_rare"),
+            (
+                F.sum(rare).cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("rare_frac"),
+        )
+    )
+
+
 # =====================================================================
 # deduplication
 # =====================================================================

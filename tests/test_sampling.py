@@ -6,7 +6,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from hz_csv2parquet_spark.operators.sampling import deterministic_sample, shard_assign
+from hz_csv2parquet_spark.operators.sampling import (
+    deterministic_sample,
+    global_shuffle_positions,
+    mixture_resample,
+    shard_assign,
+)
 
 
 def _ids(spark, n=2000):
@@ -60,3 +65,49 @@ def test_shard_assign_uniform_and_total(spark):
     assert len(per) == 16
     assert sum(r["count"] for r in per) == 2000
     assert all(80 < r["count"] < 170 for r in per)  # 125 expected
+
+
+def test_mixture_resample_copy_counts(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "a").when(F.col("id") % 4 == 1, "b")
+        .when(F.col("id") % 4 == 2, "c").otherwise("z").alias("src"),
+    )
+    out = mixture_resample(
+        df, "doc_id", "src", {"a": 2.5, "b": 0.25, "c": 0.0}, seed=3, default=1.0
+    )
+    per = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # 1000 rows/stratum: a → 2500±, b → 250±, c dropped, default z → exactly 1000
+    assert 2350 < per["a"] < 2650
+    assert 180 < per["b"] < 330
+    assert "c" not in per
+    assert per["z"] == 1000
+    # per-row copy count is floor(w) or floor(w)+1, copy_ids contiguous from 1
+    mx = out.filter(F.col("src") == "a").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy_id").alias("m"), F.min("copy_id").alias("lo")
+    )
+    bad = mx.filter(~F.col("n").isin(2, 3) | (F.col("m") != F.col("n")) | (F.col("lo") != 1))
+    assert bad.count() == 0
+    # deterministic under repartitioning
+    n2 = mixture_resample(
+        df.repartition(7), "doc_id", "src", {"a": 2.5, "b": 0.25, "c": 0.0}, seed=3
+    ).count()
+    assert n2 == out.count()
+
+
+def test_global_shuffle_is_exact_permutation(spark):
+    df = _ids(spark, 1000)
+    out = global_shuffle_positions(df, "doc_id", shard_size=64, seed=9)
+    rows = out.collect()
+    assert sorted(r.rn for r in rows) == list(range(1000))
+    assert all(r.shard_id == r.rn // 64 and r.pos == r.rn % 64 for r in rows)
+    # two-phase bucketed rank must be bit-equal to the naive global order
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit("gshuf9|"), F.col("doc_id").cast("string")))
+    naive = df.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy(key.alias("k"), "doc_id")) - 1).alias("rn"),
+    )
+    got = {r.doc_id: r.rn for r in rows}
+    assert all(got[r.doc_id] == r.rn for r in naive.collect())
