@@ -476,4 +476,5 @@ from . import (  # noqa: E402,F401
     queries_sim,
     queries_streaming,
     queries_text,
+    queries_pipeline,
 )

@@ -1,0 +1,355 @@
+"""Corpus-maintenance queries for the LLM-data-pipeline surface.
+
+Round-3 extension operators (E62-E67): the jobs a training-data
+platform runs *around* the filters in queries_text.py — redaction,
+chunking into training windows, snapshot diffing, boilerplate
+detection, vocabulary statistics, canonical-representative pick.
+Every query pairs a Spark plan with a construction-mirrored DuckDB
+oracle (same regexes, same slices, same hashes), so the driver's
+value-hash gate checks the full pipeline, not just row counts.
+
+The reference has no text surface (SURVEY.md §2.7); these extend the
+north star the same way queries_text.py does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions.hashing import let_bound
+from .queries import query
+from .tables import spread, table
+
+# ---------------------------------------------------------------------
+# redaction
+# ---------------------------------------------------------------------
+
+# stand-in "PII" word class: the fixture corpus is synthetic
+# space-separated words, so the pattern targets a fixed word set the
+# way a real deployment would target emails/phones/SSNs. The plumbing
+# under test — count matches, mask in place, hash the redacted text —
+# is pattern-independent. Lookahead-free so Java regex ≡ RE2.
+_PII_PAT = r"\b(key|value|data)\b"
+_NORM_SQL = T.sql_normalize_text("coalesce(text, '')")
+
+
+@query(
+    "redact_mask_documents",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(norm, '{_PII_PAT}', 1)) AS BIGINT) AS n_redactions,
+           CAST(length(regexp_replace(norm, '{_PII_PAT}', '<pii>', 'g')) AS BIGINT)
+             AS masked_len,
+           md5(regexp_replace(norm, '{_PII_PAT}', '<pii>', 'g')) AS masked_md5
+    FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents) t
+    """,
+    priority=True,
+)
+def redact_mask_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction plumbing: count pattern matches per document,
+    mask them in place, and emit the hash of the redacted text (the
+    hash is what makes the oracle check the actual replacement, not
+    just the count). Narrow projection — two regex passes per row,
+    whole-stage codegen, zero shuffle."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", T.normalize_text(F.coalesce(F.col("text"), F.lit(""))).alias("norm")
+    )
+    masked = F.regexp_replace(F.col("norm"), _PII_PAT, "<pii>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("norm", F.lit(_PII_PAT), 1)).cast("long").alias(
+            "n_redactions"
+        ),
+        F.length(masked).cast("long").alias("masked_len"),
+        F.md5(masked).alias("masked_md5"),
+    )
+
+
+# ---------------------------------------------------------------------
+# chunking into training windows
+# ---------------------------------------------------------------------
+
+_CHUNK_W = 32  # tokens per training window
+_CHUNK_S = 24  # stride (8-token overlap)
+
+
+@query(
+    "chunk_documents_overlap",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks), 1), {_CHUNK_S})) AS st
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((st - 1) // {_CHUNK_S} AS INT) AS chunk_id,
+           CAST(len(list_slice(toks, st, st + {_CHUNK_W - 1})) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, st, st + {_CHUNK_W - 1}), ' ')) AS chunk_md5
+    FROM s
+    """,
+    priority=True,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: split every document into
+    32-token training windows with stride 24 (8-token overlap) — the
+    fixed-context packing step of an LLM pretraining pipeline. One
+    output row per window with its token count and content hash.
+
+    Pure expressions: tokens are let-bound (the HOF re-evaluation
+    trap — without the binding every window re-runs the
+    normalization regex), windows explode from a stride sequence,
+    slices never leave the row. Narrow plan, zero shuffle; output
+    rows ≈ corpus tokens / stride."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("__txt")
+    )
+    chunks = let_bound(
+        T.tokens("__txt"),
+        lambda tk: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)), F.lit(_CHUNK_S)),
+            lambda s: F.struct(
+                F.floor((s - 1) / _CHUNK_S).cast("int").alias("chunk_id"),
+                F.size(F.slice(tk, s, _CHUNK_W)).alias("n_chunk_tokens"),
+                F.md5(F.concat_ws(" ", F.slice(tk, s, _CHUNK_W))).alias("chunk_md5"),
+            ),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.n_chunk_tokens", "c.chunk_md5"
+    )
+
+
+# ---------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------
+
+
+@query(
+    "corpus_diff_documents",
+    sql="""
+    WITH old AS (
+      SELECT doc_id, md5(coalesce(text, '')) AS h
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '') || ' v2'
+                      ELSE coalesce(text, '') END) AS h
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+    priority=True,
+)
+def corpus_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update: diff two snapshots into
+    added / removed / changed / unchanged per document. The fixture
+    derives both snapshots from one table (old = id % 7 ≠ 0, new =
+    id % 5 ≠ 0 with every 11th text revised) so the diff is
+    deterministic and non-vacuous in all four states.
+
+    Scale shape: each side reduces to (id, content-hash) BEFORE the
+    join — the full-outer join ships 32-byte digests, never document
+    bodies, and keys on high-cardinality doc_id."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("__txt")
+    )
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("o_id"), F.md5("__txt").alias("o_h")
+    )
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("n_id"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("__txt"), F.lit(" v2"))
+            ).otherwise(F.col("__txt"))
+        ).alias("n_h"),
+    )
+    j = old.join(new, old.o_id == new.n_id, "full_outer")
+    return j.select(
+        F.coalesce("o_id", "n_id").alias("doc_id"),
+        F.when(F.col("o_h").isNull(), "added")
+        .when(F.col("n_h").isNull(), "removed")
+        .when(F.col("o_h") != F.col("n_h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------
+# boilerplate detection
+# ---------------------------------------------------------------------
+
+_BP_N = 5  # gram length
+# "boilerplate" = 5-gram appearing in > 5% of documents (integer form).
+# The shingle mirror lives in queries_text (same construction the
+# MinHash pipeline hashes); queries.py imports queries_text first, so
+# this module-load-time import is already satisfied.
+from .queries_text import _sql_shingles  # noqa: E402
+
+
+@query(
+    "boilerplate_ngram_stats",
+    sql=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_sql_shingles("text", _BP_N)}) AS gram FROM documents
+    ),
+    gdf AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS dfq FROM g GROUP BY gram),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN 20 * d.dfq > n.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(SUM(CASE WHEN 20 * d.dfq > n.n_docs THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+    FROM g JOIN gdf d USING (gram) CROSS JOIN n
+    GROUP BY g.doc_id
+    """,
+    priority=True,
+)
+def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection à la CCNet/RefinedWeb: a 5-gram occurring
+    in > 5% of documents is boilerplate (headers, nav text, license
+    blurbs); per document, report how much of it is boilerplate. The
+    gram document-frequency table is corpus-vocabulary-sized —
+    broadcast back to the gram stream, so the corpus never shuffles
+    for the join; the only wide stage keys on the gram itself."""
+    from .operators.dedup import shingle_set
+
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    g = d.select("doc_id", F.explode(shingle_set("text", _BP_N)).alias("gram"))
+    gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("dfq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (F.lit(20) * F.col("dfq") > F.col("n_docs")).cast("long")
+    return (
+        g.join(F.broadcast(gdf), "gram")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(boiler).alias("n_boiler"),
+            (F.sum(boiler).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# vocabulary statistics
+# ---------------------------------------------------------------------
+
+
+@query(
+    "vocab_zipf_histogram",
+    sql=f"""
+    WITH tok AS (
+      SELECT unnest(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+    ),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS fq FROM tok GROUP BY token)
+    SELECT CAST(length(bin(fq)) - 1 AS INT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(MIN(fq) AS BIGINT) AS min_freq,
+           CAST(MAX(fq) AS BIGINT) AS max_freq,
+           CAST(SUM(fq) AS BIGINT) AS sum_freq
+    FROM freq
+    GROUP BY 1
+    """,
+    priority=True,
+)
+def vocab_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf sanity histogram of the corpus vocabulary: token types
+    bucketed by ⌊log₂(frequency)⌋ with per-bucket type counts and
+    token-mass totals — the one-page fingerprint that catches a
+    crawler gone wrong (mass in the singleton bucket) or a dedup gone
+    wrong (mass in the head). ⌊log₂⌋ is computed as
+    ``length(bin(n)) - 1`` — integer-exact on both engines, no
+    transcendental log. Two hash aggregations; the first keys on
+    high-cardinality token, the second on ~20 buckets."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        F.coalesce(F.col("text"), F.lit("")).alias("__txt")
+    )
+    tok = d.select(F.explode(T.tokens("__txt")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("fq"))
+    return (
+        freq.groupBy((F.length(F.bin("fq")) - 1).cast("int").alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.min("fq").alias("min_freq"),
+            F.max("fq").alias("max_freq"),
+            F.sum("fq").alias("sum_freq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# canonical-representative dedup
+# ---------------------------------------------------------------------
+
+
+@query(
+    "dedup_canonical_documents",
+    sql=f"""
+    WITH c AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text || '  ' AS text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    r AS (
+      SELECT md5({T.sql_normalize_text("text")}) AS grp,
+             doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5({T.sql_normalize_text("text")})
+               ORDER BY length(text) DESC, doc_id
+             ) AS rk,
+             COUNT(*) OVER (
+               PARTITION BY md5({T.sql_normalize_text("text")})
+             ) AS n_copies
+      FROM c
+    )
+    SELECT grp, doc_id AS canonical_id, CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rk = 1
+    """,
+    priority=True,
+)
+def dedup_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: exact dedup that keeps the
+    BEST copy, not the first — per normalized-text group, the longest
+    raw text wins (most formatting preserved), ties break on doc_id.
+    The planted duplicates (every 3rd doc re-appears with trailing
+    whitespace and an offset id) normalize equal but differ in raw
+    length, so the pick is non-trivial and the oracle checks it.
+
+    One shuffle on the text hash; the per-group window sees only the
+    duplicate set (tiny by definition after the hash partition)."""
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    c = d.unionByName(dup).select(
+        F.md5(T.normalize_text("text")).alias("grp"), "doc_id", F.length("text").alias("__len")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("__len").desc(), "doc_id")
+    wc = Window.partitionBy("grp")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "grp",
+            F.col("doc_id").alias("canonical_id"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )
