@@ -123,3 +123,38 @@ def streaming_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_table(src, landing, fmt="csv")
     convert_streaming(spark, landing, dest, schema=src.schema, fmt="csv")
     return spark.read.parquet(dest).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "jsonl_roundtrip_agg",
+    sql="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS content_checksum
+    FROM documents
+    GROUP BY source
+    """,
+    priority=True,
+)
+def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSON-Lines sink → JSONL scan (explicit schema, the
+    single-pass form) → per-source aggregate with an order-insensitive
+    content checksum (sum of each text's md5-u32). Oracle runs on the
+    original parquet table, so a hash match proves the JSONL
+    round-trip preserved every document byte-for-byte — the
+    interchange format an LLM corpus actually ships in."""
+    out = os.path.join(tempfile.mkdtemp(prefix="hz_jsonl_rt_"), "documents_jsonl")
+    src = table(spark, sf_dir, "documents")
+    write_table(src, out, fmt="json")
+    back = read_table(spark, out, fmt="json", schema=src.schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("content_checksum"),
+    )

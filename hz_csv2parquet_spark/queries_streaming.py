@@ -167,3 +167,37 @@ def streaming_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long").alias("tms"),
     )
     return run_to_memory(joined, mode="append")
+
+
+@query(
+    "streaming_attribution_join",
+    sql="""
+    SELECT c.event_id AS click_id,
+           v.event_id AS view_id,
+           c.user_id,
+           CAST(epoch_ms(c.ts) - epoch_ms(v.ts) AS BIGINT) AS gap_ms
+    FROM events c
+    JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click'
+     AND v.event_type = 'view'
+     AND c.ts >= v.ts
+     AND c.ts <= v.ts + INTERVAL 24 HOURS
+    """,
+    streaming=True,
+    priority=True,
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (streaming/joins.py): clicks paired
+    with the same user's views from the preceding 24 h — both sides
+    real watermarked streams, so Spark buffers bounded join state
+    and evicts it past watermark + window. Deterministic pairing ⇒
+    the batch self-join oracle hash-checks the streaming result
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from .streaming.joins import attribution_pairs
+
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    return run_to_memory(attribution_pairs(clicks, views), mode="append")

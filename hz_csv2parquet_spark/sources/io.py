@@ -31,6 +31,7 @@ from pyspark.sql.types import StructType
 
 _CSV_EXTS = {".csv"}
 _PARQUET_EXTS = {".parquet", ".pq"}
+_JSON_EXTS = {".json", ".jsonl", ".ndjson"}
 
 
 def _infer_format(path: str) -> str:
@@ -39,6 +40,8 @@ def _infer_format(path: str) -> str:
         return "csv"
     if ext in _PARQUET_EXTS:
         return "parquet"
+    if ext in _JSON_EXTS:
+        return "json"
     raise ValueError(f"cannot infer format from {path!r}; pass fmt=")
 
 
@@ -83,6 +86,18 @@ def read_table(
         if recursive:
             reader = reader.option("recursiveFileLookup", True)
         df = reader.parquet(*paths)
+    elif fmt == "json":
+        # JSON Lines — the lingua franca of LLM corpus interchange.
+        # Pass an explicit schema at scale: inference is a full extra
+        # pass over the data.
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if recursive:
+            reader = reader.option("recursiveFileLookup", True).option(
+                "pathGlobFilter", "*.[jJ][sS][oO][nN]*"
+            )
+        df = reader.json(paths)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -112,6 +127,8 @@ def write_table(
         writer.option("header", True).csv(path)
     elif fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
