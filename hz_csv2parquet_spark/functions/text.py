@@ -50,6 +50,17 @@ def sql_tokens(col: str) -> str:
     return f"string_split({sql_normalize_text(col)}, ' ')"
 
 
+def sql_shingles(textexpr: str, n: int = 3) -> str:
+    """DuckDB mirror of operators.dedup.shingle_set: distinct word
+    n-grams of the normalized text."""
+    toks = sql_tokens(textexpr)
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks})-{n - 1}, 1)), "
+        f"i -> array_to_string(list_slice({toks}, i, i+{n - 1}), ' ')))"
+    )
+
+
 # ---------------------------------------------------------------------
 # per-document statistics
 # ---------------------------------------------------------------------

@@ -271,7 +271,8 @@ def simhash64_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     computed in aggregate form: explode tokens → md5 once per token →
     two ``conv`` calls turn the digest halves into 32-bit integer
     words → 64 bit-extractions (constant shift + mask, whole-stage
-    codegen) summed in ONE hash aggregate keyed on the id.
+    codegen) summed in ONE hash aggregate keyed on the id, packed
+    two counters per buffer long (32-bit lanes).
 
     Bit-identical to ``simhash64`` (pinned in tests/test_dedup.py):
     signature bit b = 1 iff tokens-with-bit-set > tokens/2 strictly,
@@ -292,24 +293,40 @@ def simhash64_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.conv(F.substring("__h", 9, 8), 16, 10).cast("long").alias("__w1"),
     )
 
-    def bit_sum(word: str, b: int) -> Column:
+    def lane_shift(b: int) -> int:
         # signature bit b reads md5 hex digit 1 + b//4 (MSB-first in
         # the conv word) at nibble weight 2^(b%4) — same mapping as
         # simhash64's (digit_pos, bit_w) fold.
-        shift = 28 - 4 * (b // 4) + (b % 4)
-        return F.sum(F.shiftright(F.col(word), shift).bitwiseAND(F.lit(1)))
+        return 28 - 4 * (b // 4) + (b % 4)
+
+    def packed_sum(word: str, g: int) -> Column:
+        # bit-counters for bits g and g+16 of ``word`` packed into one
+        # long as two 32-bit lanes: SUM over tokens of
+        # (bit_g) | (bit_{g+16} << 32). Halves the aggregation state
+        # (33 buffer longs vs 65) and the partial-agg shuffle bytes;
+        # a 32-bit lane holds counts for docs up to 2³² tokens, so no
+        # realistic document overflows a lane.
+        lo = F.shiftright(F.col(word), lane_shift(g)).bitwiseAND(F.lit(1))
+        hi = F.shiftleft(
+            F.shiftright(F.col(word), lane_shift(g + 16)).bitwiseAND(F.lit(1)), 32
+        )
+        return F.sum(lo + hi)
 
     agg = words.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__n"),
-        *[bit_sum("__w0", b).alias(f"__c0_{b}") for b in range(32)],
-        *[bit_sum("__w1", b).alias(f"__c1_{b}") for b in range(32)],
+        *[packed_sum("__w0", g).alias(f"__c0_{g}") for g in range(16)],
+        *[packed_sum("__w1", g).alias(f"__c1_{g}") for g in range(16)],
     )
 
     def assemble(prefix: str) -> Column:
         total = F.lit(0).cast("long")
         for b in range(32):
+            g, k = b % 16, b // 16
+            cnt = F.shiftright(F.col(f"__{prefix}_{g}"), 32 * k).bitwiseAND(
+                F.lit(0xFFFFFFFF)
+            )
             total = total + F.when(
-                F.lit(2) * F.col(f"__{prefix}_{b}") > F.col("__n"), F.lit(2**b).cast("long")
+                F.lit(2) * cnt > F.col("__n"), F.lit(2**b).cast("long")
             ).otherwise(F.lit(0))
         return total
 
@@ -332,8 +349,21 @@ def simhash_near_pairs(
     means expected bucket occupancy n/65 536 per band — the
     within-bucket self-join stays near-linear on a 10⁹-doc corpus
     where a 256-bucket scheme goes quadratic. Output: id_a, id_b,
-    hamming."""
-    sig = simhash64_frame(df, id_col, text_col)
+    hamming.
+
+    The signature frame is memo-checkpointed (tables.memo_checkpoint,
+    same single-slot design as the MinHash signature table):
+    signatures are an artifact computed once per corpus and reused by
+    the band join's two sides and repeated runs, and the lineage
+    truncation keeps per-query re-analysis of the 65-expression
+    aggregate out of the hot path."""
+    from ..tables import memo_checkpoint
+
+    sig = memo_checkpoint(
+        lambda: simhash64_frame(df, id_col, text_col),
+        "simhash_signatures",
+        f"{df.semanticHash()}|{id_col}|{text_col}",
+    )
     bands = [
         F.floor(F.col("__s0") / F.lit(65536)).cast("long"),
         (F.col("__s0") % F.lit(65536)).cast("long"),

@@ -192,10 +192,9 @@ def corpus_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BP_N = 5  # gram length
 # "boilerplate" = 5-gram appearing in > 5% of documents (integer form).
-# The shingle mirror lives in queries_text (same construction the
-# MinHash pipeline hashes); queries.py imports queries_text first, so
-# this module-load-time import is already satisfied.
-from .queries_text import _sql_shingles  # noqa: E402
+# The shingle mirror is the same construction the MinHash pipeline
+# hashes (functions/text.py, no circular import).
+from .functions.text import sql_shingles as _sql_shingles  # noqa: E402
 
 
 @query(

@@ -35,16 +35,10 @@ from .tables import table
 
 _NORM = "lower(trim(regexp_replace({c}, '\\s+', ' ', 'g')))"
 
-
-def _sql_shingles(textexpr: str, n: int = 3) -> str:
-    """DuckDB mirror of operators.dedup.shingle_set: distinct word
-    n-grams of the normalized text."""
-    toks = f"string_split({_NORM.format(c=textexpr)}, ' ')"
-    return (
-        f"list_distinct(list_transform("
-        f"generate_series(1, greatest(len({toks})-{n - 1}, 1)), "
-        f"i -> array_to_string(list_slice({toks}, i, i+{n - 1}), ' ')))"
-    )
+# DuckDB mirror of operators.dedup.shingle_set — canonical home is
+# functions/text.py so sibling query modules can import it without a
+# circular import through this module.
+_sql_shingles = T.sql_shingles
 
 
 def _sql_jaccard(a: str, b: str) -> str:
