@@ -477,4 +477,5 @@ from . import (  # noqa: E402,F401
     queries_streaming,
     queries_text,
     queries_pipeline,
+    queries_analytic,
 )

@@ -1,0 +1,247 @@
+"""Round-3 analytic/time-series batch (E68-E71).
+
+Four operator families a log-analytics deployment of the engine needs
+beyond the reference surface: banded range self-joins (event
+correlation without the quadratic equi-join blowup), timeline
+densification (gap-fill), exact two-pass outlier detection (z-score
+gating in pure integer arithmetic so the oracle is bit-identical),
+and a TPC-H Q19-shaped disjunctive-predicate join (OR-of-ANDs that
+still pushes to the scans).
+
+Every query pairs the Spark plan with a construction-mirrored DuckDB
+oracle; all are priority-registered so the driver's capped verify
+window hash-checks them in their first round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.exact import exact_sum
+from .operators.rangejoin import banded_interval_self_join
+from .queries import query
+from .tables import table
+
+# ---------------------------------------------------------------------
+# E68: banded range self-join — event pairs within 60 s
+# ---------------------------------------------------------------------
+
+_GAP_MS = 60_000
+
+
+@query(
+    "range_join_event_pairs",
+    priority=True,
+    sql=f"""
+    SELECT a.event_type AS type_a,
+           b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(epoch_ms(b.ts) - epoch_ms(a.ts)) AS BIGINT) AS sum_gap_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_ms(b.ts) - epoch_ms(a.ts) BETWEEN 0 AND {_GAP_MS}
+     AND (epoch_ms(a.ts) < epoch_ms(b.ts)
+          OR (epoch_ms(a.ts) = epoch_ms(b.ts) AND a.event_id < b.event_id))
+    GROUP BY 1, 2
+    """,
+)
+def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user event pairs ≤ 60 s apart, aggregated to transition
+    counts per (type_a, type_b) — the "what happens within a minute
+    of an error" query. The oracle writes the textbook inequality
+    join; the Spark plan runs the banded form
+    (operators/rangejoin.py): equi-join on (user, 60 s bucket) ∪
+    (user, bucket+1), so a hot user's candidates are bounded by rate
+    × band, not lifetime event count. Gap sums are integer ms —
+    exact on both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("__ms"),
+        "event_id",
+        "event_type",
+    )
+    pairs = banded_interval_self_join(ev, "user_id", "__ms", "event_id", _GAP_MS)
+    return pairs.groupBy(
+        F.col("event_type_a").alias("type_a"),
+        F.col("event_type_b").alias("type_b"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("gap_ms").alias("sum_gap_ms"),
+    )
+
+
+# ---------------------------------------------------------------------
+# E69: gap-fill — dense hourly timeline with zero-filled holes
+# ---------------------------------------------------------------------
+
+
+@query(
+    "gap_fill_hourly_events",
+    priority=True,
+    sql="""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, MIN(hour_bucket) AS lo, MAX(hour_bucket) AS hi
+      FROM counts GROUP BY 1
+    ), dense AS (
+      SELECT event_type, UNNEST(generate_series(lo, hi)) AS hour_bucket
+      FROM spans
+    )
+    SELECT d.event_type, d.hour_bucket,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM dense d LEFT JOIN counts c
+      ON d.event_type = c.event_type AND d.hour_bucket = c.hour_bucket
+    """,
+)
+def gap_fill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeline densification: every hour between each event type's
+    first and last event, with n_events = 0 on silent hours — the
+    precursor to any gap/alerting/resampling analysis. Shape for
+    scale: the raw table collapses to an hourly aggregate FIRST
+    (bounded by #types × #hours regardless of fact cardinality —
+    the time span does not grow with corpus size), and the dense
+    axis is generated from that aggregate's spans via
+    sequence+explode, never from the fact table. Both join inputs
+    are aggregate-sized, so the left join is broadcast."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("hour_bucket"),
+    )
+    counts = ev.groupBy("event_type", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    spans = counts.groupBy("event_type").agg(
+        F.min("hour_bucket").alias("__lo"), F.max("hour_bucket").alias("__hi")
+    )
+    dense = spans.select(
+        "event_type",
+        F.explode(F.sequence("__lo", "__hi")).alias("hour_bucket"),
+    )
+    return dense.join(F.broadcast(counts), ["event_type", "hour_bucket"], "left").select(
+        "event_type",
+        "hour_bucket",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------
+# E70: exact two-pass z-score outlier gate
+# ---------------------------------------------------------------------
+
+_D38 = "decimal(38,0)"
+
+
+@query(
+    "zscore_outliers_events",
+    priority=True,
+    sql="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+    ), s AS (
+      SELECT event_type, COUNT(*) AS n, SUM(vc) AS sm, SUM(vc * vc) AS ss
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(MAX(s.n) AS BIGINT) AS n,
+           CAST(MAX(s.sm) AS DOUBLE) / (100.0 * MAX(s.n)) AS value_mean,
+           CAST(SUM(CASE WHEN
+                  CAST(s.n * c.vc - s.sm AS HUGEINT) * CAST(s.n * c.vc - s.sm AS HUGEINT)
+                  > 4 * (CAST(s.n AS HUGEINT) * CAST(s.ss AS HUGEINT)
+                         - CAST(s.sm AS HUGEINT) * CAST(s.sm AS HUGEINT))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN s USING (event_type)
+    GROUP BY 1
+    """,
+)
+def zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type outlier census: rows with |value − mean| > 2σ. The
+    z-score gate is order-dependent in floating point (mean and
+    variance are double sums), so the whole test is algebraized into
+    integer arithmetic on cents: |v − S/n| > 2·sqrt((SS − S²/n)/n)
+    ⇔ (n·v − S)² > 4·(n·SS − S²) — no division, no sqrt, no
+    doubles; Spark evaluates it in DECIMAL(38,0), the oracle in
+    HUGEINT, both exactly. Shape for scale: pass 1 is a per-type
+    aggregate (map-side combine, tiny result), pass 2 re-scans the
+    facts with the stats broadcast — facts never shuffle."""
+    vc = F.round(F.col("value") * 100).cast("long")
+    ev = table(spark, sf_dir, "events").select("event_type", vc.alias("__vc"))
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__vc").alias("__s"),
+        F.sum(F.col("__vc") * F.col("__vc")).alias("__ss"),
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    lhs = (F.col("__n") * F.col("__vc") - F.col("__s")).cast(_D38)
+    rhs = F.lit(4).cast(_D38) * (
+        F.col("__n").cast(_D38) * F.col("__ss").cast(_D38)
+        - F.col("__s").cast(_D38) * F.col("__s").cast(_D38)
+    )
+    return j.groupBy("event_type").agg(
+        F.max("__n").alias("n"),
+        (F.max("__s").cast("double") / (F.lit(100.0) * F.max("__n"))).alias("value_mean"),
+        F.sum(F.when(lhs * lhs > rhs, 1).otherwise(0)).alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------
+# E71: TPC-H Q19-shaped disjunctive-predicate join
+# ---------------------------------------------------------------------
+
+_Q19_SQL_PRED = """
+      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 5 AND 25
+         AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 20 AND 40
+         AND l_quantity BETWEEN 20 AND 45)
+"""
+
+
+@query(
+    "q19_disjunctive_revenue",
+    priority=True,
+    sql=f"""
+    SELECT p_brand,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+                AS VARCHAR) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_Q19_SQL_PRED}
+    GROUP BY p_brand
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue through an OR-of-ANDs predicate
+    mixing dim (brand, size) and fact (quantity) columns. The
+    single-table residues of the disjunction are derivable: Catalyst
+    pushes ``brand IN (...)`` to the part scan and ``quantity
+    BETWEEN min-lo AND max-hi`` to the lineitem scan, so both scans
+    prune before the broadcast join; the full disjunction runs as
+    the post-join filter. part is broadcast — lineitem never
+    shuffles."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    # derived fact-side residue of the disjunction (Catalyst does not
+    # infer cross-clause bounds on its own): quantity ∈ [1, 45]
+    li = li.filter(F.col("l_quantity").between(1, 45))
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    p = p.filter(F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#23") & s.between(5, 25) & q.between(10, 30))
+        | ((b == "Brand#3") & s.between(20, 40) & q.between(20, 45))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(pred)
+        .groupBy("p_brand")
+        .agg(exact_sum(disc).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )

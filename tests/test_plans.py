@@ -120,3 +120,34 @@ def test_simhash_join_keys_on_band_chunk(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_simhash_documents")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_banded_equi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "range_join_event_pairs")
+    # the interval self-join must equi-join on (user, time bucket) —
+    # never a nested loop with the band as a post-filter
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushdown_and_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    # dim side broadcast; derived single-table residues reach both scans
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "In(p_brand" in plan  # brand IN-list pushed to the part scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # fact residue pushed
+
+
+def test_gap_fill_broadcasts_hourly_counts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "gap_fill_hourly_events")
+    # the dense-axis left join joins two aggregate-sized inputs; the
+    # hourly-count side is broadcast so no extra exchange appears
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zscore_facts_never_shuffle_for_stats_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "zscore_outliers_events")
+    # pass-2 join of facts against per-type stats must be broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
