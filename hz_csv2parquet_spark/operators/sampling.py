@@ -162,3 +162,44 @@ def shard_assign(
     sequential or clustered ids still balance."""
     u = _gate_u32(F.col(id_col).cast("string"), seed)
     return df.withColumn(out_col, (u % n_shards).cast("int"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    rate_num: int,
+    rate_den: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Poisson sampling with per-row inclusion
+    probability ∝ an integer weight: keep iff
+    ``u32(md5(seed|id)) < min(2³², w · rate_num·2³² / rate_den)``.
+
+    The threshold is computed in pure integer arithmetic
+    (``(w · rate_num·2³²) div rate_den``), so the keep decision is
+    bit-identical on any engine with md5 — no floats, no rand(). A
+    row with weight ≥ rate_den/rate_num is always kept (threshold
+    caps at 2³²). This is the quality-weighted curation gate: e.g.
+    ``weight_col=n_chars, rate_num=3, rate_den=4000`` keeps a
+    400-char doc with p≈0.3 and a 2000-char doc always.
+
+    Like every gate here it is narrow — a per-row filter that pushes
+    through scans; sampling 100 TB shuffles nothing.
+    """
+    return df.filter(weighted_keep_flag(id_col, weight_col, rate_num, rate_den, seed))
+
+
+def weighted_keep_flag(
+    id_col: str, weight_col: str, rate_num: int, rate_den: int, seed: int = 0
+) -> Column:
+    """The boolean keep decision behind :func:`weighted_sample`,
+    exposed as a column so census-style queries can aggregate over
+    kept AND dropped rows in one narrow pass (no join-back against
+    the filtered frame)."""
+    u = _gate_u32(F.col(id_col).cast("string"), seed)
+    thr = F.least(
+        F.lit(2**32).cast("long"),
+        F.expr(f"(CAST({weight_col} AS BIGINT) * {rate_num * 2**32}) div {rate_den}"),
+    )
+    return u < thr

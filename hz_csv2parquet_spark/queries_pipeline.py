@@ -352,3 +352,141 @@ def dedup_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_copies").cast("long").alias("n_copies"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# E72: paragraph-level dedup (chunk-grain exact dedup + reassembly)
+# ---------------------------------------------------------------------
+
+_PARA_W = 10  # tokens per pseudo-paragraph
+
+_NORM_DOC = T.sql_normalize_text("coalesce(text, '')")
+
+
+@query(
+    "dedup_paragraph_documents",
+    priority=True,
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_DOC}, ' ') AS tk FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(greatest(ceil(len(tk)/{_PARA_W}.0), 1) AS BIGINT) AS n_chunks,
+             i AS chunk_idx,
+             array_to_string(list_slice(tk, {_PARA_W}*i+1, {_PARA_W}*i+{_PARA_W}), ' ')
+               AS chunk
+      FROM t, UNNEST(generate_series(
+               0, CAST(greatest(ceil(len(tk)/{_PARA_W}.0), 1) AS BIGINT) - 1)) AS u(i)
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(MAX(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS kept_md5
+    FROM r WHERE rn = 1
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraph_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup — the C4/CCNet move: drop repeated
+    passages *inside* otherwise-unique documents, then reassemble.
+    Documents are split into non-overlapping 10-token chunks
+    (pseudo-paragraphs — the fixture corpus has no newlines); a chunk
+    survives iff it is the corpus-first occurrence of its md5
+    (row_number over the hash, ordered by (doc_id, chunk_idx));
+    surviving chunks re-join in order and the output carries total /
+    kept counts plus the md5 of the reassembled text.
+
+    Scale shape: explode to chunk grain (narrow), ONE shuffle on the
+    chunk hash for the first-occurrence window (bucket size = copies
+    of one chunk, tiny by construction), one shuffle back on doc_id
+    to reassemble. No joins, no quadratic step — the same plan at
+    100 TB, with the chunk-hash shuffle as the only wide edge."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", T.normalize_text(F.coalesce(F.col("text"), F.lit(""))).alias("__norm")
+    )
+    toks = d.select("doc_id", F.split("__norm", " ").alias("__t"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("__t") / F.lit(float(_PARA_W))), F.lit(1)
+    ).cast("long")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(
+                F.slice("__t", (i * _PARA_W + 1).cast("int"), _PARA_W), " "
+            ).alias("chunk"),
+        ),
+    )
+    chunks = toks.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        F.explode(chunk_structs).alias("__c"),
+    ).select(
+        "doc_id", "n_chunks", F.col("__c.chunk_idx"), F.col("__c.chunk")
+    )
+    first_w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    kept = chunks.withColumn("__rn", F.row_number().over(first_w)).filter(
+        F.col("__rn") == 1
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk")))
+    return kept.groupBy("doc_id").agg(
+        F.max("n_chunks").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda s: s.getField("chunk")), " ")
+        ).alias("kept_md5"),
+    )
+
+
+# ---------------------------------------------------------------------
+# E73: weighted deterministic sampling (inclusion ∝ quality weight)
+# ---------------------------------------------------------------------
+
+_WS_SEED = 7
+_WS_NUM, _WS_DEN = 3, 4000  # p(keep) = min(1, n_chars · 3/4000)
+
+
+@query(
+    "weighted_sample_documents",
+    priority=True,
+    sql=f"""
+    WITH g AS (
+      SELECT source, n_chars,
+             CAST(concat('0x', substring(md5('{_WS_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT)
+               < least(4294967296, (CAST(n_chars AS BIGINT) * {_WS_NUM * 2**32}) // {_WS_DEN})
+               AS keep
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+    FROM g GROUP BY source
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling
+    (operators/sampling.py:weighted_sample): inclusion probability ∝
+    n_chars (p = min(1, n_chars·3/4000)), decided by an integer
+    threshold on the content hash — longer documents are kept at a
+    proportionally higher rate, docs ≥ 1334 chars always. No rand(),
+    no floats: the keep set is identical on any cluster size, any
+    engine. Reported as per-source totals over kept AND dropped rows
+    — the keep decision is a flag column, so the census is one
+    narrow aggregate (no join-back against the filtered frame)."""
+    from .operators.sampling import weighted_keep_flag
+
+    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "source", "n_chars")
+    keep = weighted_keep_flag("doc_id", "n_chars", _WS_NUM, _WS_DEN, seed=_WS_SEED)
+    return d.withColumn("__k", keep).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__k"), 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.sum(F.when(F.col("__k"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("sampled_chars"),
+    )

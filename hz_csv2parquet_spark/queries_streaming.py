@@ -201,3 +201,35 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
     views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
     return run_to_memory(attribution_pairs(clicks, views), mode="append")
+
+
+@query(
+    "streaming_sliding_counts",
+    priority=True,
+    sql="""
+    WITH e AS (
+      SELECT epoch_ms(ts) AS tms, event_type, value FROM events
+    ), x AS (
+      SELECT (FLOOR(tms / 3600000) - k) * 3600000 AS window_start_ms,
+             event_type, value
+      FROM e, UNNEST([0, 1]) AS u(k)
+    )
+    SELECT CAST(window_start_ms AS BIGINT) AS window_start_ms,
+           event_type,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS value_sum
+    FROM x GROUP BY 1, 2
+    """,
+    streaming=True,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows with a 1-hour slide, run as a real
+    stream (streaming/windows.py:sliding_counts). Every event belongs
+    to exactly two epoch-aligned windows, so the oracle replays the
+    assignment as a 2-way UNNEST fan-out over the batch table — a
+    hash-checked hard signal that Spark's sliding-window expansion,
+    watermarked state, and the overlap sums are all exact."""
+    from .streaming.windows import sliding_counts
+
+    return run_to_memory(sliding_counts(stream_events(spark, sf_dir)))

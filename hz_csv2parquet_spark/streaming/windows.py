@@ -96,3 +96,29 @@ def run_to_memory(sdf: DataFrame, mode: str = "complete") -> DataFrame:
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(window, event_type) counts + exact value sum over SLIDING
+    event-time windows (2 h length, 1 h slide) — each event lands in
+    window/slide = 2 overlapping windows. State is bounded by the
+    watermark exactly as in the tumbling case; the decimal-exact sum
+    keeps the overlap arithmetic order-insensitive so the batch
+    oracle (each row contributed to both of its epoch-aligned window
+    starts) hash-matches."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("value_sum"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
