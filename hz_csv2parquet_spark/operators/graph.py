@@ -32,15 +32,24 @@ Scale analysis (the reason this survives 100 TB):
   scalar per iteration, never a row collect.
 - Each iteration's label frame is persisted and the previous one
   unpersisted — the working set is one (v, lbl) table, not the
-  lineage chain. For very high ``max_iter`` add a checkpoint every
-  ~10 rounds to bound plan growth; dup graphs converge long before
-  that matters.
+  lineage chain — and every ``_CHECKPOINT_EVERY`` iterations the
+  frame is localCheckpoint'ed instead, truncating the logical plan so
+  analysis cost stays bounded on adversarial long-diameter graphs
+  (pinned by the path-graph test in tests/test_dedup.py).
+- The final labels frame is routed through the single-slot memo
+  (tables.memo_persist): repeated invocations in one session reuse or
+  evict-and-release it instead of each leaking a cached table.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: truncate label-frame lineage after this many propagation rounds —
+#: persist() caches data but plans still chain, so a 100-iteration run
+#: would otherwise re-analyze a 100-join-deep plan each round.
+_CHECKPOINT_EVERY = 8
 
 
 def connected_components(
@@ -51,19 +60,28 @@ def connected_components(
     ``vertices`` must have column ``v``; ``edges`` columns
     ``src``/``dst`` (undirected — symmetrized internally). Returns
     ``(v, lbl)`` where ``lbl`` is the smallest vertex id reachable
-    from ``v``. Isolated vertices keep their own id.
+    from ``v``. Isolated vertices keep their own id. The returned
+    frame is held in the ``cc_labels`` memo slot — callers need not
+    unpersist; the next invocation (or a plan change) releases it.
     """
+    from ..tables import memo_persist
+
     e = edges.select("src", "dst")
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = vertices.select("v", F.col("v").alias("lbl")).persist()
     prev_sum = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         msgs = sym.join(labels, sym["src"] == labels["v"]).select(
             F.col("dst").alias("v"), F.col("lbl")
         )
-        new = (
-            labels.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
-        ).persist()
+        new = labels.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        # localCheckpoint both caches AND truncates lineage; plain
+        # persist between checkpoints keeps the per-iteration cost to
+        # one cache write.
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            new = new.localCheckpoint()
+        else:
+            new = new.persist()
         # labels are monotone non-increasing, so sum(lbl) is a strict
         # decrease until the fixpoint — one exact-decimal scalar per
         # iteration is the whole convergence protocol.
@@ -73,7 +91,14 @@ def connected_components(
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
-    return labels
+    # hand ownership to the single-slot memo: a later invocation (or a
+    # different graph) evicts and releases this frame instead of it
+    # leaking for the session's life. On a slot hit (identical graph
+    # re-run) the memo returns the older cached frame — release ours.
+    out = memo_persist(labels, "cc_labels")
+    if out is not labels:
+        labels.unpersist()
+    return out
 
 
 def dup_clusters(

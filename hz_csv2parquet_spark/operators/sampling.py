@@ -196,10 +196,27 @@ def weighted_keep_flag(
     """The boolean keep decision behind :func:`weighted_sample`,
     exposed as a column so census-style queries can aggregate over
     kept AND dropped rows in one narrow pass (no join-back against
-    the filtered frame)."""
+    the filtered frame).
+
+    The weight is clamped at ⌈rate_den/rate_num⌉ BEFORE the multiply:
+    any weight at or past that bound already saturates the threshold
+    at 2³² (always kept), and the clamp keeps
+    ``w · rate_num·2³²`` ≤ (rate_den + rate_num)·2³² < 2⁶³, so the
+    BIGINT arithmetic cannot wrap — unclamped, a weight ≥
+    ~2³¹/rate_num silently went negative in non-ANSI Spark (row
+    always dropped) while DuckDB raised, a cross-engine divergence
+    on exactly the rows the gate should always keep."""
+    if rate_num <= 0 or rate_den <= 0:
+        raise ValueError("rate_num and rate_den must be positive")
+    if rate_den + rate_num >= 2**31:
+        raise ValueError("rate_den too large: threshold arithmetic needs rate_den + rate_num < 2^31")
+    w_cap = (rate_den + rate_num - 1) // rate_num
     u = _gate_u32(F.col(id_col).cast("string"), seed)
     thr = F.least(
         F.lit(2**32).cast("long"),
-        F.expr(f"(CAST({weight_col} AS BIGINT) * {rate_num * 2**32}) div {rate_den}"),
+        F.expr(
+            f"(least(CAST({weight_col} AS BIGINT), {w_cap}) * {rate_num * 2**32})"
+            f" div {rate_den}"
+        ),
     )
     return u < thr

@@ -283,11 +283,26 @@ def plane_signs(table: int, plane: int, dim: int) -> list[float]:
     ]
 
 
+def checked_dim(vec: Column, dim: int) -> Column:
+    """``vec``, asserted to have exactly ``dim`` elements. A wrong
+    ``dim`` would make zip_with null-pad the projection, silently
+    collapsing every affected plane bit to 0 (wrong buckets, lost
+    recall, no error) — fail loudly instead."""
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"banded_lsh: vector length %s != declared dim {dim}", F.size(vec)
+            )
+        )
+    )
+
+
 def banded_lsh_bucket(vec: Column, table: int, planes: int, dim: int) -> Column:
     """Sign-LSH bucket id in [0, 2^planes) for one hash table: bit j
     is the sign of the projection onto literal ±1 plane j (strict
     left-fold in double — engine-portable). ``dim`` must equal the
-    vector length (zip_with would null-pad otherwise)."""
+    vector length (zip_with would null-pad otherwise — enforced by a
+    :func:`checked_dim` assertion at the banded entry point)."""
     bucket = F.lit(0).cast("long")
     for j in range(planes):
         signs = F.array(*[F.lit(s) for s in plane_signs(table, j, dim)])
@@ -324,7 +339,9 @@ def embedding_near_pairs(
     self-join → DISTINCT candidate ids → join vectors back → exact
     cosine ≥ threshold. Shuffles key on (table, bucket) and on id —
     never all-pairs. Output: id_a, id_b, cosine."""
-    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    base = corpus.select(
+        F.col(id_col).alias("__id"), checked_dim(F.col(vec_col), dim).alias("__v")
+    )
     banded = base.select(
         "__id",
         F.explode(

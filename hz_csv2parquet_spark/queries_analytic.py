@@ -168,22 +168,28 @@ def zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT, both exactly. Shape for scale: pass 1 is a per-type
     aggregate (map-side combine, tiny result), pass 2 re-scans the
     facts with the stats broadcast — facts never shuffle."""
-    vc = F.round(F.col("value") * 100).cast("long")
+    # every intermediate lives in DECIMAL(38,0) from the first
+    # multiply on: LONG sums/products (SUM(vc²), n·v−S) would wrap
+    # silently past 2^63 in non-ANSI Spark at large scale while the
+    # DuckDB oracle promotes to HUGEINT — a latent cross-engine
+    # divergence exactly where the query advertises bit-exactness.
+    vc = F.round(F.col("value") * 100).cast("long").cast(_D38)
     ev = table(spark, sf_dir, "events").select("event_type", vc.alias("__vc"))
     stats = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("__n"),
+        F.count(F.lit(1)).cast(_D38).alias("__n"),
         F.sum("__vc").alias("__s"),
         F.sum(F.col("__vc") * F.col("__vc")).alias("__ss"),
     )
     j = ev.join(F.broadcast(stats), "event_type")
-    lhs = (F.col("__n") * F.col("__vc") - F.col("__s")).cast(_D38)
+    lhs = F.col("__n") * F.col("__vc") - F.col("__s")
     rhs = F.lit(4).cast(_D38) * (
-        F.col("__n").cast(_D38) * F.col("__ss").cast(_D38)
-        - F.col("__s").cast(_D38) * F.col("__s").cast(_D38)
+        F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")
     )
     return j.groupBy("event_type").agg(
-        F.max("__n").alias("n"),
-        (F.max("__s").cast("double") / (F.lit(100.0) * F.max("__n"))).alias("value_mean"),
+        F.max("__n").cast("long").alias("n"),
+        (F.max("__s").cast("double") / (F.lit(100.0) * F.max("__n").cast("double"))).alias(
+            "value_mean"
+        ),
         F.sum(F.when(lhs * lhs > rhs, 1).otherwise(0)).alias("n_outliers"),
     )
 

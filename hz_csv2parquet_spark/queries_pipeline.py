@@ -458,7 +458,9 @@ _WS_NUM, _WS_DEN = 3, 4000  # p(keep) = min(1, n_chars · 3/4000)
       SELECT source, n_chars,
              CAST(concat('0x', substring(md5('{_WS_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8))
                   AS UBIGINT)
-               < least(4294967296, (CAST(n_chars AS BIGINT) * {_WS_NUM * 2**32}) // {_WS_DEN})
+               < least(4294967296,
+                       (least(CAST(n_chars AS BIGINT), {(_WS_DEN + _WS_NUM - 1) // _WS_NUM})
+                        * {_WS_NUM * 2**32}) // {_WS_DEN})
                AS keep
       FROM documents
     )

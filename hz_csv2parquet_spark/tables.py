@@ -75,21 +75,53 @@ def spread(df: DataFrame) -> DataFrame:
 #: repeated calls with the same plan (bench warm-up + timed runs,
 #: parity tests) reuse ONE persisted frame instead of re-persisting an
 #: identical plan per call ("Asked to cache already cached data");
-#: a new plan evicts and unpersists the old slot, so a long-lived
-#: session holds at most one cached frame per slot name.
+#: a new plan evicts and releases the old slot, so a long-lived
+#: session holds at most one cached frame per slot name. Each slot
+#: also records the owning SparkContext: a hit bound to a stopped
+#: context (session restarted between calls — common across test
+#: sessions) is invalidated instead of served, because its cached /
+#: checkpointed blocks died with the context.
 _MEMO: dict[str, tuple[str, DataFrame]] = {}
+
+
+def _slot_alive(df: DataFrame) -> bool:
+    """True iff the frame's owning SparkContext is still running —
+    cached and localCheckpoint blocks do not survive a restart."""
+    try:
+        return not df.sparkSession._jsparkSession.sparkContext().isStopped()
+    except Exception:
+        return False
+
+
+def _release(df: DataFrame) -> None:
+    """Best-effort release of an evicted slot's storage. ``unpersist``
+    frees CacheManager entries (memo_persist frames); for
+    localCheckpoint frames the blocks belong to an internal RDD that
+    the ContextCleaner reclaims once this last reference drops — the
+    explicit unpersist is still correct (a no-op there) and keeps one
+    code path."""
+    try:
+        if _slot_alive(df):
+            df.unpersist()
+    except Exception:
+        pass
 
 
 def memo_persist(df: DataFrame, slot: str) -> DataFrame:
     """Persist ``df``, memoized per ``slot`` on the plan's semantic
     hash (see _MEMO). Returns the cached frame when the plan is
-    unchanged; otherwise unpersists the slot's previous frame first."""
+    unchanged and its context is alive; otherwise releases the slot's
+    previous frame first. The semantic-hash key covers the *plan*, not
+    the files beneath it — fixture parquet is immutable per sf_dir, so
+    the plan (which embeds the resolved path) is the data fingerprint;
+    rewriting a table in place within one session is out of contract."""
     key = str(df.semanticHash())
     hit = _MEMO.get(slot)
     if hit is not None:
-        if hit[0] == key:
+        if hit[0] == key and _slot_alive(hit[1]):
             return hit[1]
-        hit[1].unpersist()
+        _release(hit[1])
+        del _MEMO[slot]
     _MEMO[slot] = (key, df.persist())
     return df
 
@@ -102,17 +134,27 @@ def memo_checkpoint(build, slot: str, key: str) -> DataFrame:
     itself analyze the 65-expression aggregate on every call (~2 s of
     driver time per query), so the key must be derivable from the
     *input* plan + parameters, and the expensive frame must only be
-    constructed on a miss. The checkpointed result's plan is just the
-    materialized blocks — downstream queries re-analyze a three-node
-    plan (measured: 2.5 s → 0.5 s per simhash band-join query).
+    constructed on a miss. Callers build the key from the input plan's
+    semanticHash + operator parameters, so a different input (path,
+    shingle width, band count) is a different key. The checkpointed
+    result's plan is just the materialized blocks — downstream queries
+    re-analyze a three-node plan (measured: 2.5 s → 0.5 s per simhash
+    band-join query).
+
+    A hit whose SparkContext has stopped is rebuilt, and an evicted
+    slot (key miss) is released before being overwritten — stale
+    frames bound to a dead context are never served and never pinned.
 
     localCheckpoint blocks are executor-local (lost on executor
     failure); at cluster scale the durable version of this memo is a
     parquet write of the signature table — same design, different
     storage."""
     hit = _MEMO.get(slot)
-    if hit is not None and hit[0] == key:
-        return hit[1]
+    if hit is not None:
+        if hit[0] == key and _slot_alive(hit[1]):
+            return hit[1]
+        _release(hit[1])
+        del _MEMO[slot]
     _MEMO[slot] = (key, build().localCheckpoint())
     return _MEMO[slot][1]
 

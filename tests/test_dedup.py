@@ -176,6 +176,25 @@ def test_connected_components_chain_and_isolates(spark):
     assert lab == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6}
 
 
+def test_connected_components_long_chain_checkpoints(spark):
+    """A 16-vertex path graph (diameter 15) forces propagation past
+    the periodic localCheckpoint boundary (_CHECKPOINT_EVERY=8) —
+    pins that lineage truncation doesn't corrupt labels and that the
+    final frame's plan stays bounded (checkpointed plans are
+    LogicalRDD leaves, not a 15-join chain)."""
+    from hz_csv2parquet_spark.operators.graph import connected_components
+
+    n = 16
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["v"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    lab = connected_components(verts, edges, max_iter=30)
+    assert {r.v: r.lbl for r in lab.collect()} == {i: 0 for i in range(n)}
+    # the returned plan must be small (a checkpoint leaf + one agg
+    # layer), not the full 15-iteration join chain
+    plan = lab._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 2, plan
+
+
 def test_dup_clusters_transitive_merge(spark):
     """A~B and B~C pairs merge into one cluster of 3 with exactly one
     keep; the pair (id_a < id_b) orientation doesn't matter."""

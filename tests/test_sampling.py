@@ -111,3 +111,35 @@ def test_global_shuffle_is_exact_permutation(spark):
     )
     got = {r.doc_id: r.rn for r in rows}
     assert all(got[r.doc_id] == r.rn for r in naive.collect())
+
+
+def test_weighted_keep_huge_weight_always_kept(spark):
+    """Weights far past the always-keep bound must be kept — before
+    the clamp, w ≥ ~2^31/rate_num wrapped the BIGINT threshold
+    negative in non-ANSI Spark and silently dropped exactly the rows
+    the gate should always keep."""
+    from hz_csv2parquet_spark.operators.sampling import weighted_keep_flag, weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2**40), (2, 2**62), (3, 1334), (4, 0)], "doc_id long, w long"
+    )
+    kept = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 3, 4000, seed=7).collect()}
+    assert {1, 2, 3} <= kept  # w ≥ ⌈4000/3⌉ = 1334 ⇒ threshold saturates at 2^32
+    assert 4 not in kept  # zero weight ⇒ threshold 0 ⇒ never kept
+    # flag form agrees with the filter form
+    flags = {
+        r.doc_id: r.k
+        for r in df.select(
+            "doc_id", weighted_keep_flag("doc_id", "w", 3, 4000, seed=7).alias("k")
+        ).collect()
+    }
+    assert flags == {i: (i in kept) for i in (1, 2, 3, 4)}
+
+
+def test_weighted_keep_rejects_unsafe_rates(spark):
+    from hz_csv2parquet_spark.operators.sampling import weighted_keep_flag
+
+    with pytest.raises(ValueError):
+        weighted_keep_flag("doc_id", "w", 1, 2**31)
+    with pytest.raises(ValueError):
+        weighted_keep_flag("doc_id", "w", 0, 10)

@@ -74,6 +74,18 @@ def test_near_pairs_finds_identical(spark, vecs):
     assert (1, 4) not in pairs  # opposite vector never passes 0.95
 
 
+def test_near_pairs_wrong_dim_raises(spark, vecs):
+    """A declared dim that doesn't match the vectors must fail loudly
+    — silent zip_with null-padding would collapse plane bits to 0 and
+    lose recall with no error."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+        embedding_near_pairs(vecs, dim=8, planes=8, tables=1).collect()
+    assert "banded_lsh" in str(ei.value)
+
+
 def test_banded_lsh_identical_vectors_collide_in_every_table(spark, vecs):
     from hz_csv2parquet_spark.operators.similarity import banded_lsh_bucket
 
