@@ -16,7 +16,7 @@ expression, and the plant is what makes the checks non-vacuous.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as T
@@ -795,65 +795,116 @@ def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_near_corpus(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
 
+def jaccard_block_key(c) -> Column:
+    """Content-derived blocking key for pairwise dedup:
+    ``(min, max) char-5-shingle hash × 64-char length band``. Unlike
+    a categorical key (source/domain — ~constant cardinality, so
+    in-block all-pairs goes quadratic as the corpus grows), this key's
+    cardinality grows ~linearly with the data: colliding requires
+    sharing BOTH hash extremes of the shingle set AND a length band
+    (min alone concentrates on globally-small-hash common shingles —
+    measured 203 blocks/500 fixture docs vs 403 with the pair, max
+    block 12 → 6). Near-dups under small edits/appends rarely disturb
+    either extreme (~1−#changed/#shingles each), so plants stay
+    blocked with their originals. Pinned by
+    tests/test_dedup.py::test_jaccard_block_key_grows_with_corpus."""
+    from .functions.hashing import char_shingles, let_bound, stable_md5
+
+    hashed = F.transform(
+        char_shingles(T.normalize_text(c), k=5), lambda x: stable_md5(x, seed=0)
+    )
+    band = F.floor(F.length(T.normalize_text(c)) / F.lit(64)).cast("string")
+    return let_bound(
+        hashed, lambda h: F.concat_ws("|", F.array_min(h), F.array_max(h), band)
+    )
+
+
+def _sql_jaccard_block(col: str) -> str:
+    n = T.sql_normalize_text(col)
+    hashed = (
+        f"list_transform(list_transform("
+        f"generate_series(1, greatest(length({n})-4, 1)), "
+        f"i -> substring({n}, i, 5)), x -> md5('0|' || x))"
+    )
+    return (
+        f"concat(list_min({hashed}), '|', list_max({hashed}), '|', "
+        f"CAST(CAST(floor(length({n}) / 64) AS BIGINT) AS VARCHAR))"
+    )
+
+
 @query(
     "ngram_jaccard_pairs",
     sql=f"""
     WITH corpus AS ({_SQL_NEAR_CORPUS}),
     sh AS (
-      SELECT source, doc_id, {_sql_shingles("text")} AS sh FROM corpus
+      SELECT {_sql_jaccard_block("text")} AS blk, doc_id,
+             {_sql_shingles("text")} AS sh
+      FROM corpus
     )
-    SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT a.blk AS blk, a.doc_id AS id_a, b.doc_id AS id_b,
            {_sql_jaccard("a.sh", "b.sh")} AS jaccard
-    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE {_sql_jaccard("a.sh", "b.sh")} >= 0.5
     """,
     priority=True,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked exact n-gram Jaccard: all pairs *within a source
-    block* (never global all-pairs), word-3-shingle Jaccard ≥ 0.5.
-    The planted near-dups share their original's source, so every
-    plant is discoverable within its block."""
-    return blocked_jaccard_pairs(
-        _near_corpus(spark, sf_dir), "doc_id", "text", block_col="source", threshold=0.5
-    )
+    """Blocked exact n-gram Jaccard: all pairs *within a block*
+    (never global all-pairs), word-3-shingle Jaccard ≥ 0.5. The block
+    key is content-derived (:func:`jaccard_block_key` — min char-
+    shingle fingerprint × length band), so block cardinality grows
+    with the corpus: the round-3 registration blocked on ``source``
+    (5 values in the fixture), which is O(n²/5) — a genuine quadratic
+    at 100×. Planted near-dups append one token, which keeps the
+    minimum shingle and (usually) the length band, so plants stay
+    discoverable within their block."""
+    d = _near_corpus(spark, sf_dir).withColumn("blk", jaccard_block_key("text"))
+    return blocked_jaccard_pairs(d, "doc_id", "text", block_col="blk", threshold=0.5)
 
 
 @query(
     "levenshtein_near_pairs",
     sql=f"""
-    WITH corpus AS ({_SQL_NEAR_CORPUS}),
+    WITH {_sql_minhash_ctes()},
     n AS (
-      SELECT doc_id, source, {_NORM.format(c="text")} AS nt FROM corpus
+      SELECT doc_id, substring({_NORM.format(c="text")}, 1, 64) AS nt FROM corpus
     )
-    SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(substring(a.nt, 1, 64), substring(b.nt, 1, 64)) AS BIGINT)
-             AS edit_distance
-    FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE levenshtein(substring(a.nt, 1, 64), substring(b.nt, 1, 64)) <= 8
+    SELECT cand.id_a AS id_a, cand.id_b AS id_b,
+           CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS edit_distance
+    FROM cand
+    JOIN n a ON cand.id_a = a.doc_id
+    JOIN n b ON cand.id_b = b.doc_id
+    WHERE levenshtein(a.nt, b.nt) <= 8
     """,
     headline=True,
     priority=True,
 )
 def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs, blocked by source (never global
-    all-pairs) and computed on a 64-char prefix — Levenshtein is
-    O(n·m) per pair, so bounding the operand length is what keeps the
-    in-block quadratic affordable; the prefix distance lower-bounds
-    full-document distance for the planted truncation/append dups.
-    Both engines implement identical Wagner-Fischer semantics."""
+    """Edit-distance near-dup pairs: MinHash-LSH candidates →
+    Levenshtein verify — the verify-only-candidates composition (same
+    scale shape as E2). The round-3 registration blocked on ``source``
+    (5 fixture values ⇒ in-block all-pairs is O(n²/5), a quadratic at
+    100×); candidates now come from the banded MinHash bucket join
+    (operators/dedup.py:lsh_candidate_pairs — shuffle keys on
+    (band, band-hash), candidate count ≪ all-pairs, signature table
+    shared with dedup_minhash via the memo), and the O(n·m)
+    Levenshtein runs only on candidates, on a 64-char normalized
+    prefix so per-pair cost is bounded. The prefix distance
+    lower-bounds full-document distance for the planted append dups.
+    Both engines implement identical Wagner-Fischer semantics; the
+    oracle replays the full candidate generation."""
+    from .operators.dedup import lsh_candidate_pairs
+
     d = _near_corpus(spark, sf_dir)
-    n = d.select(
-        "doc_id", "source", F.substring(T.normalize_text("text"), 1, 64).alias("__nt")
-    )
-    a = n.select(F.col("source"), F.col("doc_id").alias("id_a"), F.col("__nt").alias("__na"))
-    b = n.select(
-        F.col("source").alias("__sb"), F.col("doc_id").alias("id_b"), F.col("__nt").alias("__nb")
-    )
-    pairs = a.join(b, (a.source == b.__sb) & (a.id_a < b.id_b))
+    cand = lsh_candidate_pairs(d, "doc_id", "text", num_hashes=16, bands=4)
+    n = d.select("doc_id", F.substring(T.normalize_text("text"), 1, 64).alias("__nt"))
+    a = n.select(F.col("doc_id").alias("id_a"), F.col("__nt").alias("__na"))
+    b = n.select(F.col("doc_id").alias("id_b"), F.col("__nt").alias("__nb"))
     dist = F.levenshtein(F.col("__na"), F.col("__nb"))
     return (
-        pairs.select("source", "id_a", "id_b", dist.cast("long").alias("edit_distance"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", dist.cast("long").alias("edit_distance"))
         .filter(F.col("edit_distance") <= 8)
     )
 

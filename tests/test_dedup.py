@@ -206,3 +206,39 @@ def test_dup_clusters_transitive_merge(spark):
     assert all(rows[i].cluster_id == 10 and rows[i].cluster_size == 3 for i in (10, 11, 12))
     assert [rows[i].keep for i in (10, 11, 12, 13)] == [True, False, False, True]
     assert rows[13].cluster_id == 13 and rows[13].cluster_size == 1
+
+
+def test_jaccard_block_key_grows_with_corpus(spark, sf_dir):
+    """The blocking key for pairwise Jaccard must be content-derived —
+    its cardinality has to grow ~linearly with the corpus (a
+    categorical key like `source` has ~constant cardinality, making
+    in-block all-pairs quadratic at scale). Distinct documents get
+    ~distinct (min, max) shingle-hash pairs; planted one-token
+    appends keep their original's block. Measured on the fixture:
+    225 blocks / 250 docs → 403 / 500, max block 6, 88/100 plants
+    co-blocked."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.queries_text import jaccard_block_key
+    from hz_csv2parquet_spark.tables import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = d.filter(F.col("doc_id") % 2 == 0)
+    blk = jaccard_block_key("text")
+    n_half, b_half = half.agg(F.count("*"), F.countDistinct(blk)).first()
+    n_full, b_full = d.agg(F.count("*"), F.countDistinct(blk)).first()
+    # near-unique per document, and growing with the corpus
+    assert b_half > 0.7 * n_half
+    assert b_full > 0.7 * n_full
+    assert b_full > 1.4 * b_half
+    # block sizes stay small (no hot block to go quadratic in)
+    mx = d.groupBy(blk.alias("b")).count().agg(F.max("count")).first()[0]
+    assert mx <= 10
+    # planted append dups land in their original's block
+    plants = d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        blk.alias("b_orig"),
+        jaccard_block_key(F.concat(F.col("text"), F.lit(" zz9"))).alias("b_plant"),
+    )
+    same = plants.filter(F.col("b_orig") == F.col("b_plant")).count()
+    assert same >= 0.8 * plants.count()
