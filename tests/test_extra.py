@@ -86,3 +86,52 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 2), (k, approx[k], exact[k])
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    """Exact-integer NTILE from (rank, count) must equal the built-in
+    window NTILE for every partition size and n, including the
+    remainder-to-leading-tiles rule and n_part < n."""
+    from pyspark.sql import Window
+
+    from hz_csv2parquet_spark.operators.rank import ntile_from_rank
+
+    rows = [(g, i) for g, sz in enumerate([1, 2, 3, 4, 5, 7, 8, 9, 100]) for i in range(sz)]
+    df = spark.createDataFrame(rows, "g int, v int")
+    for n in (2, 3, 4, 7):
+        w = Window.partitionBy("g").orderBy("v")
+        got = df.select(
+            "g",
+            "v",
+            F.ntile(n).over(w).cast("long").alias("want"),
+            ntile_from_rank(
+                F.row_number().over(w).cast("long"),
+                F.count(F.lit(1)).over(Window.partitionBy("g")).cast("long"),
+                n,
+            ).alias("got"),
+        )
+        bad = got.filter(F.col("want") != F.col("got")).count()
+        assert bad == 0, f"n={n}"
+
+
+def test_two_phase_rank_bit_equal_to_window(spark):
+    from pyspark.sql import Window
+
+    from hz_csv2parquet_spark.operators.rank import two_phase_rank
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.choice("abc"), rnd.uniform(-1000, 10000), i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    got = two_phase_rank(df, ["g"], "v", ["id"], lo=-1000.0, hi=10000.0, buckets=64)
+    w = Window.partitionBy("g").orderBy("v", "id")
+    naive = df.select("g", "id", F.row_number().over(w).cast("long").alias("rn"))
+    joined = got.select("g", "id", "rn").join(
+        naive.withColumnRenamed("rn", "want"), ["g", "id"]
+    )
+    assert joined.filter(F.col("rn") != F.col("want")).count() == 0
+    # n_part is the true partition size
+    sizes = {r.g: r.n_part for r in got.select("g", "n_part").distinct().collect()}
+    true_sizes = {r.g: r.n for r in df.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert sizes == true_sizes

@@ -151,3 +151,40 @@ def test_zscore_facts_never_shuffle_for_stats_join(spark, sf_dir):
     # pass-2 join of facts against per-type stats must be broadcast
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ntile_no_full_partition_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ntile_customer_quartiles")
+    # the only windows run over (a) the aggregate-sized counts frame
+    # and (b) (segment, bucket) cells — never one sort per segment of
+    # the full table; the offsets frame joins back via broadcast
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    big_sorts = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"Sort \[", ln)
+        and "c_acctbal" in ln
+        and "__bkt" not in ln
+        and "__n" not in ln
+    ]
+    assert not big_sorts, big_sorts
+
+
+def test_percentiles_scalable_no_full_partition_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "percentiles_by_segment_scalable")
+    assert "BroadcastHashJoin" in plan
+    # no ObjectHashAggregate holding per-group value lists
+    assert "percentile" not in plan
+    import re
+
+    big_sorts = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"Sort \[", ln)
+        and "c_acctbal" in ln
+        and "__bkt" not in ln
+        and "__n" not in ln
+    ]
+    assert not big_sorts, big_sorts
