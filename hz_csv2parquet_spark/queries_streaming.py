@@ -204,6 +204,61 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_attribution_outer",
+    sql="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    wm AS (
+      SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM v))
+             - INTERVAL 2 HOURS AS h
+    ),
+    matched AS (
+      SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+             CAST(epoch_ms(c.ts) - epoch_ms(v.ts) AS BIGINT) AS gap_ms
+      FROM c JOIN v
+        ON c.user_id = v.user_id
+       AND c.ts >= v.ts
+       AND c.ts <= v.ts + INTERVAL 24 HOURS
+    ),
+    unmatched AS (
+      SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS view_id, c.user_id,
+             CAST(NULL AS BIGINT) AS gap_ms
+      FROM c, wm
+      WHERE c.ts < wm.h
+        AND NOT EXISTS (
+          SELECT 1 FROM v
+          WHERE v.user_id = c.user_id
+            AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOURS
+        )
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    streaming=True,
+    priority=True,
+)
+def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream attribution
+    (streaming/joins.py:attribution_pairs_outer): matches emit as in
+    the inner join; clicks with no qualifying view emit a null-padded
+    row once the global watermark passes their match horizon. The
+    oracle replays Spark's watermark semantics exactly: the global
+    watermark is the MIN over both streams' (max event time − 2 h
+    delay), and an unmatched click emits iff ``click_ts <`` that
+    final watermark — trailing-band clicks stay buffered (they could
+    still match if the stream resumed), which is precisely the
+    eviction rule that keeps outer-join state bounded. A hash match
+    therefore pins the null-emission protocol itself, not just the
+    matched pairs."""
+    from pyspark.sql import functions as F
+
+    from .streaming.joins import attribution_pairs_outer
+
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    return run_to_memory(attribution_pairs_outer(clicks, views), mode="append")
+
+
+@query(
     "streaming_sliding_counts",
     priority=True,
     sql="""

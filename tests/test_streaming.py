@@ -117,3 +117,34 @@ def test_convert_streaming_incremental_exactly_once(tmp_path, spark):
     convert_streaming(spark, str(landing), dest, schema="id bigint, v string")
     got = sorted(r.id for r in spark.read.parquet(dest).collect())
     assert got == [1, 2, 3]
+
+
+def test_attribution_outer_emits_watermark_bounded_nulls(spark, sf_dir):
+    """The left-outer stream-stream join must (a) contain every inner
+    match, (b) emit null-padded clicks, and (c) emit them ONLY for
+    clicks strictly before the final global watermark
+    (min of both streams' max ts − 2 h) — the eviction rule that
+    bounds outer-join state."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.streaming.joins import attribution_pairs_outer
+    from hz_csv2parquet_spark.streaming.windows import run_to_memory, stream_events
+    from hz_csv2parquet_spark.tables import table
+
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    out = run_to_memory(attribution_pairs_outer(clicks, views), mode="append").cache()
+    nulls = out.filter(F.col("view_id").isNull())
+    assert nulls.count() > 0
+    assert out.filter(F.col("view_id").isNotNull()).count() > 0
+    # every null row's gap is null too
+    assert nulls.filter(F.col("gap_ms").isNotNull()).count() == 0
+    ev = table(spark, sf_dir, "events")
+    mc = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    mv = ev.filter(F.col("event_type") == "view").agg(F.max("ts")).first()[0]
+    horizon = min(mc, mv) - datetime.timedelta(hours=2)
+    cl = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    late = nulls.join(cl, nulls.click_id == cl.event_id).filter(F.col("ts") >= F.lit(horizon))
+    assert late.count() == 0
