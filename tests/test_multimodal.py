@@ -64,3 +64,57 @@ def test_byte_features_distributed_partitions(spark):
     # many partitions → many Arrow batches; results identical
     df = _corpus(spark).repartition(8)
     assert byte_features(df, "id", "payload").count() == 3
+
+
+def _make_png(width: int, height: int) -> bytes:
+    """Synthesize a REAL, spec-valid 8-bit greyscale PNG (signature,
+    IHDR, IDAT with per-row filter bytes, IEND, correct CRCs)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((r * width + c) % 256 for c in range(width)) for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decodes_through_mapinpandas(spark):
+    """A real PNG flows through the Arrow mapInPandas decode path with
+    the best-available real decoder (stdlib PNG subset here, PIL when
+    installed) — width/height/pixel count come from actual IHDR/IDAT
+    parsing, closing the round-3 'stubbed codec' gap. A corrupt
+    payload in the same batch degrades to (-1, -1, 0), not a job
+    failure."""
+    from hz_csv2parquet_spark.operators.multimodal import auto_decode, decode_payloads, png_decode
+
+    png = _make_png(7, 5)
+    # sanity: the decoder really parses the bytes
+    d = png_decode(png)
+    assert (d["width"], d["height"], len(d["pixels"])) == (7, 5, 35)
+    assert d["pixels"][:3] == bytes([0, 1, 2])
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(_make_png(3, 2))), (3, bytearray(b"\x89PNG\r\n\x1a\njunk"))],
+        "vid long, payload binary",
+    )
+    rows = {
+        r.vid: (r.width, r.height, r.n_pixels)
+        for r in decode_payloads(df, "vid", "payload", decoder=auto_decode).collect()
+    }
+    assert rows[1] == (7, 5, 35)
+    assert rows[2] == (3, 2, 6)
+    assert rows[3] == (-1, -1, 0)  # truncated PNG -> corrupt-row convention
