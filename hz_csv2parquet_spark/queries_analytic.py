@@ -32,7 +32,6 @@ _GAP_MS = 60_000
 
 @query(
     "range_join_event_pairs",
-    priority=True,
     sql=f"""
     SELECT a.event_type AS type_a,
            b.event_type AS type_b,
@@ -78,7 +77,6 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gap_fill_hourly_events",
-    priority=True,
     sql="""
     WITH counts AS (
       SELECT event_type,
@@ -210,7 +208,6 @@ _Q19_SQL_PRED = """
 
 @query(
     "q19_disjunctive_revenue",
-    priority=True,
     sql=f"""
     SELECT p_brand,
            CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))

@@ -19,7 +19,7 @@ from .tables import table
 
 
 @query(
-    "asof_last_click",
+    "asof_last_click", priority=True,
     sql="""
     WITH ev AS (
       SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type, value FROM events
@@ -257,7 +257,7 @@ def tokenize_regex_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "bucketed_join_revenue",
+    "bucketed_join_revenue", priority=True,
     sql="""
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,

@@ -137,7 +137,6 @@ def streaming_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY source
     """,
-    priority=True,
 )
 def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → JSON-Lines sink → JSONL scan (explicit schema, the

@@ -45,7 +45,6 @@ _NORM_SQL = T.sql_normalize_text("coalesce(text, '')")
            md5(regexp_replace(norm, '{_PII_PAT}', '<pii>', 'g')) AS masked_md5
     FROM (SELECT doc_id, {_NORM_SQL} AS norm FROM documents) t
     """,
-    priority=True,
 )
 def redact_mask_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-redaction plumbing: count pattern matches per document,
@@ -92,7 +91,6 @@ _CHUNK_S = 24  # stride (8-token overlap)
            md5(array_to_string(list_slice(toks, st, st + {_CHUNK_W - 1}), ' ')) AS chunk_md5
     FROM s
     """,
-    priority=True,
 )
 def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking: split every document into
@@ -149,7 +147,6 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'unchanged' END AS status
     FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     """,
-    priority=True,
 )
 def corpus_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus update: diff two snapshots into
@@ -214,7 +211,6 @@ from .functions.text import sql_shingles as _sql_shingles  # noqa: E402
     FROM g JOIN gdf d USING (gram) CROSS JOIN n
     GROUP BY g.doc_id
     """,
-    priority=True,
 )
 def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate detection à la CCNet/RefinedWeb: a 5-gram occurring
@@ -264,7 +260,6 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM freq
     GROUP BY 1
     """,
-    priority=True,
 )
 def vocab_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf sanity histogram of the corpus vocabulary: token types
@@ -320,7 +315,6 @@ def vocab_zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT grp, doc_id AS canonical_id, CAST(n_copies AS BIGINT) AS n_copies
     FROM r WHERE rk = 1
     """,
-    priority=True,
 )
 def dedup_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection: exact dedup that keeps the
@@ -365,7 +359,6 @@ _NORM_DOC = T.sql_normalize_text("coalesce(text, '')")
 
 @query(
     "dedup_paragraph_documents",
-    priority=True,
     sql=f"""
     WITH t AS (
       SELECT doc_id, string_split({_NORM_DOC}, ' ') AS tk FROM documents

@@ -49,7 +49,7 @@ def _sql_bucket(vec: str, planes: int = 4) -> str:
 
 
 @query(
-    "similarity_topk_embeddings",
+    "similarity_topk_embeddings", priority=True,
     sql=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     scored AS (
@@ -79,7 +79,7 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "similarity_lsh_embeddings",
+    "similarity_lsh_embeddings", priority=True,
     sql=f"""
     WITH b AS (
       SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bkt FROM embeddings
@@ -347,7 +347,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb.unionByName(plant), threshold=0.95)
 
 
-@query("similarity_topk_pandas_udf", sql=None)
+@query("similarity_topk_pandas_udf", priority=True, sql=None)
 def similarity_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow/pandas_udf variant of similarity_topk_embeddings —
     the sanctioned escape hatch when score math outgrows built-in
@@ -364,7 +364,7 @@ def similarity_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quantize_embeddings_int8",
+    "quantize_embeddings_int8", priority=True,
     sql="""
     WITH s AS (
       SELECT vec_id,

@@ -142,7 +142,6 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
     """,
     streaming=True,
-    priority=True,
 )
 def streaming_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the events stream enriched against a
@@ -185,7 +184,6 @@ def streaming_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND c.ts <= v.ts + INTERVAL 24 HOURS
     """,
     streaming=True,
-    priority=True,
 )
 def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (streaming/joins.py): clicks paired
@@ -260,7 +258,6 @@ def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_sliding_counts",
-    priority=True,
     sql="""
     WITH e AS (
       SELECT epoch_ms(ts) AS tms, event_type, value FROM events

@@ -70,7 +70,6 @@ def _sql_jaccard(a: str, b: str) -> str:
     FROM documents
     """,
     headline=True,
-    priority=True,
 )
 def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token/char counts, whole-text and
@@ -111,7 +110,6 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang
     """,
-    priority=True,
 )
 def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level quality rollup per labeled language — the
@@ -176,7 +174,6 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tstats t LEFT JOIN bstats b ON t.doc_id = b.doc_id
     """,
     headline=True,
-    priority=True,
 )
 def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition heuristics per document: duplicate
@@ -219,7 +216,6 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 10
     """,
     headline=True,
-    priority=True,
 )
 def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Characteristic terms per language: linear-idf-weighted term
@@ -286,7 +282,6 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM hits WHERE n_shared >= 2
     """,
     headline=True,
-    priority=True,
 )
 def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set contamination sweep: flag corpus documents sharing ≥2
@@ -518,7 +513,6 @@ def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tok JOIN dfreq d USING (token) CROSS JOIN n
     GROUP BY tok.doc_id
     """,
-    priority=True,
 )
 def rare_token_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative quality scoring: per document, how many of its
@@ -609,7 +603,6 @@ _SQL_NEAR_CORPUS = """
     FROM corpus GROUP BY 1
     """,
     headline=True,
-    priority=True,
 )
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact deduplication summary over the planted corpus: one row
@@ -920,7 +913,6 @@ def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang
     """,
-    priority=True,
 )
 def grouped_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The grouped-map UDF path (``groupBy().applyInPandas`` — the
@@ -971,7 +963,6 @@ def grouped_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) AS rn FROM scored
     ) WHERE rn <= 10
     """,
-    priority=True,
 )
 def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota capping: keep the 10 longest documents per

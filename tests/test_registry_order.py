@@ -7,28 +7,42 @@ from hz_csv2parquet_spark.queries import REGISTRY, ordered_registry
 
 DRIVER_WINDOW = 50
 
-# every query here either had no driver CORRECTNESS row through round 2
-# (the text/dedup suite + streaming_enrich_events) or changed its
-# implementation in round 3 (the LSH/IVF hardening) — all must be
-# inside the driver's capped verify window.
+# round-4 re-verify set: every query whose implementation changed
+# after its last driver-green CORRECTNESS row (round-3 edits the
+# driver never re-checked: asof, bucketed join, multimodal,
+# similarity/quantize; round-4 edits: block-key rewrite, two-phase
+# rank, overflow/memo hardening) plus the queries new this round —
+# all must sit inside the driver's capped verify window.
 MUST_BE_IN_WINDOW = {
-    "text_stats_documents",
-    "text_quality_by_lang",
-    "repetition_stats_documents",
-    "top_terms_per_lang",
-    "contamination_check_documents",
-    "sample_stratified_documents",
-    "shard_assignment_documents",
-    "dedup_exact_documents",
-    "dedup_minhash_documents",
-    "dedup_simhash_documents",
+    # round-3 edits without a fresh driver row
+    "asof_last_click",
+    "bucketed_join_revenue",
+    "multimodal_byte_features",
+    "multimodal_decode_shapes",
+    "multimodal_frame_index",
+    "similarity_topk_embeddings",
+    "similarity_lsh_embeddings",
+    "similarity_topk_pandas_udf",
+    "quantize_embeddings_int8",
+    # round-4 implementation changes
     "ngram_jaccard_pairs",
     "levenshtein_near_pairs",
-    "grouped_lang_stats_pandas",
-    "quota_sample_per_source",
-    "streaming_enrich_events",
+    "ntile_customer_quartiles",
+    "zscore_outliers_events",
+    "weighted_sample_documents",
+    "dedup_cluster_documents",
+    "dedup_minhash_documents",
+    "dedup_simhash_documents",
     "embedding_near_pairs",
     "similarity_ivf_embeddings",
+    "semantic_dedup_embeddings",
+    "sample_stratified_documents",
+    "shard_assignment_documents",
+    "global_shuffle_documents",
+    "mixture_resample_documents",
+    # new in round 4
+    "percentiles_by_segment_scalable",
+    "streaming_attribution_outer",
 }
 
 
