@@ -136,7 +136,6 @@ _D38 = "decimal(38,0)"
 
 @query(
     "zscore_outliers_events",
-    priority=True,
     sql="""
     WITH c AS (
       SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events

@@ -19,7 +19,7 @@ from .tables import table
 
 
 @query(
-    "asof_last_click", priority=True,
+    "asof_last_click",
     sql="""
     WITH ev AS (
       SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type, value FROM events
@@ -119,7 +119,6 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY c_mktsegment
     """,
-    priority=True,
 )
 def percentiles_by_segment_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolating quantiles per segment WITHOUT per-group
@@ -257,7 +256,7 @@ def tokenize_regex_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "bucketed_join_revenue", priority=True,
+    "bucketed_join_revenue",
     sql="""
     SELECT c_mktsegment,
            COUNT(*) AS n_orders,
@@ -776,7 +775,6 @@ def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
            ) AS BIGINT) AS quartile
     FROM customer
     """,
-    priority=True,
 )
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartiles per market segment WITHOUT a full-partition

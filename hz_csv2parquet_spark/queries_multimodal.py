@@ -21,7 +21,7 @@ from .tables import table
 
 
 @query(
-    "multimodal_byte_features", priority=True,
+    "multimodal_byte_features",
     sql="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
@@ -60,7 +60,7 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_decode_shapes", priority=True,
+    "multimodal_decode_shapes",
     sql="""
     WITH p AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
     d AS (
@@ -95,7 +95,7 @@ def multimodal_decode_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "multimodal_frame_index", priority=True,
+    "multimodal_frame_index",
     sql="""
     SELECT doc_id,
            CAST(f AS BIGINT) AS frame_id,

@@ -445,7 +445,6 @@ _WS_NUM, _WS_DEN = 3, 4000  # p(keep) = min(1, n_chars · 3/4000)
 
 @query(
     "weighted_sample_documents",
-    priority=True,
     sql=f"""
     WITH g AS (
       SELECT source, n_chars,

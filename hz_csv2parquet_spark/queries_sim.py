@@ -49,7 +49,7 @@ def _sql_bucket(vec: str, planes: int = 4) -> str:
 
 
 @query(
-    "similarity_topk_embeddings", priority=True,
+    "similarity_topk_embeddings",
     sql=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     scored AS (
@@ -79,7 +79,7 @@ def similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "similarity_lsh_embeddings", priority=True,
+    "similarity_lsh_embeddings",
     sql=f"""
     WITH b AS (
       SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bkt FROM embeddings
@@ -163,7 +163,7 @@ def _sql_embedding_near_pairs(
     """
 
 
-@query("embedding_near_pairs", sql=_sql_embedding_near_pairs(), priority=True)
+@query("embedding_near_pairs", sql=_sql_embedding_near_pairs())
 def embedding_near_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs over a planted corpus
     (50 duplicated vectors): banded multi-table sign-LSH (4 tables ×
@@ -283,7 +283,7 @@ def _sql_ivf_topk(
     """
 
 
-@query("similarity_ivf_embeddings", sql=_sql_ivf_topk(nprobe=3), priority=True)
+@query("similarity_ivf_embeddings", sql=_sql_ivf_topk(nprobe=3))
 def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a trained quantizer (operators/similarity.py
     ivf_topk): centroids from deterministic Lloyd's k-means (2
@@ -326,7 +326,7 @@ def _sql_semantic_dedup(threshold: float = 0.95) -> str:
     """
 
 
-@query("semantic_dedup_embeddings", sql=_sql_semantic_dedup(), priority=True)
+@query("semantic_dedup_embeddings", sql=_sql_semantic_dedup())
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over a planted corpus (50
     duplicated vectors): k-means-cluster the embedding space, mark
@@ -347,7 +347,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb.unionByName(plant), threshold=0.95)
 
 
-@query("similarity_topk_pandas_udf", priority=True, sql=None)
+@query("similarity_topk_pandas_udf", sql=None)
 def similarity_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow/pandas_udf variant of similarity_topk_embeddings —
     the sanctioned escape hatch when score math outgrows built-in
@@ -364,7 +364,7 @@ def similarity_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quantize_embeddings_int8", priority=True,
+    "quantize_embeddings_int8",
     sql="""
     WITH s AS (
       SELECT vec_id,

@@ -232,7 +232,6 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM matched UNION ALL SELECT * FROM unmatched
     """,
     streaming=True,
-    priority=True,
 )
 def streaming_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER stream-stream attribution

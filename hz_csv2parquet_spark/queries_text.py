@@ -346,7 +346,6 @@ def _sql_sample_threshold() -> str:
     WHERE CAST({_sql_u32("CAST(doc_id AS VARCHAR)", _SAMPLE_SEED)} AS DOUBLE)
           < {_sql_sample_threshold()}
     """,
-    priority=True,
 )
 def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-language keep-rates via
@@ -376,7 +375,6 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY 1
     """,
-    priority=True,
 )
 def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment (hash mod N) + per-shard
@@ -415,7 +413,6 @@ _SHUF_SHARD_SIZE = 64
       FROM documents
     ) t
     """,
-    priority=True,
 )
 def global_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle → contiguous training shards:
@@ -471,7 +468,6 @@ def _sql_mixture_counts() -> str:
     SELECT doc_id, source, CAST(c AS BIGINT) AS copy_id
     FROM (SELECT doc_id, source, unnest(generate_series(1, n)) AS c FROM w) t
     """,
-    priority=True,
 )
 def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted mixture resampling with replacement — per-source
@@ -677,7 +673,7 @@ def _sql_minhash_pairs(num_hashes: int = 16, bands: int = 4, threshold: float = 
     """
 
 
-@query("dedup_minhash_documents", sql=_sql_minhash_pairs(), headline=True, priority=True)
+@query("dedup_minhash_documents", sql=_sql_minhash_pairs(), headline=True)
 def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate detection over the planted corpus:
     16 seeded-md5 MinHashes over word-3-shingles, 4 bands × 4 rows,
@@ -708,7 +704,6 @@ def dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            doc_id = cluster_id AS keep
     FROM lab
     """,
-    priority=True,
 )
 def dedup_cluster_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fuzzy-dedup endgame: MinHash-verified near-dup PAIRS are
@@ -778,7 +773,7 @@ def _sql_simhash_pairs(max_hamming: int = 3) -> str:
     """
 
 
-@query("dedup_simhash_documents", sql=_sql_simhash_pairs(), headline=True, priority=True)
+@query("dedup_simhash_documents", sql=_sql_simhash_pairs(), headline=True)
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs over the planted corpus: 64-bit
     frequency-weighted signatures (two 32-bit words), 16-bit-chunk
@@ -839,7 +834,6 @@ def _sql_jaccard_block(col: str) -> str:
     FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE {_sql_jaccard("a.sh", "b.sh")} >= 0.5
     """,
-    priority=True,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: all pairs *within a block*
@@ -870,7 +864,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE levenshtein(a.nt, b.nt) <= 8
     """,
     headline=True,
-    priority=True,
 )
 def levenshtein_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs: MinHash-LSH candidates →

@@ -18,29 +18,43 @@ harness; production sinks (parquet/kafka) take the same DataFrames.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import exact_sum
-from ..tables import _EVENTS_RAW_SCHEMA
+from ..tables import _EVENTS_NATIVE_SCHEMA, _EVENTS_RAW_SCHEMA, events_ts_is_native
 
 #: gap used by both the streaming session windows and their batch /
 #: oracle mirror (30 min, in ms)
 SESSION_GAP_MS = 30 * 60 * 1000
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (same explicit
-    nanos-as-long schema as the batch reader, tables.py)."""
-    # the file-source requires a directory: stream the sf dir with a
-    # glob filter selecting just the events file
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    options: dict | None = None,
+) -> DataFrame:
+    """File-source stream over events parquet files under ``sf_dir``.
+    Streams need an explicit schema, so the batch reader's footer
+    probe (tables.events_ts_is_native) picks between the native
+    timestamp schema and the raw nanos-as-long decode — the SAME
+    decision, one shared helper, for batch and streaming."""
+    # the file-source requires a directory: stream the dir with a
+    # glob filter selecting the events file(s)
+    probe = os.path.join(sf_dir, glob)
+    probe = probe if os.path.isfile(probe) else sf_dir
+    reader = spark.readStream
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if events_ts_is_native(probe):
+        return reader.schema(_EVENTS_NATIVE_SCHEMA).parquet(sf_dir)
+    raw = reader.schema(_EVENTS_RAW_SCHEMA).parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

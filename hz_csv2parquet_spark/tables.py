@@ -26,13 +26,68 @@ TABLES = (
 )
 
 
-# events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-# rejects under schema inference. An explicit schema with ts as LONG reads
-# the raw nanos without touching any session conf (the round-1 version
-# mutated spark.sql.legacy.parquet.nanosAsLong session-globally).
+# Schemas for the two on-disk encodings of events.ts seen across
+# driver fixture generations (probed per file, see events_ts_is_native):
+#  - parquet TIMESTAMP(MICROS) — Spark's native unit; read as-is.
+#  - parquet TIMESTAMP(NANOS) or plain INT64 epoch-nanos — Spark's
+#    vectorized reader rejects NANOS under schema inference, so read
+#    with an explicit LONG schema (raw nanos, no session conf) and
+#    rebuild a microsecond timestamp with integer division (nanos
+#    ≈ 1.7e18 exceeds double's exact range).
 _EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+_EVENTS_NATIVE_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+#: footer-probe memo keyed by resolved path (fixture files are
+#: immutable per sf_dir; test dirs get fresh tmp paths per test)
+_TS_NATIVE_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_native(path: str) -> bool:
+    """True iff the events parquet at ``path`` (file or directory)
+    stores ``ts`` as a Spark-native timestamp unit (micros/millis/
+    seconds). NANOS and raw INT64-epoch-nanos return False → callers
+    take the explicit raw-long decode path. The probe reads ONE
+    parquet footer (driver-side, metadata only) and memoizes."""
+    hit = _TS_NATIVE_CACHE.get(path)
+    if hit is not None:
+        return hit
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    candidates = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    )
+    native = False
+    for f in candidates[:1]:
+        try:
+            t = pq.ParquetFile(f).schema_arrow.field("ts").type
+            native = pat.is_timestamp(t) and t.unit != "ns"
+        except Exception:
+            native = False
+    _TS_NATIVE_CACHE[path] = native
+    return native
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch events reader shared by table() and tests: native
+    timestamp unit → plain parquet scan (full pushdown); nanos/raw
+    long → explicit-schema decode."""
+    if events_ts_is_native(path):
+        # explicit schema: the footer says isAdjustedToUTC=false, so
+        # inference would yield TIMESTAMP_NTZ; requesting TimestampType
+        # reinterprets the same micros-since-epoch instants, keeping
+        # ts semantics identical across driver sessions/timezones.
+        return spark.read.schema(_EVENTS_NATIVE_SCHEMA).parquet(path)
+    df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -42,10 +97,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # rebuild a microsecond timestamp from the nanos (integer
-        # division — nanos ≈ 1.7e18 exceeds double's exact range).
-        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return read_events(spark, path)
     return spark.read.parquet(path)
 
 

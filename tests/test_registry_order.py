@@ -1,55 +1,90 @@
 """The driver's correctness gate verifies only a capped prefix (50)
-of the ``queries()`` dict — pin that every priority query (the
-text/dedup suite plus anything changed this round) sits inside that
-window, and that nothing is lost or duplicated by the reordering."""
+of the ``queries()`` dict. These tests pin the rotation discipline
+mechanically, driven by the committed CORRECTNESS_r*.json history:
 
-from hz_csv2parquet_spark.queries import REGISTRY, ordered_registry
+1. every query red / hash-failed in the LATEST round is re-verified,
+2. nothing goes more than 2 rounds without a fresh driver row,
+3. the explicit ROTATION set fits (with its window) inside the cap,
+4. the reordering is a permutation with a clean priority prefix.
+
+When a new round's CORRECTNESS file lands, (1) and (2) recompute —
+a stale ROTATION set fails HERE, before the driver wastes a round."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from hz_csv2parquet_spark.queries import (
+    REGISTRY,
+    ROTATION,
+    effective_priority,
+    ordered_registry,
+)
 
 DRIVER_WINDOW = 50
-
-# round-4 re-verify set: every query whose implementation changed
-# after its last driver-green CORRECTNESS row (round-3 edits the
-# driver never re-checked: asof, bucketed join, multimodal,
-# similarity/quantize; round-4 edits: block-key rewrite, two-phase
-# rank, overflow/memo hardening) plus the queries new this round —
-# all must sit inside the driver's capped verify window.
-MUST_BE_IN_WINDOW = {
-    # round-3 edits without a fresh driver row
-    "asof_last_click",
-    "bucketed_join_revenue",
-    "multimodal_byte_features",
-    "multimodal_decode_shapes",
-    "multimodal_frame_index",
-    "similarity_topk_embeddings",
-    "similarity_lsh_embeddings",
-    "similarity_topk_pandas_udf",
-    "quantize_embeddings_int8",
-    # round-4 implementation changes
-    "ngram_jaccard_pairs",
-    "levenshtein_near_pairs",
-    "ntile_customer_quartiles",
-    "zscore_outliers_events",
-    "weighted_sample_documents",
-    "dedup_cluster_documents",
-    "dedup_minhash_documents",
-    "dedup_simhash_documents",
-    "embedding_near_pairs",
-    "similarity_ivf_embeddings",
-    "semantic_dedup_embeddings",
-    "sample_stratified_documents",
-    "shard_assignment_documents",
-    "global_shuffle_documents",
-    "mixture_resample_documents",
-    # new in round 4
-    "percentiles_by_segment_scalable",
-    "streaming_attribution_outer",
-}
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_priority_queries_inside_driver_window():
-    window = list(ordered_registry())[:DRIVER_WINDOW]
-    missing = MUST_BE_IN_WINDOW - set(window)
-    assert not missing, f"priority queries outside driver window: {missing}"
+def _history():
+    """{query: {round: row}} from every committed CORRECTNESS file."""
+    hist: dict[str, dict[int, dict]] = {}
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        r = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        for name, row in json.load(open(f)).items():
+            hist.setdefault(name, {})[r] = row
+    return hist
+
+
+def _window():
+    return list(ordered_registry())[:DRIVER_WINDOW]
+
+
+def test_latest_round_failures_are_rotated_in():
+    hist = _history()
+    if not hist:
+        return
+    latest = max(r for rounds in hist.values() for r in rounds)
+    window = set(_window())
+    failed = {
+        name
+        for name, rounds in hist.items()
+        if latest in rounds
+        and name in REGISTRY
+        and rounds[latest].get("err") is None
+        and (rounds[latest].get("rows_match") is False or rounds[latest].get("hash_match") is False)
+    }
+    missing = failed - window
+    assert not missing, f"round-{latest} failures outside driver window: {missing}"
+
+
+def test_no_query_goes_two_rounds_unverified():
+    hist = _history()
+    if not hist:
+        return
+    latest = max(r for rounds in hist.values() for r in rounds)
+    window = set(_window())
+    stale = {
+        name
+        for name in REGISTRY
+        if max(hist.get(name, {0: None}), default=0) <= latest - 2
+    }
+    missing = stale - window
+    assert not missing, (
+        f"queries ≥2 rounds unverified but outside the driver window: {missing}"
+    )
+
+
+def test_rotation_set_names_real_queries_and_fits_the_window():
+    unknown = ROTATION - set(REGISTRY)
+    assert not unknown, f"ROTATION names unknown queries: {unknown}"
+    n_priority = sum(1 for q in REGISTRY.values() if effective_priority(q))
+    assert n_priority <= DRIVER_WINDOW, (
+        f"{n_priority} priority queries exceed the {DRIVER_WINDOW}-row verify cap"
+    )
+    missing = ROTATION - set(_window())
+    assert not missing, f"ROTATION queries outside driver window: {missing}"
 
 
 def test_ordering_is_a_permutation_of_the_registry():
@@ -59,6 +94,6 @@ def test_ordering_is_a_permutation_of_the_registry():
 
 def test_priority_block_is_a_stable_prefix():
     names = list(ordered_registry())
-    flags = [ordered_registry()[n].priority for n in names]
+    flags = [effective_priority(ordered_registry()[n]) for n in names]
     # all priority entries precede all non-priority entries
     assert flags == sorted(flags, reverse=True)

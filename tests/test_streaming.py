@@ -81,17 +81,12 @@ def test_stateful_state_carries_across_batches(spark, tmp_path):
     two files + maxFilesPerTrigger=1 → two batches; the second
     emission for a user includes the first batch's counts."""
     from hz_csv2parquet_spark.streaming.stateful import running_user_stats
-    from hz_csv2parquet_spark.tables import _EVENTS_RAW_SCHEMA
-    from pyspark.sql import functions as F
 
     _write_events(tmp_path / "a.parquet", [(1, 1000, 7), (2, 2000, 7)])
     _write_events(tmp_path / "b.parquet", [(3, 3000, 7), (4, 4000, 9)])
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(tmp_path))
+    events = stream_events(
+        spark, str(tmp_path), glob="*.parquet", options={"maxFilesPerTrigger": 1}
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = run_to_memory(running_user_stats(events), mode="append").collect()
     by_user = {}
     for r in sorted(out, key=lambda r: r.n_events):
