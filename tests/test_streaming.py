@@ -19,14 +19,17 @@ from hz_csv2parquet_spark.streaming.windows import (
 
 
 def _write_events(path, rows):
-    """rows: list of (event_id, ts_ms, user_id). Written in the raw
-    fixture schema (ts as TIMESTAMP-free epoch-nanos int64)."""
+    """rows: list of (event_id, ts_ms, user_id[, event_type]).
+    Written in the raw fixture schema (ts as TIMESTAMP-free
+    epoch-nanos int64) — exercises the reader's nanos decode branch."""
     tbl = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
             "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.int64()),
             "user_id": pa.array([r[2] for r in rows], pa.int64()),
-            "event_type": pa.array(["x"] * len(rows), pa.string()),
+            "event_type": pa.array(
+                [r[3] if len(r) > 3 else "x" for r in rows], pa.string()
+            ),
             "value": pa.array([1.0] * len(rows), pa.float64()),
             "props": pa.array(["{}"] * len(rows), pa.string()),
         }
@@ -143,3 +146,50 @@ def test_attribution_outer_emits_watermark_bounded_nulls(spark, sf_dir):
     cl = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
     late = nulls.join(cl, nulls.click_id == cl.event_id).filter(F.col("ts") >= F.lit(horizon))
     assert late.count() == 0
+
+
+def test_attribution_outer_constructed_trailing_band(spark, tmp_path):
+    """Constructed-stream adjudication of the null-emission protocol:
+    with both streams' max event time at T=10h and a 2h watermark,
+    the final global watermark is 8h. An unmatched click at 1h
+    (before the horizon) MUST emit a null-padded row; an unmatched
+    click at 9h (inside the trailing band) MUST NOT — it could still
+    match if the stream resumed. A matched click emits regardless."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.streaming.joins import attribution_pairs_outer
+
+    H = 3_600_000
+    B = 1_700_000_000_000  # base well past the epoch — a row AT the
+    # initial watermark (epoch 0) is dropped as late on arrival
+    _write_events(
+        tmp_path / "events.parquet",
+        [
+            # user 1: view at 0h, click at 1h -> matched pair (gap 1h)
+            (100, B + 0 * H, 1, "view"),
+            (101, B + 1 * H, 1, "click"),
+            # user 2: click at 1h, no view -> unmatched, before horizon -> emits
+            (201, B + 1 * H, 2, "click"),
+            # user 3: click at 9h, no view -> unmatched, in trailing band -> held
+            (301, B + 9 * H, 3, "click"),
+            # user 9: pins both streams' max ts at 10h (self-matching pair)
+            (901, B + 10 * H, 9, "view"),
+            (902, B + 10 * H, 9, "click"),
+        ],
+    )
+    # two independent source streams, as in queries_streaming — a
+    # single shared streaming DF self-joined is a different (and
+    # trap-prone) topology
+    clicks = stream_events(spark, str(tmp_path), glob="*.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    views = stream_events(spark, str(tmp_path), glob="*.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    out = run_to_memory(attribution_pairs_outer(clicks, views), mode="append").collect()
+    rows = {r.click_id: r for r in out}
+    assert rows[101].view_id == 100 and rows[101].gap_ms == 1 * H
+    assert rows[201].view_id is None and rows[201].gap_ms is None
+    assert 301 not in rows, "trailing-band click must stay buffered, not emit"
+    assert rows[902].view_id == 901 and rows[902].gap_ms == 0
+    assert len(out) == 3
