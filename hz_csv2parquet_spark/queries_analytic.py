@@ -1,4 +1,4 @@
-"""Round-3 analytic/time-series batch (E68-E71).
+"""Round-3 analytic/time-series batch (SURVEY §2.9b E70-E73).
 
 Four operator families a log-analytics deployment of the engine needs
 beyond the reference surface: banded range self-joins (event
@@ -9,8 +9,8 @@ and a TPC-H Q19-shaped disjunctive-predicate join (OR-of-ANDs that
 still pushes to the scans).
 
 Every query pairs the Spark plan with a construction-mirrored DuckDB
-oracle; all are priority-registered so the driver's capped verify
-window hash-checks them in their first round.
+oracle; driver verification is scheduled by the ROTATION set in
+queries.py (tests/test_registry_order.py pins the discipline).
 """
 
 from __future__ import annotations
