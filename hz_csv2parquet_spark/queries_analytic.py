@@ -95,6 +95,7 @@ def range_join_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dense d LEFT JOIN counts c
       ON d.event_type = c.event_type AND d.hour_bucket = c.hour_bucket
     """,
+    headline=True,
 )
 def gap_fill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timeline densification: every hour between each event type's

@@ -292,13 +292,25 @@ def contamination_check_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     **broadcast**: the corpus scan joins in place, no corpus shuffle;
     the only aggregation keys on the (corpus-doc, probe-doc) hit
     pairs. At 100 TB this is exactly the published shape (map-side
-    gram join against a distributed eval-gram set)."""
+    gram join against a distributed eval-gram set).
+
+    The shingle frame is persisted via the single-slot memo: without
+    the materialization boundary, InferFiltersFromGenerate turns each
+    explode into a ``size(__sh) > 0`` filter whose pushdown re-inlines
+    the whole shingle transform BELOW the parallelizing repartition —
+    computing shingles twice per row, once on the unparallelized scan
+    side (measured 1.34× the accepted floor in round 4). The persist
+    computes them once, post-repartition; at 100 TB the memo's durable
+    form is a parquet write of the same frame."""
     from .operators.dedup import shingle_set
 
-    from .tables import spread
+    from .tables import memo_persist, spread
 
-    d = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", shingle_set("text", 3).alias("__sh")
+    d = memo_persist(
+        spread(table(spark, sf_dir, "documents")).select(
+            "doc_id", shingle_set("text", 3).alias("__sh")
+        ),
+        "contamination_shingles",
     )
     probe = (
         d.filter(F.col("doc_id") % 50 == 0)
