@@ -248,3 +248,82 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(exact_sum(disc).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+# ---------------------------------------------------------------------
+# E82: first-touch conversion funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------
+
+_STEP_MS = 3_600_000  # 1 h between funnel steps
+
+
+@query(
+    "funnel_conversion_events",
+    sql=f"""
+    WITH fv AS (
+      SELECT user_id, MIN(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    fc AS (
+      SELECT e.user_id, MIN(e.ts) AS cts, MIN(v.vts) AS vts
+      FROM events e JOIN fv v ON e.user_id = v.user_id AND e.ts >= v.vts
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT * FROM fc WHERE epoch_ms(cts) - epoch_ms(vts) <= {_STEP_MS}
+    ),
+    fp AS (
+      SELECT e.user_id, MIN(e.ts) AS pts, MIN(s.cts) AS cts
+      FROM events e JOIN s2 s ON e.user_id = s.user_id AND e.ts >= s.cts
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    s3 AS (
+      SELECT * FROM fp WHERE epoch_ms(pts) - epoch_ms(cts) <= {_STEP_MS}
+    )
+    SELECT 'view' AS step, CAST((SELECT COUNT(*) FROM fv) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'click_1h', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 'purchase_1h', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    """,
+    priority=True,
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel: users who viewed; whose FIRST
+    click at/after their first view came within 1 h; whose first
+    purchase at/after that click came within 1 h. First-touch (min-ts)
+    semantics keep every stage a hash aggregate on ``user_id`` —
+    deliberately NOT a per-pair range join, so no step explodes
+    quadratically on hot users. Scale shape: three groupBys + two
+    user-key equi-joins, all co-partitioned on user_id; counts reduce
+    to three scalars. The product analytics staple over the events
+    stream."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    ms = lambda c: (F.unix_micros(F.col(c)) / F.lit(1000)).cast("long")  # noqa: E731
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"), F.min("vts").alias("vts"))
+    )
+    s2 = fc.filter(ms("cts") - ms("vts") <= _STEP_MS)
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "cts"), "user_id")
+        .filter(F.col("ts") >= F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"), F.min("cts").alias("cts"))
+    )
+    s3 = fp.filter(ms("pts") - ms("cts") <= _STEP_MS)
+    one = lambda df, name: df.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select(F.lit(name).alias("step"), "n_users")
+    return one(fv, "view").unionByName(one(s2, "click_1h")).unionByName(
+        one(s3, "purchase_1h")
+    )

@@ -157,3 +157,39 @@ def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_checksum"),
     )
+
+
+@query(
+    "orc_roundtrip_agg",
+    sql="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS content_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+    priority=True,
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → ORC sink → ORC scan → per-lang aggregate with the
+    same order-insensitive md5-u32 content checksum as the JSONL
+    round-trip (E68). Oracle runs on the original parquet table, so a
+    hash match proves the ORC round-trip is byte-lossless — extends
+    the S-surface (SURVEY §2.1 S5/S10 format dispatch) to the
+    Hive/Trino ecosystem's columnar format. Same pushdown/pruning
+    story as parquet at 100 TB."""
+    out = os.path.join(tempfile.mkdtemp(prefix="hz_orc_rt_"), "documents_orc")
+    src = table(spark, sf_dir, "documents")
+    write_table(src, out, fmt="orc")
+    back = read_table(spark, out, fmt="orc")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("content_checksum"),
+    )

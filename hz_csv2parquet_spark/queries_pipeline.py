@@ -484,3 +484,61 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sampled_chars"),
     )
+
+
+# =====================================================================
+# per-lang quality percentile gate (E84)
+# =====================================================================
+
+
+@query(
+    "quality_percentile_filter_documents",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {T.sql_token_count("text")} AS n_tokens,
+             {T.sql_non_alnum_ratio("text")} AS non_alnum_ratio
+      FROM documents
+    ),
+    th AS (
+      SELECT lang,
+             quantile_cont(n_tokens, 0.25) AS tok_p25,
+             quantile_cont(non_alnum_ratio, 0.75) AS sym_p75
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, s.non_alnum_ratio
+    FROM scored s JOIN th ON s.lang = th.lang
+    WHERE s.n_tokens >= th.tok_p25 AND s.non_alnum_ratio <= th.sym_p75
+    """,
+    priority=True,
+)
+def quality_percentile_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative quality gate: keep documents at or above their
+    language's 25th-percentile token count AND at or below its 75th-
+    percentile symbol ratio — the adaptive per-slice filter (quality
+    thresholds that track each language's own distribution) every
+    curation pipeline prefers over global constants. Exact
+    interpolating percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``) make the gate hash-checkable; the thresholds
+    frame is |langs| rows → **broadcast**, so the corpus never
+    shuffles — score, join, filter is one narrow pass. At 100 TB the
+    exact per-group percentile swaps for the two-phase bucket rank
+    (E77) or ``approx_percentile`` with the same gate semantics."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        T.non_alnum_ratio("text").alias("non_alnum_ratio"),
+    )
+    th = d.groupBy("lang").agg(
+        F.percentile("n_tokens", F.lit(0.25)).alias("__tok_p25"),
+        F.percentile("non_alnum_ratio", F.lit(0.75)).alias("__sym_p75"),
+    )
+    return (
+        d.join(F.broadcast(th), "lang")
+        .filter(
+            (F.col("n_tokens") >= F.col("__tok_p25"))
+            & (F.col("non_alnum_ratio") <= F.col("__sym_p75"))
+        )
+        .select("doc_id", "lang", "n_tokens", "non_alnum_ratio")
+    )

@@ -988,3 +988,75 @@ def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
         salt_col=F.col("doc_id"),
     ).select("doc_id", "source", "n_tokens", "rn")
+
+
+# =====================================================================
+# vocabulary coverage / OOV rate (E83)
+# =====================================================================
+
+
+@query(
+    "vocab_oov_rate_documents",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS t
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(t) AS token FROM base),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    dfreq AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY 1
+    ),
+    vocab AS (SELECT token FROM dfreq, nd WHERE df * 20 >= n_docs)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY 1
+    """,
+    priority=True,
+)
+def vocab_oov_rate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the corpus "core vocab" (tokens in
+    ≥ 5 % of documents — integer-arithmetic threshold df·20 ≥ N, no
+    float rate) and score every document's out-of-vocabulary token
+    rate — the tokenizer-fit / domain-shift signal a training
+    pipeline tracks per corpus snapshot. Scale shape: the vocab is
+    high-df by construction so its size is bounded by
+    tokens-per-doc / 0.05 regardless of corpus size → **broadcast**;
+    the token stream joins map-side and aggregates on doc_id. The df
+    table itself shuffles on token exactly like TF-IDF (E32)."""
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", T.tokens("text").alias("__t")
+    )
+    toks = d.select("doc_id", F.explode("__t").alias("token"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    vocab = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .filter(F.col("__df") * 20 >= F.col("n_docs"))
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            (F.sum(oov).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )

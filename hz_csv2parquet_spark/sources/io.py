@@ -32,6 +32,7 @@ from pyspark.sql.types import StructType
 _CSV_EXTS = {".csv"}
 _PARQUET_EXTS = {".parquet", ".pq"}
 _JSON_EXTS = {".json", ".jsonl", ".ndjson"}
+_ORC_EXTS = {".orc"}
 
 
 def _infer_format(path: str) -> str:
@@ -42,6 +43,8 @@ def _infer_format(path: str) -> str:
         return "parquet"
     if ext in _JSON_EXTS:
         return "json"
+    if ext in _ORC_EXTS:
+        return "orc"
     raise ValueError(f"cannot infer format from {path!r}; pass fmt=")
 
 
@@ -98,6 +101,15 @@ def read_table(
                 "pathGlobFilter", "*.[jJ][sS][oO][nN]*"
             )
         df = reader.json(paths)
+    elif fmt == "orc":
+        # ORC — the other columnar interchange format (Hive/Trino
+        # ecosystems); same pushdown/pruning story as parquet.
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if recursive:
+            reader = reader.option("recursiveFileLookup", True)
+        df = reader.orc(*paths)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -129,6 +141,8 @@ def write_table(
         writer.parquet(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
