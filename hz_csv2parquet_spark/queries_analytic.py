@@ -15,7 +15,7 @@ queries.py (tests/test_registry_order.py pins the discipline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.exact import exact_sum
@@ -326,4 +326,111 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit(name).alias("step"), "n_users")
     return one(fv, "view").unionByName(one(s2, "click_1h")).unionByName(
         one(s3, "purchase_1h")
+    )
+
+
+# ---------------------------------------------------------------------
+# E86: weekly retention cohorts
+# ---------------------------------------------------------------------
+
+_WEEK_MS = 7 * 24 * 3_600_000
+
+
+@query(
+    "retention_cohorts_events",
+    sql=f"""
+    WITH weeks AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_ms(ts) / {_WEEK_MS}) AS BIGINT) AS week
+      FROM events GROUP BY 1, 2
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1
+    )
+    SELECT c.cohort_week,
+           w.week - c.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    priority=True,
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users grouped by first-activity week
+    (cohort), counted in every later week they reappear — the
+    (cohort_week, week_offset) grid behind every retention curve.
+    Integer epoch-week arithmetic end to end. Scale shape: the fact
+    stream collapses to distinct (user, week) FIRST (bounded by
+    users × weeks, not events), the cohort frame is a second hash agg
+    on the same user_id partitioning (exchange reuse), and the final
+    grid is tiny. The join keys on user_id — co-partitioned with both
+    aggregates, no broadcast needed, no skew (each user contributes
+    ≤ #weeks rows)."""
+    weeks = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.unix_millis("ts") / F.lit(_WEEK_MS)).cast("long").alias("week"),
+        )
+        .distinct()
+    )
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------
+# E87: top event-path trigrams (behavioral sequence mining)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "event_path_trigrams",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+    priority=True,
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step behavioral paths: consecutive event-type
+    triples per user (ordered by ts, event_id tie-break), counted and
+    ranked — sequence mining's first query. Scale shape: the LEAD
+    window partitions on high-cardinality user_id (each partition =
+    one user's events, never the stream); the trigram count is a hash
+    agg on ≤ |types|³ keys; the exact top-20 is TakeOrderedAndProject
+    (per-partition heads + driver merge), NOT a global sort.
+    Deterministic under ties via the secondary path ordering."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("__t2"),
+        F.lead("event_type", 2).over(w).alias("__t3"),
+    )
+    return (
+        seq.filter(F.col("__t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "__t2", "__t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
     )

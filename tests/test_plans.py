@@ -188,3 +188,46 @@ def test_percentiles_scalable_no_full_partition_sort(spark, sf_dir):
         and "__n" not in ln
     ]
     assert not big_sorts, big_sorts
+
+def test_quality_gate_broadcasts_thresholds(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "quality_percentile_filter_documents")
+    # per-lang thresholds frame broadcasts back; the corpus never
+    # shuffles (its only exchange is the threshold agg's own)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_vocab_oov_broadcasts_vocab(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "vocab_oov_rate_documents")
+    # bounded-size core vocab is the broadcast side of the token join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_no_range_explosion(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "funnel_conversion_events")
+    # first-touch semantics: user-key equi-joins only — no
+    # nested-loop/cartesian pair expansion on hot users
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_path_trigrams_top_k_without_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "event_path_trigrams")
+    # exact top-20 via per-partition heads + driver merge
+    assert "TakeOrderedAndProject" in plan
+    # the only Sort nodes belong to the per-user LEAD window, never a
+    # global (non-partitioned) sort of the counts
+    for line in plan.splitlines():
+        if "Sort " in line and "user_id" not in line:
+            raise AssertionError(f"unexpected non-window sort: {line.strip()}")
+
+
+def test_retention_cohorts_reuses_user_partitioning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "retention_cohorts_events")
+    # distinct (user, week) -> cohort agg -> user-key join -> grid agg:
+    # bounded exchanges, no broadcast of the (large-at-scale) user set
+    # is REQUIRED for correctness; pin only the absence of pair blowup
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
