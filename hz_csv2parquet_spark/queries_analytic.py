@@ -434,3 +434,66 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------
+# E88: per-group OLS trend slope (exact-sum closed form)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "trend_slope_by_type",
+    sql="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx
+      FROM c GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_hour
+    FROM s
+    """,
+    priority=True,
+)
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of event value over time: closed-form
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with x = epoch hour and
+    y = value in cents. Every sum is EXACT integer arithmetic in
+    DECIMAL(38,0) (oracle: HUGEINT) — the one division happens once
+    per group on exact operands, so the double result is
+    bit-identical across engines and row orders; a naive double Σxy
+    would be neither. Scale shape: one map-side-combined hash agg to
+    |types| rows, then scalar arithmetic — the same
+    moments-then-finish pattern as the z-score gate (E72)."""
+    vc = F.round(F.col("value") * 100).cast("long").cast(_D38)
+    x = F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").cast(_D38)
+    c = table(spark, sf_dir, "events").select(
+        "event_type", x.alias("__x"), vc.alias("__y")
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_D38).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return s.select(
+        "event_type",
+        F.col("__n").cast("long").alias("n"),
+        (num.cast("double") / den.cast("double") / F.lit(100.0)).alias(
+            "slope_per_hour"
+        ),
+    )
