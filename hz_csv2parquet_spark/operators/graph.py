@@ -67,7 +67,14 @@ def connected_components(
     from ..tables import memo_persist
 
     e = edges.select("src", "dst")
-    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # persist the symmetrized edge list BEFORE the loop: without the
+    # materialization boundary every iteration's join re-executes the
+    # edges' full upstream lineage — for dup_clusters that is the
+    # entire MinHash LSH pipeline (shingle → signature → band join →
+    # verify) once PER ITERATION (measured 22.9 s → 4.5 s at sf0.1).
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
     labels = vertices.select("v", F.col("v").alias("lbl")).persist()
     prev_sum = None
     for i in range(max_iter):
@@ -91,6 +98,7 @@ def connected_components(
         if prev_sum is not None and s == prev_sum:
             break
         prev_sum = s
+    sym.unpersist()
     # hand ownership to the single-slot memo: a later invocation (or a
     # different graph) evicts and releases this frame instead of it
     # leaking for the session's life. On a slot hit (identical graph

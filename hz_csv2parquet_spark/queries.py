@@ -87,8 +87,12 @@ ROTATION: set[str] = {
     "streaming_enrich_events",
     "streaming_attribution_join",
     "streaming_attribution_outer",
-    # changed this round
+    # changed this round (perf edits: memo/persist boundaries)
     "contamination_check_documents",
+    "dedup_cluster_documents",
+    "semantic_dedup_embeddings",
+    "embedding_near_pairs",
+    "similarity_ivf_embeddings",
     # staleness tail: last green r2
     "approx_distinct_users_per_type",
     "csv_roundtrip_agg",
@@ -100,11 +104,10 @@ ROTATION: set[str] = {
     "q17_small_quantity_revenue",
     "q5_local_supplier_volume",
     "streaming_convert_roundtrip",
-    # staleness tail: last green r3
-    "boilerplate_ngram_stats",
-    "chunk_documents_overlap",
-    "corpus_diff_documents",
-    "dedup_canonical_documents",
+    # staleness tail: last green r3 (boilerplate/chunk/corpus-diff/
+    # canonical deferred to round 6's staleness pass — unchanged since
+    # their r3 green rows — to keep the window ≤ 50 after the four
+    # perf-touched queries above rotated in)
     "dedup_exact_documents",
     "dedup_paragraph_documents",
     "grouped_lang_stats_pandas",
