@@ -423,10 +423,18 @@ def blocked_jaccard_pairs(
     natural partition key exists. Quadratic only in the block size;
     the join shuffles on the block key. Output: block, id_a, id_b,
     jaccard (≥ threshold)."""
-    sh = df.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("__id"),
-        shingle_set(text_col, shingle_n).alias("__sh"),
+    from ..tables import memo_persist
+
+    # both self-join legs read the (block, id, shingle-set) frame —
+    # persist it so the shingle + block-key projection (the expensive
+    # part: char-fingerprint block keys) computes once, not per leg.
+    sh = memo_persist(
+        df.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).alias("__id"),
+            shingle_set(text_col, shingle_n).alias("__sh"),
+        ),
+        "jaccard_blocks",
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (

@@ -93,6 +93,7 @@ ROTATION: set[str] = {
     "semantic_dedup_embeddings",
     "embedding_near_pairs",
     "similarity_ivf_embeddings",
+    "ngram_jaccard_pairs",
     # staleness tail: last green r2
     "approx_distinct_users_per_type",
     "csv_roundtrip_agg",
