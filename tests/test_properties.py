@@ -121,3 +121,77 @@ def test_pack_invariants(spark, sizes, budget):
     for r in out:
         assert r.pack_id == run // budget and r.pack_offset == run % budget
         run += r.sz
+
+
+# ---------------------------------------------------------------------
+# independent-implementation properties: the DuckDB oracles mirror the
+# Spark construction (shared-bug risk); these check operators against
+# brute-force Python reimplementations on random inputs instead.
+# ---------------------------------------------------------------------
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=0, max_size=25
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_match_union_find(spark, edges):
+    from hz_csv2parquet_spark.operators.graph import connected_components
+
+    verts = list(range(15))
+    parent = list(range(15))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # expected label = min vertex id in each union-find component
+    comp_min = {}
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in verts}
+
+    vdf = spark.createDataFrame([(v,) for v in verts], "v long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r.v: r.lbl for r in connected_components(vdf, edf, max_iter=20).collect()
+    }
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200_000)),
+        min_size=0,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_banded_range_join_matches_bruteforce(spark, events):
+    from hz_csv2parquet_spark.operators.rangejoin import banded_interval_self_join
+
+    gap = 60_000
+    rows = [(uid, ms, i) for i, (uid, ms) in enumerate(events)]
+    expected = set()
+    for ua, ta, ia in rows:
+        for ub, tb, ib in rows:
+            if ua == ub and 0 <= tb - ta <= gap and (ta, ia) < (tb, ib):
+                expected.add((ia, ib))
+    df = spark.createDataFrame(
+        [(u, t, i, "x") for u, t, i in rows] or [(0, 0, 0, "x")],
+        "user_id long, __ms long, event_id long, event_type string",
+    )
+    pairs = banded_interval_self_join(df, "user_id", "__ms", "event_id", gap)
+    got = {(r.event_id_a, r.event_id_b) for r in pairs.collect()}
+    if not rows:
+        return  # placeholder row only
+    assert got == expected
