@@ -116,7 +116,8 @@ ROTATION: set[str] = {
     "q19_disjunctive_revenue",
     "quota_sample_per_source",
     "rare_token_quality_documents",
-    "redact_mask_documents",
+    # redact_mask_documents deferred to round 6's staleness pass
+    # (unchanged since its r3 green row) to fit the streaming funnel
     "repetition_stats_documents",
     "text_quality_by_lang",
     "text_stats_documents",

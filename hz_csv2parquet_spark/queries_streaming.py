@@ -284,3 +284,46 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import sliding_counts
 
     return run_to_memory(sliding_counts(stream_events(spark, sf_dir)))
+
+
+@query(
+    "streaming_funnel_user_state",
+    sql="""
+    WITH m AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS mv,
+             MIN(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS mc,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS mp
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(COALESCE(mv, -1) AS BIGINT) AS min_view_ms,
+           CAST(COALESCE(mc, -1) AS BIGINT) AS min_click_ms,
+           CAST(COALESCE(mp, -1) AS BIGINT) AS min_purchase_ms,
+           (mv IS NOT NULL AND mc IS NOT NULL
+            AND mc >= mv AND mc <= mv + 3600000) AS reached_click,
+           (mv IS NOT NULL AND mc IS NOT NULL
+            AND mc >= mv AND mc <= mv + 3600000
+            AND mp IS NOT NULL AND mp >= mc AND mp <= mc + 3600000)
+             AS reached_purchase
+    FROM m
+    """,
+    streaming=True,
+    priority=True,
+)
+def streaming_funnel_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-touch funnel as a custom stateful operator
+    (streaming/stateful.py:funnel_user_state): per-user minima per
+    funnel stage evolved across micro-batches via
+    ``applyInPandasWithState``, with the step verdicts derived from
+    the minima at emission. The state is three commutative ``min``s,
+    so the result is independent of batch boundaries and event order —
+    which is exactly why the real availableNow run hash-matches the
+    batch SQL oracle on the same minima. The batch analogue
+    (E82 funnel_conversion_events) reports the aggregate funnel; this
+    emits the per-user state a live product-analytics store serves."""
+    from .streaming.stateful import funnel_user_state
+
+    return run_to_memory(funnel_user_state(stream_events(spark, sf_dir)), mode="append")

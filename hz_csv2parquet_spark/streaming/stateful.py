@@ -52,3 +52,78 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     return keyed.groupBy("user_id").applyInPandasWithState(
         update, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
+
+
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, min_view_ms long, min_click_ms long, min_purchase_ms long, "
+    "reached_click boolean, reached_purchase boolean"
+)
+FUNNEL_STATE_SCHEMA = "mv long, mc long, mp long"
+_FUNNEL_STEP_MS = 3_600_000
+_NONE = -1  # sentinel for "no event of this type seen yet"
+
+
+def funnel_user_state(events: DataFrame, step_ms: int = _FUNNEL_STEP_MS) -> DataFrame:
+    """Per-user streaming funnel state: minimum event time per funnel
+    stage (view / click / purchase) evolved across micro-batches, plus
+    the derived step verdicts — reached_click iff the user's first
+    click falls at/after their first view and within ``step_ms``;
+    reached_purchase iff additionally the first purchase follows the
+    first click within ``step_ms``.
+
+    The state is deliberately **commutative**: three per-type minima,
+    each updated with ``min()`` — so the result is independent of
+    batch boundaries AND of event order within/across batches (unlike
+    a "first click after first view" scan, whose incremental form is
+    unsound when an earlier view arrives in a later batch). The
+    verdicts are pure functions OF the minima, recomputed at each
+    emission. That is what makes the availableNow run hash-checkable
+    against a batch SQL oracle on the same minima. State per user is
+    three longs — bounded by #users, not #events."""
+    import pandas as pd
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        mv, mc, mp = state.get if state.exists else (_NONE, _NONE, _NONE)
+
+        def _min(cur: int, new_vals) -> int:
+            vals = [int(v) for v in new_vals]
+            if not vals:
+                return cur
+            lo = min(vals)
+            return lo if cur == _NONE else min(cur, lo)
+
+        for pdf in pdfs:
+            mv = _min(mv, pdf.loc[pdf["event_type"] == "view", "tms"])
+            mc = _min(mc, pdf.loc[pdf["event_type"] == "click", "tms"])
+            mp = _min(mp, pdf.loc[pdf["event_type"] == "purchase", "tms"])
+        state.update((mv, mc, mp))
+        reached_click = (
+            mv != _NONE and mc != _NONE and mv <= mc <= mv + step_ms
+        )
+        reached_purchase = bool(
+            reached_click and mp != _NONE and mc <= mp <= mc + step_ms
+        )
+        yield pd.DataFrame(
+            [[key[0], mv, mc, mp, bool(reached_click), reached_purchase]],
+            columns=[
+                "user_id",
+                "min_view_ms",
+                "min_click_ms",
+                "min_purchase_ms",
+                "reached_click",
+                "reached_purchase",
+            ],
+        )
+
+    keyed = events.select(
+        "user_id", "event_type", F.unix_millis("ts").alias("tms")
+    ).filter(F.col("event_type").isin("view", "click", "purchase"))
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update,
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

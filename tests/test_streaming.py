@@ -193,3 +193,36 @@ def test_attribution_outer_constructed_trailing_band(spark, tmp_path):
     assert 301 not in rows, "trailing-band click must stay buffered, not emit"
     assert rows[902].view_id == 901 and rows[902].gap_ms == 0
     assert len(out) == 3
+
+
+def test_funnel_state_commutative_across_out_of_order_batches(spark, tmp_path):
+    """The funnel state must give the same verdicts when an EARLIER
+    view arrives in a LATER batch — the case that breaks naive
+    'first click after first view' incremental scans and the reason
+    the state is three commutative minima."""
+    from hz_csv2parquet_spark.streaming.stateful import funnel_user_state
+
+    H = 3_600_000
+    B = 1_700_000_000_000
+    # batch 1: only the click (user has no view yet)
+    _write_events(tmp_path / "a.parquet", [(1, B + 2 * H, 7, "click")])
+    # batch 2: the view arrives late and is EARLIER in event time,
+    # plus the purchase
+    _write_events(
+        tmp_path / "b.parquet",
+        [(2, B + H + H // 2, 7, "view"), (3, B + 2 * H + H // 2, 7, "purchase")],
+    )
+    events = stream_events(
+        spark, str(tmp_path), glob="*.parquet", options={"maxFilesPerTrigger": 1}
+    )
+    out = run_to_memory(funnel_user_state(events), mode="append").collect()
+    assert len(out) == 2  # one emission per batch containing user 7
+    final = max(out, key=lambda r: r.min_view_ms)
+    assert final.min_view_ms == B + H + H // 2
+    assert final.min_click_ms == B + 2 * H
+    assert final.min_purchase_ms == B + 2 * H + H // 2
+    assert final.reached_click is True  # click within 1 h of the late view
+    assert final.reached_purchase is True
+    # the first emission (click only) must NOT have claimed the step
+    first = min(out, key=lambda r: r.min_view_ms)
+    assert first.min_view_ms == -1 and first.reached_click is False
