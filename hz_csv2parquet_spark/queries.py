@@ -60,17 +60,22 @@ def query(
 
 
 #: Per-round verify rotation. The driver's correctness gate checks
-#: only the first ~50 entries of ``queries()``, so with 87 queries
-#: ~37 go unverified each round; this set names the queries that MUST
-#: get a fresh CORRECTNESS row this round, chosen by the rotation
-#: discipline (tests/test_registry_order.py pins it mechanically):
-#:   1. every query red / hash-failed in the latest round,
+#: only the first ~50 entries of ``queries()``, so with 95 registered
+#: queries ~45 go unverified each round; this set names the queries
+#: that MUST get a fresh CORRECTNESS row this round, chosen by the
+#: rotation discipline (tests/test_registry_order.py pins it
+#: mechanically):
+#:   1. every query red / hash-failed / errored in the latest round,
 #:   2. every query whose implementation changed since its last
 #:      driver-green row,
 #:   3. the staleness tail — anything last verified ≥2 rounds ago.
 #: Round 5: the 14 ts-family queries (reader fix, round-4 red +
-#: stale-greens), this round's perf edit (contamination check), the
-#: 10 r2-green batch queries and the 17 r3-green remainder.
+#: stale-greens), the 6 perf-edited queries (contamination, cluster,
+#: semantic, near-pairs, IVF, jaccard), the 10 r2-green batch queries
+#: and the r3-green remainder minus 5 deferrals noted inline; the 9
+#: brand-new round-5 queries ride the ``priority=True`` flag instead.
+#: The effective-priority count sits at exactly 50/50 — any addition
+#: needs a matching deferral.
 ROTATION: set[str] = {
     # ts-family: events reader rewritten for timestamp[us] fixtures
     "sessionize_events",
@@ -140,6 +145,13 @@ def ordered_registry() -> dict[str, Query]:
     class; long-green queries take the tail."""
     items = sorted(REGISTRY.items(), key=lambda kv: not effective_priority(kv[1]))
     return dict(items)
+
+
+#: 1 h funnel step shared by the batch funnel (E82), the streaming
+#: funnel state (E89), and BOTH their SQL oracles — one constant so a
+#: step change cannot silently desynchronize a Spark plan from its
+#: oracle mirror.
+FUNNEL_STEP_MS = 3_600_000
 
 
 def dlit(x: float) -> str:

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .functions.exact import exact_sum
 from .operators.rangejoin import banded_interval_self_join
-from .queries import query
+from .queries import FUNNEL_STEP_MS, query
 from .tables import table
 
 # ---------------------------------------------------------------------
@@ -254,7 +254,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E82: first-touch conversion funnel (view -> click -> purchase)
 # ---------------------------------------------------------------------
 
-_STEP_MS = 3_600_000  # 1 h between funnel steps
+_STEP_MS = FUNNEL_STEP_MS  # 1 h between funnel steps (shared with E89 + oracles)
 
 
 @query(
@@ -299,7 +299,7 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     to three scalars. The product analytics staple over the events
     stream."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    ms = lambda c: (F.unix_micros(F.col(c)) / F.lit(1000)).cast("long")  # noqa: E731
+    ms = lambda c: F.unix_millis(F.col(c))  # noqa: E731 — integer-exact epoch ms
     fv = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")

@@ -524,11 +524,19 @@ def quality_percentile_filter_documents(spark: SparkSession, sf_dir: str) -> Dat
     shuffles — score, join, filter is one narrow pass. At 100 TB the
     exact per-group percentile swaps for the two-phase bucket rank
     (E77) or ``approx_percentile`` with the same gate semantics."""
-    d = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "lang",
-        T.token_count("text").alias("n_tokens"),
-        T.non_alnum_ratio("text").alias("non_alnum_ratio"),
+    from .tables import memo_persist
+
+    # the scored frame (two regex passes per document) feeds both the
+    # threshold aggregate and the gating join — persist it so the
+    # scoring runs once, not per consumer.
+    d = memo_persist(
+        spread(table(spark, sf_dir, "documents")).select(
+            "doc_id",
+            "lang",
+            T.token_count("text").alias("n_tokens"),
+            T.non_alnum_ratio("text").alias("non_alnum_ratio"),
+        ),
+        "quality_scored",
     )
     th = d.groupBy("lang").agg(
         F.percentile("n_tokens", F.lit(0.25)).alias("__tok_p25"),

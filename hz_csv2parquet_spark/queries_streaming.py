@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .queries import query
+from .queries import FUNNEL_STEP_MS, query
 from .streaming.windows import run_to_memory, session_windows, stream_events, tumbling_counts
 
 
@@ -288,7 +288,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_funnel_user_state",
-    sql="""
+    sql=f"""
     WITH m AS (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS mv,
@@ -303,10 +303,10 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(mc, -1) AS BIGINT) AS min_click_ms,
            CAST(COALESCE(mp, -1) AS BIGINT) AS min_purchase_ms,
            (mv IS NOT NULL AND mc IS NOT NULL
-            AND mc >= mv AND mc <= mv + 3600000) AS reached_click,
+            AND mc >= mv AND mc <= mv + {FUNNEL_STEP_MS}) AS reached_click,
            (mv IS NOT NULL AND mc IS NOT NULL
-            AND mc >= mv AND mc <= mv + 3600000
-            AND mp IS NOT NULL AND mp >= mc AND mp <= mc + 3600000)
+            AND mc >= mv AND mc <= mv + {FUNNEL_STEP_MS}
+            AND mp IS NOT NULL AND mp >= mc AND mp <= mc + {FUNNEL_STEP_MS})
              AS reached_purchase
     FROM m
     """,
@@ -326,4 +326,7 @@ def streaming_funnel_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the per-user state a live product-analytics store serves."""
     from .streaming.stateful import funnel_user_state
 
-    return run_to_memory(funnel_user_state(stream_events(spark, sf_dir)), mode="append")
+    return run_to_memory(
+        funnel_user_state(stream_events(spark, sf_dir), step_ms=FUNNEL_STEP_MS),
+        mode="append",
+    )

@@ -1030,12 +1030,18 @@ def vocab_oov_rate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens-per-doc / 0.05 regardless of corpus size → **broadcast**;
     the token stream joins map-side and aggregates on doc_id. The df
     table itself shuffles on token exactly like TF-IDF (E32)."""
-    from .tables import spread
+    from .tables import memo_persist, spread
 
     d = spread(table(spark, sf_dir, "documents")).select(
         "doc_id", T.tokens("text").alias("__t")
     )
-    toks = d.select("doc_id", F.explode("__t").alias("token"))
+    # the token stream feeds the df aggregate AND the final join —
+    # persist it so the normalize/split/explode pipeline runs once,
+    # not once per consumer (the same diamond the contamination check
+    # fixed this round).
+    toks = memo_persist(
+        d.select("doc_id", F.explode("__t").alias("token")), "vocab_toks"
+    )
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = (
         toks.select("doc_id", "token")

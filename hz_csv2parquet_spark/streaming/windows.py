@@ -44,9 +44,16 @@ def stream_events(
     timestamp schema and the raw nanos-as-long decode — the SAME
     decision, one shared helper, for batch and streaming."""
     # the file-source requires a directory: stream the dir with a
-    # glob filter selecting the events file(s)
+    # glob filter selecting the events file(s). The footer probe must
+    # respect the SAME glob — probing the bare dir could classify
+    # events by reading an unrelated table's footer (e.g.
+    # customer.parquet sorts first under an sf_dir).
+    import glob as globmod
+
     probe = os.path.join(sf_dir, glob)
-    probe = probe if os.path.isfile(probe) else sf_dir
+    if not os.path.isfile(probe):
+        matches = sorted(globmod.glob(os.path.join(sf_dir, "**", glob or "*.parquet"), recursive=True))
+        probe = matches[0] if matches else sf_dir
     reader = spark.readStream
     if glob:
         reader = reader.option("pathGlobFilter", glob)

@@ -52,8 +52,13 @@ def test_latest_round_failures_are_rotated_in():
         for name, rounds in hist.items()
         if latest in rounds
         and name in REGISTRY
-        and rounds[latest].get("err") is None
-        and (rounds[latest].get("rows_match") is False or rounds[latest].get("hash_match") is False)
+        and (
+            # crashed queries count as failures too — only the
+            # benign rows-only marker is exempt
+            rounds[latest].get("err") not in (None, "no_oracle")
+            or rounds[latest].get("rows_match") is False
+            or rounds[latest].get("hash_match") is False
+        )
     }
     missing = failed - window
     assert not missing, f"round-{latest} failures outside driver window: {missing}"
