@@ -71,6 +71,19 @@ def test_json_roundtrip_and_dispatch(spark, tmp_path):
     }
 
 
+def test_orc_roundtrip_and_dispatch(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text(CSV_BODY)
+    df = read_table(spark, str(src))
+    dest = str(tmp_path / "out.orc")
+    write_table(df, dest)  # fmt inferred: .orc
+    back = read_table(spark, dest)
+    assert back.count() == 2
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }
+
+
 def test_suffix_naming_no_double_dot(tmp_path):
     # reference bug (add_country.py:79) produced 'b_x..csv' — fixed here
     assert add_suffix_to_path("a/b.csv", "_x") == "a/b_x.csv"
