@@ -121,13 +121,13 @@ ROTATION: set[str] = {
     "q19_disjunctive_revenue",
     "quota_sample_per_source",
     "rare_token_quality_documents",
-    # redact_mask_documents deferred to round 6's staleness pass
-    # (unchanged since its r3 green row) to fit the streaming funnel
+    # redact_mask_documents, text_quality_by_lang and
+    # vocab_zipf_histogram deferred to round 6's staleness pass
+    # (unchanged since their r3 green rows) to fit the streaming
+    # funnel, source similarity, and length histogram
     "repetition_stats_documents",
-    "text_quality_by_lang",
     "text_stats_documents",
     "top_terms_per_lang",
-    "vocab_zipf_histogram",
 }
 
 

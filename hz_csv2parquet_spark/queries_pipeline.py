@@ -550,3 +550,66 @@ def quality_percentile_filter_documents(spark: SparkSession, sf_dir: str) -> Dat
         )
         .select("doc_id", "lang", "n_tokens", "non_alnum_ratio")
     )
+
+
+# =====================================================================
+# doc-length histogram with cumulative mass (E91)
+# =====================================================================
+
+
+@query(
+    "length_histogram_documents",
+    sql=f"""
+    WITH scored AS (
+      SELECT {T.sql_token_count("text")} AS n_tokens FROM documents
+    ),
+    b AS (
+      SELECT CAST(length(bin(greatest(n_tokens, 1))) - 1 AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM scored GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM b)
+    SELECT bucket, n_docs, total_tokens,
+           CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+           CAST(SUM(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
+             / CAST(all_docs AS DOUBLE) AS cum_frac
+    FROM b, n
+    """,
+    priority=True,
+)
+def length_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram in power-of-two buckets (⌊log₂ n⌋ via
+    the transcendental-free ``length(bin(n)) − 1`` idiom, E66) with
+    cumulative document mass — the length CDF a sequence-packing or
+    context-window planner reads before choosing chunk sizes. Scale
+    shape: the corpus reduces to ≤ ~30 bucket rows FIRST (map-side
+    combinable hash agg); the cumulative window and total-broadcast
+    run on that aggregate-sized frame — a global window, but over
+    buckets, never rows."""
+    d = spread(table(spark, sf_dir, "documents")).select(
+        T.token_count("text").alias("n_tokens")
+    )
+    b = d.groupBy(
+        (F.length(F.bin(F.greatest(F.col("n_tokens"), F.lit(1)))) - 1)
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    n = b.agg(F.sum("n_docs").alias("all_docs"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.crossJoin(F.broadcast(n))
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+            (
+                F.sum("n_docs").over(w).cast("double")
+                / F.col("all_docs").cast("double")
+            ).alias("cum_frac"),
+        )
+    )

@@ -1066,3 +1066,102 @@ def vocab_oov_rate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =====================================================================
+# pairwise source similarity via per-source MinHash signatures (E90)
+# =====================================================================
+
+
+def _sql_source_similarity(num_hashes: int = 16) -> str:
+    from .operators.dedup import MINHASH_P, _mh_coeffs
+
+    mins = []
+    for i in range(num_hashes):
+        a, b = _mh_coeffs(i)
+        mins.append(
+            f"MIN(list_min(list_transform(h32, h -> ({a} * h + {b}) % {MINHASH_P})))"
+            f" AS m{i}"
+        )
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    mins_sql = ",\n             ".join(mins)
+    return f"""
+    WITH sh32 AS (
+      SELECT source,
+             list_transform({_sql_shingles("text")}, x ->
+               CAST(CAST(concat('0x', substring(md5(x), 1, 8)) AS UBIGINT) AS BIGINT))
+               AS h32
+      FROM documents
+    ),
+    sig AS (
+      SELECT source,
+             {mins_sql}
+      FROM sh32 GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({agree} AS BIGINT) AS n_agree,
+           CAST({agree} AS DOUBLE) / {num_hashes}.0 AS sim_est
+    FROM sig a JOIN sig b ON a.source < b.source
+    """
+
+
+@query("source_similarity_minhash", sql=_sql_source_similarity(), priority=True)
+def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise corpus-slice similarity: one MinHash signature PER
+    SOURCE (component i = min of the i-th permutation over the union
+    of the source's doc shingles — min is associative, so the
+    per-source signature is just ``MIN`` over per-doc minima), then
+    estimated shingle-Jaccard between sources = fraction of agreeing
+    components. The dataset-overlap dashboard a corpus curator checks
+    before mixing sources. Scale shape: per-doc signatures are a
+    narrow projection (shared machinery with E2); the per-source
+    reduction is a map-side-combinable MIN to |sources| rows; the
+    pairwise compare is |sources|² on a tiny frame. The corpus never
+    self-joins."""
+    from .operators.dedup import (
+        MINHASH_P,
+        _mh_coeffs,
+        shingle_hashes32,
+        shingle_set,
+    )
+
+    from .tables import spread
+
+    num_hashes = 16
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "source", shingle_hashes32(shingle_set("text", 3)).alias("__h32")
+    )
+
+    # one-arg closure per family member: a two-parameter lambda would
+    # make F.transform pass the ARRAY INDEX as the second argument,
+    # silently replacing the coefficient selector
+    def _family(i: int):
+        a, b = _mh_coeffs(i)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    per_doc = d.select(
+        "source",
+        *[
+            F.array_min(F.transform("__h32", _family(i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    sig = per_doc.groupBy("source").agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            agree.cast("long").alias("n_agree"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("sim_est"),
+        )
+    )
