@@ -200,3 +200,71 @@ def frame_sample(
             "frame"
         ),
     )
+
+
+def resize_pixels(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_w: int = 8,
+    out_h: int = 8,
+    decoder: Callable[[bytes], dict[str, Any]] = fake_decode,
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel grids to a fixed
+    (out_w × out_h) thumbnail — the normalization step every image
+    training pipeline runs before batching. Output per payload: source
+    dims, target dims, exact integer sum and md5 of the resized bytes
+    (both order-free → oracle-hashable). Decode/resize failures yield
+    the (-1, -1) corrupt-row convention. Arrow-batched mapInPandas,
+    payloads never leave the executors; a real deployment swaps the
+    decoder exactly as in :func:`decode_payloads`."""
+    import hashlib
+
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, src_w int, src_h int, out_w int, out_h int, "
+        "resized_sum long, resized_md5 string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    d = decoder(bytes(payload))
+                    w, h, px = d["width"], d["height"], d["pixels"]
+                    if len(px) < w * h:
+                        raise ValueError("short pixel buffer")
+                    out = bytes(
+                        px[(r * h // out_h) * w + (c * w // out_w)]
+                        for r in range(out_h)
+                        for c in range(out_w)
+                    )
+                    rows.append(
+                        (
+                            int(i),
+                            w,
+                            h,
+                            out_w,
+                            out_h,
+                            int(sum(out)),
+                            hashlib.md5(out).hexdigest(),
+                        )
+                    )
+                except Exception:
+                    rows.append((int(i), -1, -1, 0, 0, 0, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "src_w",
+                    "src_h",
+                    "out_w",
+                    "out_h",
+                    "resized_sum",
+                    "resized_md5",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

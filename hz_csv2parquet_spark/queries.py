@@ -116,7 +116,8 @@ ROTATION: set[str] = {
     # perf-touched queries above rotated in)
     "dedup_exact_documents",
     "dedup_paragraph_documents",
-    "grouped_lang_stats_pandas",
+    # grouped_lang_stats_pandas deferred to round 6's staleness pass
+    # (unchanged since r3) to fit the multimodal resize query
     "jsonl_roundtrip_agg",
     "q19_disjunctive_revenue",
     "quota_sample_per_source",

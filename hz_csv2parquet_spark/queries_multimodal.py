@@ -125,3 +125,56 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_id").cast("long").alias("frame_id"),
         F.length("frame").cast("long").alias("frame_bytes"),
     )
+
+
+@query(
+    "multimodal_resize_thumbnails",
+    sql="""
+    WITH p AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+    d AS (
+      SELECT doc_id, text, n,
+             greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS w
+      FROM p
+    ),
+    e AS (
+      SELECT doc_id, text, w,
+             greatest(CAST(floor(CAST(n AS DOUBLE) / w) AS BIGINT), 1) AS h
+      FROM d
+    ),
+    r AS (
+      SELECT doc_id, w, h,
+             list_transform(generate_series(0, 63), k ->
+               substring(text,
+                         CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+                              AS BIGINT),
+                         1)) AS picks
+      FROM e
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS src_w,
+           CAST(h AS INT) AS src_h,
+           CAST(8 AS INT) AS out_w,
+           CAST(8 AS INT) AS out_h,
+           CAST(list_sum(list_transform(picks, ch -> ord(ch))) AS BIGINT)
+             AS resized_sum,
+           md5(array_to_string(picks, '')) AS resized_md5
+    FROM r
+    """,
+    priority=True,
+)
+def multimodal_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 8×8 thumbnails through the real
+    mapInPandas/Arrow resize path (operators/multimodal.py
+    `resize_pixels`) on the deterministic fake decode. The resize
+    index arithmetic ((r·h/8)·w + c·w/8, integer division) is
+    replayed exactly in the SQL mirror over the ASCII payload bytes,
+    so the hash gate pins the Python resize kernel itself — sampled
+    byte positions, row-major order, md5 of the resized buffer.
+    Completes the brief's decode / feature-extract / RESIZE /
+    frame-sample multimodal quartet."""
+    from .operators.multimodal import resize_pixels
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return resize_pixels(d, "doc_id", "payload", out_w=8, out_h=8)

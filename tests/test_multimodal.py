@@ -118,3 +118,31 @@ def test_real_png_decodes_through_mapinpandas(spark):
     assert rows[1] == (7, 5, 35)
     assert rows[2] == (3, 2, 6)
     assert rows[3] == (-1, -1, 0)  # truncated PNG -> corrupt-row convention
+
+
+def test_resize_identity_on_exact_grid(spark):
+    """A 64-byte payload fake-decodes to exactly 8×8, so the 8×8
+    nearest-neighbor resize must be the identity on the pixel
+    buffer."""
+    import hashlib
+
+    from hz_csv2parquet_spark.operators.multimodal import resize_pixels
+
+    payload = bytes(range(64))
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+    r = resize_pixels(df, "id", "payload", out_w=8, out_h=8).collect()[0]
+    assert (r.src_w, r.src_h, r.out_w, r.out_h) == (8, 8, 8, 8)
+    assert r.resized_sum == sum(payload)
+    assert r.resized_md5 == hashlib.md5(payload).hexdigest()
+
+
+def test_resize_downsamples_row_major(spark):
+    """A 16×16 gradient downsampled to 8×8 must pick every other
+    pixel (floor(r·16/8)=2r, floor(c·16/8)=2c) in row-major order."""
+    from hz_csv2parquet_spark.operators.multimodal import resize_pixels
+
+    payload = bytes((r * 16 + c) % 256 for r in range(16) for c in range(16))
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+    r = resize_pixels(df, "id", "payload", out_w=8, out_h=8).collect()[0]
+    expected = bytes(payload[(2 * rr) * 16 + 2 * cc] for rr in range(8) for cc in range(8))
+    assert r.resized_sum == sum(expected)
