@@ -72,10 +72,14 @@ def query(
 #: Round 5: the 14 ts-family queries (reader fix, round-4 red +
 #: stale-greens), the 6 perf-edited queries (contamination, cluster,
 #: semantic, near-pairs, IVF, jaccard), the 10 r2-green batch queries
-#: and the r3-green remainder minus 5 deferrals noted inline; the 9
-#: brand-new round-5 queries ride the ``priority=True`` flag instead.
-#: The effective-priority count sits at exactly 50/50 — any addition
-#: needs a matching deferral.
+#: and the r3-green remainder; the 12 brand-new round-5 queries ride
+#: the ``priority=True`` flag instead. The effective-priority count
+#: sits at exactly 50/50 — any addition needs a matching deferral.
+#: Round-6 mandatory ledger (8 r3-green deferrals, code unchanged):
+#: boilerplate_ngram_stats, chunk_documents_overlap,
+#: corpus_diff_documents, dedup_canonical_documents,
+#: grouped_lang_stats_pandas, redact_mask_documents,
+#: text_quality_by_lang, vocab_zipf_histogram.
 ROTATION: set[str] = {
     # ts-family: events reader rewritten for timestamp[us] fixtures
     "sessionize_events",
