@@ -68,8 +68,21 @@ def events_ts_is_native(path: str) -> bool:
     native = False
     for f in candidates[:1]:
         try:
-            t = pq.ParquetFile(f).schema_arrow.field("ts").type
-            native = pat.is_timestamp(t) and t.unit != "ns"
+            pf = pq.ParquetFile(f)
+            t = pf.schema_arrow.field("ts").type
+            if pat.is_timestamp(t):
+                if t.unit != "ns":
+                    native = True
+                else:
+                    # pyarrow reports INT96 (Spark's legacy timestamp
+                    # encoding) as timestamp[ns] too — but INT96 can
+                    # only be read natively (the raw-long branch would
+                    # fail); only true INT64-NANOS takes the raw path.
+                    phys = {
+                        pf.schema.column(i).name: pf.schema.column(i).physical_type
+                        for i in range(len(pf.schema))
+                    }
+                    native = phys.get("ts") == "INT96"
         except Exception:
             native = False
     _TS_NATIVE_CACHE[path] = native

@@ -130,3 +130,21 @@ def test_events_ts_probe_handles_both_encodings(tmp_path):
         pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.int64())}), str(raw)
     )
     assert events_ts_is_native(str(raw)) is False
+
+
+def test_events_ts_probe_classifies_int96_as_native(spark, tmp_path):
+    """Spark's legacy INT96 timestamp encoding surfaces as
+    timestamp[ns] in the arrow schema but can only be read natively —
+    the probe must inspect the physical type, not just the unit."""
+    import datetime
+
+    from hz_csv2parquet_spark.tables import events_ts_is_native, read_events
+
+    p = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 12, 0, 0), 7, "x", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    assert events_ts_is_native(p) is True
+    row = read_events(spark, p).collect()[0]
+    assert row.ts.year == 2024

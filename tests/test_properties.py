@@ -195,3 +195,100 @@ def test_banded_range_join_matches_bruteforce(spark, events):
     if not rows:
         return  # placeholder row only
     assert got == expected
+
+
+@given(
+    facts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=15
+    ),
+    dims=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=15
+    ),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_bruteforce(spark, facts, dims):
+    """asof_join vs brute force: for every fact row, the payload of
+    the latest dim row (per key) with dt <= t, ties on dt broken the
+    same way both sides (unique dts per key enforced by construction)."""
+    from hz_csv2parquet_spark.operators.asof import asof_join
+
+    # one dim per (key, dt) so 'latest prior' is unambiguous
+    dimmap = {}
+    for k, dt in dims:
+        dimmap[(k, dt)] = f"v{k}@{dt}"
+    drows = [(k, dt, v) for (k, dt), v in dimmap.items()]
+    frows = [(k, t, f"f{i}") for i, (k, t) in enumerate(facts)]
+
+    def brute(k, t):
+        cands = [(dt, v) for (kk, dt, v) in drows if kk == k and dt <= t]
+        return max(cands)[1] if cands else None
+
+    fdf = spark.createDataFrame(frows, "k long, t long, fid string")
+    ddf = spark.createDataFrame(drows or [(99, 0, "x")], "k long, dt long, v string")
+    out = {r.fid: r.v for r in asof_join(fdf, ddf, "k", "t", "dt", ["v"]).collect()}
+    for k, t, fid in frows:
+        assert out[fid] == brute(k, t), (fid, k, t)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 4),                       # user
+            st.integers(0, 5 * 3_600_000),           # ts ms (0..5h)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_funnel_matches_bruteforce(spark, events):
+    """funnel_conversion_events' first-touch semantics vs a direct
+    Python reimplementation on random event sets."""
+    import datetime
+
+    from hz_csv2parquet_spark.queries import FUNNEL_STEP_MS, REGISTRY
+    import pyspark.sql.functions as F
+
+    B = 1_700_000_000_000  # clear of the epoch
+    rows = [
+        (i, datetime.datetime.utcfromtimestamp((B + ms) / 1000.0), u, t, 1.0, "{}")
+        for i, (u, ms, t) in enumerate(events)
+    ]
+
+    # brute force first-touch funnel
+    by_user = {}
+    for _, ts, u, t, _v, _p in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    n_view = n_click = n_purch = 0
+    for u, evs in by_user.items():
+        views = [ts for ts, t in evs if t == "view"]
+        if not views:
+            continue
+        n_view += 1
+        fv = min(views)
+        clicks = [ts for ts, t in evs if t == "click" and ts >= fv]
+        if not clicks:
+            continue
+        fc = min(clicks)
+        if (fc - fv).total_seconds() * 1000 > FUNNEL_STEP_MS:
+            continue
+        n_click += 1
+        purch = [ts for ts, t in evs if t == "purchase" and ts >= fc]
+        if not purch:
+            continue
+        fp = min(purch)
+        if (fp - fc).total_seconds() * 1000 <= FUNNEL_STEP_MS:
+            n_purch += 1
+
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r.step: r.n_users
+        for r in REGISTRY["funnel_conversion_events"].fn(spark, d).collect()
+    }
+    assert got == {"view": n_view, "click_1h": n_click, "purchase_1h": n_purch}
