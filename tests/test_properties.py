@@ -292,3 +292,87 @@ def test_funnel_matches_bruteforce(spark, events):
         for r in REGISTRY["funnel_conversion_events"].fn(spark, d).collect()
     }
     assert got == {"view": n_view, "click_1h": n_click, "purchase_1h": n_purch}
+
+
+def _write_events_native(spark, rows):
+    """rows: (event_id, ts_ms, user_id, event_type) → a temp dir laid
+    out like an sf_dir with a native-timestamp events.parquet."""
+    import datetime
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [
+            (i, datetime.datetime.utcfromtimestamp(ms / 1000.0), u, t, 1.0, "{}")
+            for i, ms, u, t in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 30 * 24 * 3_600_000)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_retention_matches_bruteforce(spark, events):
+    from hz_csv2parquet_spark.queries import REGISTRY
+
+    B = 1_700_000_000_000
+    WEEK = 7 * 24 * 3_600_000
+    rows = [(i, B + ms, u, "x") for i, (u, ms) in enumerate(events)]
+    weeks = {(u, (B + ms) // WEEK) for i, (u, ms) in enumerate(events)}
+    cohort = {}
+    for u, w in weeks:
+        cohort[u] = min(cohort.get(u, w), w)
+    expected = {}
+    for u, w in weeks:
+        key = (cohort[u], w - cohort[u])
+        expected[key] = expected.get(key, 0) + 1
+
+    d = _write_events_native(spark, rows)
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in REGISTRY["retention_cohorts_events"].fn(spark, d).collect()
+    }
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 1_000_000),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda e: (e[0], e[1]),
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_path_trigrams_match_bruteforce(spark, events):
+    from hz_csv2parquet_spark.queries import REGISTRY
+
+    B = 1_700_000_000_000
+    rows = [(i, B + ms, u, t) for i, (u, ms, t) in enumerate(events)]
+    by_user = {}
+    for i, ts, u, t in sorted(rows, key=lambda r: (r[1], r[0])):
+        by_user.setdefault(u, []).append(t)
+    counts = {}
+    for seq in by_user.values():
+        for j in range(len(seq) - 2):
+            p = ">".join(seq[j : j + 3])
+            counts[p] = counts.get(p, 0) + 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    d = _write_events_native(spark, rows)
+    got = [
+        (r.path, r.n)
+        for r in REGISTRY["event_path_trigrams"].fn(spark, d).collect()
+    ]
+    assert got == expected
