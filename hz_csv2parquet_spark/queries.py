@@ -75,10 +75,11 @@ def query(
 #: and the r3-green remainder; the 12 brand-new round-5 queries ride
 #: the ``priority=True`` flag instead. The effective-priority count
 #: sits at exactly 50/50 — any addition needs a matching deferral.
-#: Round-6 mandatory ledger (8 r3-green deferrals, code unchanged):
+#: Round-6 mandatory ledger (10 r3-green deferrals, code unchanged):
 #: boilerplate_ngram_stats, chunk_documents_overlap,
 #: corpus_diff_documents, dedup_canonical_documents,
-#: grouped_lang_stats_pandas, redact_mask_documents,
+#: grouped_lang_stats_pandas, q19_disjunctive_revenue,
+#: quota_sample_per_source, redact_mask_documents,
 #: text_quality_by_lang, vocab_zipf_histogram.
 ROTATION: set[str] = {
     # ts-family: events reader rewritten for timestamp[us] fixtures
@@ -123,8 +124,9 @@ ROTATION: set[str] = {
     # grouped_lang_stats_pandas deferred to round 6's staleness pass
     # (unchanged since r3) to fit the multimodal resize query
     "jsonl_roundtrip_agg",
-    "q19_disjunctive_revenue",
-    "quota_sample_per_source",
+    # q19_disjunctive_revenue and quota_sample_per_source deferred to
+    # round 6's staleness pass (unchanged since r3) to fit the MAD
+    # outlier gate and RFM segmentation
     "rare_token_quality_documents",
     # redact_mask_documents, text_quality_by_lang and
     # vocab_zipf_histogram deferred to round 6's staleness pass

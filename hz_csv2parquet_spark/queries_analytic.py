@@ -497,3 +497,83 @@ def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_per_hour"
         ),
     )
+
+
+# ---------------------------------------------------------------------
+# E93: median-absolute-deviation outlier gate (robust z-score)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "mad_outliers_events",
+    sql="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
+    ),
+    m1 AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(round(2 * median(vc)) AS BIGINT) AS med2
+      FROM c GROUP BY 1
+    ),
+    m2 AS (
+      SELECT c.event_type,
+             CAST(round(2 * median(abs(2 * c.vc - m1.med2))) AS BIGINT) AS mad2d
+      FROM c JOIN m1 USING (event_type) GROUP BY 1
+    )
+    SELECT c.event_type,
+           MAX(m1.n) AS n,
+           CAST(MAX(m1.med2) AS DOUBLE) / 200.0 AS value_median,
+           CAST(MAX(m2.mad2d) AS DOUBLE) / 400.0 AS mad,
+           CAST(SUM(CASE WHEN 4 * abs(2 * c.vc - m1.med2) > 3 * m2.mad2d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+    GROUP BY 1
+    """,
+    priority=True,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per type: |v − median| > 1.5·MAD (the
+    median-absolute-deviation gate that, unlike the 2σ z-score E72,
+    is not dragged by the outliers themselves). The gate is
+    algebraized into pure integers on cents — with med2 = 2·median
+    and mad2d = 2·median(|2v − med2|), the test |v − med| > 1.5·MAD
+    ⇔ 4·|2v − med2| > 3·mad2d; doubled medians of integers are
+    integer-valued, so both engines compare exact integers and the
+    only doubles in the output are display divisions of exact
+    operands. Scale shape: three passes over the facts (median →
+    MAD → gate), each a per-type aggregate with the tiny stats frame
+    broadcast back — facts never shuffle; exact per-group medians are
+    the acknowledged E19 trade with the E77 two-phase rank as the
+    100 TB swap."""
+    vc = F.round(F.col("value") * 100).cast("long")
+    c = table(spark, sf_dir, "events").select("event_type", vc.alias("__vc"))
+    m1 = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.median("__vc") * 2).cast("long").alias("__med2"),
+    )
+    j = c.join(F.broadcast(m1), "event_type")
+    d2 = F.abs(F.lit(2) * F.col("__vc") - F.col("__med2"))
+    m2 = j.groupBy("event_type").agg(
+        F.round(F.median(d2) * 2).cast("long").alias("__mad2d")
+    )
+    stats = m1.join(m2, "event_type")
+    out = (
+        c.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("__n").alias("n"),
+            (F.max("__med2").cast("double") / F.lit(200.0)).alias("value_median"),
+            (F.max("__mad2d").cast("double") / F.lit(400.0)).alias("mad"),
+            F.sum(
+                F.when(
+                    F.lit(4) * F.abs(F.lit(2) * F.col("__vc") - F.col("__med2"))
+                    > F.lit(3) * F.col("__mad2d"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return out

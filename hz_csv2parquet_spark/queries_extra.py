@@ -801,3 +801,85 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         ntile_from_rank(F.col("rn"), F.col("n_part"), 4).alias("quartile"),
     )
+
+
+@query(
+    "rfm_segmentation_customers",
+    sql="""
+    WITH a AS (
+      SELECT o_custkey,
+             CAST(MAX(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate))
+                  AS BIGINT) AS rec_days,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM orders GROUP BY 1
+    ),
+    q AS (
+      SELECT o_custkey, rec_days, freq, monetary_c,
+             CAST(NTILE(4) OVER (ORDER BY rec_days, o_custkey) AS BIGINT) AS r_q,
+             CAST(NTILE(4) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_q,
+             CAST(NTILE(4) OVER (ORDER BY monetary_c, o_custkey) AS BIGINT) AS m_q
+      FROM a
+    )
+    SELECT o_custkey AS c_custkey, rec_days, freq, monetary_c,
+           r_q, f_q, m_q,
+           r_q || '-' || f_q || '-' || m_q AS segment
+    FROM q
+    """,
+    priority=True,
+)
+def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days-since-epoch of
+    the last order — integer day arithmetic, timezone-free), order
+    frequency, and exact monetary cents, each cut into global
+    quartiles. The quartiles come from the two-phase bucket rank
+    (E77) under a constant partition key — a plain global
+    ``NTILE(4) OVER (ORDER BY metric)`` is a single-task sort of
+    every customer at 100 TB, exactly the anti-pattern the rank
+    operator removes; the oracle runs the single-window form and the
+    hash match proves bit-equality. The base aggregate is
+    memo-persisted: three rank passes share one computation."""
+    from .operators.rank import ntile_from_rank, two_phase_rank
+    from .tables import memo_persist
+
+    o = table(spark, sf_dir, "orders")
+    a = memo_persist(
+        o.groupBy("o_custkey").agg(
+            F.max(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")))
+            .cast("long")
+            .alias("rec_days"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_c"),
+        ),
+        "rfm_base",
+    ).withColumn("__all", F.lit(0))
+    bounds = {
+        "rec_days": (7000.0, 12000.0),     # 1989..2002 in days
+        "freq": (0.0, 64.0),
+        "monetary_c": (0.0, 2.0e9),
+    }
+    out = a
+    for metric, (lo, hi) in bounds.items():
+        r = two_phase_rank(
+            out, ["__all"], metric, ["o_custkey"], lo=lo, hi=hi,
+            rn_col=f"__rn_{metric}", n_col=f"__n_{metric}",
+        )
+        out = r.withColumn(
+            f"{metric[0]}_q" if metric != "monetary_c" else "m_q",
+            ntile_from_rank(
+                F.col(f"__rn_{metric}"), F.col(f"__n_{metric}"), 4
+            ),
+        ).drop(f"__rn_{metric}", f"__n_{metric}", "__bkt")
+    return out.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "rec_days",
+        "freq",
+        "monetary_c",
+        F.col("r_q").cast("long").alias("r_q"),
+        F.col("f_q").cast("long").alias("f_q"),
+        F.col("m_q").cast("long").alias("m_q"),
+        F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment"),
+    )
