@@ -46,10 +46,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: truncate label-frame lineage after this many propagation rounds —
-#: persist() caches data but plans still chain, so a 100-iteration run
-#: would otherwise re-analyze a 100-join-deep plan each round.
-_CHECKPOINT_EVERY = 8
+#: propagation steps folded into one lazy plan between
+#: materializations. Each materialization (localCheckpoint + the
+#: convergence scalar) is a cache write + a full pass over the label
+#: table; batching 3 steps per round cuts those passes ~3× at the
+#: cost of ≤ 2 wasted cheap steps in the final round. On the local
+#: fixtures wall clock is stage-overhead-bound either way (measured
+#: neutral at sf0.1); the saved materializations are real passes at
+#: cluster scale. The per-round checkpoint also bounds plan depth at
+#: 3 joins, so no separate lineage-truncation cadence is needed.
+_STEPS_PER_ROUND = 3
 
 
 def connected_components(
@@ -77,21 +83,27 @@ def connected_components(
     ).persist()
     labels = vertices.select("v", F.col("v").alias("lbl")).persist()
     prev_sum = None
-    for i in range(max_iter):
-        msgs = sym.join(labels, sym["src"] == labels["v"]).select(
-            F.col("dst").alias("v"), F.col("lbl")
-        )
-        new = labels.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
-        # localCheckpoint both caches AND truncates lineage; plain
-        # persist between checkpoints keeps the per-iteration cost to
-        # one cache write.
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
-            new = new.localCheckpoint()
-        else:
-            new = new.persist()
+    steps_done = 0
+    while steps_done < max_iter:
+        # fold up to _STEPS_PER_ROUND propagation steps into ONE lazy
+        # plan — each step's frame feeds only the next (a linear plan,
+        # no diamonds), so the whole round executes as a single job at
+        # the materialization below.
+        new = labels
+        for _ in range(min(_STEPS_PER_ROUND, max_iter - steps_done)):
+            msgs = sym.join(new, sym["src"] == new["v"]).select(
+                F.col("dst").alias("v"), F.col("lbl")
+            )
+            new = new.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
+            steps_done += 1
+        # localCheckpoint both caches AND truncates lineage (plan
+        # depth stays bounded at _STEPS_PER_ROUND joins).
+        new = new.localCheckpoint()
         # labels are monotone non-increasing, so sum(lbl) is a strict
         # decrease until the fixpoint — one exact-decimal scalar per
-        # iteration is the whole convergence protocol.
+        # round is the whole convergence protocol. An unchanged sum
+        # after a round means no step in it changed anything (labels
+        # only ever decrease), which IS the fixpoint.
         s = new.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0]
         labels.unpersist()
         labels = new
