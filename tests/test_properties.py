@@ -376,3 +376,80 @@ def test_path_trigrams_match_bruteforce(spark, events):
         for r in REGISTRY["event_path_trigrams"].fn(spark, d).collect()
     ]
     assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),
+            st.integers(0, 100 * 3_600_000),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_gap_fill_matches_bruteforce(spark, events):
+    from hz_csv2parquet_spark.queries import REGISTRY
+
+    B = 1_700_000_000_000
+    H = 3_600_000
+    rows = [(i, B + ms, u, t) for i, (u, ms, t) in enumerate(events)]
+    counts = {}
+    for _, tsms, _, t in rows:
+        counts[(t, tsms // H)] = counts.get((t, tsms // H), 0) + 1
+    expected = {}
+    for t in {t for t, _ in counts}:
+        hours = [h for tt, h in counts if tt == t]
+        for h in range(min(hours), max(hours) + 1):
+            expected[(t, h)] = counts.get((t, h), 0)
+
+    d = _write_events_native(spark, rows)
+    got = {
+        (r.event_type, r.hour_bucket): r.n_events
+        for r in REGISTRY["gap_fill_hourly_events"].fn(spark, d).collect()
+    }
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 50 * 3_600_000), st.integers(-500, 500)),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_trend_slope_matches_bruteforce(spark, events):
+    """Closed-form OLS slope on exact integer moments vs a direct
+    fraction computation in Python big-ints (no float drift)."""
+    import datetime
+    import tempfile
+    from fractions import Fraction
+
+    from hz_csv2parquet_spark.queries import REGISTRY
+
+    B = 1_700_000_000_000
+    rows = [
+        (i, datetime.datetime.utcfromtimestamp((B + ms) / 1000.0), u, "x", cents / 100.0, "{}")
+        for i, (u, ms, cents) in enumerate(events)
+    ]
+    xs = [(B + ms) // 3_600_000 for _, ms, _ in events]
+    ys = [cents for _, _, cents in events]
+    n = len(events)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    den = n * sxx - sx * sx
+    if den == 0:
+        return  # all events in one hour for the single type — no slope
+    expected = float(Fraction(n * sxy - sx * sy, den) / 100)
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r.event_type: r for r in REGISTRY["trend_slope_by_type"].fn(spark, d).collect()}
+    assert out["x"].n == n
+    assert abs(out["x"].slope_per_hour - expected) < 1e-9
