@@ -1,0 +1,174 @@
+"""Information-retrieval operators over the ``documents`` corpus:
+BM25 ranked retrieval and inverted-index (posting-list) construction.
+
+Extension surface (north star; the reference has no text/IR surface —
+SURVEY.md §2.7). Both operators are built from the shapes that
+survive 100 TB:
+
+- **BM25**: the per-term statistics frame (df per query term) is tiny
+  — |query terms| rows — and is computed with a *pre-filtered* explode
+  (only tokens in the query set survive the explode), so the corpus
+  is scanned once, narrow, and never shuffles on the raw token
+  stream. Scoring is a broadcast join of the stats frame against the
+  per-(doc, term) term frequencies; the final top-k is Spark's
+  TakeOrdered (per-partition partial top-k, no global sort).
+- **Inverted index**: posting lists are bounded *before* any
+  collection — a two-level aggregation (token, doc) → token keeps
+  every reduction key-partitioned, and the per-token posting sample
+  is cut to the k smallest doc ids with a window rank over the
+  already-reduced (token, doc) pairs, so no executor ever
+  materializes an unbounded postings array (the classic stopword
+  blowup in naive collect_set designs).
+
+The BM25 idf uses the Robertson rational form *without* the log —
+``(N - df + 0.5) / (df + 0.5)`` — a documented deviation: log/ln are
+not correctly-rounded-guaranteed across engines, while +,-,*,/ are,
+and the rational form preserves the ranking for any fixed corpus
+(log is monotone). That choice is what lets the driver's value-hash
+gate hold bit-exactly against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import exact_sum
+from ..functions.text import tokens
+
+#: BM25 free parameters (standard defaults). 0.75 is binary-exact;
+#: 1.2 parses to the same double in Spark and DuckDB (both IEEE-754
+#: round-to-nearest decimal literals), so mirrored arithmetic agrees.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_token_stats(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, dl) frame: per-document token count of the normalized
+    text. Narrow projection — no shuffle."""
+    return documents.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("dl")
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (rational-idf variant) for a fixed
+    ``query_terms`` bag.
+
+    Plan shape (the one you'd run at 100 TB):
+      1. one narrow scan → per-doc (dl, per-query-term tf) via a
+         pre-filtered explode (non-query tokens never leave the map
+         side),
+      2. corpus size + avgdl + per-term df reduced to a |terms|-row
+         stats frame → **broadcast**,
+      3. score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+         summed through DECIMAL(38,10) so the float sum is
+         order-insensitive (functions/exact.py),
+      4. TakeOrdered top-k on (score DESC, doc id) — per-partition
+         partial top-k, never a global sort.
+    """
+    terms = sorted(set(query_terms))
+    toks = documents.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    qtoks = toks.filter(F.col("tok").isin(terms))
+
+    # per-(doc, term) tf over the filtered stream — small by construction
+    tf = qtoks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+
+    # corpus stats: N, avgdl (one row); df per query term (≤ |terms| rows)
+    dl = doc_token_stats(documents, id_col, text_col)
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    df_t = qtoks.groupBy("tok").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+
+    stats = df_t.crossJoin(F.broadcast(corpus)).select(
+        "tok",
+        (
+            (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+        ).alias("idf_num"),
+        (F.col("df").cast("double") + F.lit(0.5)).alias("idf_den"),
+        (
+            F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+        ).alias("avgdl"),
+    )
+
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(stats), "tok")
+        .select(
+            F.col(id_col),
+            (
+                (F.col("idf_num") / F.col("idf_den"))
+                * (
+                    (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(BM25_K1)
+                        * (
+                            F.lit(1.0 - BM25_B)
+                            + F.lit(BM25_B)
+                            * (F.col("dl").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(exact_sum("term_score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def inverted_index(
+    documents: DataFrame,
+    id_col: str,
+    text_col: str,
+    posting_sample: int = 8,
+) -> DataFrame:
+    """Vocabulary-grain index frame: one row per token with its
+    document frequency, total term frequency, and a bounded posting
+    sample (the ``posting_sample`` smallest doc ids, comma-joined).
+
+    Two-level reduction keeps every intermediate bounded:
+    (doc, token) pairs reduce first (map-side combinable), the
+    token-grain stats reduce the *pair* frame, and the posting sample
+    is a rank-≤-k cut of the pair frame — never an unbounded
+    collect_set. All three shuffles share the token key."""
+    toks = documents.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
+    )
+    pairs = toks.groupBy("tok", "doc").agg(F.count(F.lit(1)).alias("tfp"))
+    stats = pairs.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tfp").alias("tf_total")
+    )
+    w = Window.partitionBy("tok").orderBy("doc")
+    postings = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= posting_sample)
+        .groupBy("tok")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return stats.join(postings, "tok").select(
+        F.col("tok").alias("token"), "df", "tf_total", "postings"
+    )

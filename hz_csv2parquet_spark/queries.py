@@ -115,26 +115,23 @@ ROTATION: set[str] = {
     "q17_small_quantity_revenue",
     "q5_local_supplier_volume",
     "streaming_convert_roundtrip",
-    # staleness tail: last green r3 (boilerplate/chunk/corpus-diff/
-    # canonical deferred to round 6's staleness pass — unchanged since
-    # their r3 green rows — to keep the window ≤ 50 after the four
-    # perf-touched queries above rotated in)
-    "dedup_exact_documents",
-    "dedup_paragraph_documents",
-    # grouped_lang_stats_pandas deferred to round 6's staleness pass
-    # (unchanged since r3) to fit the multimodal resize query
-    "jsonl_roundtrip_agg",
-    # q19_disjunctive_revenue and quota_sample_per_source deferred to
-    # round 6's staleness pass (unchanged since r3) to fit the MAD
-    # outlier gate and RFM segmentation
-    "rare_token_quality_documents",
-    # redact_mask_documents, text_quality_by_lang and
-    # vocab_zipf_histogram deferred to round 6's staleness pass
-    # (unchanged since their r3 green rows) to fit the streaming
-    # funnel, source similarity, and length histogram
-    "repetition_stats_documents",
-    "text_stats_documents",
-    "top_terms_per_lang",
+    # staleness tail: last green r3 — the whole r3-green remainder
+    # (dedup_exact, dedup_paragraph, jsonl_roundtrip,
+    # rare_token_quality, repetition_stats, text_stats, top_terms,
+    # plus the earlier boilerplate/chunk/corpus-diff/canonical/
+    # grouped-lang/q19/quota/redact/text-quality/zipf deferrals) is
+    # deferred to round 6's staleness pass — all unchanged since
+    # their r3 green rows — to fit the seven round-5 IR/analytic
+    # additions (queries_ir.py, priority=True) inside the 50-row
+    # window. Round-6 mandatory ledger (17 r3-green deferrals):
+    # boilerplate_ngram_stats, chunk_documents_overlap,
+    # corpus_diff_documents, dedup_canonical_documents,
+    # dedup_exact_documents, dedup_paragraph_documents,
+    # grouped_lang_stats_pandas, jsonl_roundtrip_agg,
+    # q19_disjunctive_revenue, quota_sample_per_source,
+    # rare_token_quality_documents, redact_mask_documents,
+    # repetition_stats_documents, text_quality_by_lang,
+    # text_stats_documents, top_terms_per_lang, vocab_zipf_histogram.
 }
 
 
@@ -569,4 +566,5 @@ from . import (  # noqa: E402,F401
     queries_text,
     queries_pipeline,
     queries_analytic,
+    queries_ir,
 )

@@ -1,0 +1,443 @@
+"""Round-5 additions: IR retrieval (BM25, inverted index), exact
+vector centroids, moment-exact correlation, seasonal outliers, event
+debouncing, and running totals.
+
+Each query pairs the Spark plan with a DuckDB oracle mirrored
+*construction for construction* — same integer scaling, same order
+of IEEE-754 operations (only +,-,*,/ and sqrt, all correctly
+rounded; no transcendentals in compared output), same DECIMAL(38,10)
+routing for order-insensitive float sums — so the driver's value-hash
+gate is a hard check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.exact import SQL_EXACT_SUM
+from .functions.text import sql_tokens
+from .operators.ir import BM25_B, BM25_K1, bm25_topk, inverted_index
+from .queries import query
+from .tables import table
+
+# ---------------------------------------------------------------------
+# E95: BM25 ranked retrieval
+# ---------------------------------------------------------------------
+
+#: fixed query bag for the fixture corpus (all high-df tokens, so the
+#: idf spread — not raw tf — decides the ranking)
+BM25_QUERY_TERMS = ["hash", "join", "spark", "stream", "window"]
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_TERMS)))
+    score = SQL_EXACT_SUM.format(expr="term_score")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({sql_tokens("text")}) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len({sql_tokens("text")}) AS BIGINT) AS dl
+      FROM documents
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_dl
+      FROM dl
+    ),
+    qtoks AS (SELECT doc_id, tok FROM toks WHERE tok IN ({terms})),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM qtoks GROUP BY 1, 2
+    ),
+    dft AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM qtoks GROUP BY 1
+    ),
+    stats AS (
+      SELECT tok,
+             CAST(n_docs - df AS DOUBLE) + 0.5 AS idf_num,
+             CAST(df AS DOUBLE) + 0.5 AS idf_den,
+             CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+      FROM dft CROSS JOIN corpus
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             (idf_num / idf_den)
+               * ((CAST(tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+                  / (CAST(tf AS DOUBLE)
+                     + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                                      + {BM25_B!r} * (CAST(dl AS DOUBLE) / avgdl))))
+               AS term_score
+      FROM tf JOIN dl USING (doc_id) JOIN stats USING (tok)
+    )
+    SELECT doc_id, {score} AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("bm25_topk_documents", sql=_bm25_sql(), priority=True)
+def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (rational-idf variant — see
+    operators/ir.py for the no-log design argument) for a fixed
+    query bag. Scale shape: pre-filtered explode (non-query tokens
+    die map-side), |terms|-row stats frame broadcast, per-doc score
+    through the exact decimal sum, TakeOrdered finish — the corpus
+    never shuffles on raw tokens and there is no global sort."""
+    return bm25_topk(
+        table(spark, sf_dir, "documents"), "doc_id", "text", BM25_QUERY_TERMS, k=10
+    )
+
+
+# ---------------------------------------------------------------------
+# E96: inverted index (bounded posting lists)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "inverted_index_documents",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest({sql_tokens("text")}) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT tok, doc, CAST(COUNT(*) AS BIGINT) AS tfp
+      FROM toks GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tfp) AS BIGINT) AS tf_total
+      FROM pairs GROUP BY 1
+    ),
+    ranked AS (
+      SELECT tok, doc,
+             ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc) AS rn
+      FROM pairs
+    ),
+    post AS (
+      SELECT tok, string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
+      FROM ranked WHERE rn <= 8 GROUP BY tok
+    )
+    SELECT tok AS token, df, tf_total, postings
+    FROM stats JOIN post USING (tok)
+    """,
+    priority=True,
+)
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-grain inverted index: df, total tf, and a bounded
+    posting sample (8 smallest doc ids, comma-joined) per token.
+    The posting cut happens on the already-reduced (token, doc) pair
+    frame via a rank window — no unbounded collect_set, so a
+    stopword's postings never materialize on one executor (see
+    operators/ir.py)."""
+    return inverted_index(
+        table(spark, sf_dir, "documents"), "doc_id", "text", posting_sample=8
+    )
+
+
+# ---------------------------------------------------------------------
+# E97: exact embedding centroids per label
+# ---------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroids_by_label",
+    sql="""
+    WITH vals AS (
+      SELECT label, i - 1 AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 100000000.0) AS BIGINT) AS y
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS VARCHAR) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100000000.0 AS centroid
+    FROM vals GROUP BY 1, 2
+    """,
+    priority=True,
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the centroid building block under
+    k-means / SemDeDup / class prototypes — computed to bit-exact
+    reproducibility: each float component is quantized to an integer
+    at 1e-8 (round's tie boundaries are integers — exactly
+    representable doubles, so Spark's shortest-repr rounding and
+    DuckDB's binary rounding always agree, unlike a direct
+    double→DECIMAL(38,10) cast whose 1e-10 grid is not exactly
+    representable), summed exactly in DECIMAL(38), and divided once.
+    Shape: posexplode → one hash agg keyed (label, dim) —
+    |labels|·dim result rows, map-side combinable."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    y = F.round(F.col("val").cast("double") * F.lit(1e8)).cast("long")
+    return (
+        e.groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(y.cast("decimal(38,0)")).alias("__s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            (
+                F.col("__s").cast("double") / F.col("n").cast("double") / F.lit(1e8)
+            ).alias("centroid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# E98: moment-exact correlation matrix
+# ---------------------------------------------------------------------
+
+_CORR_COLS = [
+    ("quantity", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("discount", "l_discount"),
+]
+_CORR_PAIRS = [("quantity", "price"), ("quantity", "discount"), ("price", "discount")]
+
+
+def _corr_sql() -> str:
+    ys = ", ".join(
+        f"CAST(round({c} * 100) AS BIGINT) AS y_{a}" for a, c in _CORR_COLS
+    )
+    moments = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for a, _ in _CORR_COLS:
+        moments.append(f"CAST(SUM(CAST(y_{a} AS HUGEINT)) AS HUGEINT) AS s_{a}")
+        moments.append(
+            f"CAST(SUM(CAST(y_{a} * y_{a} AS HUGEINT)) AS HUGEINT) AS ss_{a}"
+        )
+    for a, b in _CORR_PAIRS:
+        moments.append(
+            f"CAST(SUM(CAST(y_{a} * y_{b} AS HUGEINT)) AS HUGEINT) AS sp_{a}_{b}"
+        )
+    selects = []
+    for a, b in _CORR_PAIRS:
+        num = f"CAST(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS VARCHAR) AS DOUBLE)"
+        da = f"sqrt(CAST(CAST(n * ss_{a} - s_{a} * s_{a} AS VARCHAR) AS DOUBLE))"
+        db = f"sqrt(CAST(CAST(n * ss_{b} - s_{b} * s_{b} AS VARCHAR) AS DOUBLE))"
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n, "
+            f"{num} / ({da} * {db}) AS corr FROM m"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+    WITH c AS (SELECT {ys} FROM lineitem),
+    m AS (SELECT {", ".join(moments)} FROM c)
+    {union}
+    """
+
+
+@query("correlation_matrix_lineitem", sql=_corr_sql(), priority=True)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over (quantity, price, discount),
+    cents-scaled to integers so every moment is exact (DECIMAL(38)
+    sums), finished with one correctly-rounded double expression per
+    pair — bit-identical to the oracle. ONE map-side-combined
+    aggregation over the fact table produces a single moment row; the
+    three matrix entries explode from it without rescanning (at
+    100 TB: one pass, one 1-row shuffle)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        *[
+            F.round(F.col(c) * 100).cast("long").alias(f"y_{a}")
+            for a, c in _CORR_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for a, _ in _CORR_COLS:
+        aggs.append(F.sum(F.col(f"y_{a}").cast("decimal(38,0)")).alias(f"s_{a}"))
+        aggs.append(
+            F.sum((F.col(f"y_{a}") * F.col(f"y_{a}")).cast("decimal(38,0)")).alias(
+                f"ss_{a}"
+            )
+        )
+    for a, b in _CORR_PAIRS:
+        aggs.append(
+            F.sum((F.col(f"y_{a}") * F.col(f"y_{b}")).cast("decimal(38,0)")).alias(
+                f"sp_{a}_{b}"
+            )
+        )
+    m = li.agg(*aggs)
+
+    def entry(a: str, b: str):
+        num = (
+            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ).cast("double")
+        da = F.sqrt(
+            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+                "double"
+            )
+        )
+        db = F.sqrt(
+            (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+                "double"
+            )
+        )
+        return F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("n").cast("long").alias("n"),
+            (num / (da * db)).alias("corr"),
+        )
+
+    return m.select(
+        F.explode(F.array(*[entry(a, b) for a, b in _CORR_PAIRS])).alias("r")
+    ).select("r.*")
+
+
+# ---------------------------------------------------------------------
+# E99: seasonal (hour-of-day) outlier gate
+# ---------------------------------------------------------------------
+
+
+@query(
+    "seasonal_anomaly_events",
+    sql="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) % 24 AS hour_of_day,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, hour_of_day,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS ssq
+      FROM c GROUP BY 1, 2
+    )
+    SELECT event_id, event_type, hour_of_day, y
+    FROM c JOIN s USING (event_type, hour_of_day)
+    WHERE (n * y - s) * (n * y - s) > 9 * (n * ssq - s * s)
+    """,
+    priority=True,
+)
+def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events more than 3σ from their (event_type, hour-of-day)
+    seasonal baseline — the diurnal-pattern-aware variant of the
+    z-score gate (E72). All-integer algebra on cents: the gate
+    (n·y−s)² > 9·(n·ssq−s²) multiplies the usual |y−μ| > 3σ through
+    by n², so no division or sqrt is compared — exact on both
+    engines. The baseline frame is |types|×24 rows → **broadcast**
+    back onto the fact stream; the facts shuffle once (the stats
+    agg), and at 100 TB the agg is map-side combinable to ≤ 24·|types|
+    partials per task. Hour is derived by integer epoch math —
+    timezone-free on both engines."""
+    c = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.floor(F.unix_millis("ts") / 3600000) % 24).alias("hour_of_day"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = c.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("ssq"),
+    )
+    dev = F.col("n") * F.col("y") - F.col("s")
+    gate = dev * dev > F.lit(9) * (
+        F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    )
+    return (
+        c.join(F.broadcast(s), ["event_type", "hour_of_day"])
+        .filter(gate)
+        .select("event_id", "event_type", "hour_of_day", "y")
+    )
+
+
+# ---------------------------------------------------------------------
+# E100: debounce (min-gap suppression)
+# ---------------------------------------------------------------------
+
+_DEBOUNCE_MS = 300_000
+
+
+@query(
+    "debounce_events",
+    sql=f"""
+    WITH c AS (
+      SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+             LAG(epoch_ms(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_ms(ts), event_id
+             ) AS prev_ms
+      FROM events
+    )
+    SELECT event_id, user_id, event_type,
+           CAST(ms - prev_ms AS BIGINT) AS gap_ms
+    FROM c
+    WHERE prev_ms IS NULL OR ms - prev_ms > {_DEBOUNCE_MS}
+    """,
+    priority=True,
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: keep an event only if the previous event of
+    the same (user, type) is more than 5 min older (lag-gap form —
+    each event judged against its immediate predecessor, expressible
+    identically in both engines). The window partitions on
+    high-cardinality (user_id, event_type) — per-partition state is
+    one user's one type, so the sort under the window is bounded by
+    a single user's rate, never the table."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ms", "event_id")
+    c = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", F.unix_millis("ts").alias("ms"))
+        .withColumn("prev_ms", F.lag("ms").over(w))
+    )
+    return c.filter(
+        F.col("prev_ms").isNull() | (F.col("ms") - F.col("prev_ms") > _DEBOUNCE_MS)
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("ms") - F.col("prev_ms")).alias("gap_ms"),
+    )
+
+
+# ---------------------------------------------------------------------
+# E101: running revenue totals per customer
+# ---------------------------------------------------------------------
+
+
+@query(
+    "running_total_orders",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_cents
+    FROM orders
+    """,
+    priority=True,
+)
+def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative order revenue per customer in order-date order —
+    the running-balance window everybody's billing pipeline runs.
+    Cents-integer sums are exact; explicit ROWS framing (not the
+    RANGE default) pins identical tie semantics on both engines.
+    Partitioned on high-cardinality o_custkey: per-partition window
+    state is one customer's orders."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w)
+        .alias("cum_cents"),
+    )

@@ -231,3 +231,36 @@ def test_retention_cohorts_reuses_user_partitioning(spark, sf_dir):
     # is REQUIRED for correctness; pin only the absence of pair blowup
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "bm25_topk_documents")
+    # the |query-terms|-row stats frame joins by broadcast, and the
+    # top-k finishes with per-partition heads — no global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_anomaly_broadcasts_baseline(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "seasonal_anomaly_events")
+    # the |types|x24-row baseline broadcasts back onto the fact
+    # stream: the facts never shuffle for the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_correlation_matrix_single_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "correlation_matrix_lineitem")
+    # one map-side-combined moment aggregation; the three matrix
+    # entries explode from the single row without rescanning
+    assert plan.count("Scan parquet") == 1
+    assert "partial" in plan.lower()
+
+
+def test_inverted_index_no_unbounded_collect(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "inverted_index_documents")
+    # posting sample cut by rank on the reduced pair frame; the only
+    # collect_list runs on <= 8 rows per token (post-rank-filter)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
