@@ -268,3 +268,43 @@ def resize_pixels(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_energy(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_bytes: int = 256,
+    hop_bytes: int = 128,
+) -> DataFrame:
+    """Audio-style frame energy over a binary payload: overlapping
+    frames of ``frame_bytes`` samples at ``hop_bytes`` hop, energy =
+    sum of squared sample values (payload bytes stand in for 8-bit
+    PCM — real audio decode would slot in before this, see the module
+    docstring). Arrow-batched ``mapInPandas``, vectorized numpy per
+    frame; integer energies, so the result is exactly mirrorable.
+    Output: id, frame_id, n_samples, energy — one row per frame; the
+    tail frame is short."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"{id_col} long, frame_id long, n_samples long, energy long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                f = 0
+                off = 0
+                while off < n:
+                    frame = arr[off : off + frame_bytes]
+                    rows.append((int(i), f, len(frame), int((frame * frame).sum())))
+                    f += 1
+                    off += hop_bytes
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_id", "n_samples", "energy"]
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

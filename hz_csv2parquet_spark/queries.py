@@ -40,6 +40,9 @@ class Query:
     headline: bool = False  # included in bench.py
     streaming: bool = False  # runs a Structured Streaming job internally
     priority: bool = False  # surfaced first to the driver's capped verify window
+    since: int = 0  # driver round the query was registered in (staleness clock
+    #                 for queries that have no CORRECTNESS row yet — a new
+    #                 query gets the same 2-round grace as a green one)
 
 
 REGISTRY: dict[str, Query] = {}
@@ -51,9 +54,10 @@ def query(
     headline: bool = False,
     streaming: bool = False,
     priority: bool = False,
+    since: int = 0,
 ):
     def deco(fn):
-        REGISTRY[name] = Query(name, fn, sql, headline, streaming, priority)
+        REGISTRY[name] = Query(name, fn, sql, headline, streaming, priority, since)
         return fn
 
     return deco
@@ -132,6 +136,10 @@ ROTATION: set[str] = {
     # rare_token_quality_documents, redact_mask_documents,
     # repetition_stats_documents, text_quality_by_lang,
     # text_stats_documents, top_terms_per_lang, vocab_zipf_histogram.
+    # Plus the three since=5 registrations that could not fit a slot
+    # (window hard-full with r4 reds + post-r4-verify code changes +
+    # r2 staleness): multimodal_audio_energy, lm_bigram_score_documents,
+    # pagerank_event_types — first driver rows due round 6.
 }
 
 

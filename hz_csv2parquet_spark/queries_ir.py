@@ -441,3 +441,199 @@ def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("cum_cents"),
     )
+
+
+# ---------------------------------------------------------------------
+# E102: bigram language-model quality score
+# ---------------------------------------------------------------------
+
+
+@query(
+    "lm_bigram_score_documents",
+    since=5,
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+    ),
+    fb AS (SELECT doc_id, t FROM base WHERE len(t) >= 2),
+    pairs AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM fb, unnest(generate_series(1, len(t) - 1)) u(i)
+    ),
+    b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bc FROM pairs GROUP BY 1, 2),
+    u AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS uc FROM b GROUP BY 1),
+    v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz
+      FROM (SELECT unnest(t) AS tok FROM base)
+    ),
+    model AS (
+      SELECT w1, w2,
+             CAST(bc + 1 AS DOUBLE) / CAST(uc + vsz AS DOUBLE) AS p
+      FROM b JOIN u USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {SQL_EXACT_SUM.format(expr="p")} / CAST(COUNT(*) AS DOUBLE) AS avg_p
+    FROM pairs JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def lm_bigram_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM quality score: train add-one-smoothed
+    bigram probabilities p(w2|w1) = (B+1)/(U+V) on the corpus itself,
+    then score each document by its mean bigram probability — the
+    in-distribution/fluency signal a perplexity filter gives, in
+    rational form (no log: only correctly-rounded +,-,*,/ reach the
+    compared output, and the mean-probability ordering is what the
+    gate thresholds anyway). Scale shape: the model is a (w1,w2)-keyed
+    aggregate of the same pair stream it scores — both sides of the
+    scoring join shuffle on the bigram key (co-partitioned); U joins
+    model-side on w1 (model-grain, not corpus-grain); V is a scalar
+    broadcast. Sums route through DECIMAL(38,10) so the per-doc mean
+    is partition-order-independent."""
+    from .functions.text import tokens
+
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    fb = base.filter(F.size("t") >= 2)
+    pairs = fb.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    b = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    u = b.groupBy("w1").agg(F.sum("bc").alias("uc"))
+    v = base.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").alias("vsz")
+    )
+    model = (
+        b.join(u, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("bc") + 1).cast("double")
+                / (F.col("uc") + F.col("vsz")).cast("double")
+            ).alias("p"),
+        )
+    )
+    from .functions.exact import exact_sum
+
+    return (
+        pairs.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            exact_sum("p").alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("__s") / F.col("n_bigrams").cast("double")).alias("avg_p"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# E103: PageRank over the event-type transition graph
+# ---------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+
+
+def _pagerank_sql() -> str:
+    prev = "r0"
+    iters = []
+    for k in range(1, _PR_ITERS + 1):
+        s = SQL_EXACT_SUM.format(expr="r * p")
+        iters.append(
+            f"""r{k} AS (
+      SELECT n.node,
+             0.15 + {_PR_DAMP!r} * COALESCE(i.s, 0.0) AS r
+      FROM n LEFT JOIN (
+        SELECT e.b AS node, {s} AS s
+        FROM p e JOIN {prev} pr ON e.a = pr.node
+        GROUP BY e.b
+      ) i USING (node)
+    )"""
+        )
+        prev = f"r{k}"
+    body = ",\n    ".join(iters)
+    return f"""
+    WITH c AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events
+    ),
+    lagged AS (
+      SELECT event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ms, event_id
+             ) AS prev
+      FROM c
+    ),
+    ed AS (
+      SELECT prev AS a, event_type AS b, CAST(COUNT(*) AS BIGINT) AS w
+      FROM lagged WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT a, CAST(SUM(w) AS BIGINT) AS ow FROM ed GROUP BY 1),
+    p AS (
+      SELECT a, b, CAST(w AS DOUBLE) / CAST(ow AS DOUBLE) AS p
+      FROM ed JOIN outw USING (a)
+    ),
+    n AS (SELECT DISTINCT event_type AS node FROM events),
+    r0 AS (SELECT node, 1.0 AS r FROM n),
+    {body}
+    SELECT node AS event_type, r AS rank FROM {prev}
+    """
+
+
+@query("pagerank_event_types", sql=_pagerank_sql(), since=5)
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 power iterations, damping 0.85) over the event-type
+    transition graph mined from per-user consecutive events — the
+    iterative-algorithm shape (weighted graph build → fixed-point
+    loop) on top of the same primitives as connected components
+    (operators/graph.py). The heavy distributed work is the edge
+    build: one LAG window partitioned on high-cardinality user_id and
+    one hash agg to |types|² edge rows; the iteration then runs on
+    the tiny normalized-transition frame (broadcast joins, exact
+    decimal contribution sums so every iteration is partition-order
+    independent). The oracle replays the identical five iterations as
+    chained CTEs — a hash-checked iterative algorithm, not rows-only."""
+    from .functions.exact import exact_sum
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    lagged = ev.select("event_type", F.lag("event_type").over(w).alias("prev"))
+    ed = (
+        lagged.filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("a"), F.col("event_type").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = ed.groupBy("a").agg(F.sum("w").alias("ow"))
+    p = ed.join(outw, "a").select(
+        "a", "b", (F.col("w").cast("double") / F.col("ow").cast("double")).alias("p")
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    # iterate on the tiny frames; persist the static edge frame once
+    p = p.persist()
+    r = nodes.select("node", F.lit(1.0).alias("r"))
+    for _ in range(_PR_ITERS):
+        incoming = (
+            p.join(r, p["a"] == r["node"])
+            .select(F.col("b").alias("node"), (F.col("r") * F.col("p")).alias("rp"))
+            .groupBy("node")
+            .agg(exact_sum("rp").alias("s"))
+        )
+        r = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.lit(0.15) + F.lit(_PR_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return r.select(F.col("node").alias("event_type"), F.col("r").alias("rank"))

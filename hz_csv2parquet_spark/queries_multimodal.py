@@ -178,3 +178,40 @@ def multimodal_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return resize_pixels(d, "doc_id", "payload", out_w=8, out_h=8)
+
+
+@query(
+    "multimodal_audio_energy",
+    since=5,
+    sql="""
+    WITH frames AS (
+      SELECT doc_id,
+             CAST(f AS BIGINT) AS frame_id,
+             substring(text, CAST(f * 128 + 1 AS BIGINT), 256) AS frame
+      FROM documents,
+           unnest(generate_series(0,
+                    CAST(ceil(length(text) / 128.0) AS BIGINT) - 1)) t(f)
+    )
+    SELECT doc_id, frame_id,
+           CAST(length(frame) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(generate_series(1, length(frame)),
+                  i -> ord(substring(frame, i, 1)) * ord(substring(frame, i, 1))))
+                AS BIGINT) AS energy
+    FROM frames
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: overlapping 256-sample frames at
+    128-byte hop with integer frame energy (Σ sample²), through the
+    real mapInPandas/Arrow path with vectorized numpy per frame
+    (operators/multimodal.py `frame_energy`; payload bytes stand in
+    for 8-bit PCM — the codec decode is the documented pluggable
+    stub). ASCII fixtures make codepoint = byte value, so the Python
+    DSP path has an exact SQL mirror — the hash gate checks the
+    Arrow execution, frame boundaries, and the short tail frame."""
+    from .operators.multimodal import frame_energy
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return frame_energy(d, "doc_id", "payload", frame_bytes=256, hop_bytes=128)

@@ -70,10 +70,17 @@ def test_no_query_goes_two_rounds_unverified():
         return
     latest = max(r for rounds in hist.values() for r in rounds)
     window = set(_window())
+    # never-verified queries tick from their registration round
+    # (Query.since) — a brand-new query gets the same 2-round grace
+    # as a freshly-green one, then becomes window-mandatory
     stale = {
         name
         for name in REGISTRY
-        if max(hist.get(name, {0: None}), default=0) <= latest - 2
+        if name in hist and max(hist[name]) <= latest - 2
+    } | {
+        name
+        for name in REGISTRY
+        if name not in hist and REGISTRY[name].since <= latest - 2
     }
     missing = stale - window
     assert not missing, (
