@@ -136,10 +136,12 @@ ROTATION: set[str] = {
     # rare_token_quality_documents, redact_mask_documents,
     # repetition_stats_documents, text_quality_by_lang,
     # text_stats_documents, top_terms_per_lang, vocab_zipf_histogram.
-    # Plus the three since=5 registrations that could not fit a slot
+    # Plus the since=5 registrations that could not fit a slot
     # (window hard-full with r4 reds + post-r4-verify code changes +
     # r2 staleness): multimodal_audio_energy, lm_bigram_score_documents,
-    # pagerank_event_types — first driver rows due round 6.
+    # pagerank_event_types, merge_upsert_events, event_type_runs,
+    # rolling_7d_active_users, data_quality_checks,
+    # keywords_per_document — first driver rows due round 6.
 }
 
 

@@ -637,3 +637,349 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return r.select(F.col("node").alias("event_type"), F.col("r").alias("rank"))
+
+
+# ---------------------------------------------------------------------
+# E105: lakehouse upsert merge (SCD1)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert_events",
+    since=5,
+    sql="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 3 != 0
+    ),
+    changes AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) + 1 AS cents
+      FROM events WHERE event_id % 2 = 0
+    )
+    SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+           COALESCE(c.user_id, b.user_id) AS user_id,
+           COALESCE(c.event_type, b.event_type) AS event_type,
+           COALESCE(c.cents, b.cents) AS cents,
+           CASE WHEN b.event_id IS NULL THEN 'insert'
+                WHEN c.event_id IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM base b FULL OUTER JOIN changes c USING (event_id)
+    """,
+)
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD1 upsert) on plain parquet frames:
+    a change batch full-outer-joins the base snapshot on the key;
+    matched rows take the change values, unmatched-by-source rows
+    keep the base, unmatched-by-target rows insert — with the action
+    tagged per row, the audit column a lakehouse writer emits. The
+    base/change split is derived deterministically from the fixture
+    so both engines construct identical inputs. Scale shape: one
+    key-partitioned shuffle join (this is exactly Delta/Iceberg's
+    merge join stage); no broadcast assumption since change batches
+    can be large."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = ev.filter(F.col("event_id") % 3 != 0)
+    changes = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "cents", F.col("cents") + 1
+    )
+    b, c = base.alias("b"), changes.alias("c")
+    return (
+        b.join(c, F.col("b.event_id") == F.col("c.event_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.event_id"), F.col("b.event_id")).alias("event_id"),
+            F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
+            F.coalesce(F.col("c.event_type"), F.col("b.event_type")).alias(
+                "event_type"
+            ),
+            F.coalesce(F.col("c.cents"), F.col("b.cents")).alias("cents"),
+            F.when(F.col("b.event_id").isNull(), F.lit("insert"))
+            .when(F.col("c.event_id").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# E106: gaps-and-islands (consecutive event-type runs)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "event_type_runs",
+    since=5,
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY epoch_ms(ts), event_id
+             ) AS rn_t
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(rn - rn_t AS BIGINT) AS run_key,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           CAST(MIN(ms) AS BIGINT) AS start_ms,
+           CAST(MAX(ms) AS BIGINT) AS end_ms
+    FROM c
+    GROUP BY user_id, event_type, rn - rn_t
+    HAVING COUNT(*) >= 2
+    """,
+)
+def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: collapse each user's consecutive
+    same-event-type rows into runs (the rn − rn_per_type difference
+    trick — constant within a run, strictly increasing across runs),
+    keeping runs of length ≥ 2. The sequence-analysis primitive
+    behind crash-loop and retry-storm detection. Both windows
+    partition on user_id (high-cardinality): state is one user's
+    timeline; the run aggregation keys on (user, type, run_key) —
+    map-side combinable."""
+    w_all = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ms", "event_id")
+    c = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ms"),
+            "event_id",
+        )
+        .withColumn("rn", F.row_number().over(w_all))
+        .withColumn("rn_t", F.row_number().over(w_typ))
+    )
+    return (
+        c.groupBy(
+            "user_id", "event_type", (F.col("rn") - F.col("rn_t")).alias("run_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ms").alias("start_ms"),
+            F.max("ms").alias("end_ms"),
+        )
+        .filter(F.col("run_len") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------
+# E107: rolling 7-day distinct active users (fan-out form)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "rolling_7d_active_users",
+    since=5,
+    sql="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+      FROM events
+    ),
+    fan AS (
+      SELECT user_id, day + o AS as_of_day
+      FROM d, unnest(generate_series(0, 6)) t(o)
+    ),
+    days AS (SELECT DISTINCT CAST(FLOOR(epoch_ms(ts) / 86400000) AS BIGINT) AS as_of_day FROM events)
+    SELECT as_of_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+    FROM fan JOIN days USING (as_of_day)
+    GROUP BY 1
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day — the DAU/
+    WAU family. Sliding-window DISTINCT can't be windowed directly at
+    scale; the published shape is the bounded fan-out: collapse facts
+    to distinct (user, day) FIRST (the big reduction), then each
+    survivor fans out to the ≤7 as-of days it supports, and a
+    count-distinct per day finishes. Fan-out factor is the window
+    length — constant — and the semi-join against observed days
+    drops phantom trailing days on both engines identically."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_millis("ts") / 86400000).alias("day")
+    )
+    d = ev.distinct()
+    days = ev.select(F.col("day").alias("as_of_day")).distinct()
+    fan = d.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("as_of_day")
+    )
+    return (
+        fan.join(days, "as_of_day")
+        .groupBy("as_of_day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+    )
+
+
+# ---------------------------------------------------------------------
+# E108: dataset-level data-quality constraint checks
+# ---------------------------------------------------------------------
+
+
+@query(
+    "data_quality_checks",
+    since=5,
+    sql="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+           CAST(SUM(c) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_value_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE value < 0 OR value > 10000) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-check suite over the warehouse — null keys,
+    duplicate primary keys, FK orphans, domain ranges — one row per
+    check with violation and row counts (the expectations report a
+    pipeline gates a load on). Each check is a conditional-count
+    aggregation or a key-partitioned left join; nothing collects, and
+    every count is map-side combinable. Checks that pass with 0
+    violations are still emitted — silence is not evidence."""
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+
+    def check(name: str, df: DataFrame, cond) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count_if(cond).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.lit("orders_dup_orderkey").alias("check_name"),
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n_violations"),
+            F.sum("c").alias("n_rows"),
+        )
+    )
+    orphan = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.lit("lineitem_orphan_orderkey").alias("check_name"),
+            F.count_if(F.col("o_orderkey").isNull()).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return (
+        check("orders_null_custkey", orders, F.col("o_custkey").isNull())
+        .unionAll(dup)
+        .unionAll(orphan)
+        .unionAll(
+            check("lineitem_nonpositive_qty", lineitem, F.col("l_quantity") <= 0)
+        )
+        .unionAll(
+            check(
+                "events_value_out_of_range",
+                events,
+                (F.col("value") < 0) | (F.col("value") > 10000),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# E109: per-document keyword extraction (tf-idf top-3)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "keywords_per_document",
+    since=5,
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, {sql_tokens("text")} AS t FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(t) AS token FROM base),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf,
+             CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+               AS score
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, score, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token
+      ) AS rn FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def keywords_per_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf·(N/df)
+    (rational idf — same no-transcendental argument as E95). The
+    per-doc variant of E29's corpus-level tf-idf: the rank window
+    partitions on high-cardinality doc_id, so the sort under it is
+    one document's vocabulary, never the corpus; df table joins at
+    token grain (model-grain, not token-stream grain)."""
+    from .functions.text import tokens as _tokens
+
+    base = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens("text").alias("t")
+    )
+    toks = base.select("doc_id", F.explode("t").alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "score", F.col("rn").cast("long").alias("rn"))
+    )

@@ -453,3 +453,206 @@ def test_trend_slope_matches_bruteforce(spark, events):
     out = {r.event_type: r for r in REGISTRY["trend_slope_by_type"].fn(spark, d).collect()}
     assert out["x"].n == n
     assert abs(out["x"].slope_per_hour - expected) < 1e-9
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_bm25_matches_bruteforce(spark, docs):
+    """bm25_topk vs a pure-python BM25 with the same rational idf:
+    identical score set and identical (score, id)-ordered ranking."""
+    from hz_csv2parquet_spark.operators.ir import BM25_B, BM25_K1, bm25_topk
+
+    terms = ["a", "b"]
+    texts = [" ".join(d) for d in docs]
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    df_t = {t: sum(1 for d in docs if t in d) for t in terms}
+
+    def brute(d):
+        s = 0.0
+        for t in terms:
+            tf = d.count(t)
+            if not tf or not df_t[t]:
+                continue
+            idf = (n - df_t[t] + 0.5) / (df_t[t] + 0.5)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (len(d) / avgdl))
+            )
+        return s
+
+    expected = sorted(
+        ((brute(d), i) for i, d in enumerate(docs) if brute(d) > 0),
+        key=lambda p: (-p[0], p[1]),
+    )[:5]
+    sdf = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [(r.score, r.doc_id) for r in bm25_topk(sdf, "doc_id", "text", terms, k=5).collect()]
+    assert [i for _, i in got] == [i for _, i in expected]
+    for (gs, _), (es, _) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-9)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1_800_000)),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_debounce_lag_gap_matches_bruteforce(spark, events):
+    """The lag-gap debounce keeps exactly the rows whose predecessor
+    (same key, (ms, id) order) is more than the threshold older."""
+    gap = 300_000
+    rows = [(u, ms, i) for i, (u, ms) in enumerate(events)]
+    expected = set()
+    for u, ms, i in rows:
+        prior = [(m2, i2) for (u2, m2, i2) in rows if u2 == u and (m2, i2) < (ms, i)]
+        if not prior or ms - max(prior)[0] > gap:
+            expected.add(i)
+
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "user_id long, ms long, event_id long")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    kept = (
+        df.withColumn("prev", F.lag("ms").over(w))
+        .filter(F.col("prev").isNull() | (F.col("ms") - F.col("prev") > gap))
+    )
+    got = {r.event_id for r in kept.collect()}
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["x", "y"])),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_event_type_runs_match_runlength(spark, events):
+    """Gaps-and-islands run collapse vs a per-user run-length scan."""
+    import itertools
+
+    rows = [(u, t, i * 1000, i) for i, (u, t) in enumerate(events)]
+    expected = {}
+    for u in {r[0] for r in rows}:
+        seq = sorted((ms, i, t) for (uu, t, ms, i) in rows if uu == u)
+        for t, grp in itertools.groupby(seq, key=lambda x: x[2]):
+            g = list(grp)
+            if len(g) >= 2:
+                expected[(u, t, g[0][0])] = (len(g), g[-1][0])
+
+    from hz_csv2parquet_spark.queries_ir import event_type_runs  # noqa: F401 (registry import)
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ms long, event_id long")
+    w_all = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ms", "event_id")
+    runs = (
+        df.withColumn("rn", F.row_number().over(w_all))
+        .withColumn("rn_t", F.row_number().over(w_typ))
+        .groupBy("user_id", "event_type", (F.col("rn") - F.col("rn_t")).alias("rk"))
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("ms").alias("start_ms"), F.max("ms").alias("end_ms"))
+        .filter(F.col("run_len") >= 2)
+    )
+    got = {
+        (r.user_id, r.event_type, r.start_ms): (r.run_len, r.end_ms)
+        for r in runs.collect()
+    }
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 14)),  # (user, day)
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_rolling_7d_fanout_matches_bruteforce(spark, events):
+    """The distinct-then-fan-out sliding DISTINCT equals the direct
+    per-day '# users active in [day-6, day]' count."""
+    observed = sorted({d for _, d in events})
+    expected = {
+        d: len({u for (u, dd) in events if d - 6 <= dd <= d}) for d in observed
+    }
+    df = spark.createDataFrame(
+        [(u, d) for u, d in events], "user_id long, day long"
+    )
+    d = df.distinct()
+    days = df.select(F.col("day").alias("as_of_day")).distinct()
+    fan = d.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("as_of_day"),
+    )
+    got = {
+        r.as_of_day: r.active_7d
+        for r in fan.join(days, "as_of_day")
+        .groupBy("as_of_day")
+        .agg(F.count_distinct("user_id").alias("active_7d"))
+        .collect()
+    }
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)), min_size=1, max_size=15
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pagerank_iteration_matches_numpy(spark, edges):
+    """Five DataFrame power iterations vs the same recurrence run in
+    plain python dicts (weighted edges from duplicate counts)."""
+    from collections import Counter
+
+    w = Counter(edges)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    outw = Counter()
+    for (a, _), c in w.items():
+        outw[a] += c
+    p = {(a, b): c / outw[a] for (a, b), c in w.items()}
+    r = {v: 1.0 for v in nodes}
+    for _ in range(5):
+        incoming = {v: 0.0 for v in nodes}
+        for (a, b), pp in p.items():
+            incoming[b] += r[a] * pp
+        r = {v: 0.15 + 0.85 * incoming[v] for v in nodes}
+
+    from hz_csv2parquet_spark.functions.exact import exact_sum
+    edf = spark.createDataFrame(
+        [(a, b, float(c)) for (a, b), c in w.items()], "a long, b long, w double"
+    )
+    ow = edf.groupBy("a").agg(F.sum("w").alias("ow"))
+    pdf = edf.join(ow, "a").select(
+        "a", "b", (F.col("w") / F.col("ow")).alias("p")
+    )
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    rdf = ndf.select("node", F.lit(1.0).alias("r"))
+    for _ in range(5):
+        inc = (
+            pdf.join(rdf, pdf["a"] == rdf["node"])
+            .select(F.col("b").alias("node"), (F.col("r") * F.col("p")).alias("rp"))
+            .groupBy("node")
+            .agg(exact_sum("rp").alias("s"))
+        )
+        rdf = ndf.join(inc, "node", "left").select(
+            "node",
+            (F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))).alias("r"),
+        )
+    got = {r_.node: r_.r for r_ in rdf.collect()}
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], rel=1e-9), v
