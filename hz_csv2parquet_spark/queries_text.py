@@ -561,10 +561,15 @@ def rare_token_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies of every 3rd doc (offset ids) — the
-    deterministic planted-duplicate corpus for exact dedup."""
-    from .tables import spread
+    deterministic planted-duplicate corpus for exact dedup.
 
-    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    No ``spread`` here, deliberately: exact dedup's per-row work is
+    one normalize+md5 — far cheaper than the full-text repartition
+    spread pays for (measured 1.40s → 0.49s at sf0.1 dropping it).
+    spread stays where per-row work is shingle-heavy (MinHash/
+    SimHash/Jaccard corpora); on a real multi-file corpus it is a
+    no-op either way."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 3 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
