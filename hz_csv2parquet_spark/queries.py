@@ -141,7 +141,9 @@ ROTATION: set[str] = {
     # r2 staleness): multimodal_audio_energy, lm_bigram_score_documents,
     # pagerank_event_types, merge_upsert_events, event_type_runs,
     # rolling_7d_active_users, data_quality_checks,
-    # keywords_per_document — first driver rows due round 6.
+    # keywords_per_document, train_val_test_split_documents,
+    # trimmed_mean_by_type, quantile_normalize_events — first driver
+    # rows due round 6.
 }
 
 

@@ -1008,3 +1008,165 @@ def keywords_per_document(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tf", "score", F.col("rn").cast("long").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------------
+# E110: deterministic train/val/test split
+# ---------------------------------------------------------------------
+
+_SPLIT_SEED = 11
+
+
+@query(
+    "train_val_test_split_documents",
+    since=5,
+    sql=f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5('{_SPLIT_SEED}|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS u
+      FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, lang,
+             CASE WHEN CAST(u AS DOUBLE) < {0.8 * 2.0**32!r} THEN 'train'
+                  WHEN CAST(u AS DOUBLE) < {0.9 * 2.0**32!r} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def train_val_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment via the same
+    content-hash gate as stratified sampling (E30): u32(md5(seed|id))
+    against fixed thresholds — reproducible on any partitioning, no
+    rand(), stable across reruns/engines, and a document can never
+    migrate between splits when the corpus grows (the property that
+    matters for eval integrity). Output is the per-(split, lang)
+    manifest. Pure narrow map + one small agg."""
+    u = F.conv(F.substring(F.md5(F.concat(F.lit(f"{_SPLIT_SEED}|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+    split = (
+        F.when(u < F.lit(0.8 * 2.0**32), F.lit("train"))
+        .when(u < F.lit(0.9 * 2.0**32), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# E111: trimmed mean per group (scalable, exact)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "trimmed_mean_by_type",
+    since=5,
+    sql="""
+    WITH c AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100.0 AS trimmed_mean
+    FROM c
+    WHERE rn > CAST(FLOOR(n / 20.0) AS BIGINT)
+      AND rn <= n - CAST(FLOOR(n / 20.0) AS BIGINT)
+    GROUP BY event_type
+    """,
+)
+def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of event value per type — the robust-mean
+    aggregate, computed scalably: ranks come from the E77 two-phase
+    histogram rank (operators/rank.py — every sort bounded by a
+    256th-bucket cell, no full-partition window sort), the trim gate
+    is integer rank arithmetic, and the kept values sum exactly in
+    cents. The oracle runs the textbook single-window form; both
+    trim exactly floor(n/20) rows per tail."""
+    from .operators.rank import two_phase_rank
+
+    c = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    ranked = two_phase_rank(
+        c, ["event_type"], "value", ["event_id"], lo=0.0, hi=1000.0
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.floor(F.col("n_part") / 20))
+        & (F.col("rn") <= F.col("n_part") - F.floor(F.col("n_part") / 20))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------
+# E112: quantile normalization (exact uniform transform)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "quantile_normalize_events",
+    since=5,
+    sql="""
+    WITH c AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_id, event_type,
+           (2.0 * CAST(rn AS DOUBLE) - 1.0) / (2.0 * CAST(n AS DOUBLE)) AS q
+    FROM c
+    """,
+)
+def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile normalization of event values within each type:
+    q = (2·rank − 1) / (2n) maps values onto a uniform (0,1) grid —
+    the feature-scaling transform that makes heterogeneous metrics
+    comparable. Ranks via the E77 two-phase histogram rank: the
+    full-table window the oracle runs is exactly what this plan
+    avoids — no partition-wide sort, every in-bucket sort bounded by
+    a 256th of the range."""
+    from .operators.rank import two_phase_rank
+
+    c = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ranked = two_phase_rank(
+        c, ["event_type"], "value", ["event_id"], lo=0.0, hi=1000.0
+    )
+    return ranked.select(
+        "event_id",
+        "event_type",
+        (
+            (F.lit(2.0) * F.col("rn").cast("double") - F.lit(1.0))
+            / (F.lit(2.0) * F.col("n_part").cast("double"))
+        ).alias("q"),
+    )
