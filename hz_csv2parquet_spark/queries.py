@@ -142,8 +142,8 @@ ROTATION: set[str] = {
     # pagerank_event_types, merge_upsert_events, event_type_runs,
     # rolling_7d_active_users, data_quality_checks,
     # keywords_per_document, train_val_test_split_documents,
-    # trimmed_mean_by_type, quantile_normalize_events — first driver
-    # rows due round 6.
+    # trimmed_mean_by_type, quantile_normalize_events,
+    # streaming_cdc_merge_events — first driver rows due round 6.
 }
 
 

@@ -330,3 +330,33 @@ def streaming_funnel_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel_user_state(stream_events(spark, sf_dir), step_ms=FUNNEL_STEP_MS),
         mode="append",
     )
+
+
+@query(
+    "streaming_cdc_merge_events",
+    sql="""
+    SELECT user_id, event_type,
+           CAST(epoch_ms(ts) AS BIGINT) AS last_ms,
+           event_id AS last_event_id,
+           CAST(round(value * 100) AS BIGINT) AS last_cents
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY epoch_ms(ts) DESC, event_id DESC
+    ) = 1
+    """,
+    streaming=True,
+    since=5,
+)
+def streaming_cdc_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-value-per-(user, type) table maintained by a real
+    foreachBatch CDC merge over the event stream (streaming/cdc.py:
+    versioned parquet target, commutative max-merge — the Delta-style
+    MERGE-inside-foreachBatch lakehouse pattern). The oracle computes
+    the same table declaratively over the batch data; equality holds
+    for ANY split of the source into micro-batches, which is the
+    property the multi-batch unit test pins."""
+    from .streaming.cdc import run_cdc_merge
+    from .streaming.windows import stream_events
+
+    return run_cdc_merge(spark, stream_events(spark, sf_dir))

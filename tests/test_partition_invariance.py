@@ -1,0 +1,47 @@
+"""Bit-identical results under different partitioning — the claim the
+DECIMAL-routed sums and integer-exact gates make (functions/exact.py)
+is that task count and reduction order never change a value. Checked
+directly: run float-bearing catalog queries under two co-prime
+shuffle-partition settings and compare collected values exactly.
+
+At 100 TB this is the property that makes results reproducible across
+cluster sizes, speculative re-execution, and AQE re-planning.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hz_csv2parquet_spark.queries import REGISTRY
+
+#: exact-arithmetic queries with float output and no cross-call memo
+#: (a memo would serve the first run's blocks to the second, making
+#: the check vacuous)
+QUERIES = [
+    "lm_bigram_score_documents",
+    "embedding_centroids_by_label",
+    "trend_slope_by_type",
+    "quantile_normalize_events",
+    "seasonal_anomaly_events",
+    "trimmed_mean_by_type",
+]
+
+
+def _run(spark, name: str, sf_dir: str, parts: int) -> pd.DataFrame:
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        pdf = REGISTRY[name].fn(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return pdf.sort_values(by=sorted(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )[sorted(pdf.columns)]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_identical_across_partitionings(spark, sf_dir, name):
+    a = _run(spark, name, sf_dir, 3)
+    b = _run(spark, name, sf_dir, 29)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)

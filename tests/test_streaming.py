@@ -226,3 +226,64 @@ def test_funnel_state_commutative_across_out_of_order_batches(spark, tmp_path):
     # the first emission (click only) must NOT have claimed the step
     first = min(out, key=lambda r: r.min_view_ms)
     assert first.min_view_ms == -1 and first.reached_click is False
+
+
+def test_cdc_merge_independent_of_batch_split(spark, tmp_path):
+    """The foreachBatch CDC merge must produce the same final table
+    no matter how the source splits into micro-batches: stream 3
+    files one-per-batch (maxFilesPerTrigger=1) and compare against
+    the single-shot batch answer."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.streaming.cdc import (
+        cdc_project,
+        latest_per_key,
+        run_cdc_merge,
+    )
+
+    rows = [
+        # (event_id, ms, user, type, value) — later files update keys
+        # written by earlier files, and add fresh keys
+        [(1, 1000, 1, "click", 1.0), (2, 2000, 1, "view", 2.0)],
+        [(3, 1500, 1, "click", 3.0), (4, 9000, 2, "click", 4.0)],
+        [(5, 9001, 1, "click", 5.0), (6, 100, 2, "click", 6.0)],
+    ]
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    import glob as _glob
+    import os as _os
+
+    for i, batch in enumerate(rows):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(
+            [(e, m * 1000, u, t, v, "{}") for (e, m, u, t, v) in batch],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.timestamp_micros(F.col("ts"))).coalesce(1).write.parquet(
+            str(stage)
+        )
+        # flatten: the file-source stream lists plain files under src
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        _os.replace(part, str(src / f"f{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = {
+        (r.user_id, r.event_type): (r.last_ms, r.last_event_id, r.last_cents)
+        for r in run_cdc_merge(spark, stream).collect()
+    }
+    flat = spark.createDataFrame(
+        [(e, m * 1000, u, t, v, "{}") for b in rows for (e, m, u, t, v) in b],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    expected = {
+        (r.user_id, r.event_type): (r.last_ms, r.last_event_id, r.last_cents)
+        for r in latest_per_key(cdc_project(flat)).collect()
+    }
+    assert got == expected
+    # the incremental answer really did see multiple batches: key
+    # (1, click) was written in batch 0, updated in 1 and 2
+    assert got[(1, "click")] == (9001, 5, 500)
