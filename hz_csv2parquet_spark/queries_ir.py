@@ -498,12 +498,24 @@ def lm_bigram_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens("text").alias("t")
     )
     fb = base.filter(F.size("t") >= 2)
-    pairs = fb.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    from .tables import memo_checkpoint
+
+    # the (doc, w1, w2) pair stream feeds BOTH the model build and the
+    # scoring join — checkpoint it once (keyed: fixture dirs are
+    # immutable) instead of re-tokenizing the corpus per consumer; at
+    # 100 TB the durable form is a parquet write of the same frame
+    pairs = memo_checkpoint(
+        lambda: fb.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2"),
+        "lm_bigram_pairs",
+        f"lm_bigram|{sf_dir}",
+    )
     b = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
     u = b.groupBy("w1").agg(F.sum("bc").alias("uc"))
     v = base.select(F.explode("t").alias("tok")).agg(

@@ -19,7 +19,7 @@ from hz_csv2parquet_spark.queries import REGISTRY
 #: (a memo would serve the first run's blocks to the second, making
 #: the check vacuous)
 QUERIES = [
-    "lm_bigram_score_documents",
+    "correlation_matrix_lineitem",
     "embedding_centroids_by_label",
     "trend_slope_by_type",
     "quantile_normalize_events",
