@@ -226,12 +226,18 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per lang."""
     from .operators.topk import grouped_topk
 
-    from .tables import spread
+    from .tables import memo_checkpoint, spread
 
-    d = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", T.tokens("text").alias("__t")
+    # the exploded token stream feeds BOTH the tf and doc-freq aggs —
+    # checkpoint it once (keyed: fixture dirs are immutable) so the
+    # corpus is tokenized in a single parallel pass instead of once
+    # per consumer; at 100 TB the durable form is a parquet write
+    toks = memo_checkpoint(
+        lambda: spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", "lang", F.explode(T.tokens("text")).alias("token")),
+        "top_terms_toks",
+        f"top_terms|{sf_dir}",
     )
-    toks = d.select("doc_id", "lang", F.explode("__t").alias("token"))
     tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = (
         toks.select("doc_id", "token")
@@ -239,7 +245,8 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    # corpus size off the raw table scan (metadata-cheap, no tokenize)
+    n = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
