@@ -146,3 +146,32 @@ def test_resize_downsamples_row_major(spark):
     r = resize_pixels(df, "id", "payload", out_w=8, out_h=8).collect()[0]
     expected = bytes(payload[(2 * rr) * 16 + 2 * cc] for rr in range(8) for cc in range(8))
     assert r.resized_sum == sum(expected)
+
+
+def test_frame_energy_matches_numpy(spark):
+    """Frame boundaries, hop overlap, and the short tail frame,
+    checked byte-exactly against direct numpy on known payloads."""
+    import numpy as np
+
+    from hz_csv2parquet_spark.operators.multimodal import frame_energy
+    from pyspark.sql import functions as F
+
+    payloads = [
+        (1, b"a" * 300),           # frames: [0:256], [128:300] (tail 172)
+        (2, b"xy"),                # one short frame
+        (3, bytes(range(200)) + bytes(range(200))),  # 400 bytes
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.frame_id): (r.n_samples, r.energy)
+        for r in frame_energy(df, "doc_id", "payload", 256, 128).collect()
+    }
+    expected = {}
+    for i, p in payloads:
+        arr = np.frombuffer(p, np.uint8).astype(np.int64)
+        f, off = 0, 0
+        while off < len(arr):
+            fr = arr[off : off + 256]
+            expected[(i, f)] = (len(fr), int((fr * fr).sum()))
+            f, off = f + 1, off + 128
+    assert got == expected

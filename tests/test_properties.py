@@ -658,3 +658,85 @@ def test_pagerank_iteration_matches_numpy(spark, edges):
     got = {r_.node: r_.r for r_ in rdf.collect()}
     for v in nodes:
         assert got[v] == pytest.approx(r[v], rel=1e-9), v
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=999.99, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_trimmed_mean_rank_gate_matches_sorted_slice(spark, vals):
+    """The two-phase-rank trim gate keeps exactly the sorted middle
+    slice [floor(n/20), n - floor(n/20))."""
+    from hz_csv2parquet_spark.operators.rank import two_phase_rank
+
+    rows = [("t", float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, v double, id long")
+    ranked = two_phase_rank(df, ["g"], "v", ["id"], lo=0.0, hi=1000.0)
+    kept = ranked.filter(
+        (F.col("rn") > F.floor(F.col("n_part") / 20))
+        & (F.col("rn") <= F.col("n_part") - F.floor(F.col("n_part") / 20))
+    )
+    got = sorted((r.v, r.id) for r in kept.collect())
+    srt = sorted((v, i) for (_, v, i) in rows)
+    cut = len(vals) // 20
+    expected = srt[cut : len(vals) - cut]
+    assert got == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_keywords_topk_matches_bruteforce(spark, docs):
+    """Per-doc tf·(N/df) top-3 vs pure python (same rational idf,
+    same (score desc, token asc) tiebreak)."""
+    from pyspark.sql import Window
+
+    n = len(docs)
+    df_t = {}
+    for d in docs:
+        for t in set(d):
+            df_t[t] = df_t.get(t, 0) + 1
+
+    def brute(d):
+        scored = [
+            (d.count(t) * (n / df_t[t]), t) for t in sorted(set(d))
+        ]
+        return [t for _, t in sorted(scored, key=lambda p: (-p[0], p[1]))[:3]]
+
+    sdf = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    from hz_csv2parquet_spark.functions.text import tokens as _tokens
+
+    toks = sdf.select("doc_id", F.explode(_tokens("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nn = sdf.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    got = {}
+    for r in top.collect():
+        got.setdefault(r.doc_id, []).append((r.rn, r.token))
+    for i, d in enumerate(docs):
+        assert [t for _, t in sorted(got[i])] == brute(d), (i, d)
