@@ -143,7 +143,8 @@ ROTATION: set[str] = {
     # rolling_7d_active_users, data_quality_checks,
     # keywords_per_document, train_val_test_split_documents,
     # trimmed_mean_by_type, quantile_normalize_events,
-    # streaming_cdc_merge_events — first driver rows due round 6.
+    # streaming_cdc_merge_events, column_stats_lineitem,
+    # zorder_key_events — first driver rows due round 6.
 }
 
 

@@ -1182,3 +1182,121 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.col("n_part").cast("double"))
         ).alias("q"),
     )
+
+
+# ---------------------------------------------------------------------
+# E114: table statistics collection (ANALYZE equivalent)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "column_stats_lineitem",
+    since=5,
+    sql="""
+    SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           CAST(round(MIN(l_quantity) * 100) AS BIGINT) AS min_cents,
+           CAST(round(MAX(l_quantity) * 100) AS BIGINT) AS max_cents
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(round(MIN(l_extendedprice) * 100) AS BIGINT),
+           CAST(round(MAX(l_extendedprice) * 100) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE l_discount IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           CAST(round(MIN(l_discount) * 100) AS BIGINT),
+           CAST(round(MAX(l_discount) * 100) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def column_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style column statistics (row count, nulls, NDV,
+    cents-exact min/max) for the numeric lineitem columns — the
+    stats a cost-based optimizer and a data catalog both feed on.
+    ONE pass over the fact table computes every column's aggregates
+    side by side (count_distinct expands internally, but the scan is
+    shared); the per-column rows explode from the single stats row —
+    no per-column rescan, which is the difference between ANALYZE
+    costing one pass and costing |columns| passes at 100 TB."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count_if(F.col(c).isNull()).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"ndv_{c}"),
+            F.round(F.min(c) * 100).cast("long").alias(f"min_{c}"),
+            F.round(F.max(c) * 100).cast("long").alias(f"max_{c}"),
+        ]
+    m = table(spark, sf_dir, "lineitem").agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(f"null_{c}").cast("long").alias("n_null"),
+            F.col(f"ndv_{c}").cast("long").alias("ndv"),
+            F.col(f"min_{c}").alias("min_cents"),
+            F.col(f"max_{c}").alias("max_cents"),
+        )
+        for c in cols
+    ]
+    return m.select(F.explode(F.array(*entries)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------
+# E115: Z-order clustering key (multi-dimensional data layout)
+# ---------------------------------------------------------------------
+
+
+def _z_sql_interleave(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB mirror of the bit-interleave: z = Σ_i ((a>>i & 1) <<
+    (2i+1)) | ((b>>i & 1) << 2i)."""
+    parts = []
+    for i in range(bits):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(parts)
+
+
+@query(
+    "zorder_key_events",
+    since=5,
+    sql=f"""
+    WITH c AS (
+      SELECT event_id,
+             CAST(user_id % 65536 AS BIGINT) AS ua,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) % 65536 AS BIGINT) AS hb
+      FROM events
+    )
+    SELECT event_id, ua, hb,
+           CAST({_z_sql_interleave("ua", "hb")} AS BIGINT) AS zkey
+    FROM c
+    """,
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user, hour) — the
+    multi-dimensional layout key Delta's OPTIMIZE ZORDER BY computes:
+    writing files sorted by ``zkey`` makes min/max footer stats
+    selective for range predicates on EITHER dimension, turning
+    two-column point/range scans into file-skipping scans. The
+    interleave is a pure integer expression (16 bits per dimension,
+    shifts and masks — whole-stage codegen, no UDF); the layout
+    write is ``df.repartitionByRange(zkey).sortWithinPartitions
+    (zkey).write`` — this query oracles the key computation, the
+    part data skipping depends on."""
+    z = None
+    for i in range(16):
+        pa = F.shiftright("ua", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        pb = F.shiftright("hb", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        z = pa + pb if z is None else z + pa + pb
+    c = table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("ua"),
+        (F.floor(F.unix_millis("ts") / 3600000) % 65536).alias("hb"),
+    )
+    return c.select("event_id", "ua", "hb", z.alias("zkey"))
