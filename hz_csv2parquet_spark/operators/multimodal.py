@@ -308,3 +308,47 @@ def frame_energy(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def dhash_bits(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decoder: Callable[[bytes], dict[str, Any]] = fake_decode,
+) -> DataFrame:
+    """64-bit perceptual difference hash (dHash) per payload: decode,
+    nearest-neighbor sample onto a 9×8 grid, emit bit k = 1 iff
+    grid[k//8][k%8] > grid[k//8][k%8 + 1] — the standard
+    horizontal-gradient fingerprint image dedup pipelines cluster on.
+    Emitted as a 64-char '0'/'1' string (engine-portable; a packed
+    int64 would overflow the sign bit). Arrow-batched mapInPandas,
+    same decoder plug as :func:`decode_payloads`; decode failures
+    yield the (-1, -1, NULL) corrupt-row convention."""
+    import pandas as pd
+
+    grid_w, grid_h = 9, 8
+    out_schema = f"{id_col} long, src_w int, src_h int, phash string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    d = decoder(bytes(payload))
+                    w, h, px = d["width"], d["height"], d["pixels"]
+                    if len(px) < w * h:
+                        raise ValueError("short pixel buffer")
+                    grid = [
+                        [px[(r * h // grid_h) * w + (c * w // grid_w)] for c in range(grid_w)]
+                        for r in range(grid_h)
+                    ]
+                    bits = "".join(
+                        "1" if grid[k // 8][k % 8] > grid[k // 8][k % 8 + 1] else "0"
+                        for k in range(64)
+                    )
+                    rows.append((int(i), w, h, bits))
+                except Exception:
+                    rows.append((int(i), -1, -1, None))
+            yield pd.DataFrame(rows, columns=[id_col, "src_w", "src_h", "phash"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -144,7 +144,13 @@ ROTATION: set[str] = {
     # keywords_per_document, train_val_test_split_documents,
     # trimmed_mean_by_type, quantile_normalize_events,
     # streaming_cdc_merge_events, column_stats_lineitem,
-    # zorder_key_events — first driver rows due round 6.
+    # zorder_key_events — first driver rows due round 6. Late-round-5
+    # additions, same deal (since=5, first rows due round 6):
+    # q4_priority_with_discounted_lines, q7_volume_shipping,
+    # q8_market_share, q13_order_count_distribution,
+    # q18_large_volume_customers, q22_idle_rich_customers,
+    # hard_negatives_embeddings, ann_recall_eval,
+    # dedup_substring_spans, multimodal_phash_dedup.
 }
 
 
@@ -580,4 +586,5 @@ from . import (  # noqa: E402,F401
     queries_pipeline,
     queries_analytic,
     queries_ir,
+    queries_tpch2,
 )

@@ -215,3 +215,53 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return frame_energy(d, "doc_id", "payload", frame_bytes=256, hop_bytes=128)
+
+
+@query(
+    "multimodal_phash_dedup",
+    sql="""
+    WITH p AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+    d AS (
+      SELECT doc_id, text, n,
+             greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS w
+      FROM p
+    ),
+    e AS (SELECT doc_id, text, w, greatest(n // w, 1) AS h FROM d),
+    g AS (
+      SELECT doc_id,
+             array_to_string(list_transform(generate_series(0, 63), k ->
+               CASE WHEN ord(substring(text,
+                        CAST((((k // 8) * h) // 8) * w + (((k % 8) * w) // 9) + 1 AS BIGINT), 1))
+                       > ord(substring(text,
+                        CAST((((k // 8) * h) // 8) * w + ((((k % 8) + 1) * w) // 9) + 1 AS BIGINT), 1))
+               THEN '1' ELSE '0' END), '') AS phash
+      FROM e
+    ),
+    c AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_same FROM g GROUP BY phash)
+    SELECT doc_id, phash, n_same FROM g JOIN c USING (phash)
+    """,
+    since=5,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup through the real mapInPandas/Arrow
+    path: 64-bit dHash (9×8 nearest-neighbor grid, horizontal
+    gradient bits) per fake-decoded payload, then cluster sizes by
+    exact hash equality — the standard first pass of an image dedup
+    pipeline (byte-exact dedup misses re-encodes; dHash equality
+    catches them). The SQL mirror replays the grid sampling and bit
+    construction over the ASCII payload bytes, so the hash gate pins
+    the Python dHash kernel itself.
+
+    100 TB shape: the hash is 64 bits/payload; the cluster count is a
+    two-phase agg on the hash key and the join back is co-partitioned
+    on the same key. Hamming-near (not just equal) clustering reuses
+    the SimHash byte-banding machinery (operators/dedup.py) on these
+    same bits."""
+    from .operators.multimodal import dhash_bits
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    ph = dhash_bits(d, "doc_id", "payload").select("doc_id", "phash")
+    counts = ph.groupBy("phash").agg(F.count(F.lit(1)).alias("n_same"))
+    return ph.join(counts, "phash").select("doc_id", "phash", "n_same")

@@ -421,3 +421,153 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("i"),
         F.floor(F.col("x").cast("double") / F.col("q_scale") + F.lit(0.5)).cast("long").alias("q"),
     )
+
+
+@query(
+    "hard_negatives_embeddings",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("q.qv", "c.embedding")} AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.query_id AND c.label != q.ql
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+             ) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    since=5,
+)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most-similar corpus vectors with a DIFFERENT
+    label — near-misses that teach a retriever the decision boundary.
+    Same 100 TB shape as brute-force top-k (queries broadcast with
+    their labels, corpus never shuffles, salted two-phase top-k); the
+    label inequality rides the broadcast-join condition, so excluded
+    positives never leave the scan stage."""
+    from .operators.similarity import cosine
+    from .operators.topk import grouped_topk
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("__ql"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("__cl"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id")) & (F.col("__cl") != F.col("__ql")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id")],
+        5,
+        salt_col=F.col("neighbor_id"),
+    ).select("query_id", "neighbor_id", "cosine", "rn")
+
+
+@query(
+    "ann_recall_eval",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    bscored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("q.qv", "c.embedding")} AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.query_id
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rn
+        FROM bscored
+      ) WHERE rn <= 10
+    ),
+    b AS (SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bkt FROM embeddings),
+    lq AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id < 5),
+    lscored AS (
+      SELECT lq.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("lq.qv", "c.embedding")} AS cosine
+      FROM b c JOIN lq ON c.bkt = lq.bkt
+      WHERE c.vec_id != lq.query_id
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+               ) AS rn
+        FROM lscored
+      ) WHERE rn <= 10
+    ),
+    nl AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh GROUP BY 1),
+    ov AS (
+      SELECT brute.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM brute JOIN lsh USING (query_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT qs.query_id,
+           coalesce(n_lsh, 0) AS n_lsh,
+           coalesce(n_overlap, 0) AS n_overlap,
+           CAST(coalesce(n_overlap, 0) AS DOUBLE) / 10.0 AS recall
+    FROM (SELECT DISTINCT query_id FROM brute) qs
+    LEFT JOIN nl USING (query_id)
+    LEFT JOIN ov USING (query_id)
+    """,
+    since=5,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@10 of the sign-LSH index against
+    the exact brute-force ground truth, per query — the measurement
+    loop every production ANN deployment runs before trading exactness
+    for speed. Composes the two existing operators (ground truth:
+    broadcast brute force; candidate: bucketed LSH) and reduces their
+    overlap per query. At 100 TB the ground-truth side runs on a
+    fixed eval sample (queries here: 5 vectors), so the exact pass
+    stays bounded while the index side scales with the corpus."""
+    from .operators.similarity import brute_force_topk, lsh_topk
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    lsh = lsh_topk(emb, q, k=10, planes=4).select("query_id", "neighbor_id")
+    nl = lsh.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_lsh"))
+    ov = (
+        brute.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    qs = brute.select("query_id").distinct()
+    return (
+        qs.join(nl, "query_id", "left_outer")
+        .join(ov, "query_id", "left_outer")
+        .select(
+            "query_id",
+            F.coalesce("n_lsh", F.lit(0)).cast("long").alias("n_lsh"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(10.0)).alias("recall"),
+        )
+    )

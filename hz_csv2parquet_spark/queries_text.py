@@ -1177,3 +1177,84 @@ def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (agree.cast("double") / F.lit(float(num_hashes))).alias("sim_est"),
         )
     )
+
+
+@query(
+    "dedup_substring_spans",
+    sql=f"""
+    WITH t8 AS (
+      SELECT doc_id, t AS tk FROM (
+        SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS t FROM documents
+      ) WHERE len(t) >= 8
+    ),
+    g AS (
+      SELECT doc_id, md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS gh
+      FROM t8, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+    per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM g WHERE gh IN (SELECT gh FROM dup)
+      GROUP BY doc_id
+    )
+    SELECT t8.doc_id,
+           CAST(len(tk) - 7 AS BIGINT) AS n_grams,
+           coalesce(n_dup, 0) AS n_dup,
+           CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(len(tk) - 7 AS DOUBLE) AS dup_ratio
+    FROM t8 LEFT JOIN per ON t8.doc_id = per.doc_id
+    """,
+    since=5,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring measurement at 8-gram granularity
+    (the scalable stand-in for suffix-array substring dedup, Lee et
+    al. 2022): every 8-token window is hashed WITH its position
+    multiplicity; a window occurring ≥2 times anywhere in the corpus
+    is a duplicated span, and each document reports its duplicated-
+    window fraction — the signal substring-level trainers cut on.
+
+    100 TB shape: explode → two-phase count on the md5 gram key
+    (map-side combine collapses within-partition repeats) → semi-join
+    back on the same key — co-partitioned, no broadcast of the gram
+    table, never all-pairs. Docs shorter than 8 tokens have no
+    windows and are excluded on both sides."""
+    from .tables import spread
+
+    d = (
+        spread(table(spark, sf_dir, "documents"))
+        .select("doc_id", T.tokens("text").alias("tk"))
+        .filter(F.size("tk") >= 8)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(7)),
+                lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i, 8), " ")),
+            )
+        ).alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    per = (
+        grams.join(dup, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    totals = d.select("doc_id", (F.size("tk") - F.lit(7)).cast("long").alias("n_grams"))
+    return (
+        totals.join(per, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            (
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )

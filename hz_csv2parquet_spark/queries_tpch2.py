@@ -1,0 +1,321 @@
+"""Relational-depth batch: six more TPC-H-shaped analytic queries.
+
+The reference repo has no join surface at all (SURVEY.md §2: its
+three scripts are scan→transform→agg pipelines), so like queries_extra
+this is extension surface from the north star — the standard analytic
+shapes a user of a 100 TB warehouse runs daily, each adapted to the
+driver's fixture schema (no ``partsupp``, no comment/phone columns,
+dates span 1995–2001):
+
+- Q4  shape → semi-join EXISTS + group count           (q4_priority_with_discounted_lines)
+- Q7  shape → two-sided dimension join, pair filter    (q7_volume_shipping)
+- Q8  shape → conditional-share ratio per year         (q8_market_share)
+- Q13 shape → outer join + distribution histogram      (q13_order_count_distribution)
+- Q18 shape → HAVING-threshold join back to the fact   (q18_large_volume_customers)
+- Q22 shape → scalar subquery + anti join              (q22_idle_rich_customers)
+
+Every aggregate routes through functions/exact.py so results
+hash-match the DuckDB oracle under any partitioning; every dimension
+side is explicitly broadcast and every fact-fact join keys on its
+natural key, so the plans survive a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.exact import SQL_EXACT_AVG, SQL_EXACT_SUM, exact_avg, exact_sum
+from .queries import query
+from .tables import table
+
+_REV = "l_extendedprice * (1 - l_discount)"
+_SQL_REV_SUM = SQL_EXACT_SUM.format(expr=_REV)
+
+
+@query(
+    "q4_priority_with_discounted_lines",
+    sql="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+      )
+    GROUP BY o_orderpriority
+    """,
+    since=5,
+)
+def q4_priority_with_discounted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join:
+    1996 orders having at least one deep-discount line, counted per
+    priority. The semi join keys on high-cardinality l_orderkey
+    (co-partitioned shuffle, no duplication from multi-line orders);
+    the date filter reaches the orders scan as a pushed predicate."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+           {_SQL_REV_SUM} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE s_nationkey < 5 AND c_nationkey < 5
+      AND s_nationkey != c_nationkey
+    GROUP BY 1, 2, 3
+    """,
+    since=5,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — cross-nation trade volume: revenue shipped
+    from supplier-nation to customer-nation per year, for a small set
+    of nation pairs (nation keys < 5). Join-order reasoning: the nation-key filters cut
+    supplier and customer BEFORE any join; both dimension sides
+    broadcast; the only big shuffle is lineitem⋈orders on the natural
+    key. The pair predicate (different nations) is applied post-join
+    on broadcast columns — no fact-side duplication."""
+    n = table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"), "s_nationkey")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 5)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"), "c_nationkey")
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(exact_sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "q8_market_share",
+    sql=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           {SQL_EXACT_SUM.format(expr=f"CASE WHEN s_nationkey = 1 THEN {_REV} ELSE 0.0 END")}
+             / {_SQL_REV_SUM} AS mkt_share,
+           {_SQL_REV_SUM} AS total_revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    GROUP BY 1
+    """,
+    since=5,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: NATION_1 suppliers'
+    fraction of PROMO-part revenue sold to AMERICA-region customers,
+    per order year. The share is a ratio of two decimal-exact sums
+    divided in double (deterministic on both engines). region→nation→
+    customer is the classic snowflake broadcast chain; part's type
+    filter cuts the fact rows before the orders join."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n = table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("s_nationkey") == 1, rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            (exact_sum(national) / exact_sum(rev)).alias("mkt_share"),
+            exact_sum(rev).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    sql="""
+    WITH per_cust AS (
+      SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+      FROM customer
+      LEFT JOIN (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders
+        WHERE o_orderpriority != '5-LOW'
+        GROUP BY o_custkey
+      ) ON c_custkey = o_custkey
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    """,
+    since=5,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution (how many
+    customers placed exactly N non-low-priority orders, including
+    N=0). The scale move is aggregate-then-outer-join: orders reduce
+    to one row per custkey FIRST, so the outer join touches
+    |customers| + |custkeys| rows, never raw order rows; the final
+    histogram keys on tiny n_orders with map-side combine."""
+    per = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(per, c.c_custkey == per.o_custkey, "left_outer")
+        .select(F.coalesce("cnt", F.lit(0)).cast("long").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    sql=f"""
+    WITH big AS (
+      SELECT l_orderkey AS b_orderkey,
+             {SQL_EXACT_SUM.format(expr="l_quantity")} AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING {SQL_EXACT_SUM.format(expr="l_quantity")} > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON b_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+    since=5,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders: per-order quantity sums
+    above a threshold, joined back to orders and customers. The
+    HAVING aggregate runs FIRST (partial+final hash agg on
+    l_orderkey), so only the handful of qualifying orderkeys flow
+    into the joins; the surviving set is broadcast against orders —
+    the fact table never shuffles for it."""
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(exact_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.b_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    sql=f"""
+    WITH avg_bal AS (
+      SELECT {SQL_EXACT_AVG.format(expr="c_acctbal")} AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {SQL_EXACT_SUM.format(expr="c_acctbal")} AS total_acctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+    since=5,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — above-average-balance customers with no
+    recent orders, aggregated per nation. Two decorrelations: the
+    scalar AVG becomes a 1-row broadcast cross join (computed once,
+    not per row), and NOT EXISTS becomes a LEFT ANTI join against
+    the date-filtered orders (the filter cuts the anti-join build
+    side before it shuffles)."""
+    cust = table(spark, sf_dir, "customer")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(exact_avg("c_acctbal").alias("ab"))
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal").alias("total_acctbal"),
+        )
+    )

@@ -175,3 +175,28 @@ def test_frame_energy_matches_numpy(spark):
             expected[(i, f)] = (len(fr), int((fr * fr).sum()))
             f, off = f + 1, off + 128
     assert got == expected
+
+
+def test_dhash_bits_matches_reference_impl(spark):
+    """dHash grid sampling and bit order checked against a direct
+    independent recomputation on known payloads, including the w=1
+    degenerate grid and a constant payload (all-zero hash)."""
+    from hz_csv2parquet_spark.operators.multimodal import dhash_bits, fake_decode
+
+    payloads = [
+        (1, bytes(range(100))),        # 10×10 grid, strictly increasing rows
+        (2, b"\x07" * 81),             # constant → every gradient bit 0
+        (3, b"abc"),                   # tiny: w=1, h=3
+        (4, bytes(reversed(range(144)))),  # 12×12, strictly decreasing
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r.doc_id: (r.src_w, r.src_h, r.phash) for r in dhash_bits(df, "doc_id", "payload").collect()}
+    for i, p in payloads:
+        d = fake_decode(p)
+        w, h, px = d["width"], d["height"], d["pixels"]
+        grid = [[px[(r * h // 8) * w + (c * w // 9)] for c in range(9)] for r in range(8)]
+        bits = "".join(
+            "1" if grid[k // 8][k % 8] > grid[k // 8][k % 8 + 1] else "0" for k in range(64)
+        )
+        assert got[i] == (w, h, bits), f"doc {i}"
+    assert got[2][2] == "0" * 64

@@ -270,3 +270,53 @@ def test_inverted_index_no_unbounded_collect(spark, sf_dir):
     # collect_list runs on <= 8 rows per token (post-rank-filter)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_broadcasts_qualifying_orderkeys(spark, sf_dir):
+    # the HAVING aggregate runs before the joins, and its small
+    # survivor set broadcasts — the orders fact never shuffles for it
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customers")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q13_aggregates_orders_before_outer_join(spark, sf_dir):
+    # aggregate-then-join: the per-custkey count's HashAggregate pair
+    # sits below the outer join, so the join sees one row per custkey
+    plan = plan_of(spark, sf_dir, "q13_order_count_distribution")
+    join_at = plan.find("Join")
+    assert join_at != -1
+    assert "HashAggregate" in plan[join_at:], "orders pre-agg must be below the join"
+
+
+def test_q4_semi_join_no_duplication(spark, sf_dir):
+    # EXISTS decorrelated to LeftSemi — never an inner join + distinct
+    plan = plan_of(spark, sf_dir, "q4_priority_with_discounted_lines")
+    assert "LeftSemi" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    # NOT EXISTS → LeftAnti on the date-filtered orders; the scalar
+    # average arrives via a broadcast nested-loop cross join, not a
+    # per-row subquery
+    plan = plan_of(spark, sf_dir, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_substring_dedup_two_phase_gram_count(spark, sf_dir):
+    # the gram count is partial+final on the gram-hash key (map-side
+    # combine collapses within-partition repeats before the shuffle),
+    # and the dup filter feeds a LeftSemi join — the declarative form
+    # Catalyst sizes per-scale: broadcast at fixture size, shuffled
+    # co-partitioned when the dup set outgrows the threshold
+    plan = plan_of(spark, sf_dir, "dedup_substring_spans")
+    assert "LeftSemi" in plan
+    assert "hashpartitioning(gh" in plan
+    assert "partial_count" in plan
+
+
+def test_hard_negatives_broadcasts_labeled_queries(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "hard_negatives_embeddings")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # bounded top-k phases only — same contract as similarity_topk
+    assert "WindowGroupLimit" in plan
