@@ -150,7 +150,8 @@ ROTATION: set[str] = {
     # q8_market_share, q13_order_count_distribution,
     # q18_large_volume_customers, q22_idle_rich_customers,
     # hard_negatives_embeddings, ann_recall_eval,
-    # dedup_substring_spans, multimodal_phash_dedup.
+    # dedup_substring_spans, multimodal_phash_dedup,
+    # schema_evolution_merge, compact_small_files.
 }
 
 

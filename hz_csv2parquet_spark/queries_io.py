@@ -193,3 +193,90 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("content_checksum"),
     )
+
+
+@query(
+    "schema_evolution_merge",
+    sql="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    since=5,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations — the lakehouse
+    reality that a 100 TB table is written by years of jobs with
+    drifting schemas. Generation 1 (even orderkeys) lacks the
+    ``o_orderstatus`` column; generation 2 (odd) carries it; a
+    ``mergeSchema`` read reconciles both under one superset schema,
+    null-filling the missing column. The oracle replays the
+    generation split arithmetically on the original table, so the
+    hash gate proves the merged read null-fills exactly where it
+    should and loses no rows/values.
+
+    Scale note: mergeSchema's footer reconciliation is a driver-side
+    listing cost, paid once per read — at production scale the
+    superset schema lives in a catalog (Delta/Iceberg) instead, but
+    the read semantics pinned here are identical."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="hz_schema_ev_")
+    o = table(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    gen2 = o.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "compact_small_files",
+    sql="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS acctbal_sum
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    since=5,
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE maintenance pass every
+    parquet lake needs (streaming ingestion leaves thousands of tiny
+    files; each costs a task + a footer read). The supplier table is
+    deliberately fragmented into 16 files, then compacted with a
+    single-file coalesce write; the returned aggregate runs on the
+    compacted copy, so the oracle (original table) proves compaction
+    is content-lossless. File-count mechanics are pinned in
+    tests/test_io.py::test_compaction_reduces_file_count.
+
+    Scale note: ``coalesce(1)`` is the fixture-sized stand-in; a real
+    compactor targets ~1 GiB files via ``repartitionByRange`` on the
+    layout key (see zorder_key_events) or Delta OPTIMIZE — the
+    read-rewrite-swap shape is the same."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="hz_compact_")
+    frag_dir, compact_dir = os.path.join(base, "frag"), os.path.join(base, "compact")
+    table(spark, sf_dir, "supplier").repartition(16).write.mode("overwrite").parquet(frag_dir)
+    spark.read.parquet(frag_dir).coalesce(1).write.mode("overwrite").parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(38,10)")).cast("double").alias("acctbal_sum"),
+    )

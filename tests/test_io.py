@@ -101,3 +101,20 @@ def test_spread_is_noop_when_parallel_enough(spark):
     assert out is not narrow
     assert out.rdd.getNumPartitions() == target
     assert out.count() == 1000
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    """The compaction op's file-count contract: fragmented input has
+    many part files, the compacted output exactly one, and no rows
+    are lost — the data-level mirror is compact_small_files' oracle."""
+    import glob as g
+
+    from hz_csv2parquet_spark.tables import table
+
+    frag, compact = str(tmp_path / "frag"), str(tmp_path / "compact")
+    table(spark, sf_dir, "supplier").repartition(16).write.parquet(frag)
+    n_before = len(g.glob(frag + "/part-*"))
+    spark.read.parquet(frag).coalesce(1).write.parquet(compact)
+    n_after = len(g.glob(compact + "/part-*"))
+    assert n_before > 1 and n_after == 1
+    assert spark.read.parquet(compact).count() == table(spark, sf_dir, "supplier").count()
