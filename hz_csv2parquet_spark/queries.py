@@ -151,7 +151,9 @@ ROTATION: set[str] = {
     # q18_large_volume_customers, q22_idle_rich_customers,
     # hard_negatives_embeddings, ann_recall_eval,
     # dedup_substring_spans, multimodal_phash_dedup,
-    # schema_evolution_merge, compact_small_files.
+    # schema_evolution_merge, compact_small_files,
+    # grouping_sets_revenue, checksum_orders_table,
+    # incremental_agg_merge_orders.
 }
 
 

@@ -319,3 +319,132 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("c_acctbal").alias("total_acctbal"),
         )
     )
+
+
+@query(
+    "grouping_sets_revenue",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    since=5,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form next to rollup_revenue
+    and cube_order_stats): per-status and per-priority totals in ONE
+    pass — no UNION ALL of two scans, one expand + single hash agg.
+    Uses the DataFrame ``groupingSets`` API (Spark 4)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price")
+    )
+
+
+@query(
+    "checksum_orders_table",
+    sql="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST('0x' || substring(md5(concat_ws('|',
+                  o_orderkey, o_custkey, o_orderstatus,
+                  CAST(round(o_totalprice * 100) AS BIGINT),
+                  epoch_ms(o_orderdate), o_orderpriority)), 1, 8) AS UBIGINT)
+                AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+    FROM orders
+    """,
+    since=5,
+)
+def checksum_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint — the anti-entropy check a
+    100 TB replication / migration pipeline runs on both sides of a
+    copy: per-row 32-bit hash of the canonicalized row (cents-exact
+    price, epoch-ms date — the engine-portable encodings), summed
+    exactly in DECIMAL(38,0). Commutative and associative, so any
+    partitioning / task order / cluster size produces the identical
+    checksum; emitted as a string (the value exceeds double's exact
+    range at real row counts)."""
+    o = table(spark, sf_dir, "orders")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    "o_orderstatus",
+                    F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                    # o_orderdate infers as TIMESTAMP_NTZ; the cast
+                    # reinterprets the same wall clock as a UTC
+                    # instant (session tz pinned), matching epoch_ms
+                    F.unix_millis(F.col("o_orderdate").cast("timestamp")).cast("string"),
+                    "o_orderpriority",
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).cast("string").alias("checksum"),
+    )
+
+
+@query(
+    "incremental_agg_merge_orders",
+    sql="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    since=5,
+)
+def incremental_agg_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the materialized-view
+    update pattern: a BASE aggregate (orders before 2000) merged with
+    a DELTA batch aggregate (2000 onward) by combining partial states
+    (counts add; DECIMAL partial sums add exactly), instead of
+    re-aggregating the full table. The oracle IS the full-table
+    aggregate, so the hash gate proves state-merge ≡ recompute — the
+    property that lets a 100 TB rollup absorb a daily delta touching
+    only the delta's keys. Full-outer state merge handles keys present
+    in only one side."""
+    o = table(spark, sf_dir, "orders")
+    cut = F.lit("2000-01-01 00:00:00").cast("timestamp")
+
+    def part(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias(f"{tag}_status")).agg(
+            F.count(F.lit(1)).alias(f"{tag}_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias(f"{tag}_sum"),
+        )
+
+    base = part(o.filter(F.col("o_orderdate") < cut), "b")
+    delta = part(o.filter(F.col("o_orderdate") >= cut), "d")
+    merged = base.join(delta, base.b_status == delta.d_status, "full_outer")
+    zero = F.lit(0).cast("decimal(38,10)")
+    return merged.select(
+        F.coalesce("b_status", "d_status").alias("o_orderstatus"),
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .cast("long")
+        .alias("n_orders"),
+        (F.coalesce("b_sum", zero) + F.coalesce("d_sum", zero))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -25,6 +25,12 @@ QUERIES = [
     "quantile_normalize_events",
     "seasonal_anomaly_events",
     "trimmed_mean_by_type",
+    # late-round-5 float-bearing additions
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q22_idle_rich_customers",
+    "dedup_substring_spans",
+    "ann_recall_eval",
 ]
 
 
