@@ -153,7 +153,7 @@ ROTATION: set[str] = {
     # dedup_substring_spans, multimodal_phash_dedup,
     # schema_evolution_merge, compact_small_files,
     # grouping_sets_revenue, checksum_orders_table,
-    # incremental_agg_merge_orders.
+    # incremental_agg_merge_orders, udaf_grouped_agg_chars.
 }
 
 

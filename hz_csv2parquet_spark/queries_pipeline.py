@@ -613,3 +613,62 @@ def length_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_frac"),
         )
     )
+
+
+@query(
+    "udaf_grouped_agg_chars",
+    sql="""
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    since=5,
+)
+def udaf_grouped_agg_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate through the GROUPED_AGG ``pandas_udf`` path —
+    the fifth and last Arrow surface (after scalar pandas_udf,
+    mapInPandas, applyInPandas, applyInPandasWithState): per-language
+    character totals where each aggregate is a whole-group numpy
+    reduction on the executors. Integer arithmetic end-to-end, so the
+    Python aggregation is bit-exact against the SQL oracle — the gate
+    checks the Arrow UDAF machinery itself, not an approximation.
+
+    Scale note: GROUPED_AGG ships each group's column to Python in
+    one Arrow batch — right for bounded groups (per-language stats,
+    per-user features), wrong for pathological single-key skew; the
+    salted two-phase rewrite (operators/packing.py salted_sum) is the
+    escape hatch there. Real users plug in true custom math
+    (percentile-of-diffs, learned scalers) where built-ins end."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: real-type annotations set post-hoc — the module's
+    # `from __future__ import annotations` would stringify inline
+    # hints and break pandas_udf's GROUPED_AGG signature inference
+    def _sum_impl(v):
+        return int(v.sum())
+
+    def _max_impl(v):
+        return int(v.max())
+
+    def _cnt_impl(v):
+        return len(v)
+
+    # GROUPED_AGG UDFs cannot mix with JVM aggregates in one agg()
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count is a UDAF too
+    _sum_impl.__annotations__ = {"v": pd.Series, "return": int}
+    _max_impl.__annotations__ = {"v": pd.Series, "return": int}
+    _cnt_impl.__annotations__ = {"v": pd.Series, "return": int}
+    udaf_sum = pandas_udf(_sum_impl, "long")
+    udaf_max = pandas_udf(_max_impl, "long")
+    udaf_cnt = pandas_udf(_cnt_impl, "long")
+    d = table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return d.groupBy("lang").agg(
+        udaf_sum("n_chars").alias("total_chars"),
+        udaf_max("n_chars").alias("max_chars"),
+        udaf_cnt("n_chars").alias("n_docs"),
+    )

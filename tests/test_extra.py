@@ -135,3 +135,29 @@ def test_two_phase_rank_bit_equal_to_window(spark):
     sizes = {r.g: r.n_part for r in got.select("g", "n_part").distinct().collect()}
     true_sizes = {r.g: r.n for r in df.groupBy("g").agg(F.count("*").alias("n")).collect()}
     assert sizes == true_sizes
+
+
+def test_checksum_is_sensitive_to_single_value_changes(spark, sf_dir, tmp_path):
+    """The anti-entropy checksum must move when any row changes — a
+    copy that silently flips one price must not hash-collide. Rewrite
+    the orders table with one cent added to one row and compare."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.queries import REGISTRY
+    from hz_csv2parquet_spark.tables import table
+
+    q = REGISTRY["checksum_orders_table"]
+    base = q.fn(spark, sf_dir).collect()[0]
+
+    o = table(spark, sf_dir, "orders")
+    mutated = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 0.01).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    mdir = str(tmp_path / "orders_mut")
+    mutated.write.parquet(mdir + "/orders.parquet")
+    got = q.fn(spark, str(tmp_path / "orders_mut")).collect()[0]
+    assert got.n_rows == base.n_rows
+    assert got.checksum != base.checksum

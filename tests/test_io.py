@@ -118,3 +118,16 @@ def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
     n_after = len(g.glob(compact + "/part-*"))
     assert n_before > 1 and n_after == 1
     assert spark.read.parquet(compact).count() == table(spark, sf_dir, "supplier").count()
+
+
+def test_csv_scan_is_permissive_on_malformed_rows(spark, tmp_path):
+    """At 100 TB some malformed rows are a certainty: the CSV scan
+    must null-fill bad cells (Spark's default PERMISSIVE mode), not
+    fail the job — the reference's pandas reader has the same
+    keep-going behavior (low_memory chunking)."""
+    p = tmp_path / "bad.csv"
+    p.write_text("k,v\n1,10.5\n2,notanumber\n3,30.25\n")
+    df = spark.read.option("header", True).schema("k long, v double").csv(str(p))
+    rows = {r.k: r.v for r in df.collect()}
+    assert rows[1] == 10.5 and rows[3] == 30.25
+    assert rows[2] is None  # malformed cell null-filled, row kept
