@@ -1188,7 +1188,9 @@ def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE len(t) >= 8
     ),
     g AS (
-      SELECT doc_id, md5(array_to_string(list_slice(tk, i, i + 7), ' ')) AS gh
+      SELECT doc_id,
+             CAST(CAST('0x' || substring(md5(array_to_string(list_slice(tk, i, i + 7), ' ')), 1, 15)
+                  AS UBIGINT) AS BIGINT) AS gh
       FROM t8, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)
     ),
     dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
@@ -1203,6 +1205,7 @@ def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(len(tk) - 7 AS DOUBLE) AS dup_ratio
     FROM t8 LEFT JOIN per ON t8.doc_id = per.doc_id
     """,
+    headline=True,
     since=5,
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,21 +1221,44 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     back on the same key — co-partitioned, no broadcast of the gram
     table, never all-pairs. Docs shorter than 8 tokens have no
     windows and are excluded on both sides."""
-    from .tables import spread
+    from .tables import memo_checkpoint, spread
 
     d = (
         spread(table(spark, sf_dir, "documents"))
         .select("doc_id", T.tokens("text").alias("tk"))
         .filter(F.size("tk") >= 8)
     )
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tk") - F.lit(7)),
-                lambda i: F.md5(F.array_join(F.slice(F.col("tk"), i, 8), " ")),
-            )
-        ).alias("gh"),
+
+    def build_grams():
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - F.lit(7)),
+                    # 60-bit integer gram key (first 15 md5 hex
+                    # digits): 4x smaller shuffle rows than the
+                    # 32-char md5 string, same dup semantics — the
+                    # truncation is mirrored in the oracle, so even a
+                    # collision (≈n²/2^61, vanishing) matches
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(F.array_join(F.slice(F.col("tk"), i, 8), " ")), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                )
+            ).alias("gh"),
+        )
+
+    # the positional gram stream feeds BOTH the corpus count and the
+    # per-doc semi join — memoized + checkpointed like the SimHash
+    # signature table (tables.memo_checkpoint) so the tokenize+hash
+    # explode runs once per (input, n) and downstream plans re-analyze
+    # a three-node scan. At cluster scale the durable form is a
+    # parquet write of the gram table; same design, different storage.
+    grams = memo_checkpoint(
+        build_grams, "substring_grams", key=f"{d.semanticHash()}|n=8|k=60bit"
     )
     dup = (
         grams.groupBy("gh")
