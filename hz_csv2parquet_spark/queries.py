@@ -153,7 +153,10 @@ ROTATION: set[str] = {
     # dedup_substring_spans, multimodal_phash_dedup,
     # schema_evolution_merge, compact_small_files,
     # grouping_sets_revenue, checksum_orders_table,
-    # incremental_agg_merge_orders, udaf_grouped_agg_chars.
+    # incremental_agg_merge_orders, udaf_grouped_agg_chars,
+    # q6_forecast_revenue, q10_returned_item_customers,
+    # q12_priority_shipping_modes, q14_promo_revenue_ratio,
+    # q15_top_supplier.
 }
 
 

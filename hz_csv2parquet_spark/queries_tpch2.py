@@ -1,4 +1,4 @@
-"""Relational-depth batch: six more TPC-H-shaped analytic queries.
+"""Relational-depth batch: the TPC-H-shaped analytic queries.
 
 The reference repo has no join surface at all (SURVEY.md §2: its
 three scripts are scan→transform→agg pipelines), so like queries_extra
@@ -13,6 +13,12 @@ dates span 1995–2001):
 - Q13 shape → outer join + distribution histogram      (q13_order_count_distribution)
 - Q18 shape → HAVING-threshold join back to the fact   (q18_large_volume_customers)
 - Q22 shape → scalar subquery + anti join              (q22_idle_rich_customers)
+- Q6  → pure scan-filter-aggregate                     (q6_forecast_revenue)
+- Q10 shape → agg + global two-phase top-20            (q10_returned_item_customers)
+- Q12 shape → conditional-count split after fact join  (q12_priority_shipping_modes)
+- Q14 → conditional revenue ratio per month            (q14_promo_revenue_ratio)
+- Q15 → max-revenue supplier with tie semantics        (q15_top_supplier)
+- plus GROUPING SETS, table checksum, incremental aggregate merge
 
 Every aggregate routes through functions/exact.py so results
 hash-match the DuckDB oracle under any partitioning; every dimension
@@ -447,4 +453,213 @@ def incremental_agg_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("b_sum", zero) + F.coalesce("d_sum", zero))
         .cast("double")
         .alias("total_price"),
+    )
+
+
+# ---- second wave: the remaining partsupp-free TPC-H shapes ----------
+# (Q2/Q9/Q11/Q16/Q20/Q21 need partsupp / receipt-commit dates the
+# fixtures don't carry; everything else is covered between
+# queries.py, queries_extra.py, queries_analytic.py, and here.)
+
+
+@query(
+    "q6_forecast_revenue",
+    sql=f"""
+    SELECT {SQL_EXACT_SUM.format(expr="l_extendedprice * l_discount")} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    since=5,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — the pure scan-filter-aggregate: discount-band
+    revenue forecast. Every predicate (date range, discount band,
+    quantity cap) reaches the parquet reader as a pushed filter; no
+    join, no expand — one partial+final agg to a single row. The
+    query that measures raw scan throughput at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q10_returned_item_customers",
+    sql=f"""
+    WITH scored AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             {_SQL_REV_SUM} AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY c_custkey, c_name, c_nationkey
+    )
+    SELECT c_custkey, c_name, c_nationkey, revenue, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    """,
+    since=5,
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by returned-item revenue in
+    a half-year window. The per-customer aggregate shuffles on
+    c_custkey (high-cardinality, map-side combined); the global
+    top-20 runs through the salted two-phase top-k (operators/topk) —
+    never a single-task sort of all customers."""
+    from .operators.topk import grouped_topk
+
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scored = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(exact_sum(rev).alias("revenue"))
+    )
+    return grouped_topk(
+        scored,
+        [],
+        [F.col("revenue").desc(), F.col("c_custkey")],
+        20,
+        salt_col=F.col("c_custkey"),
+    ).select("c_custkey", "c_name", "c_nationkey", "revenue", "rn")
+
+
+@query(
+    "q12_priority_shipping_modes",
+    sql="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    since=5,
+)
+def q12_priority_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the fixtures carry no shipmode column, so
+    l_linestatus plays the grouping role): per status, how many 1997
+    lines belong to urgent/high-priority orders vs the rest — the
+    conditional-count split after a fact-fact join on the natural
+    key. The date filter prunes lineitem at the scan."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    sql=f"""
+    SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+           CAST(EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS ship_month,
+           100.0 * {SQL_EXACT_SUM.format(expr=f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0.0 END")}
+             / {_SQL_REV_SUM} AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+    since=5,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion revenue share per month of 1996: the
+    conditional-ratio aggregate after a broadcast part-dimension join
+    (the complement of promo_revenue_by_brand, which groups by brand
+    instead of rationing by type). Both sums are decimal-exact; the
+    100·x/y finish divides in double identically on both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+        )
+        .agg((F.lit(100.0) * exact_sum(promo) / exact_sum(rev)).alias("promo_pct"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    sql=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, {_SQL_REV_SUM} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(total_revenue) AS m FROM rev)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no, mx
+    WHERE total_revenue = m
+    """,
+    since=5,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier(s) by quarterly revenue, keeping the
+    spec's tie semantics (every supplier matching the max, not an
+    arbitrary LIMIT 1). The max is a 1-row aggregate broadcast back
+    as a cross join; the equality compare is safe because both sides
+    are THE SAME decimal-exact sum (bit-identical under any
+    partitioning — functions/exact.py), the one case where comparing
+    doubles for equality is sound."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact_sum(rev).alias("total_revenue")
+    )
+    mx = per.agg(F.max("total_revenue").alias("m"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
     )

@@ -320,3 +320,17 @@ def test_hard_negatives_broadcasts_labeled_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # bounded top-k phases only — same contract as similarity_topk
     assert "WindowGroupLimit" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q10_global_topk_is_two_phase(spark, sf_dir):
+    # global top-20 through the salted two-phase — never one
+    # single-partition sort of every customer
+    plan = plan_of(spark, sf_dir, "q10_returned_item_customers")
+    assert "__salt" in plan
+    assert plan.count("Window") >= 2
