@@ -101,7 +101,10 @@ ROTATION: set[str] = {
     "streaming_enrich_events",
     "streaming_attribution_join",
     "streaming_attribution_outer",
-    # changed this round (perf edits: memo/persist boundaries)
+    # changed this round (perf edits: memo/persist boundaries, and
+    # the repetition narrow-formulation rewrite — swapped in for
+    # orc_roundtrip_agg's priority slot, see queries_io.py)
+    "repetition_stats_documents",
     "contamination_check_documents",
     "dedup_cluster_documents",
     "semantic_dedup_embeddings",

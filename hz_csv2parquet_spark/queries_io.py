@@ -171,7 +171,12 @@ def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     GROUP BY lang
     """,
-    priority=True,
+    # priority dropped late round 5 (window swap): the repetition
+    # narrow-formulation rewrite forced repetition_stats_documents
+    # into the 50-row window; this brand-new roundtrip keeps its
+    # since=5 grace (first driver row due round 6; the ORC
+    # write/read path is meanwhile pinned by tests/test_io.py)
+    since=5,
 )
 def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → ORC sink → ORC scan → per-lang aggregate with the

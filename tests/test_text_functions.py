@@ -67,3 +67,27 @@ def test_quality_flags_boundaries(spark):
     assert rows["ok"].n_tokens_ok and rows["ok"].symbols_ok
     assert not rows["short"].n_tokens_ok  # < 5 tokens
     assert not rows["symbols"].symbols_ok  # punctuation-heavy
+
+
+def test_repetition_formulations_agree(spark):
+    """The narrow (sorted-run fold) and exploded (two-level hash agg)
+    repetition formulations must be bit-identical on every stat,
+    including the <2-token edge docs."""
+    from hz_csv2parquet_spark.operators.repetition import (
+        repetition_stats,
+        repetition_stats_exploded,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat the cat"),
+        (2, "a a a a a a a a"),
+        (3, "one"),
+        (4, "42 7 42 !!! ??? 42"),
+        (5, "x y"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    b = {r.doc_id: r for r in repetition_stats_exploded(df, "doc_id", "text").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
