@@ -1284,3 +1284,103 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@query(
+    "collocations_by_lift",
+    sql=f"""
+    WITH t AS (SELECT string_split({_NORM.format(c="text")}, ' ') AS tk FROM documents),
+    uni AS (
+      SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c_w
+      FROM t, UNNEST(tk) AS u(w) GROUP BY u.w
+    ),
+    big AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM t, UNNEST(generate_series(1, len(tk) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tok,
+             CAST(SUM(len(tk) - 1) AS BIGINT) AS n_big
+      FROM t
+    ),
+    scored AS (
+      SELECT w1, w2, c_ab,
+             CAST(c_ab AS DOUBLE) * n_tok * n_tok
+               / (CAST(n_big AS DOUBLE) * u1.c_w * u2.c_w) AS lift
+      FROM big, tot
+      JOIN uni u1 ON w1 = u1.w
+      JOIN uni u2 ON w2 = u2.w
+      WHERE c_ab >= 5
+    )
+    SELECT w1, w2, c_ab, lift, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    """,
+    since=5,
+)
+def collocations_by_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — the PMI ranking in its log-free LIFT form:
+    lift(a,b) = p(ab) / (p(a)·p(b)) with all probabilities as exact
+    integer count ratios, so the score is one deterministic double
+    expression (log-based PMI would hash-diverge across engines'
+    libm; the monotone lift ranks identically). Corpus-wide top-20
+    above a min-support of 5.
+
+    100 TB shape: two independent explode → two-phase counts (token
+    and bigram grain, both map-side combined); unigram counts join
+    back at bigram grain co-partitioned on the word key; the scalar
+    totals arrive via a 1-row broadcast; global top-20 through the
+    salted two-phase top-k. Nothing is ever per-pair quadratic."""
+    from .operators.topk import grouped_topk
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select(T.tokens("text").alias("tk"))
+    n = F.size("tk")
+    tot = d.agg(
+        F.sum(n).cast("long").alias("n_tok"),
+        F.sum(n - 1).cast("long").alias("n_big"),
+    )
+    uni = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("tk"), 1, n - 1),
+        F.slice(F.col("tk"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))
+    scored = (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            (
+                F.col("c_ab").cast("double")
+                * F.col("n_tok")
+                * F.col("n_tok")
+                / (F.col("n_big").cast("double") * F.col("c_w1") * F.col("c_w2"))
+            ).alias("lift"),
+        )
+    )
+    return grouped_topk(
+        scored,
+        [],
+        [F.col("lift").desc(), F.col("w1"), F.col("w2")],
+        20,
+        salt_col=F.abs(F.hash("w1", "w2")),
+    ).select("w1", "w2", "c_ab", "lift", "rn")
