@@ -159,7 +159,8 @@ ROTATION: set[str] = {
     # incremental_agg_merge_orders, udaf_grouped_agg_chars,
     # q6_forecast_revenue, q10_returned_item_customers,
     # q12_priority_shipping_modes, q14_promo_revenue_ratio,
-    # q15_top_supplier, collocations_by_lift.
+    # q15_top_supplier, collocations_by_lift,
+    # readability_scores_documents.
 }
 
 

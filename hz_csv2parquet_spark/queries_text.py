@@ -1384,3 +1384,66 @@ def collocations_by_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         20,
         salt_col=F.abs(F.hash("w1", "w2")),
     ).select("w1", "w2", "c_ab", "lift", "rn")
+
+
+@query(
+    "readability_scores_documents",
+    sql=f"""
+    WITH n AS (
+      SELECT doc_id, {_NORM.format(c="text")} AS nt FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(nt, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(list_sum(list_transform(string_split(nt, ' '),
+                    w -> greatest(len(regexp_extract_all(w, '[aeiou]+')), 1)))
+                  AS BIGINT) AS n_syllables
+      FROM n
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST('0.39' AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             + CAST('11.8' AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             - CAST('15.59' AS DOUBLE) AS fk_grade
+    FROM c
+    """,
+    since=5,
+)
+def readability_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade-level readability per document — the
+    classic filter corpora apply to bucket text by complexity. All
+    three inputs are deterministic integer counts (whitespace words,
+    sentence-ending punctuation runs clamped to ≥1, vowel-group
+    syllable approximation clamped to ≥1 per word), so the one double
+    formula evaluates bit-identically on both engines (literals via
+    the CAST-string route, same operation order).
+
+    Purely narrow — one projection over the scan, no shuffle; the
+    counts are regex work inside whole-stage codegen."""
+    nt = T.normalize_text("text")
+    toks = F.split(nt, " ")
+    syll = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(F.size(F.regexp_extract_all(w, F.lit("[aeiou]+"), 0)), F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(F.size(F.regexp_extract_all(nt, F.lit("[.!?]+"), 0)), F.lit(1))
+        .cast("long")
+        .alias("n_sentences"),
+        syll.cast("long").alias("n_syllables"),
+    )
+    w, s, y = [F.col(c).cast("double") for c in ("n_words", "n_sentences", "n_syllables")]
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59)).alias("fk_grade"),
+    )
