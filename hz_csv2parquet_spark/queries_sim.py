@@ -571,3 +571,102 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(10.0)).alias("recall"),
         )
     )
+
+
+# ---- E139: top principal direction via power iteration --------------
+
+_PCA_DIMS = 16
+_PCA_ITERS = 3
+
+
+def _sql_pca() -> str:
+    """Chained-CTE oracle replaying the full power iteration (same
+    shape as the PageRank oracle: an iterative algorithm the hash
+    gate checks end-to-end). Each iteration: per-row strict-left-fold
+    dot against the previous direction, per-dim DECIMAL(38,10)-exact
+    sums (the VARCHAR hop, functions/exact.py), then L2
+    normalization in double."""
+    slice_ = f"list_slice(embedding, 1, {_PCA_DIMS})"
+    dot_prev = (
+        f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, {_PCA_DIMS}), "
+        f"i -> CAST(x[i] AS DOUBLE) * v.v[i])), (a, b) -> a + b)"
+    )
+    ctes = [f"c AS (SELECT {slice_} AS x FROM embeddings)",
+            "v0 AS (SELECT [" + ", ".join(["1.0"] * _PCA_DIMS) + "] AS v)"]
+    prev = "v0"
+    for it in range(1, _PCA_ITERS + 1):
+        sums = ", ".join(
+            "CAST(CAST(SUM(CAST(CAST(x[{j}] AS DOUBLE) * d AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+            .format(j=j + 1)
+            + f" AS s{j + 1}"
+            for j in range(_PCA_DIMS)
+        )
+        raw = f"r{it} AS (SELECT {sums} FROM (SELECT x, {dot_prev} AS d FROM c, {prev} v))"
+        norm = (
+            "sqrt(" + " + ".join(f"s{j + 1} * s{j + 1}" for j in range(_PCA_DIMS)) + ")"
+        )
+        vec = "[" + ", ".join(f"s{j + 1} / {norm}" for j in range(_PCA_DIMS)) + "]"
+        ctes.append(raw)
+        ctes.append(f"v{it} AS (SELECT {vec} AS v FROM r{it})")
+        prev = f"v{it}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(i AS BIGINT) AS dim, v.v[i] AS loading
+    FROM {prev} v, UNNEST(generate_series(1, {_PCA_DIMS})) AS u(i)
+    """
+    )
+
+
+@query("pca_power_iteration_embeddings", sql=_sql_pca(), since=5)
+def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding corpus by
+    POWER ITERATION — distributed linear algebra as three passes of
+    v ← normalize(Σᵢ xᵢ·(xᵢ·v)), starting from the all-ones vector.
+    Computed over the first 16 dimensions: the dim count only widens
+    the per-pass aggregate (one decimal-exact sum per dimension, the
+    SimHash-style wide agg); the algorithm and plan shape are
+    dimension-generic.
+
+    100 TB shape: each iteration is ONE corpus pass — per-row dot
+    against the broadcast 1-row direction frame, then a 16-column
+    map-side-combined exact aggregate to a single row; the corpus
+    never shuffles. Determinism: strict left-fold dots and
+    DECIMAL(38,10) sums make every iterate bit-stable under any
+    partitioning, which is what lets the oracle replay all three
+    iterations and hash-match the final loadings."""
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        F.slice("embedding", 1, _PCA_DIMS).alias("x")
+    )
+    v = None  # 1-row DataFrame with column v: array<double>
+    spark_v0 = emb.sparkSession.range(1).select(
+        F.array(*[F.lit(1.0) for _ in range(_PCA_DIMS)]).alias("v")
+    )
+    v = spark_v0
+    for _ in range(_PCA_ITERS):
+        joined = emb.crossJoin(F.broadcast(v))
+        d = F.aggregate(
+            F.zip_with("x", "v", lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        withd = joined.select("x", d.alias("d"))
+        sums = withd.agg(
+            *[
+                F.sum((F.element_at("x", j + 1).cast("double") * F.col("d")).cast("decimal(38,10)"))
+                .cast("double")
+                .alias(f"s{j + 1}")
+                for j in range(_PCA_DIMS)
+            ]
+        )
+        norm = F.sqrt(
+            sum((F.col(f"s{j + 1}") * F.col(f"s{j + 1}") for j in range(1, _PCA_DIMS)),
+                F.col("s1") * F.col("s1"))
+        )
+        v = sums.select(
+            F.array(*[F.col(f"s{j + 1}") / norm for j in range(_PCA_DIMS)]).alias("v")
+        )
+    return v.select(F.posexplode("v").alias("pos", "loading")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"), "loading"
+    )

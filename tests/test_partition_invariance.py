@@ -31,6 +31,7 @@ QUERIES = [
     "q22_idle_rich_customers",
     "dedup_substring_spans",
     "ann_recall_eval",
+    "pca_power_iteration_embeddings",
 ]
 
 
