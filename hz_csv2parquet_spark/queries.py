@@ -160,7 +160,8 @@ ROTATION: set[str] = {
     # q6_forecast_revenue, q10_returned_item_customers,
     # q12_priority_shipping_modes, q14_promo_revenue_ratio,
     # q15_top_supplier, collocations_by_lift,
-    # readability_scores_documents, pca_power_iteration_embeddings.
+    # readability_scores_documents, pca_power_iteration_embeddings,
+    # minhash_banding_eval.
 }
 
 

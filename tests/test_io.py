@@ -131,3 +131,29 @@ def test_csv_scan_is_permissive_on_malformed_rows(spark, tmp_path):
     rows = {r.k: r.v for r in df.collect()}
     assert rows[1] == 10.5 and rows[3] == 30.25
     assert rows[2] is None  # malformed cell null-filled, row kept
+
+
+def test_corrupt_parquet_files_can_be_skipped(spark, sf_dir, tmp_path):
+    """At 100 TB a corrupt file in a million-file table is a
+    certainty. Default behavior must FAIL LOUDLY (no silent data
+    loss); with spark.sql.files.ignoreCorruptFiles the scan must
+    skip the bad file and return every healthy row."""
+    import shutil
+
+    from hz_csv2parquet_spark.tables import table
+
+    d = str(tmp_path / "mixed")
+    table(spark, sf_dir, "supplier").coalesce(1).write.parquet(d)
+    (tmp_path / "mixed" / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a real file")
+    n_good = table(spark, sf_dir, "supplier").count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(d).count()  # loud by default
+
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        assert spark.read.parquet(d).count() == n_good
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
