@@ -670,3 +670,92 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return v.select(F.posexplode("v").alias("pos", "loading")).select(
         (F.col("pos") + 1).cast("long").alias("dim"), "loading"
     )
+
+
+def _sql_brute_pairs() -> str:
+    """(query_id, neighbor_id) of the exact cosine top-10 for the
+    5-query eval set — the ground-truth CTE body shared by the two
+    recall harnesses."""
+    return f"""
+    SELECT query_id, neighbor_id FROM (
+      SELECT q2.query_id, c2.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q2.query_id
+               ORDER BY {_sql_cosine("q2.qv", "c2.embedding")} DESC, c2.vec_id
+             ) AS rn
+      FROM embeddings c2
+      CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 5) q2
+      WHERE c2.vec_id != q2.query_id
+    ) WHERE rn <= 10
+    """
+
+
+def _recall_select(approx_cte: str) -> str:
+    """Overlap/recall finish shared by the recall harnesses: joins
+    the approx candidate set against the brute ground truth."""
+    return f"""
+    WITH brute AS ({_sql_brute_pairs()}),
+    approx AS ({approx_cte}),
+    nl AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM approx GROUP BY 1),
+    ov AS (
+      SELECT brute.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM brute JOIN approx USING (query_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT qs.query_id,
+           coalesce(n_approx, 0) AS n_approx,
+           coalesce(n_overlap, 0) AS n_overlap,
+           CAST(coalesce(n_overlap, 0) AS DOUBLE) / 10.0 AS recall
+    FROM (SELECT DISTINCT query_id FROM brute) qs
+    LEFT JOIN nl USING (query_id)
+    LEFT JOIN ov USING (query_id)
+    """
+
+
+def _recall_frame(brute: DataFrame, approx: DataFrame) -> DataFrame:
+    """Spark-side mirror of :func:`_recall_select`."""
+    nl = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    ov = (
+        brute.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    qs = brute.select("query_id").distinct()
+    return (
+        qs.join(nl, "query_id", "left_outer")
+        .join(ov, "query_id", "left_outer")
+        .select(
+            "query_id",
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
+@query(
+    "ivf_recall_eval",
+    sql=_recall_select(
+        f"SELECT query_id, neighbor_id FROM ({_sql_ivf_topk(nprobe=3)}) ivf_t"
+    ),
+    since=5,
+)
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the trained-quantizer IVF index (8 cells, nprobe
+    3) against brute-force ground truth, per query — completes the
+    ANN measurement pair next to ann_recall_eval (sign-LSH). Together
+    they are the accuracy dashboard an embedding pipeline watches
+    while tuning nprobe / bands against scan cost: the oracle replays
+    k-means training, cell assignment, probing, AND the recall
+    reduction, so the whole measurement loop is hash-checked."""
+    from .operators.similarity import brute_force_topk, ivf_topk
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    ivf = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=3).select(
+        "query_id", "neighbor_id"
+    )
+    return _recall_frame(brute, ivf)
