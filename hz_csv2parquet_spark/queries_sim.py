@@ -486,93 +486,6 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", "rn")
 
 
-@query(
-    "ann_recall_eval",
-    sql=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-    bscored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             {_sql_cosine("q.qv", "c.embedding")} AS cosine
-      FROM embeddings c CROSS JOIN q
-      WHERE c.vec_id != q.query_id
-    ),
-    brute AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
-               ) AS rn
-        FROM bscored
-      ) WHERE rn <= 10
-    ),
-    b AS (SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bkt FROM embeddings),
-    lq AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id < 5),
-    lscored AS (
-      SELECT lq.query_id, c.vec_id AS neighbor_id,
-             {_sql_cosine("lq.qv", "c.embedding")} AS cosine
-      FROM b c JOIN lq ON c.bkt = lq.bkt
-      WHERE c.vec_id != lq.query_id
-    ),
-    lsh AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
-               ) AS rn
-        FROM lscored
-      ) WHERE rn <= 10
-    ),
-    nl AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh GROUP BY 1),
-    ov AS (
-      SELECT brute.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
-      FROM brute JOIN lsh USING (query_id, neighbor_id)
-      GROUP BY 1
-    )
-    SELECT qs.query_id,
-           coalesce(n_lsh, 0) AS n_lsh,
-           coalesce(n_overlap, 0) AS n_overlap,
-           CAST(coalesce(n_overlap, 0) AS DOUBLE) / 10.0 AS recall
-    FROM (SELECT DISTINCT query_id FROM brute) qs
-    LEFT JOIN nl USING (query_id)
-    LEFT JOIN ov USING (query_id)
-    """,
-    since=5,
-)
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN quality harness: recall@10 of the sign-LSH index against
-    the exact brute-force ground truth, per query — the measurement
-    loop every production ANN deployment runs before trading exactness
-    for speed. Composes the two existing operators (ground truth:
-    broadcast brute force; candidate: bucketed LSH) and reduces their
-    overlap per query. At 100 TB the ground-truth side runs on a
-    fixed eval sample (queries here: 5 vectors), so the exact pass
-    stays bounded while the index side scales with the corpus."""
-    from .operators.similarity import brute_force_topk, lsh_topk
-    from .tables import spread
-
-    emb = spread(table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < 5)
-    brute = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
-    lsh = lsh_topk(emb, q, k=10, planes=4).select("query_id", "neighbor_id")
-    nl = lsh.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_lsh"))
-    ov = (
-        brute.join(lsh, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    qs = brute.select("query_id").distinct()
-    return (
-        qs.join(nl, "query_id", "left_outer")
-        .join(ov, "query_id", "left_outer")
-        .select(
-            "query_id",
-            F.coalesce("n_lsh", F.lit(0)).cast("long").alias("n_lsh"),
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(10.0)).alias("recall"),
-        )
-    )
-
-
 # ---- E139: top principal direction via power iteration --------------
 
 _PCA_DIMS = 16
@@ -759,3 +672,37 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     return _recall_frame(brute, ivf)
+
+
+_SQL_LSH_PAIRS = f"""
+    SELECT query_id, neighbor_id FROM (
+      WITH b AS (SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bkt FROM embeddings),
+      lq AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id < 5)
+      SELECT lq.query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lq.query_id
+               ORDER BY {_sql_cosine("lq.qv", "c.embedding")} DESC, c.vec_id
+             ) AS rn
+      FROM b c JOIN lq ON c.bkt = lq.bkt
+      WHERE c.vec_id != lq.query_id
+    ) WHERE rn <= 10
+"""
+
+
+@query("ann_recall_eval", sql=_recall_select(_SQL_LSH_PAIRS), since=5)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the sign-LSH index (4 planes) against brute-force
+    ground truth, per query — the measurement loop every production
+    ANN deployment runs before trading exactness for speed. Shares
+    the ground-truth CTE and overlap reduction with ivf_recall_eval,
+    so the two indexes read as one accuracy dashboard. At 100 TB the
+    exact side runs on the fixed 5-vector eval sample, bounded while
+    the index side scales with the corpus."""
+    from .operators.similarity import brute_force_topk, lsh_topk
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    lsh = lsh_topk(emb, q, k=10, planes=4).select("query_id", "neighbor_id")
+    return _recall_frame(brute, lsh)

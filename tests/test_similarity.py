@@ -189,3 +189,72 @@ def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
     out = semantic_dedup(emb.unionByName(plant), threshold=0.95).toPandas()
     dropped = set(out[~out.keep].vec_id)
     assert dropped == {1000000 + i for i in range(20)}
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """The distributed power iteration must match an independent
+    numpy implementation of the same recurrence (same init, same
+    iteration count) to float tolerance on a known small corpus."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.queries_sim import _PCA_DIMS, _PCA_ITERS
+    from hz_csv2parquet_spark.queries import REGISTRY
+
+    # deterministic small corpus written as a temp "embeddings" table
+    rng_rows = [
+        (i, [float(((i * 37 + j * 11) % 19) - 9) for j in range(_PCA_DIMS)])
+        for i in range(40)
+    ]
+    X = np.array([r[1] for r in rng_rows])
+    v = np.ones(_PCA_DIMS)
+    for _ in range(_PCA_ITERS):
+        s = X.T @ (X @ v)
+        v = s / np.sqrt((s * s).sum())
+
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="hz_pca_np_")
+    spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>").write.parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    got = (
+        REGISTRY["pca_power_iteration_embeddings"].fn(spark, d).orderBy("dim").toPandas()
+    )
+    assert np.allclose(got["loading"].to_numpy(), v, atol=1e-9)
+
+
+def test_collocation_lift_matches_bruteforce(spark):
+    """Lift scores and the top-k ranking checked against a direct
+    Python recomputation on a tiny corpus with known collocations."""
+    from collections import Counter
+
+    from hz_csv2parquet_spark.queries import REGISTRY
+    import tempfile, os
+
+    docs = [(i, ("new york is big . " * 3 + "the city of new york . ") ) for i in range(5)]
+    docs += [(10 + i, "a b c d e f g h") for i in range(3)]
+    d = tempfile.mkdtemp(prefix="hz_coll_np_")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    toks = [t.lower().split() for _, t in docs]
+    uni = Counter(w for ts in toks for w in ts)
+    big = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+    n_tok = sum(len(ts) for ts in toks)
+    n_big = sum(len(ts) - 1 for ts in toks)
+    expected = {
+        (a, b): c * n_tok * n_tok / (n_big * uni[a] * uni[b])
+        for (a, b), c in big.items()
+        if c >= 5
+    }
+    got = {
+        (r.w1, r.w2): r.lift
+        for r in REGISTRY["collocations_by_lift"].fn(spark, d).collect()
+    }
+    top = dict(sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:20])
+    assert set(got) == set(top)
+    for k in got:
+        assert abs(got[k] - top[k]) < 1e-12, (k, got[k], top[k])
