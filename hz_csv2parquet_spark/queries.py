@@ -161,7 +161,8 @@ ROTATION: set[str] = {
     # q12_priority_shipping_modes, q14_promo_revenue_ratio,
     # q15_top_supplier, collocations_by_lift,
     # readability_scores_documents, pca_power_iteration_embeddings,
-    # minhash_banding_eval, ivf_recall_eval.
+    # minhash_banding_eval, ivf_recall_eval,
+    # chisq_event_value_independence.
 }
 
 

@@ -1300,3 +1300,70 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.unix_millis("ts") / 3600000) % 65536).alias("hb"),
     )
     return c.select("event_id", "ua", "hb", z.alias("zkey"))
+
+
+@query(
+    "chisq_event_value_independence",
+    sql="""
+    WITH o AS (
+      SELECT event_type, CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS hi,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_tot FROM o GROUP BY 1),
+    ct AS (SELECT hi, CAST(SUM(obs) AS BIGINT) AS col_tot FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS grand FROM o),
+    e AS (
+      SELECT o.event_type, o.hi, obs,
+             CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE)
+               AS expect
+      FROM o JOIN rt USING (event_type) JOIN ct USING (hi), n
+    )
+    SELECT event_type, CAST(hi AS BIGINT) AS hi, obs, expect,
+           (CAST(obs AS DOUBLE) - expect) * (CAST(obs AS DOUBLE) - expect) / expect
+             AS chisq_term
+    FROM e
+    """,
+    since=5,
+)
+def chisq_event_value_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis — is event type independent of
+    high/low value? Observed cell counts vs the independence
+    expectation (row·col/N), one χ² term per cell (the analyst sums
+    them against the critical value; emitting per-cell terms keeps
+    every intermediate under the hash gate). All inputs are integer
+    counts, so the double expectation/term expressions are
+    deterministic on both engines.
+
+    100 TB shape: ONE pass builds the contingency cells (map-side
+    combined, |types|×2 rows); margins and the grand total derive
+    from the tiny cell frame and join back broadcast-sized. The fact
+    table is read once."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("hi")
+    )
+    o = ev.groupBy("event_type", "hi").agg(F.count(F.lit(1)).alias("obs"))
+    from .tables import memo_persist
+
+    o = memo_persist(o, "chisq_cells")
+    rt = o.groupBy("event_type").agg(F.sum("obs").cast("long").alias("row_tot"))
+    ct = o.groupBy("hi").agg(F.sum("obs").cast("long").alias("col_tot"))
+    n = o.agg(F.sum("obs").cast("long").alias("grand"))
+    e = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hi")
+        .crossJoin(F.broadcast(n))
+    )
+    obs_d = F.col("obs").cast("double")
+    expect = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    return e.select(
+        "event_type",
+        F.col("hi").cast("long").alias("hi"),
+        F.col("obs").cast("long").alias("obs"),
+        expect.alias("expect"),
+        ((obs_d - expect) * (obs_d - expect) / expect).alias("chisq_term"),
+    )
