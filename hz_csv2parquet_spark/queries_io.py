@@ -285,3 +285,86 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.col("s_acctbal").cast("decimal(38,10)")).cast("double").alias("acctbal_sum"),
     )
+
+
+_GEO_CENTERS = [(-40.0, -100.0), (-20.0, 0.0), (-60.0, 50.0), (-10.0, -140.0)]
+_GEO_RADIUS = 15.0  # degrees, flat-grid approximation
+
+
+@query(
+    "geo_radius_join_lineitem",
+    sql=f"""
+    WITH pts AS (
+      SELECT CAST(l_discount AS DOUBLE) * 800 - 80 AS lat,
+             CAST(l_quantity AS DOUBLE) * 5 - 150 AS lon,
+             CAST(l_extendedprice AS DOUBLE) AS rev
+      FROM lineitem
+    ),
+    centers AS (
+      SELECT * FROM (VALUES {", ".join(f"({i}, {dlit(la)}, {dlit(lo)})" for i, (la, lo) in enumerate(_GEO_CENTERS))})
+        t(center_id, clat, clon)
+    )
+    SELECT CAST(center_id AS BIGINT) AS center_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(CAST(SUM(CAST(rev AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM pts JOIN centers
+      ON (lat - clat) * (lat - clat) + (lon - clon) * (lon - clon)
+         <= {dlit(_GEO_RADIUS * _GEO_RADIUS)}
+    GROUP BY center_id
+    """,
+    since=5,
+)
+def geo_radius_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join — points within R of each center, the 2-D
+    analogue of the banded range join. The Spark plan is the SCALE
+    path: points key on their (R-sized) grid cell, each center
+    broadcasts its 3×3 cell neighborhood, the join is an equi-join on
+    the cell id, and the exact distance predicate filters the
+    candidates. The oracle is deliberately the SEMANTIC definition —
+    a plain cross join with the distance filter — so the hash gate
+    proves the grid decomposition loses and invents nothing.
+
+    Flat (degree-space) squared distance keeps the predicate pure
+    arithmetic — bit-identical across engines, no libm sin/cos; a
+    haversine deployment swaps the verify expression, the banding is
+    unchanged. At 100 TB: the fact side never shuffles (cell id is a
+    narrow projection; center-cells broadcast), aggregation is
+    map-side combined on |centers| keys."""
+    r = _GEO_RADIUS
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount").cast("double") * 800 - 80).alias("lat"),
+        (F.col("l_quantity").cast("double") * 5 - 150).alias("lon"),
+        F.col("l_extendedprice").cast("double").alias("rev"),
+    )
+    pts = li.withColumn(
+        "cell",
+        F.struct(
+            F.floor(F.col("lat") / r).alias("ci"), F.floor(F.col("lon") / r).alias("cj")
+        ),
+    )
+    spark_centers = spark.createDataFrame(
+        [
+            (i, la, lo, ci, cj)
+            for i, (la, lo) in enumerate(_GEO_CENTERS)
+            for ci in range(int(la // r) - 1, int(la // r) + 2)
+            for cj in range(int(lo // r) - 1, int(lo // r) + 2)
+        ],
+        "center_id long, clat double, clon double, ci long, cj long",
+    ).select(
+        "center_id", "clat", "clon",
+        F.struct(F.col("ci"), F.col("cj")).alias("cell"),
+    )
+    d2 = (F.col("lat") - F.col("clat")) * (F.col("lat") - F.col("clat")) + (
+        F.col("lon") - F.col("clon")
+    ) * (F.col("lon") - F.col("clon"))
+    from .functions.exact import exact_sum
+
+    return (
+        pts.join(F.broadcast(spark_centers), "cell")
+        .filter(d2 <= F.lit(r * r))
+        .groupBy("center_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            exact_sum("rev").alias("revenue"),
+        )
+    )
