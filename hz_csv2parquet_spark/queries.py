@@ -162,7 +162,8 @@ ROTATION: set[str] = {
     # q15_top_supplier, collocations_by_lift,
     # readability_scores_documents, pca_power_iteration_embeddings,
     # minhash_banding_eval, ivf_recall_eval,
-    # chisq_event_value_independence, geo_radius_join_lineitem.
+    # chisq_event_value_independence, geo_radius_join_lineitem,
+    # scd2_snapshot_join_orders.
 }
 
 

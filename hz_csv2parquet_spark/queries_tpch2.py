@@ -663,3 +663,72 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "scd2_snapshot_join_orders",
+    sql="""
+    WITH dim AS (
+      SELECT n_nationkey AS nationkey,
+             v AS version,
+             CASE v WHEN 1 THEN TIMESTAMP '1995-01-01 00:00:00'
+                    WHEN 2 THEN TIMESTAMP '1997-01-01 00:00:00'
+                    ELSE TIMESTAMP '1999-01-01 00:00:00' END AS valid_from,
+             CASE v WHEN 1 THEN TIMESTAMP '1997-01-01 00:00:00'
+                    WHEN 2 THEN TIMESTAMP '1999-01-01 00:00:00'
+                    ELSE TIMESTAMP '2002-01-01 00:00:00' END AS valid_to
+      FROM nation, UNNEST([1, 2, 3]) AS u(v)
+    )
+    SELECT nationkey, CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+             AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN dim ON c_nationkey = nationkey
+            AND o_orderdate >= valid_from AND o_orderdate < valid_to
+    GROUP BY 1, 2
+    """,
+    since=5,
+)
+def scd2_snapshot_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 temporal snapshot join — every order matched to the
+    dimension version VALID AT ITS ORDER DATE (key equality + date in
+    [valid_from, valid_to)), the standard slowly-changing-dimension
+    lookup a warehouse runs on every fact load. Distinct from the
+    as-of join: validity intervals are closed ranges maintained in
+    the dimension, not nearest-preceding events. The versioned
+    dimension is synthesized here (3 validity windows per nation).
+
+    Scale shape: an SCD2 dimension is |keys|·|versions| rows —
+    broadcast when it fits (as here), bucket-join on the key with the
+    range predicate as join residual when it does not; the fact table
+    never shuffles for the broadcast form. Pushdown note: the date
+    range condition rides the join, so each fact row matches exactly
+    one version — no post-join dedup needed."""
+    from datetime import datetime
+
+    windows = [
+        (1, datetime(1995, 1, 1), datetime(1997, 1, 1)),
+        (2, datetime(1997, 1, 1), datetime(1999, 1, 1)),
+        (3, datetime(1999, 1, 1), datetime(2002, 1, 1)),
+    ]
+    n = table(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    vers = spark.createDataFrame(windows, "version long, valid_from timestamp, valid_to timestamp")
+    dim = n.crossJoin(vers)
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(dim),
+            (F.col("c_nationkey") == F.col("nationkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to")),
+        )
+        .groupBy("nationkey", "version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_price"),
+        )
+    )
