@@ -143,3 +143,41 @@ def dup_clusters(
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("v") == F.col("lbl")).alias("keep"),
     )
+
+
+def pointer_doubling_depths(parents: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Depth of every vertex to its tree root by POINTER DOUBLING —
+    the O(log depth)-round transitive-closure technique (each round
+    every vertex jumps to its current ancestor's ancestor, doubling
+    the distance covered), versus the O(depth) rounds of naive
+    parent-following. ``parents`` has columns ``v, parent`` with
+    ``parent == v`` exactly at roots. Returns ``(v, depth)``.
+
+    The doubling update is idempotent at roots (a root contributes 0
+    steps and keeps the pointer fixed), so no finished-row
+    special-casing is needed. Convergence is the same scalar protocol
+    as connected_components: depths only grow and are bounded by the
+    true depth, so an unchanged exact sum IS the fixpoint. Each round
+    is one self-join co-partitioned on the pointer — at 100 TB this
+    is log₂(max-depth) shuffles over a (v, ptr, d) table, the reason
+    pointer doubling (not iteration-per-level) is the scalable form."""
+    f = parents.select(
+        "v",
+        F.col("parent").alias("ptr"),
+        F.when(F.col("parent") == F.col("v"), F.lit(0)).otherwise(F.lit(1)).cast("long").alias("d"),
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        g = f.select(
+            F.col("v").alias("g_v"), F.col("ptr").alias("g_ptr"), F.col("d").alias("g_d")
+        )
+        f = (
+            f.join(g, f["ptr"] == g["g_v"])
+            .select("v", F.col("g_ptr").alias("ptr"), (F.col("d") + F.col("g_d")).alias("d"))
+            .localCheckpoint()
+        )
+        s = f.agg(F.sum(F.col("d").cast("decimal(38,0)")).alias("s")).collect()[0][0]
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    return f.select("v", F.col("d").cast("long").alias("depth"))

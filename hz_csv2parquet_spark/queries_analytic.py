@@ -577,3 +577,39 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "hierarchy_depths_documents",
+    sql="""
+    WITH RECURSIVE r AS (
+      SELECT doc_id AS v, doc_id AS cur, 0 AS d FROM documents
+      UNION ALL
+      SELECT v, cur // 2, d + 1 FROM r WHERE cur > 0
+    )
+    SELECT CAST(v AS BIGINT) AS doc_id, CAST(d AS BIGINT) AS depth
+    FROM r WHERE cur = 0
+    """,
+    since=5,
+)
+def hierarchy_depths_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy depth for every node of a synthesized tree
+    (parent(v) = v÷2, root 0) by pointer doubling
+    (operators/graph.py) — the log-round distributed answer to what a
+    single-node engine writes as a recursive CTE, which is exactly
+    what the oracle runs (DuckDB WITH RECURSIVE): the third
+    hash-checked iterative algorithm next to PageRank and the PCA
+    power iteration, and the only one where the oracle uses genuine
+    recursion Spark does not have."""
+    from .operators.graph import pointer_doubling_depths
+
+    d = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    parents = d.select(
+        "v",
+        F.when(F.col("v") > 0, F.floor(F.col("v") / 2)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("parent"),
+    )
+    return pointer_doubling_depths(parents).select(
+        F.col("v").alias("doc_id"), "depth"
+    )

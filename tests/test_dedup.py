@@ -242,3 +242,24 @@ def test_jaccard_block_key_grows_with_corpus(spark, sf_dir):
     )
     same = plants.filter(F.col("b_orig") == F.col("b_plant")).count()
     assert same >= 0.8 * plants.count()
+
+
+def test_pointer_doubling_matches_direct_walk(spark):
+    """Pointer-doubling depths checked against a direct Python parent
+    walk on an irregular forest (two roots, a deep chain, a bushy
+    node) — covers depth growth past several doubling rounds."""
+    from hz_csv2parquet_spark.operators.graph import pointer_doubling_depths
+
+    parent = {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6, 8: 7,  # chain depth 8
+              10: 10, 11: 10, 12: 10, 13: 11}                         # second root
+    df = spark.createDataFrame(sorted(parent.items()), "v long, parent long")
+    got = {r.v: r.depth for r in pointer_doubling_depths(df).collect()}
+
+    def walk(v):
+        d = 0
+        while parent[v] != v:
+            v = parent[v]
+            d += 1
+        return d
+
+    assert got == {v: walk(v) for v in parent}
