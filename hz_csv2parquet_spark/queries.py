@@ -163,7 +163,8 @@ ROTATION: set[str] = {
     # readability_scores_documents, pca_power_iteration_embeddings,
     # minhash_banding_eval, ivf_recall_eval,
     # chisq_event_value_independence, geo_radius_join_lineitem,
-    # scd2_snapshot_join_orders, hierarchy_depths_documents.
+    # scd2_snapshot_join_orders, hierarchy_depths_documents,
+    # copurchase_part_pairs.
 }
 
 

@@ -732,3 +732,92 @@ def scd2_snapshot_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@query(
+    "copurchase_part_pairs",
+    sql="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+    supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_item FROM items GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS c_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ),
+    scored AS (
+      SELECT part_a, part_b, c_pair,
+             CAST(c_pair AS DOUBLE) / CAST(sa.c_item AS DOUBLE) AS confidence,
+             CAST(c_pair AS DOUBLE) * n_orders
+               / (CAST(sa.c_item AS DOUBLE) * sb.c_item) AS lift
+      FROM pairs
+      JOIN supp sa ON part_a = sa.l_partkey
+      JOIN supp sb ON part_b = sb.l_partkey, n
+    )
+    SELECT part_a, part_b, c_pair, confidence, lift, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY c_pair DESC, part_a, part_b) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    """,
+    since=5,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence — the pairwise stage of frequent-
+    itemset mining: parts ordered together, with support, confidence
+    (P(b|a)) and lift, top-20 by support. The quadratic step is
+    bounded BY BASKET: the self-join keys on l_orderkey, so pair
+    explosion is Σ(basket size²) — never corpus², and baskets are
+    small by construction in any retail schema. Item supports join
+    back co-partitioned on the part key; the transaction total is a
+    1-row broadcast; the global top-20 is the salted two-phase
+    top-k. Confidence/lift are pure count ratios — deterministic
+    doubles on both engines."""
+    from .operators.topk import grouped_topk
+
+    items = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_pair"))
+        .filter(F.col("c_pair") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("c_item").alias("c_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("c_item").alias("c_b"))
+    scored = (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_pair",
+            (F.col("c_pair").cast("double") / F.col("c_a").cast("double")).alias("confidence"),
+            (
+                F.col("c_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ).alias("lift"),
+        )
+    )
+    return grouped_topk(
+        scored,
+        [],
+        [F.col("c_pair").desc(), F.col("part_a"), F.col("part_b")],
+        20,
+        salt_col=F.col("part_a") + F.col("part_b"),
+    ).select("part_a", "part_b", "c_pair", "confidence", "lift", "rn")
