@@ -1367,3 +1367,91 @@ def chisq_event_value_independence(spark: SparkSession, sf_dir: str) -> DataFram
         expect.alias("expect"),
         ((obs_d - expect) * (obs_d - expect) / expect).alias("chisq_term"),
     )
+
+
+@query(
+    "interval_coverage_users",
+    sql="""
+    WITH iv AS (
+      SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s > coalesce(MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id,
+             MIN(s) AS island_start, MAX(e) AS island_end
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_ms
+    FROM merged GROUP BY user_id
+    """,
+    since=5,
+)
+def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage — each event opens a 5-minute activity
+    window; overlapping windows per user merge into islands, and the
+    user's covered time is the exact union length (the dedup-aware
+    'active minutes' metric; naive per-event summing double-counts
+    overlaps). Island detection is the running-max-of-end trick: a
+    window starts a new island iff it begins after every earlier
+    window has closed. All arithmetic is epoch-ms integers — exact.
+
+    Scale shape: every window partitions on high-cardinality user_id
+    (each sort is one user's events) and the island reduction keys on
+    (user, island) with map-side combine — same contract as
+    sessionize/event_type_runs, pinned by their plan tests."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + F.lit(300000)).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    # same TOTAL order (s, event_id) as the flag window: an (s, e)
+    # order leaves same-timestamp rows in arbitrary relative order,
+    # which would let the running island sum differ across engines
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).cast("long").alias("covered_ms"),
+    )
