@@ -164,7 +164,8 @@ ROTATION: set[str] = {
     # minhash_banding_eval, ivf_recall_eval,
     # chisq_event_value_independence, geo_radius_join_lineitem,
     # scd2_snapshot_join_orders, hierarchy_depths_documents,
-    # copurchase_part_pairs, interval_coverage_users.
+    # copurchase_part_pairs, interval_coverage_users,
+    # skew_report_lineitem.
 }
 
 

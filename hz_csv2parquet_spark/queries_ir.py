@@ -1455,3 +1455,55 @@ def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("island_end") - F.col("island_start")).cast("long").alias("covered_ms"),
     )
+
+
+@query(
+    "skew_report_lineitem",
+    sql="""
+    WITH kv AS (
+      SELECT 'l_orderkey' AS key_name, l_orderkey AS key_val FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    per_key AS (
+      SELECT key_name, key_val, CAST(COUNT(*) AS BIGINT) AS c
+      FROM kv GROUP BY 1, 2
+    )
+    SELECT key_name,
+           CAST(COUNT(*) AS BIGINT) AS ndv,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+    FROM per_key GROUP BY key_name
+    """,
+    since=5,
+)
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — for every candidate join key of the
+    fact table: distinct-value count, total rows, the hottest key's
+    row count, and its share. This is the report an engineer reads
+    BEFORE choosing broadcast/salting/AQE-skew settings for a 100 TB
+    join — the measurement half of the skew_salted_event_counts
+    remedy. One scan: the key columns unpivot through a generator, so
+    adding keys widens a struct array, not the number of passes; both
+    aggregations are map-side combined."""
+    li = table(spark, sf_dir, "lineitem")
+    kv = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("key_name"), F.col(k).alias("key_val"))
+                    for k in ("l_orderkey", "l_partkey", "l_suppkey")
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.key_name", "kv.key_val")
+    per_key = kv.groupBy("key_name", "key_val").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.groupBy("key_name").agg(
+        F.count(F.lit(1)).alias("ndv"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_share"),
+    )
