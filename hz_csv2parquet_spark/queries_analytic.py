@@ -613,3 +613,86 @@ def hierarchy_depths_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pointer_doubling_depths(parents).select(
         F.col("v").alias("doc_id"), "depth"
     )
+
+
+@query(
+    "skyline_orders",
+    sql="""
+    WITH pts AS (
+      SELECT o_orderkey, epoch_ms(o_orderdate) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS p
+      FROM orders
+    )
+    SELECT o_orderkey, d, p
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b WHERE b.d > a.d AND b.p > a.p
+    )
+    """,
+    since=5,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not strictly dominated
+    in (order date, price) — no other order is both newer AND more
+    expensive. The oracle is the semantic NOT-EXISTS definition; the
+    Spark plan is the scale decomposition that avoids both the
+    quadratic and the single global sort:
+
+    1. date range-buckets (64 over the known domain) — per-bucket
+       max price is an aggregate-sized frame;
+    2. suffix max over STRICTLY NEWER buckets — a 64-row window,
+       broadcast back;
+    3. within a bucket, the newer-max at each distinct date comes
+       from the (bucket, date)-grain aggregate sorted per bucket —
+       every sort in the plan is bounded by one bucket's distinct
+       dates;
+    4. keep iff price ≥ every strictly-newer max (integer cents —
+       exact comparisons).
+
+    Same two-phase shape as the scalable NTILE (E77): the global
+    order is recovered from bucket-local orders plus a tiny
+    cross-bucket frame."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
+    )
+    lo = F.unix_millis(F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    hi = F.unix_millis(F.lit("2002-01-01 00:00:00").cast("timestamp"))
+    n_buckets = 64
+    pts = o.withColumn(
+        "bkt",
+        F.least(
+            F.greatest(
+                F.floor((F.col("d") - lo) * n_buckets / (hi - lo)), F.lit(0)
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+    # per-(bucket, date) max price — the grain the newer-max scan runs on
+    bd = pts.groupBy("bkt", "d").agg(F.max("p").alias("p_at_d"))
+    # strictly-newer-bucket suffix max (tiny frame)
+    per_b = bd.groupBy("bkt").agg(F.max("p_at_d").alias("p_max"))
+    w_suffix = (
+        Window.orderBy(F.col("bkt").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    suffix = per_b.select(
+        "bkt", F.coalesce(F.max("p_max").over(w_suffix), F.lit(-1)).alias("newer_bkt_max")
+    )
+    # within-bucket newer-max per distinct date (sorts bounded by bucket)
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bd_newer = bd.select(
+        "bkt", "d", F.coalesce(F.max("p_at_d").over(w_in), F.lit(-1)).alias("newer_in_bkt")
+    )
+    thresh = bd_newer.join(F.broadcast(suffix), "bkt").select(
+        "bkt", "d", F.greatest("newer_in_bkt", "newer_bkt_max").alias("newer_max")
+    )
+    return (
+        pts.join(thresh, ["bkt", "d"])
+        .filter(F.col("p") >= F.col("newer_max"))
+        .select("o_orderkey", "d", "p")
+    )
