@@ -706,3 +706,121 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
     lsh = lsh_topk(emb, q, k=10, planes=4).select("query_id", "neighbor_id")
     return _recall_frame(brute, lsh)
+
+
+# ---- E150: MMR diversity re-ranking ---------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_K = 5
+
+
+def _sql_mmr() -> str:
+    """Chained-CTE oracle replaying the greedy MMR selection: the
+    candidate pool (exact top-10 of query 0) and its pairwise cosine
+    matrix are CTEs; each greedy step is one argmax CTE referencing
+    the union of previously selected rows."""
+    lam, om = "CAST('0.7' AS DOUBLE)", "CAST('0.3' AS DOUBLE)"
+    base = f"""cand AS (
+      SELECT neighbor_id, cosine AS sim_q FROM (
+        SELECT c.vec_id AS neighbor_id,
+               {_sql_cosine("q.embedding", "c.embedding")} AS cosine,
+               ROW_NUMBER() OVER (
+                 ORDER BY {_sql_cosine("q.embedding", "c.embedding")} DESC, c.vec_id
+               ) AS rn
+        FROM embeddings c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE c.vec_id != 0
+      ) WHERE rn <= 10
+    ),
+    pair AS (
+      SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             {_sql_cosine("ea.embedding", "eb.embedding")} AS sim
+      FROM cand a JOIN cand b ON a.neighbor_id != b.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    s1 AS (
+      SELECT 1 AS rank, neighbor_id, sim_q AS mmr_score FROM cand
+      ORDER BY sim_q DESC, neighbor_id LIMIT 1
+    )"""
+    ctes = [base]
+    prev_union = "SELECT neighbor_id FROM s1"
+    for i in range(2, _MMR_K + 1):
+        ctes.append(f"""s{i} AS (
+      SELECT {i} AS rank, c.neighbor_id,
+             {lam} * c.sim_q - {om} * max_sim.ms AS mmr_score
+      FROM cand c
+      JOIN (
+        SELECT id_a, MAX(sim) AS ms FROM pair
+        WHERE id_b IN ({prev_union}) GROUP BY id_a
+      ) max_sim ON max_sim.id_a = c.neighbor_id
+      WHERE c.neighbor_id NOT IN ({prev_union})
+      ORDER BY mmr_score DESC, c.neighbor_id LIMIT 1
+    )""")
+        prev_union += f" UNION ALL SELECT neighbor_id FROM s{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT CAST(rank AS BIGINT) AS rank, neighbor_id, mmr_score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@query("mmr_rerank_embeddings", sql=_sql_mmr(), since=5)
+def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking — the diversity pass a
+    retrieval pipeline runs on its ANN shortlist: greedily pick 5 of
+    the top-10 candidates maximizing λ·sim(query, d) −
+    (1−λ)·max_{s∈selected} sim(d, s). The candidate pool and its
+    pairwise cosine matrix are computed distributed (pool size k' is
+    a constant, so the matrix is k'² — bounded); the greedy loop then
+    runs k driver-side argmax steps over that bounded frame, each a
+    one-row collect (the same scalar-per-iteration protocol as the
+    CC convergence check — never a data collect). Oracle replays the
+    full greedy recursion as chained CTEs."""
+    from .operators.similarity import brute_force_topk, cosine
+    from .tables import spread
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0)
+    cand = (
+        brute_force_topk(emb, q, k=10)
+        .select("neighbor_id", F.col("cosine").alias("sim_q"))
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+        .localCheckpoint()
+    )
+    a = cand.select(F.col("neighbor_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = cand.select(F.col("neighbor_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    pair = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("sim"))
+        .localCheckpoint()
+    )
+    first = (
+        cand.orderBy(F.col("sim_q").desc(), "neighbor_id")
+        .limit(1)
+        .select("neighbor_id", F.col("sim_q").alias("mmr_score"))
+        .collect()[0]
+    )
+    selected = [(1, int(first.neighbor_id), float(first.mmr_score))]
+    # NB: not 1.0 - _MMR_LAMBDA — Python would give 0.30000000000000004,
+    # one ulp off the oracle's CAST('0.3' AS DOUBLE)
+    lam, om = F.lit(_MMR_LAMBDA), F.lit(0.3)
+    for rank in range(2, _MMR_K + 1):
+        chosen = [s[1] for s in selected]
+        ms = (
+            pair.filter(F.col("id_b").isin(chosen))
+            .groupBy("id_a")
+            .agg(F.max("sim").alias("ms"))
+        )
+        step = (
+            cand.filter(~F.col("neighbor_id").isin(chosen))
+            .join(ms, F.col("neighbor_id") == F.col("id_a"))
+            .select(
+                "neighbor_id",
+                (lam * F.col("sim_q") - om * F.col("ms")).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), "neighbor_id")
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((rank, int(step.neighbor_id), float(step.mmr_score)))
+    return spark.createDataFrame(selected, "rank long, neighbor_id long, mmr_score double")
