@@ -165,7 +165,8 @@ ROTATION: set[str] = {
     # chisq_event_value_independence, geo_radius_join_lineitem,
     # scd2_snapshot_join_orders, hierarchy_depths_documents,
     # copurchase_part_pairs, interval_coverage_users,
-    # skew_report_lineitem, skyline_orders, mmr_rerank_embeddings.
+    # skew_report_lineitem, skyline_orders, mmr_rerank_embeddings,
+    # interarrival_stats_users, benford_first_digit_orders.
 }
 
 

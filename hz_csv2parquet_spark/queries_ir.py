@@ -1507,3 +1507,132 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("long").alias("max_key_rows"),
         (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_share"),
     )
+
+
+@query(
+    "interarrival_stats_users",
+    sql="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sg,
+             CAST(CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+                  AS VARCHAR) AS DOUBLE) AS sg2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           sg / n_gaps AS mean_gap_ms,
+           (n_gaps * sg2 - sg * sg) / (sg * sg) AS cv2
+    FROM agg WHERE sg > 0
+    """,
+    since=5,
+)
+def interarrival_stats_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user: mean gap and the squared
+    coefficient of variation CV² = (n·Σg² − (Σg)²)/(Σg)² — CV² ≈ 1
+    is Poisson-random, ≫ 1 is bursty (bot/session behavior). The
+    whole statistic is integer epoch-ms sums finished by one double
+    division, so it is exact under any partitioning. The LAG window
+    partitions on high-cardinality user_id with the (ts, event_id)
+    total order; gap sums combine map-side."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = ev.select("user_id", (F.col("t") - F.lag("t").over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    # gap² overflows int64 (gaps span months in ms) — products run in
+    # DECIMAL(19,0)², summed exactly, finished in double on both sides
+    agg = g.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).cast("double").alias("sg"),
+        F.sum(F.col("gap").cast("decimal(19,0)") * F.col("gap").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sg2"),
+    )
+    return agg.filter(F.col("sg") > 0).select(
+        "user_id",
+        "n_gaps",
+        (F.col("sg") / F.col("n_gaps")).alias("mean_gap_ms"),
+        (
+            (F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg"))
+            / (F.col("sg") * F.col("sg"))
+        ).alias("cv2"),
+    )
+
+
+#: Benford expected first-digit shares log10(1+1/d), d=1..9 — emitted
+#: as shortest-roundtrip literals so both engines parse the identical
+#: doubles (no runtime log10, whose libm rounding differs by engine)
+_BENFORD = {
+    1: 0.30102999566398114, 2: 0.17609125905568124, 3: 0.12493873660829985,
+    4: 0.09691001300805638, 5: 0.07918124604762478, 6: 0.06694678963061318,
+    7: 0.05799194697768658, 8: 0.05115252244738127, 9: 0.04575749056067514,
+}
+
+
+@query(
+    "benford_first_digit_orders",
+    sql=f"""
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    e AS (
+      SELECT * FROM (VALUES {", ".join(f"({k}, CAST('{v!r}' AS DOUBLE))" for k, v in _BENFORD.items())})
+        be(digit, expected)
+    )
+    SELECT e.digit, coalesce(n, 0) AS n,
+           CAST(coalesce(n, 0) AS DOUBLE) / total AS observed,
+           expected,
+           abs(CAST(coalesce(n, 0) AS DOUBLE) / total - expected) AS deviation
+    FROM e LEFT JOIN c ON e.digit = c.digit, t
+    """,
+    since=5,
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the classic fraud /
+    synthetic-data forensic: observed first-significant-digit shares
+    against log₁₀(1+1/d). The expected shares are shipped as
+    shortest-roundtrip double LITERALS (runtime log10 would differ by
+    a ulp between libms); the digit comes from the cents-integer's
+    decimal string, identical in both engines. One scan, a 9-key
+    map-side-combined count, totals broadcast."""
+    digits = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    c = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    e = spark.createDataFrame(
+        [(k, v) for k, v in _BENFORD.items()], "digit long, expected double"
+    )
+    obs = F.coalesce("n", F.lit(0)).cast("double") / F.col("total")
+    return (
+        e.join(c, "digit", "left_outer")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            obs.alias("observed"),
+            "expected",
+            F.abs(obs - F.col("expected")).alias("deviation"),
+        )
+    )
