@@ -166,7 +166,8 @@ ROTATION: set[str] = {
     # scd2_snapshot_join_orders, hierarchy_depths_documents,
     # copurchase_part_pairs, interval_coverage_users,
     # skew_report_lineitem, skyline_orders, mmr_rerank_embeddings,
-    # interarrival_stats_users, benford_first_digit_orders.
+    # interarrival_stats_users, benford_first_digit_orders,
+    # tfidf_doc_similarity_pairs.
 }
 
 

@@ -1577,3 +1577,104 @@ def minhash_banding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1.0))
         .alias("recall"),
     )
+
+
+@query(
+    "tfidf_doc_similarity_pairs",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, u.tok FROM (
+        SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS tk FROM documents
+      ), UNNEST(tk) AS u(tok)
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    w AS (
+      SELECT doc_id, tf.tok,
+             CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df) AS wt
+      FROM tf JOIN df ON tf.tok = df.tok, n
+      WHERE df >= 2 AND df <= 20
+    ),
+    norms AS (
+      SELECT doc_id,
+             sqrt(CAST(CAST(SUM(CAST(wt * wt AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE))
+               AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+               AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+      FROM dots JOIN norms na ON id_a = na.doc_id JOIN norms nb ON id_b = nb.doc_id
+    )
+    SELECT id_a, id_b, cosine, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, id_a, id_b) AS BIGINT) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    """,
+    since=5,
+)
+def tfidf_doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document similarity through the inverted index —
+    the lexical complement of the dense embedding cosine: postings
+    self-join on the TOKEN key, so two documents are only ever
+    compared through terms they share, and the df band (2..20) prunes
+    both hapax terms (no pair contribution) and boilerplate terms
+    (the frequent-token blowup every sparse-join engine must cap —
+    the standard df-cut). Dot products and norms are decimal-exact
+    sums of double weights (rational idf N/df, matching the BM25
+    family); global top-20 via the salted two-phase top-k.
+
+    100 TB shape: the self-join is co-partitioned on the token; the
+    df cap bounds each token's pair fan-out at df² ≤ 400 — total work
+    is Σ df², controlled by the cap, never |docs|²."""
+    from .operators.topk import grouped_topk
+    from .tables import spread
+
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    )
+    tf = d.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(df_, "tok")
+        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf").cast("double") * (F.col("n_docs").cast("double") / F.col("df"))).alias("wt"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("wt") * F.col("wt")).cast("decimal(38,10)")).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,10)")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
+    )
+    return grouped_topk(
+        scored,
+        [],
+        [F.col("cosine").desc(), F.col("id_a"), F.col("id_b")],
+        20,
+        salt_col=F.col("id_a") + F.col("id_b"),
+    ).select("id_a", "id_b", "cosine", "rn")
