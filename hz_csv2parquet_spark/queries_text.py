@@ -1582,18 +1582,16 @@ def minhash_banding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tfidf_doc_similarity_pairs",
     sql=f"""
-    WITH t AS (
-      SELECT doc_id, u.tok FROM (
-        SELECT doc_id, string_split({_NORM.format(c="text")}, ' ') AS tk FROM documents
-      ), UNNEST(tk) AS u(tok)
+    WITH w0 AS (
+      SELECT doc_id, u.sh FROM (
+        SELECT doc_id, {_sql_shingles("text")} AS shs FROM documents
+      ), UNNEST(shs) AS u(sh)
     ),
-    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
-    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM w0 GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w0),
     w AS (
-      SELECT doc_id, tf.tok,
-             CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / df) AS wt
-      FROM tf JOIN df ON tf.tok = df.tok, n
+      SELECT doc_id, w0.sh, CAST(n_docs AS DOUBLE) / df AS wt
+      FROM w0 JOIN df ON w0.sh = df.sh, n
       WHERE df >= 2 AND df <= 20
     ),
     norms AS (
@@ -1606,7 +1604,7 @@ def minhash_banding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
                AS dot
-      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     scored AS (
@@ -1621,45 +1619,45 @@ def minhash_banding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     since=5,
 )
 def tfidf_doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse TF-IDF document similarity through the inverted index —
-    the lexical complement of the dense embedding cosine: postings
-    self-join on the TOKEN key, so two documents are only ever
-    compared through terms they share, and the df band (2..20) prunes
-    both hapax terms (no pair contribution) and boilerplate terms
-    (the frequent-token blowup every sparse-join engine must cap —
-    the standard df-cut). Dot products and norms are decimal-exact
-    sums of double weights (rational idf N/df, matching the BM25
-    family); global top-20 via the salted two-phase top-k.
+    """Sparse idf-weighted document similarity through the inverted
+    index — the lexical complement of the dense embedding cosine, at
+    3-SHINGLE grain (the fixtures' word vocabulary is ~31 stopword-
+    like tokens, df ≈ corpus — word grain cannot discriminate;
+    distinct phrases can, exactly why the dedup family shingles too).
+    Binary set weights wt = N/df (rational idf, BM25-family
+    convention); postings self-join on the shingle key, df band 2..20
+    pruning hapax shingles (no pair contribution) and boilerplate
+    phrases (the frequent-posting blowup every sparse-join engine
+    caps). Dots and norms are decimal-exact; global top-20 via the
+    salted two-phase top-k.
 
-    100 TB shape: the self-join is co-partitioned on the token; the
-    df cap bounds each token's pair fan-out at df² ≤ 400 — total work
-    is Σ df², controlled by the cap, never |docs|²."""
+    100 TB shape: the self-join is co-partitioned on the shingle; the
+    df cap bounds each posting list's pair fan-out at df² ≤ 400 —
+    total work is Σ df², controlled by the cap, never |docs|²."""
+    from .operators.dedup import shingle_set
     from .operators.topk import grouped_topk
     from .tables import spread
 
-    d = spread(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.explode(T.tokens("text")).alias("tok")
+    w0 = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(shingle_set("text", 3)).alias("sh")
     )
-    tf = d.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n = tf.select(F.countDistinct("doc_id").alias("n_docs"))
+    df_ = w0.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    n = w0.select(F.countDistinct("doc_id").alias("n_docs"))
     w = (
-        tf.join(df_, "tok")
+        w0.join(df_, "sh")
         .filter((F.col("df") >= 2) & (F.col("df") <= 20))
         .crossJoin(F.broadcast(n))
         .select(
-            "doc_id",
-            "tok",
-            (F.col("tf").cast("double") * (F.col("n_docs").cast("double") / F.col("df"))).alias("wt"),
+            "doc_id", "sh", (F.col("n_docs").cast("double") / F.col("df")).alias("wt")
         )
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum((F.col("wt") * F.col("wt")).cast("decimal(38,10)")).cast("double")).alias("nrm")
     )
-    a = w.select(F.col("doc_id").alias("id_a"), "tok", F.col("wt").alias("wa"))
-    b = w.select(F.col("doc_id").alias("id_b"), "tok", F.col("wt").alias("wb"))
+    a = w.select(F.col("doc_id").alias("id_a"), "sh", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "sh", F.col("wt").alias("wb"))
     dots = (
-        a.join(b, "tok")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,10)")).cast("double").alias("dot"))
