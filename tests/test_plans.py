@@ -334,3 +334,23 @@ def test_q10_global_topk_is_two_phase(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q10_returned_item_customers")
     assert "__salt" in plan
     assert plan.count("Window") >= 2
+
+
+def test_skyline_sorts_bounded_by_bucket(spark, sf_dir):
+    # every Sort node must key on (bkt, ...) — never a global order
+    # over the raw points
+    plan = plan_of(spark, sf_dir, "skyline_orders")
+    import re
+
+    sorts = [ln for ln in plan.splitlines() if re.search(r"Sort \[", ln)]
+    big = [ln for ln in sorts if "bkt" not in ln]
+    assert not big, big
+
+
+def test_copurchase_joins_on_orderkey(spark, sf_dir):
+    # the pair self-join must be an equi-join keyed on the basket id —
+    # never a nested loop over item pairs
+    plan = plan_of(spark, sf_dir, "copurchase_part_pairs")
+    assert "CartesianProduct" not in plan
+    joins = [ln for ln in plan.splitlines() if "Join" in ln and "ok" in ln]
+    assert joins, "expected an equi-join on the order key"
