@@ -1636,3 +1636,38 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(obs - F.col("expected")).alias("deviation"),
         )
     )
+
+
+@query(
+    "locf_carry_forward_events",
+    sql="""
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+    since=5,
+)
+def locf_carry_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward — the IGNORE NULLS window
+    semantic: every event carries the most recent purchase value of
+    its user (NULL until the first purchase), the standard sparse-
+    metric densification (sensor readings, last known price, feature
+    staleness). One window partitioned on high-cardinality user_id
+    with the (ts, event_id) total order; the value itself is the
+    fixture double, carried verbatim — no arithmetic to diverge."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
