@@ -167,7 +167,8 @@ ROTATION: set[str] = {
     # copurchase_part_pairs, interval_coverage_users,
     # skew_report_lineitem, skyline_orders, mmr_rerank_embeddings,
     # interarrival_stats_users, benford_first_digit_orders,
-    # tfidf_doc_similarity_pairs, locf_carry_forward_events.
+    # tfidf_doc_similarity_pairs, locf_carry_forward_events,
+    # asof_tolerance_last_click.
 }
 
 

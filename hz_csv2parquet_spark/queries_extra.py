@@ -883,3 +883,64 @@ def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_q").cast("long").alias("m_q"),
         F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment"),
     )
+
+
+@query(
+    "asof_tolerance_last_click",
+    sql="""
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type, value FROM events
+    ),
+    clicks AS (SELECT user_id, tms, event_id AS click_id, value AS click_value FROM ev
+               WHERE event_type = 'click'),
+    j AS (
+      SELECT ev.event_id, ev.user_id, ev.tms,
+             clicks.tms AS click_tms,
+             clicks.click_id, clicks.click_value
+      FROM ev ASOF LEFT JOIN clicks
+        ON ev.user_id = clicks.user_id AND ev.tms >= clicks.tms
+    )
+    SELECT event_id, user_id, tms,
+           CASE WHEN tms - click_tms <= 3600000 THEN click_id END AS last_click_id,
+           CASE WHEN tms - click_tms <= 3600000 THEN click_value END AS last_click_value,
+           CASE WHEN tms - click_tms <= 3600000 THEN tms - click_tms END AS age_ms
+    FROM j
+    """,
+    since=5,
+)
+def asof_tolerance_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH STALENESS TOLERANCE — the production variant of
+    asof_last_click: a match older than 1 hour is no match (feature
+    stores call this max-staleness; a stale feature is worse than a
+    null one). Same single-shuffle union–carry-forward plan; the
+    matched click's own timestamp rides the payload struct so the
+    tolerance check is a post-join projection, not a second join.
+    Exact integer age arithmetic."""
+    from .operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("tms"), "event_type", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("tms").alias("click_tms"),
+        F.col("event_id").alias("last_click_id"),
+        F.col("value").alias("last_click_value"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "tms"),
+        clicks.withColumn("click_tms2", F.col("click_tms")),
+        key="user_id",
+        fact_time="tms",
+        dim_time="click_tms",
+        payload_cols=["click_tms2", "last_click_id", "last_click_value"],
+    )
+    fresh = (F.col("tms") - F.col("click_tms2")) <= 3600000
+    return out.select(
+        "event_id",
+        "user_id",
+        "tms",
+        F.when(fresh, F.col("last_click_id")).alias("last_click_id"),
+        F.when(fresh, F.col("last_click_value")).alias("last_click_value"),
+        F.when(fresh, F.col("tms") - F.col("click_tms2")).alias("age_ms"),
+    )
