@@ -9,7 +9,7 @@ values and bucket assignments hash-match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.similarity import brute_force_topk, embedding_near_pairs, lsh_topk
@@ -824,3 +824,100 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected.append((rank, int(step.neighbor_id), float(step.mmr_score)))
     return spark.createDataFrame(selected, "rank long, neighbor_id long, mmr_score double")
+
+
+# ---- E156: nearest-centroid classifier eval -------------------------
+
+
+@query(
+    "centroid_classifier_eval",
+    sql="""
+    WITH vals AS (
+      SELECT label, i AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 100000000.0) AS BIGINT) AS y
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    cent AS (
+      SELECT label, pos,
+             CAST(CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 100000000.0 AS c
+      FROM vals GROUP BY 1, 2
+    ),
+    cv AS (SELECT label AS clabel, list(c ORDER BY pos) AS v FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label AS true_label, cv.clabel AS pred_label,
+             list_reduce(list_prepend(0.0, list_transform(
+               generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - cv.v[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - cv.v[i]))),
+               (a, b) -> a + b) AS dist
+      FROM embeddings e CROSS JOIN cv
+    ),
+    pred AS (
+      SELECT vec_id, true_label, pred_label FROM (
+        SELECT vec_id, true_label, pred_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, pred_label) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    since=5,
+)
+def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier confusion matrix — the
+    simplest embedding-space classifier, evaluated in-database: exact
+    per-label centroids (the E97 scaled-integer sums, bit-stable under
+    any partitioning), every vector assigned to its closest centroid
+    by strict-left-fold squared distance, confusion counts per
+    (true, predicted) pair. The diagonal over the total is the
+    linear-probe-style signal an embedding pipeline tracks across
+    model versions.
+
+    100 TB shape: centroids reduce map-side to |labels|·dim rows and
+    broadcast back as |labels| vectors; the assignment is a narrow
+    projection + an 8-row-per-vector argmin window partitioned on
+    high-cardinality vec_id; the confusion agg keys on |labels|²."""
+    emb = table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 100000000.0).cast("long").alias("y"),
+    )
+    cent = vals.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100000000.0)
+        ).alias("c")
+    )
+    cv = cent.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("v")
+    )
+    e = emb.select("vec_id", F.col("label").alias("true_label"), "embedding")
+    diff2 = F.zip_with(
+        "embedding", "v", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    scored = e.crossJoin(F.broadcast(cv)).select(
+        "vec_id",
+        "true_label",
+        F.col("clabel").alias("pred_label"),
+        F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "pred_label")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", "pred_label")
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
