@@ -168,7 +168,8 @@ ROTATION: set[str] = {
     # skew_report_lineitem, skyline_orders, mmr_rerank_embeddings,
     # interarrival_stats_users, benford_first_digit_orders,
     # tfidf_doc_similarity_pairs, locf_carry_forward_events,
-    # asof_tolerance_last_click, centroid_classifier_eval.
+    # asof_tolerance_last_click, centroid_classifier_eval,
+    # event_diversity_users.
 }
 
 

@@ -1671,3 +1671,49 @@ def locf_carry_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("ts_ms"),
         F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@query(
+    "event_diversity_users",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * SUM(c)) AS hhi,
+           1.0 - CAST(SUM(c * c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * SUM(c))
+             AS gini_diversity
+    FROM c GROUP BY user_id
+    """,
+    since=5,
+)
+def event_diversity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user — Herfindahl concentration
+    HHI = Σcᵢ²/n² and its Gini-impurity complement (1 at maximal
+    concentration / 0-ish at uniform use): the log-free diversity
+    metric (Shannon entropy's libm would hash-diverge; HHI ranks the
+    same concentration ordering). Integer Σc² over per-(user, type)
+    counts — exact under any partitioning — finished by one double
+    division. Two map-side-combined aggregations keyed on
+    high-cardinality (user, type) then user."""
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        (
+            F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c"))
+        ).alias("hhi"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (F.sum("c").cast("double") * F.sum("c"))
+        ).alias("gini_diversity"),
+    )
