@@ -1717,3 +1717,66 @@ def event_diversity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c").cast("double") * F.sum("c"))
         ).alias("gini_diversity"),
     )
+
+
+@query(
+    "impute_group_median_events",
+    sql="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(v) AS m FROM base WHERE v IS NOT NULL GROUP BY 1
+    ),
+    filled AS (
+      SELECT base.event_type, coalesce(v, m) AS v, (v IS NULL) AS was_null
+      FROM base LEFT JOIN med ON base.event_type = med.event_type
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN was_null THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+           CAST(CAST(SUM(CAST(v AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS value_sum
+    FROM filled GROUP BY event_type
+    """,
+    since=5,
+)
+def impute_group_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation by group median — the standard
+    numeric data-prep pass: 'error' events' values are treated as
+    missing (the fixtures carry no real nulls) and filled with their
+    type's EXACT median of observed values; output proves the fill
+    end-to-end (imputed count + decimal-exact post-fill sum per
+    type). The median is the same interpolating exact median as the
+    reference's binned aggregation (SURVEY §2.4, A3) — percentile_
+    approx would not hash-match.
+
+    Scale shape: medians reduce per type (map-side) and join back
+    BROADCAST at |types| rows; the fact table never shuffles. Exact
+    median forces the object-hash agg on the small per-type frame
+    only — the acknowledged A3 trade (SURVEY §4)."""
+    base = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    med = (
+        base.filter(F.col("v").isNotNull())
+        .groupBy(F.col("event_type").alias("met"))
+        .agg(F.median("v").alias("m"))
+    )
+    filled = base.join(
+        F.broadcast(med), base.event_type == med.met, "left_outer"
+    ).select(
+        "event_type",
+        F.coalesce("v", "m").alias("v"),
+        F.col("v").isNull().alias("was_null"),
+    )
+    from .functions.exact import exact_sum
+
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("was_null"), 1).otherwise(0)).cast("long").alias("n_imputed"),
+        exact_sum("v").alias("value_sum"),
+    )
