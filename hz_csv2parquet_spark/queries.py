@@ -169,7 +169,8 @@ ROTATION: set[str] = {
     # interarrival_stats_users, benford_first_digit_orders,
     # tfidf_doc_similarity_pairs, locf_carry_forward_events,
     # asof_tolerance_last_click, centroid_classifier_eval,
-    # event_diversity_users, impute_group_median_events.
+    # event_diversity_users, impute_group_median_events,
+    # hourly_peaks_events.
 }
 
 

@@ -1780,3 +1780,58 @@ def impute_group_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("was_null"), 1).otherwise(0)).cast("long").alias("n_imputed"),
         exact_sum("v").alias("value_sum"),
     )
+
+
+@query(
+    "hourly_peaks_events",
+    sql="""
+    WITH h AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS hour_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hour_bucket, n,
+             lag(n)  OVER (PARTITION BY event_type ORDER BY hour_bucket) AS prev_n,
+             lead(n) OVER (PARTITION BY event_type ORDER BY hour_bucket) AS next_n
+      FROM h
+    )
+    SELECT event_type, CAST(hour_bucket AS BIGINT) AS hour_bucket, n, prev_n, next_n
+    FROM w
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+    """,
+    since=5,
+)
+def hourly_peaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum (peak) detection over the hourly series — the
+    LAG+LEAD window pair: an hour is a peak when it strictly exceeds
+    both neighbors (boundary hours excluded; plateaus are not peaks).
+    The alerting primitive under every 'traffic spike' monitor.
+
+    Scale shape: the raw scan reduces FIRST to the (type, hour) grain
+    — map-side combined — and the neighbor windows run on that
+    aggregate-sized frame, partitioned per type with sorts bounded by
+    one type's hours. Integer counts throughout."""
+    h = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_millis("ts") / F.lit(3600000)).alias("hour_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_bucket")
+    hw = h.select(
+        "event_type",
+        F.col("hour_bucket").cast("long").alias("hour_bucket"),
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return hw.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+    )
