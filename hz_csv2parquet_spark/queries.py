@@ -170,7 +170,7 @@ ROTATION: set[str] = {
     # tfidf_doc_similarity_pairs, locf_carry_forward_events,
     # asof_tolerance_last_click, centroid_classifier_eval,
     # event_diversity_users, impute_group_median_events,
-    # hourly_peaks_events.
+    # hourly_peaks_events, revenue_share_of_region.
 }
 
 

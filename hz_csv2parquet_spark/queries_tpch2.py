@@ -821,3 +821,62 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         20,
         salt_col=F.col("part_a") + F.col("part_b"),
     ).select("part_a", "part_b", "c_pair", "confidence", "lift", "rn")
+
+
+@query(
+    "revenue_share_of_region",
+    sql=f"""
+    WITH per_nation AS (
+      SELECT r_name AS region, n_name AS nation,
+             {SQL_EXACT_SUM.format(expr="o_totalprice")} AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    , totals AS (
+      SELECT region AS tregion,
+             CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+               AS region_total
+      FROM per_nation GROUP BY 1
+    )
+    SELECT region, nation, revenue, revenue / region_total AS share_of_region
+    FROM per_nation JOIN totals ON region = tregion
+    """,
+    since=5,
+)
+def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent — every nation's share of its region's revenue,
+    the percent-of-total drill every OLAP hierarchy report shows. The
+    parent total is a window sum over the ALREADY-AGGREGATED
+    (region, nation) frame (≤ |nations| rows), so the 'unpartitioned-
+    looking' window is aggregate-sized — the fact table contributes
+    one exchange into the grouped sum and never touches a window.
+    The parent total is NOT a double window sum (window addition
+    order is engine-dependent — measured hash-divergent even at 5
+    rows per region): the per-nation exact doubles re-enter a
+    DECIMAL(38,10) aggregate, which is order-insensitive, and join
+    back broadcast."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(exact_sum("o_totalprice").alias("revenue"))
+    )
+    totals = per.groupBy(F.col("region").alias("tregion")).agg(
+        F.sum(F.col("revenue").cast("decimal(38,10)")).cast("double").alias("region_total")
+    )
+    return per.join(
+        F.broadcast(totals), per.region == totals.tregion
+    ).select(
+        "region",
+        "nation",
+        "revenue",
+        (F.col("revenue") / F.col("region_total")).alias("share_of_region"),
+    )
