@@ -64,113 +64,99 @@ def query(
 
 
 #: Per-round verify rotation. The driver's correctness gate checks
-#: only the first ~50 entries of ``queries()``, so with 95 registered
-#: queries ~45 go unverified each round; this set names the queries
-#: that MUST get a fresh CORRECTNESS row this round, chosen by the
-#: rotation discipline (tests/test_registry_order.py pins it
+#: only the first ~50 entries of ``queries()``; this set names the
+#: queries that MUST get a fresh CORRECTNESS row this round, chosen by
+#: the rotation discipline (tests/test_registry_order.py pins it
 #: mechanically):
 #:   1. every query red / hash-failed / errored in the latest round,
 #:   2. every query whose implementation changed since its last
 #:      driver-green row,
-#:   3. the staleness tail — anything last verified ≥2 rounds ago.
-#: Round 5: the 14 ts-family queries (reader fix, round-4 red +
-#: stale-greens), the 6 perf-edited queries (contamination, cluster,
-#: semantic, near-pairs, IVF, jaccard), the 10 r2-green batch queries
-#: and the r3-green remainder; the 12 brand-new round-5 queries ride
-#: the ``priority=True`` flag instead. The effective-priority count
-#: sits at exactly 50/50 — any addition needs a matching deferral.
-#: Round-6 mandatory ledger (10 r3-green deferrals, code unchanged):
-#: boilerplate_ngram_stats, chunk_documents_overlap,
-#: corpus_diff_documents, dedup_canonical_documents,
-#: grouped_lang_stats_pandas, q19_disjunctive_revenue,
-#: quota_sample_per_source, redact_mask_documents,
-#: text_quality_by_lang, vocab_zipf_histogram.
+#:   3. the staleness tail — anything last verified ≥2 rounds ago
+#:      (never-verified queries tick from their ``since`` round).
+#: Round 6 is a verification round (VERDICT r5 item 1): no red rows to
+#: re-run (r5 was 49/50 green + 1 rows-only-by-design), so the window
+#: = the 16 mandatory r3-green stale queries + 34 of the 60
+#: never-driver-checked round-5 registrations, prioritized
+#: headline-benched first, then the iterative/eval harnesses whose
+#: chained-CTE oracles are the most fragile mirrors (VERDICT item 5),
+#: then the TPC-H batch, then IO-merge/multimodal/text. Catalog
+#: growth is frozen until the never-checked backlog fits the window
+#: (test_registry_order.py::test_catalog_growth_frozen_while_backlog).
 ROTATION: set[str] = {
-    # ts-family: events reader rewritten for timestamp[us] fixtures
-    "sessionize_events",
-    "tumbling_hourly_counts",
-    "asof_last_click",
-    "rolling_hourly_user_counts",
-    "range_join_event_pairs",
-    "gap_fill_hourly_events",
-    "streaming_tumbling_counts",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
-    "streaming_stateful_user_stats",
-    "streaming_dedup_events",
-    "streaming_enrich_events",
-    "streaming_attribution_join",
-    "streaming_attribution_outer",
-    # changed this round (perf edits: memo/persist boundaries, and
-    # the repetition narrow-formulation rewrite — swapped in for
-    # orc_roundtrip_agg's priority slot, see queries_io.py)
+    # -- mandatory: last green r3, ≥2 rounds stale (16) --
+    "boilerplate_ngram_stats",
+    "chunk_documents_overlap",
+    "corpus_diff_documents",
+    "dedup_canonical_documents",
+    "dedup_exact_documents",
+    "dedup_paragraph_documents",
+    "grouped_lang_stats_pandas",
+    "jsonl_roundtrip_agg",
+    "q19_disjunctive_revenue",
+    "quota_sample_per_source",
+    "rare_token_quality_documents",
+    "redact_mask_documents",
+    "text_quality_by_lang",
+    "text_stats_documents",
+    "top_terms_per_lang",
+    "vocab_zipf_histogram",
+    # -- never-driver-checked, headline-benched (3) --
+    "dedup_substring_spans",
+    "lm_bigram_score_documents",
+    "pagerank_event_types",
+    # -- never-checked iterative/eval harnesses: fixed-iteration
+    # oracle replays, the most fragile mirrors in the repo (6) --
+    "pca_power_iteration_embeddings",
+    "mmr_rerank_embeddings",
+    "hierarchy_depths_documents",
+    "ann_recall_eval",
+    "ivf_recall_eval",
+    "minhash_banding_eval",
+    # -- never-checked TPC-H batch (11) --
+    "q4_priority_with_discounted_lines",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_item_customers",
+    "q12_priority_shipping_modes",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q22_idle_rich_customers",
+    # -- never-checked IO / streaming-merge / multimodal / sim /
+    # text / analytic picks (14) --
+    "orc_roundtrip_agg",
+    "merge_upsert_events",
+    "streaming_cdc_merge_events",
+    "multimodal_audio_energy",
+    "multimodal_phash_dedup",
+    "hard_negatives_embeddings",
+    "centroid_classifier_eval",
+    "collocations_by_lift",
+    "readability_scores_documents",
+    "skyline_orders",
+    "tfidf_doc_similarity_pairs",
+    "event_type_runs",
+    "rolling_7d_active_users",
     "repetition_stats_documents",
-    "contamination_check_documents",
-    "dedup_cluster_documents",
-    "semantic_dedup_embeddings",
-    "embedding_near_pairs",
-    "similarity_ivf_embeddings",
-    "ngram_jaccard_pairs",
-    # staleness tail: last green r2
-    "approx_distinct_users_per_type",
-    "csv_roundtrip_agg",
-    "cube_order_stats",
-    "full_outer_nation_presence",
-    "geo_aggregate_lineitem",
-    "intersect_active_nations",
-    "pivot_event_counts",
-    "q17_small_quantity_revenue",
-    "q5_local_supplier_volume",
-    "streaming_convert_roundtrip",
-    # staleness tail: last green r3 — the whole r3-green remainder
-    # (dedup_exact, dedup_paragraph, jsonl_roundtrip,
-    # rare_token_quality, repetition_stats, text_stats, top_terms,
-    # plus the earlier boilerplate/chunk/corpus-diff/canonical/
-    # grouped-lang/q19/quota/redact/text-quality/zipf deferrals) is
-    # deferred to round 6's staleness pass — all unchanged since
-    # their r3 green rows — to fit the seven round-5 IR/analytic
-    # additions (queries_ir.py, priority=True) inside the 50-row
-    # window. Round-6 mandatory ledger (17 r3-green deferrals):
-    # boilerplate_ngram_stats, chunk_documents_overlap,
-    # corpus_diff_documents, dedup_canonical_documents,
-    # dedup_exact_documents, dedup_paragraph_documents,
-    # grouped_lang_stats_pandas, jsonl_roundtrip_agg,
-    # q19_disjunctive_revenue, quota_sample_per_source,
-    # rare_token_quality_documents, redact_mask_documents,
-    # repetition_stats_documents, text_quality_by_lang,
-    # text_stats_documents, top_terms_per_lang, vocab_zipf_histogram.
-    # Plus the since=5 registrations that could not fit a slot
-    # (window hard-full with r4 reds + post-r4-verify code changes +
-    # r2 staleness): multimodal_audio_energy, lm_bigram_score_documents,
-    # pagerank_event_types, merge_upsert_events, event_type_runs,
-    # rolling_7d_active_users, data_quality_checks,
-    # keywords_per_document, train_val_test_split_documents,
-    # trimmed_mean_by_type, quantile_normalize_events,
-    # streaming_cdc_merge_events, column_stats_lineitem,
-    # zorder_key_events — first driver rows due round 6. Late-round-5
-    # additions, same deal (since=5, first rows due round 6):
-    # q4_priority_with_discounted_lines, q7_volume_shipping,
-    # q8_market_share, q13_order_count_distribution,
-    # q18_large_volume_customers, q22_idle_rich_customers,
-    # hard_negatives_embeddings, ann_recall_eval,
-    # dedup_substring_spans, multimodal_phash_dedup,
-    # schema_evolution_merge, compact_small_files,
-    # grouping_sets_revenue, checksum_orders_table,
-    # incremental_agg_merge_orders, udaf_grouped_agg_chars,
-    # q6_forecast_revenue, q10_returned_item_customers,
-    # q12_priority_shipping_modes, q14_promo_revenue_ratio,
-    # q15_top_supplier, collocations_by_lift,
-    # readability_scores_documents, pca_power_iteration_embeddings,
-    # minhash_banding_eval, ivf_recall_eval,
-    # chisq_event_value_independence, geo_radius_join_lineitem,
-    # scd2_snapshot_join_orders, hierarchy_depths_documents,
-    # copurchase_part_pairs, interval_coverage_users,
-    # skew_report_lineitem, skyline_orders, mmr_rerank_embeddings,
-    # interarrival_stats_users, benford_first_digit_orders,
-    # tfidf_doc_similarity_pairs, locf_carry_forward_events,
-    # asof_tolerance_last_click, centroid_classifier_eval,
-    # event_diversity_users, impute_group_median_events,
-    # hourly_peaks_events, revenue_share_of_region.
+    # Round-7 mandatory ledger — the 26 never-checked since=5
+    # registrations deferred to round 7 (window hard-full at 50;
+    # all become staleness-mandatory when CORRECTNESS_r07 is the
+    # planning input): asof_tolerance_last_click,
+    # benford_first_digit_orders, checksum_orders_table,
+    # chisq_event_value_independence, column_stats_lineitem,
+    # compact_small_files, copurchase_part_pairs,
+    # data_quality_checks, event_diversity_users,
+    # geo_radius_join_lineitem, grouping_sets_revenue,
+    # hourly_peaks_events, impute_group_median_events,
+    # incremental_agg_merge_orders, interarrival_stats_users,
+    # interval_coverage_users, keywords_per_document,
+    # locf_carry_forward_events, quantile_normalize_events,
+    # revenue_share_of_region, scd2_snapshot_join_orders,
+    # schema_evolution_merge, skew_report_lineitem,
+    # train_val_test_split_documents, trimmed_mean_by_type,
+    # udaf_grouped_agg_chars, zorder_key_events.
 }
 
 

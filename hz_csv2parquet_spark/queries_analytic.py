@@ -286,7 +286,6 @@ _STEP_MS = FUNNEL_STEP_MS  # 1 h between funnel steps (shared with E89 + oracles
     UNION ALL
     SELECT 'purchase_1h', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
     """,
-    priority=True,
 )
 def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch conversion funnel: users who viewed; whose FIRST
@@ -353,7 +352,6 @@ _WEEK_MS = 7 * 24 * 3_600_000
     FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
     GROUP BY 1, 2
     """,
-    priority=True,
 )
 def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention matrix: users grouped by first-activity week
@@ -406,7 +404,6 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n DESC, path
     LIMIT 20
     """,
-    priority=True,
 )
 def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most common 3-step behavioral paths: consecutive event-type
@@ -464,7 +461,6 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope_per_hour
     FROM s
     """,
-    priority=True,
 )
 def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS trend of event value over time: closed-form
@@ -530,7 +526,6 @@ def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c JOIN m1 USING (event_type) JOIN m2 USING (event_type)
     GROUP BY 1
     """,
-    priority=True,
 )
 def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier census per type: |v − median| > 1.5·MAD (the

@@ -827,7 +827,6 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            r_q || '-' || f_q || '-' || m_q AS segment
     FROM q
     """,
-    priority=True,
 )
 def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (days-since-epoch of

@@ -79,7 +79,7 @@ def _bm25_sql() -> str:
     """
 
 
-@query("bm25_topk_documents", sql=_bm25_sql(), priority=True, headline=True)
+@query("bm25_topk_documents", sql=_bm25_sql(), headline=True)
 def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents by BM25 (rational-idf variant — see
     operators/ir.py for the no-log design argument) for a fixed
@@ -124,7 +124,6 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tok AS token, df, tf_total, postings
     FROM stats JOIN post USING (tok)
     """,
-    priority=True,
 )
 def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-grain inverted index: df, total tf, and a bounded
@@ -158,7 +157,6 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(COUNT(*) AS DOUBLE) / 100000000.0 AS centroid
     FROM vals GROUP BY 1, 2
     """,
-    priority=True,
 )
 def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding — the centroid building block under
@@ -238,7 +236,7 @@ def _corr_sql() -> str:
     """
 
 
-@query("correlation_matrix_lineitem", sql=_corr_sql(), priority=True)
+@query("correlation_matrix_lineitem", sql=_corr_sql())
 def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation over (quantity, price, discount),
     cents-scaled to integers so every moment is exact (DECIMAL(38)
@@ -320,7 +318,6 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c JOIN s USING (event_type, hour_of_day)
     WHERE (n * y - s) * (n * y - s) > 9 * (n * ssq - s * s)
     """,
-    priority=True,
 )
 def seasonal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events more than 3σ from their (event_type, hour-of-day)
@@ -378,7 +375,6 @@ _DEBOUNCE_MS = 300_000
     FROM c
     WHERE prev_ms IS NULL OR ms - prev_ms > {_DEBOUNCE_MS}
     """,
-    priority=True,
 )
 def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telemetry debounce: keep an event only if the previous event of
@@ -420,7 +416,6 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS BIGINT) AS cum_cents
     FROM orders
     """,
-    priority=True,
 )
 def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative order revenue per customer in order-date order —

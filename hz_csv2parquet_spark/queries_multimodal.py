@@ -160,7 +160,6 @@ def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(array_to_string(picks, '')) AS resized_md5
     FROM r
     """,
-    priority=True,
 )
 def multimodal_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor 8×8 thumbnails through the real

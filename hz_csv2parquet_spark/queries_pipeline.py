@@ -510,7 +510,6 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored s JOIN th ON s.lang = th.lang
     WHERE s.n_tokens >= th.tok_p25 AND s.non_alnum_ratio <= th.sym_p75
     """,
-    priority=True,
 )
 def quality_percentile_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative quality gate: keep documents at or above their
@@ -576,7 +575,6 @@ def quality_percentile_filter_documents(spark: SparkSession, sf_dir: str) -> Dat
              / CAST(all_docs AS DOUBLE) AS cum_frac
     FROM b, n
     """,
-    priority=True,
 )
 def length_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count histogram in power-of-two buckets (⌊log₂ n⌋ via

@@ -311,7 +311,6 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
     streaming=True,
-    priority=True,
 )
 def streaming_funnel_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-touch funnel as a custom stateful operator

@@ -1030,7 +1030,6 @@ def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks t LEFT JOIN vocab v ON t.token = v.token
     GROUP BY 1
     """,
-    priority=True,
 )
 def vocab_oov_rate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage: build the corpus "core vocab" (tokens in
@@ -1119,7 +1118,7 @@ def _sql_source_similarity(num_hashes: int = 16) -> str:
     """
 
 
-@query("source_similarity_minhash", sql=_sql_source_similarity(), priority=True)
+@query("source_similarity_minhash", sql=_sql_source_similarity())
 def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise corpus-slice similarity: one MinHash signature PER
     SOURCE (component i = min of the i-th permutation over the union

@@ -99,6 +99,53 @@ def test_rotation_set_names_real_queries_and_fits_the_window():
     assert not missing, f"ROTATION queries outside driver window: {missing}"
 
 
+def test_catalog_growth_frozen_while_backlog_exceeds_window():
+    """VERDICT r5 item 2: 60 never-driver-checked queries is two full
+    rounds of window budget. While the backlog (never-checked + ≥2
+    rounds stale) exceeds the 50-row window, new ``@query``
+    registrations are capped at the slack that remains after the
+    backlog is scheduled — with a 76-query backlog that slack is 0."""
+    hist = _history()
+    if not hist:
+        return
+    latest = max(r for rounds in hist.values() for r in rounds)
+    backlog = {
+        name
+        for name in REGISTRY
+        if (name in hist and max(hist[name]) <= latest - 2)
+        or (name not in hist and REGISTRY[name].since <= latest)
+    }
+    slack = max(0, DRIVER_WINDOW - len(backlog))
+    new = {name for name in REGISTRY if REGISTRY[name].since > latest}
+    assert len(new) <= slack, (
+        f"{len(new)} new registrations ({sorted(new)}) but only {slack} window "
+        f"slots remain after the {len(backlog)}-query verification backlog — "
+        "freeze catalog growth until driver coverage catches up"
+    )
+
+
+def test_hard_staleness_ceiling_three_rounds():
+    """VERDICT r5 item 6: no catalog query's latest driver row (or,
+    for never-verified queries, registration round) may be more than
+    3 rounds old. The 2-round rule above forces them INTO the window;
+    this one catches the failure mode where a query keeps getting
+    deferred round after round and the window never actually covers
+    it."""
+    hist = _history()
+    if not hist:
+        return
+    latest = max(r for rounds in hist.values() for r in rounds)
+    over_ceiling = {
+        name
+        for name in REGISTRY
+        if (name in hist and max(hist[name]) < latest - 3)
+        or (name not in hist and REGISTRY[name].since < latest - 3)
+    }
+    assert not over_ceiling, (
+        f"queries >3 rounds without a driver CORRECTNESS row: {over_ceiling}"
+    )
+
+
 def test_ordering_is_a_permutation_of_the_registry():
     assert set(ordered_registry()) == set(REGISTRY)
     assert len(ordered_registry()) == len(REGISTRY)
