@@ -46,12 +46,9 @@ def main() -> int:
     ap.add_argument("--regression-factor", type=float, default=1.5)
     args = ap.parse_args()
 
-    # bench's warm-up + timed-runs protocol is the repeated-identical-
-    # call pattern the cross-call memo exists for (tables.memo_persist)
-    os.environ["HZ_CROSS_CALL_MEMO"] = "1"
-
     from hz_csv2parquet_spark.queries import REGISTRY
     from hz_csv2parquet_spark.session import get_spark
+    from hz_csv2parquet_spark.tables import memo_clear
 
     spark = get_spark(app="hz_bench")
     names = [n for n, q in REGISTRY.items() if (args.all or q.headline) and not q.streaming]
@@ -63,6 +60,11 @@ def main() -> int:
         q.fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(max(args.runs, 1)):
+            # release any frames the previous run persisted so every
+            # timed run executes the FULL plan from a cold store —
+            # the timed path is byte-identical to the driver-verified
+            # one (round 6: cross-call memo hits removed entirely)
+            memo_clear()
             t0 = time.perf_counter()
             q.fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
