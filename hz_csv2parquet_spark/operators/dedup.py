@@ -99,28 +99,35 @@ def shingle_hashes32(shingles: Column) -> Column:
 
 
 def minhash_band_hashes(
-    shingle_h32: Column, num_hashes: int = 16, bands: int = 4
+    shingle_h32: str, num_hashes: int = 16, bands: int = 4
 ) -> list[Column]:
     """One integer hash per LSH band. MinHash i = min over shingles
     of (aᵢ·h32 + bᵢ) mod P — the classic multiply-mod permutation
     family over the per-shingle base hash; band j combines its
     ``num_hashes/bands`` MinHashes with an exact polynomial
-    (values < 2^47, no overflow)."""
+    (values < 2^47, no overflow).
+
+    ``shingle_h32`` is a column NAME (or SQL fragment): each band is
+    emitted as ONE F.expr string — the Column-composed form built
+    ~100 nested expressions through py4j per call (~0.4 s of driver
+    time); the parsed plan is identical."""
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     r = num_hashes // bands
 
-    def family(i: int):
+    def mh_sql(i: int) -> str:
         a, b = _mh_coeffs(i)
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+        return (
+            f"array_min(transform({shingle_h32},"
+            f" h -> ({a}L * h + {b}L) % {MINHASH_P}L))"
+        )
 
-    minhashes = [F.array_min(F.transform(shingle_h32, family(i))) for i in range(num_hashes)]
     out = []
     for j in range(bands):
-        bh = minhashes[j * r]
-        for m in minhashes[j * r + 1 : (j + 1) * r]:
-            bh = bh * F.lit(31) + m
-        out.append(bh)
+        bh = mh_sql(j * r)
+        for i in range(j * r + 1, (j + 1) * r):
+            bh = f"({bh} * 31 + {mh_sql(i)})"
+        out.append(F.expr(bh))
     return out
 
 
@@ -154,7 +161,7 @@ def lsh_candidate_pairs(
     self-join compares docs *within a bucket only* — never all pairs.
     Output: id_a, id_b (distinct)."""
     sh = _sh if _sh is not None else _shingle_frame(df, id_col, text_col, shingle_n)
-    bhs = minhash_band_hashes(F.col("__h32"), num_hashes, bands)
+    bhs = minhash_band_hashes("__h32", num_hashes, bands)
     banded = sh.select(
         "__id",
         F.explode(
@@ -281,7 +288,7 @@ def simhash64_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     interpreted per element — measured 23s vs 2s at sf0.1 (5k docs)
     for the same signatures. Docs with NULL text keep the column
     form's (0, 0) signature via the union branch."""
-    src = df.select(F.col(id_col).alias("__id"), normalize_text(text_col).alias("__t"))
+    src = spread(df).select(F.col(id_col).alias("__id"), normalize_text(text_col).alias("__t"))
     tok = (
         src.filter(F.col("__t").isNotNull())
         .select("__id", F.explode(F.split("__t", " ")).alias("__tok"))
@@ -292,6 +299,13 @@ def simhash64_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.conv(F.substring("__h", 1, 8), 16, 10).cast("long").alias("__w0"),
         F.conv(F.substring("__h", 9, 8), 16, 10).cast("long").alias("__w1"),
     )
+
+    # The wide expressions below are emitted as SQL strings through
+    # F.expr, not composed Column-by-Column: the Column form issues
+    # ~800 py4j calls to build the tree (measured 1.2-2.2 s of driver
+    # time PER CALL at 32 cores — more than the query's whole
+    # execution), while expr() ships one string per aggregate and the
+    # JVM parses it in milliseconds. The parsed plan is identical.
 
     def lane_shift(b: int) -> int:
         # signature bit b reads md5 hex digit 1 + b//4 (MSB-first in
@@ -306,11 +320,10 @@ def simhash64_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         # (33 buffer longs vs 65) and the partial-agg shuffle bytes;
         # a 32-bit lane holds counts for docs up to 2³² tokens, so no
         # realistic document overflows a lane.
-        lo = F.shiftright(F.col(word), lane_shift(g)).bitwiseAND(F.lit(1))
-        hi = F.shiftleft(
-            F.shiftright(F.col(word), lane_shift(g + 16)).bitwiseAND(F.lit(1)), 32
+        return F.expr(
+            f"sum((shiftright({word}, {lane_shift(g)}) & 1)"
+            f" + shiftleft(shiftright({word}, {lane_shift(g + 16)}) & 1, 32))"
         )
-        return F.sum(lo + hi)
 
     agg = words.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__n"),
@@ -319,16 +332,12 @@ def simhash64_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
     def assemble(prefix: str) -> Column:
-        total = F.lit(0).cast("long")
+        terms = []
         for b in range(32):
             g, k = b % 16, b // 16
-            cnt = F.shiftright(F.col(f"__{prefix}_{g}"), 32 * k).bitwiseAND(
-                F.lit(0xFFFFFFFF)
-            )
-            total = total + F.when(
-                F.lit(2) * cnt > F.col("__n"), F.lit(2**b).cast("long")
-            ).otherwise(F.lit(0))
-        return total
+            cnt = f"(shiftright(__{prefix}_{g}, {32 * k}) & 4294967295)"
+            terms.append(f"if(2 * {cnt} > __n, {2**b}L, 0L)")
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
 
     sig = agg.select("__id", assemble("c0").alias("__s0"), assemble("c1").alias("__s1"))
     nulls = src.filter(F.col("__t").isNull()).select(
