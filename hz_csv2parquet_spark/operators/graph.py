@@ -160,13 +160,24 @@ def pointer_doubling_depths(parents: DataFrame, max_iter: int = 20) -> DataFrame
     true depth, so an unchanged exact sum IS the fixpoint. Each round
     is one self-join co-partitioned on the pointer — at 100 TB this
     is log₂(max-depth) shuffles over a (v, ptr, d) table, the reason
-    pointer doubling (not iteration-per-level) is the scalable form."""
+    pointer doubling (not iteration-per-level) is the scalable form.
+
+    Preconditions (violations raise, never return wrong depths):
+    every ``parent`` value must itself appear as a vertex (the inner
+    self-join would silently DROP any vertex whose ancestor chain
+    leaves the table), and the forest must be acyclic with depth
+    ≤ 2^max_iter (a cycle never converges; both exhaust ``max_iter``
+    without the sum fixpoint and raise RuntimeError)."""
     f = parents.select(
         "v",
         F.col("parent").alias("ptr"),
         F.when(F.col("parent") == F.col("v"), F.lit(0)).otherwise(F.lit(1)).cast("long").alias("d"),
     ).localCheckpoint()
+    n_in = f.count()
+    if n_in == 0:
+        return f.select("v", F.col("d").cast("long").alias("depth"))
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         g = f.select(
             F.col("v").alias("g_v"), F.col("ptr").alias("g_ptr"), F.col("d").alias("g_d")
@@ -176,8 +187,23 @@ def pointer_doubling_depths(parents: DataFrame, max_iter: int = 20) -> DataFrame
             .select("v", F.col("g_ptr").alias("ptr"), (F.col("d") + F.col("g_d")).alias("d"))
             .localCheckpoint()
         )
-        s = f.agg(F.sum(F.col("d").cast("decimal(38,0)")).alias("s")).collect()[0][0]
+        cnt, s = f.agg(
+            F.count(F.lit(1)), F.sum(F.col("d").cast("decimal(38,0)"))
+        ).collect()[0]
+        if cnt != n_in:
+            raise ValueError(
+                f"pointer_doubling_depths: {n_in - cnt} vertices dropped by the "
+                "pointer join — some parent value is not a vertex of the table "
+                "(every ancestor chain must stay inside the input)"
+            )
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        raise RuntimeError(
+            f"pointer_doubling_depths: no fixpoint after {max_iter} doubling "
+            f"rounds — the input has a cycle or depth > 2^{max_iter}; partial "
+            "depths would be wrong, refusing to return them"
+        )
     return f.select("v", F.col("d").cast("long").alias("depth"))

@@ -94,14 +94,21 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Output: ``id_col, n_tokens, dup_token_frac, top_token_frac,
     dup_bigram_frac, alpha_frac, passes_quality`` — one row per input
-    row (documents with <2 tokens get ``dup_bigram_frac = 0.0``).
+    row with non-NULL text (documents with <2 tokens get
+    ``dup_bigram_frac = 0.0``). NULL-text documents are DROPPED —
+    the same contract as the exploded form (explode skips NULL
+    arrays) and the DuckDB unnest mirror; the two formulations are
+    row-identical on any input (pinned with a NULL-text case in
+    tests/test_text_functions.py).
 
     distinct count and mode come from ONE pass over the sorted token
     array: equal tokens are adjacent after the sort, so a linear fold
     tracking (previous token, current run, max run, runs seen) yields
     the top-token multiplicity and the distinct count together.
     """
-    base = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
+    base = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t")).filter(
+        F.col("__t").isNotNull()
+    )
     st = F.array_sort(F.col("__t"))
     acc0 = F.struct(
         F.lit(None).cast("string").alias("prev"),

@@ -125,36 +125,42 @@ ROTATION: set[str] = {
     "q18_large_volume_customers",
     "q22_idle_rich_customers",
     # -- never-checked IO / streaming-merge / multimodal / sim /
-    # text / analytic picks (14) --
+    # text / analytic picks (10) --
     "orc_roundtrip_agg",
     "merge_upsert_events",
     "streaming_cdc_merge_events",
     "multimodal_audio_energy",
     "multimodal_phash_dedup",
     "hard_negatives_embeddings",
-    "centroid_classifier_eval",
     "collocations_by_lift",
     "readability_scores_documents",
     "skyline_orders",
-    "tfidf_doc_similarity_pairs",
-    "event_type_runs",
-    "rolling_7d_active_users",
     "repetition_stats_documents",
-    # Round-7 mandatory ledger — the 26 never-checked since=5
+    # -- implementation changed round 6 (expr-based signature builds
+    # in operators/dedup.py; skyline/repetition covered above) — a
+    # fresh driver row is mandatory even though plans are intended
+    # to be identical (4) --
+    "dedup_simhash_documents",
+    "dedup_minhash_documents",
+    "dedup_cluster_documents",
+    "levenshtein_near_pairs",
+    # Round-7 mandatory ledger — the 30 never-checked since=5
     # registrations deferred to round 7 (window hard-full at 50;
     # all become staleness-mandatory when CORRECTNESS_r07 is the
     # planning input): asof_tolerance_last_click,
-    # benford_first_digit_orders, checksum_orders_table,
-    # chisq_event_value_independence, column_stats_lineitem,
-    # compact_small_files, copurchase_part_pairs,
-    # data_quality_checks, event_diversity_users,
+    # benford_first_digit_orders, centroid_classifier_eval,
+    # checksum_orders_table, chisq_event_value_independence,
+    # column_stats_lineitem, compact_small_files,
+    # copurchase_part_pairs, data_quality_checks,
+    # event_diversity_users, event_type_runs,
     # geo_radius_join_lineitem, grouping_sets_revenue,
     # hourly_peaks_events, impute_group_median_events,
     # incremental_agg_merge_orders, interarrival_stats_users,
     # interval_coverage_users, keywords_per_document,
     # locf_carry_forward_events, quantile_normalize_events,
-    # revenue_share_of_region, scd2_snapshot_join_orders,
-    # schema_evolution_merge, skew_report_lineitem,
+    # revenue_share_of_region, rolling_7d_active_users,
+    # scd2_snapshot_join_orders, schema_evolution_merge,
+    # skew_report_lineitem, tfidf_doc_similarity_pairs,
     # train_val_test_split_documents, trimmed_mean_by_type,
     # udaf_grouped_agg_chars, zorder_key_events.
 }

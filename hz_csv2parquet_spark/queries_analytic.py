@@ -646,7 +646,10 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same two-phase shape as the scalable NTILE (E77): the global
     order is recovered from bucket-local orders plus a tiny
-    cross-bucket frame."""
+    cross-bucket frame. The decomposition lives in
+    operators/skyline.py, shared with the brute-force property test."""
+    from .operators.skyline import skyline_2d
+
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("d"),
@@ -654,40 +657,4 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = F.unix_millis(F.lit("1995-01-01 00:00:00").cast("timestamp"))
     hi = F.unix_millis(F.lit("2002-01-01 00:00:00").cast("timestamp"))
-    n_buckets = 64
-    pts = o.withColumn(
-        "bkt",
-        F.least(
-            F.greatest(
-                F.floor((F.col("d") - lo) * n_buckets / (hi - lo)), F.lit(0)
-            ),
-            F.lit(n_buckets - 1),
-        ).cast("int"),
-    )
-    # per-(bucket, date) max price — the grain the newer-max scan runs on
-    bd = pts.groupBy("bkt", "d").agg(F.max("p").alias("p_at_d"))
-    # strictly-newer-bucket suffix max (tiny frame)
-    per_b = bd.groupBy("bkt").agg(F.max("p_at_d").alias("p_max"))
-    w_suffix = (
-        Window.orderBy(F.col("bkt").desc()).rowsBetween(Window.unboundedPreceding, -1)
-    )
-    suffix = per_b.select(
-        "bkt", F.coalesce(F.max("p_max").over(w_suffix), F.lit(-1)).alias("newer_bkt_max")
-    )
-    # within-bucket newer-max per distinct date (sorts bounded by bucket)
-    w_in = (
-        Window.partitionBy("bkt")
-        .orderBy(F.col("d").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bd_newer = bd.select(
-        "bkt", "d", F.coalesce(F.max("p_at_d").over(w_in), F.lit(-1)).alias("newer_in_bkt")
-    )
-    thresh = bd_newer.join(F.broadcast(suffix), "bkt").select(
-        "bkt", "d", F.greatest("newer_in_bkt", "newer_bkt_max").alias("newer_max")
-    )
-    return (
-        pts.join(thresh, ["bkt", "d"])
-        .filter(F.col("p") >= F.col("newer_max"))
-        .select("o_orderkey", "d", "p")
-    )
+    return skyline_2d(o, "d", "p", lo, hi, n_buckets=64).select("o_orderkey", "d", "p")

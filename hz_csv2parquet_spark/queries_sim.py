@@ -718,9 +718,15 @@ def _sql_mmr() -> str:
     """Chained-CTE oracle replaying the greedy MMR selection: the
     candidate pool (exact top-10 of query 0) and its pairwise cosine
     matrix are CTEs; each greedy step is one argmax CTE referencing
-    the union of previously selected rows."""
+    the union of previously selected rows.
+
+    Every CTE is ``AS MATERIALIZED``: each step references all prior
+    steps, so DuckDB's default CTE inlining re-expands the chain
+    combinatorially — measured +28k process memory mappings (and the
+    intermittent parity OOMs once the session crossed
+    vm.max_map_count) vs +76 materialized, identical rows."""
     lam, om = "CAST('0.7' AS DOUBLE)", "CAST('0.3' AS DOUBLE)"
-    base = f"""cand AS (
+    base = f"""cand AS MATERIALIZED (
       SELECT neighbor_id, cosine AS sim_q FROM (
         SELECT c.vec_id AS neighbor_id,
                {_sql_cosine("q.embedding", "c.embedding")} AS cosine,
@@ -731,21 +737,21 @@ def _sql_mmr() -> str:
         WHERE c.vec_id != 0
       ) WHERE rn <= 10
     ),
-    pair AS (
+    pair AS MATERIALIZED (
       SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b,
              {_sql_cosine("ea.embedding", "eb.embedding")} AS sim
       FROM cand a JOIN cand b ON a.neighbor_id != b.neighbor_id
       JOIN embeddings ea ON ea.vec_id = a.neighbor_id
       JOIN embeddings eb ON eb.vec_id = b.neighbor_id
     ),
-    s1 AS (
+    s1 AS MATERIALIZED (
       SELECT 1 AS rank, neighbor_id, sim_q AS mmr_score FROM cand
       ORDER BY sim_q DESC, neighbor_id LIMIT 1
     )"""
     ctes = [base]
     prev_union = "SELECT neighbor_id FROM s1"
     for i in range(2, _MMR_K + 1):
-        ctes.append(f"""s{i} AS (
+        ctes.append(f"""s{i} AS MATERIALIZED (
       SELECT {i} AS rank, c.neighbor_id,
              {lam} * c.sim_q - {om} * max_sim.ms AS mmr_score
       FROM cand c

@@ -263,3 +263,21 @@ def test_pointer_doubling_matches_direct_walk(spark):
         return d
 
     assert got == {v: walk(v) for v in parent}
+
+
+def test_pointer_doubling_raises_on_cycle_and_missing_parent(spark):
+    """The preconditions fail LOUDLY (ADVICE r5): a cycle exhausts
+    the doubling rounds without the sum fixpoint → RuntimeError; a
+    parent value that is not itself a vertex would be silently
+    dropped by the pointer join → ValueError."""
+    import pytest
+
+    from hz_csv2parquet_spark.operators.graph import pointer_doubling_depths
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1), (3, 3)], "v long, parent long")
+    with pytest.raises(RuntimeError, match="cycle|fixpoint"):
+        pointer_doubling_depths(cyc, max_iter=5)
+
+    dangling = spark.createDataFrame([(1, 1), (2, 99)], "v long, parent long")
+    with pytest.raises(ValueError, match="dropped"):
+        pointer_doubling_depths(dangling, max_iter=5)

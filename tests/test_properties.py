@@ -752,42 +752,15 @@ def test_keywords_topk_matches_bruteforce(spark, docs):
     )
 )
 def test_skyline_decomposition_matches_bruteforce(spark, pts):
-    """The bucketed skyline must equal the quadratic definition on
-    arbitrary point sets, including bucket-boundary collisions and
-    duplicate (d, p) pairs across ids."""
-    from hz_csv2parquet_spark.operators import topk  # noqa: F401  (import check)
-    from pyspark.sql import Window, functions as F
+    """The PRODUCTION bucketed-skyline operator (operators/skyline.py,
+    the same code skyline_orders runs) must equal the quadratic
+    definition on arbitrary point sets, including bucket-boundary
+    collisions and duplicate (d, p) pairs across ids. A small bucket
+    count over a small domain maximizes boundary coverage."""
+    from hz_csv2parquet_spark.operators.skyline import skyline_2d
 
     df = spark.createDataFrame(pts, "o_orderkey long, d long, p long")
-    n_buckets = 8
-    lo_v, hi_v = 0, 10_001
-    ptsf = df.withColumn(
-        "bkt",
-        F.least(
-            F.greatest(F.floor((F.col("d") - lo_v) * n_buckets / (hi_v - lo_v)), F.lit(0)),
-            F.lit(n_buckets - 1),
-        ).cast("int"),
-    )
-    bd = ptsf.groupBy("bkt", "d").agg(F.max("p").alias("p_at_d"))
-    per_b = bd.groupBy("bkt").agg(F.max("p_at_d").alias("p_max"))
-    w_suffix = Window.orderBy(F.col("bkt").desc()).rowsBetween(Window.unboundedPreceding, -1)
-    suffix = per_b.select(
-        "bkt", F.coalesce(F.max("p_max").over(w_suffix), F.lit(-1)).alias("newer_bkt_max")
-    )
-    w_in = (
-        Window.partitionBy("bkt").orderBy(F.col("d").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bd_newer = bd.select(
-        "bkt", "d", F.coalesce(F.max("p_at_d").over(w_in), F.lit(-1)).alias("newer_in_bkt")
-    )
-    thresh = bd_newer.join(F.broadcast(suffix), "bkt").select(
-        "bkt", "d", F.greatest("newer_in_bkt", "newer_bkt_max").alias("newer_max")
-    )
-    got = {
-        r.o_orderkey
-        for r in ptsf.join(thresh, ["bkt", "d"]).filter(F.col("p") >= F.col("newer_max")).collect()
-    }
+    got = {r.o_orderkey for r in skyline_2d(df, "d", "p", 0, 10_001, n_buckets=8).collect()}
     want = {
         k for k, d, p in pts
         if not any(d2 > d and p2 > p for _, d2, p2 in pts)

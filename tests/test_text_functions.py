@@ -84,10 +84,13 @@ def test_repetition_formulations_agree(spark):
         (3, "one"),
         (4, "42 7 42 !!! ??? 42"),
         (5, "x y"),
+        (6, None),  # NULL text: BOTH formulations drop the doc
+        (7, ""),  # empty text: one '' token, both keep it
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     a = {r.doc_id: r for r in repetition_stats(df, "doc_id", "text").collect()}
     b = {r.doc_id: r for r in repetition_stats_exploded(df, "doc_id", "text").collect()}
     assert set(a) == set(b)
+    assert 6 not in a and 7 in a
     for k in a:
         assert a[k] == b[k], (k, a[k], b[k])
