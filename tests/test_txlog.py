@@ -1,0 +1,155 @@
+"""Transaction-log table layer (sources/txlog.py): ACID commits,
+snapshot isolation, time travel, stats-pruned MERGE, atomic
+compaction, schema evolution, vacuum, and the optimistic-concurrency
+conflict. The layer is the production story behind the simulated
+lakehouse catalog queries (SURVEY E105/E126/E127)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark.sources.txlog import (
+    CommitConflictError,
+    TxTable,
+    _version_file,
+)
+
+
+def _mk(spark, tmp_path, n=100, files=4):
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(files)
+    t.create(df)
+    return t
+
+
+def test_create_snapshot_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    snap = t.snapshot()
+    assert snap.count() == 100
+    assert {r.k for r in snap.collect()} == set(range(100))
+    assert t.version() == 0
+    assert len(t.files()) == 4
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50, files=2)
+    t.append(spark.range(50, 80).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    assert t.version() == 1
+    assert t.snapshot().count() == 80
+    assert t.snapshot(as_of=0).count() == 50  # time travel
+
+
+def test_merge_upsert_rewrites_only_touched_files(spark, tmp_path):
+    # 4 files over disjoint k ranges (repartitionByRange + sort gives
+    # range-clustered files whose min/max stats are selective)
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = (
+        spark.range(400)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t.create(df)
+    files_before = set(t.files())
+    assert len(files_before) == 4
+
+    # updates hit only the low range [0, 40]
+    updates = spark.range(0, 41, 2).select(F.col("k" if False else "id").alias("k"), F.lit(-1).alias("v"))
+    touched, skipped = t.pruned_files("k", 0, 40)
+    assert len(touched) == 1 and len(skipped) == 3, "stats pruning must isolate one file"
+
+    t.merge_upsert(updates, "k")
+    snap = t.snapshot()
+    assert snap.count() == 400  # pure SCD1 upsert of existing keys
+    got = {r.k: r.v for r in snap.collect()}
+    for k in range(0, 41, 2):
+        assert got[k] == -1
+    for k in range(41, 400):
+        assert got[k] == 2 * k
+    # untouched files survive as-is; exactly the one touched file was removed
+    files_after = set(t.files())
+    assert len(files_before & files_after) == 3
+
+
+def test_merge_inserts_new_keys(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    ups = spark.createDataFrame([(5, -5), (100, -100)], "k long, v long")
+    t.merge_upsert(ups, "k")
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[5] == -5 and got[100] == -100 and len(got) == 11
+
+
+def test_compact_is_atomic_and_lossless(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, files=8)
+    before = t.snapshot().groupBy().agg(F.sum("v").alias("s")).collect()[0].s
+    v = t.compact(target_files=1)
+    assert len(t.files()) == 1
+    after = t.snapshot().groupBy().agg(F.sum("v").alias("s")).collect()[0].s
+    assert before == after
+    # one commit: remove+add flipped together
+    actions = json.load(open(_version_file(t.path, v)))
+    assert sum(1 for a in actions if "add" in a) == 1
+    assert sum(1 for a in actions if "remove" in a) == 8
+    # time travel still sees the fragmented layout
+    assert len(t.files(as_of=v - 1)) == 8
+
+
+def test_schema_evolution_null_fills(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    gen2 = spark.range(10, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+    )
+    t.evolve_schema(gen2)
+    snap = t.snapshot()
+    assert set(snap.columns) == {"k", "v", "tag"}
+    rows = {r.k: r.tag for r in snap.collect()}
+    assert rows[5] is None and rows[15] == "x"
+
+
+def test_commit_conflict_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    # a second writer sneaks in version 1
+    t2 = TxTable(spark, t.path, stat_cols=["k"])
+    t2.append(spark.range(10, 12).select(F.col("id").alias("k"), F.lit(0).alias("v")))
+    # first writer computed against version 0 and loses the race
+    with pytest.raises(CommitConflictError):
+        t._commit([{"add": {"path": "nope.parquet", "rows": 0, "stats": {}}}], 0)
+    # retry on the fresh snapshot succeeds
+    t.append(spark.range(12, 14).select(F.col("id").alias("k"), F.lit(0).alias("v")))
+    assert t.version() == 2
+
+
+def test_vacuum_removes_only_dead_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, files=8)
+    t.compact(target_files=1)
+    all_parquet = glob.glob(os.path.join(t.path, "data-*", "*.parquet"))
+    assert len(all_parquet) == 9  # 8 dead + 1 live
+    deleted = t.vacuum()
+    assert deleted == 8
+    assert t.snapshot().count() == 100  # live data intact
+
+
+def test_crashed_writer_leaves_no_torn_table(spark, tmp_path):
+    """Staged-but-uncommitted data files are invisible to readers."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    # simulate a crash: stage data, never commit
+    t._stage(
+        spark.range(100, 200).select(F.col("id").alias("k"), F.lit(0).alias("v")).coalesce(1)
+    )
+    assert t.snapshot().count() == 10
+    assert t.vacuum() == 1  # the orphan is cleanable
+
+
+def test_empty_update_batch_is_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    v0 = t.version()
+    empty = spark.createDataFrame([], "k long, v long")
+    assert t.merge_upsert(empty, "k") == v0
+    assert t.snapshot().count() == 10
