@@ -608,8 +608,8 @@ def _recall_select(approx_cte: str) -> str:
     """Overlap/recall finish shared by the recall harnesses: joins
     the approx candidate set against the brute ground truth."""
     return f"""
-    WITH brute AS ({_sql_brute_pairs()}),
-    approx AS ({approx_cte}),
+    WITH brute AS MATERIALIZED ({_sql_brute_pairs()}),
+    approx AS MATERIALIZED ({approx_cte}),
     nl AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx FROM approx GROUP BY 1),
     ov AS (
       SELECT brute.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
