@@ -30,6 +30,29 @@ def test_query_matches_oracle(spark, con, name):
     compare(spark_pdf, oracle_pdf, name)
 
 
+def test_process_memory_mappings_bounded():
+    """Tripwire for the round-6 root cause of the 'intermittent OOM'
+    parity flakes: a DuckDB oracle whose CTEs inline combinatorially
+    (the pre-fix MMR oracle added ~53k mappings per run) marches the
+    process toward vm.max_map_count (65530), after which EVERY
+    later allocation in the process dies with bad_alloc. Running
+    after the full parametrized parity sweep, the map count must sit
+    far below the kernel limit; a future oracle reintroducing the
+    blowup fails here with a number, not as a random OOM three tests
+    later."""
+    import os
+
+    maps_file = f"/proc/{os.getpid()}/maps"
+    if not os.path.exists(maps_file):
+        return  # non-Linux
+    n = sum(1 for _ in open(maps_file))
+    assert n < 30_000, (
+        f"{n} memory mappings after the parity sweep (kernel limit 65530) — "
+        "some oracle is exploding allocations; bisect with a per-query "
+        "/proc/self/maps diff and MATERIALIZE its repeated CTEs"
+    )
+
+
 def test_all_queries_return_rows(spark):
     """Every catalog query must be non-trivially exercised by the
     fixtures — an empty result makes its oracle hash check vacuous."""
