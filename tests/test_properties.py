@@ -25,6 +25,36 @@ SET = settings(
 )
 
 
+def _events_fixture_dir(spark, rows) -> str:
+    """Write ``rows`` of ``(event_id, ms, user_id, event_type,
+    value)`` as a production-shaped events fixture (unique tmp dir,
+    native timestamp encoding) so a property test can drive the REAL
+    catalog query body — table read, reader probe, and all — instead
+    of re-implementing its plan inline (the skyline lesson,
+    ADVICE r5)."""
+    import glob
+    import shutil
+    import tempfile
+
+    # drop previous examples' dirs (serial tests; bounds /tmp growth)
+    for old in glob.glob(f"{tempfile.gettempdir()}/hz_prop_events_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    d = tempfile.mkdtemp(prefix="hz_prop_events_")
+    df = spark.createDataFrame(
+        [(e, m, u, t, v, None) for (e, m, u, t, v) in rows],
+        "event_id long, ms long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_millis("ms").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return d
+
+
 @given(
     xs=st.lists(st.floats(min_value=0.0, max_value=99.999, allow_nan=False), min_size=1, max_size=40),
     step=st.sampled_from([0.5, 1.0, 2.5, 10.0]),
@@ -513,25 +543,23 @@ def test_bm25_matches_bruteforce(spark, docs):
 )
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 def test_debounce_lag_gap_matches_bruteforce(spark, events):
-    """The lag-gap debounce keeps exactly the rows whose predecessor
-    (same key, (ms, id) order) is more than the threshold older."""
-    gap = 300_000
-    rows = [(u, ms, i) for i, (u, ms) in enumerate(events)]
-    expected = set()
-    for u, ms, i in rows:
-        prior = [(m2, i2) for (u2, m2, i2) in rows if u2 == u and (m2, i2) < (ms, i)]
-        if not prior or ms - max(prior)[0] > gap:
-            expected.add(i)
+    """The PRODUCTION debounce_events query (lag-gap per
+    (user, type), 5-min threshold) keeps exactly the rows whose
+    predecessor is more than the threshold older — driven through a
+    generated events fixture so the real query body runs."""
+    from hz_csv2parquet_spark.queries_ir import _DEBOUNCE_MS, debounce_events
 
-    from pyspark.sql import Window
+    rows = [(i, ms, u, "t", 0.0) for i, (u, ms) in enumerate(events)]
+    expected = {}
+    for i, ms, u, _t, _v in rows:
+        prior = [(m2, i2) for (i2, m2, u2, _, _) in rows if u2 == u and (m2, i2) < (ms, i)]
+        if not prior:
+            expected[i] = None
+        elif ms - max(prior)[0] > _DEBOUNCE_MS:
+            expected[i] = ms - max(prior)[0]
 
-    df = spark.createDataFrame(rows, "user_id long, ms long, event_id long")
-    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    kept = (
-        df.withColumn("prev", F.lag("ms").over(w))
-        .filter(F.col("prev").isNull() | (F.col("ms") - F.col("prev") > gap))
-    )
-    got = {r.event_id for r in kept.collect()}
+    sf_dir = _events_fixture_dir(spark, rows)
+    got = {r.event_id: r.gap_ms for r in debounce_events(spark, sf_dir).collect()}
     assert got == expected
 
 
@@ -556,22 +584,14 @@ def test_event_type_runs_match_runlength(spark, events):
             if len(g) >= 2:
                 expected[(u, t, g[0][0])] = (len(g), g[-1][0])
 
-    from hz_csv2parquet_spark.queries_ir import event_type_runs  # noqa: F401 (registry import)
-    from pyspark.sql import Window
+    from hz_csv2parquet_spark.queries_ir import event_type_runs
 
-    df = spark.createDataFrame(rows, "user_id long, event_type string, ms long, event_id long")
-    w_all = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ms", "event_id")
-    runs = (
-        df.withColumn("rn", F.row_number().over(w_all))
-        .withColumn("rn_t", F.row_number().over(w_typ))
-        .groupBy("user_id", "event_type", (F.col("rn") - F.col("rn_t")).alias("rk"))
-        .agg(F.count(F.lit(1)).alias("run_len"), F.min("ms").alias("start_ms"), F.max("ms").alias("end_ms"))
-        .filter(F.col("run_len") >= 2)
+    sf_dir = _events_fixture_dir(
+        spark, [(i, ms, u, t, 0.0) for (u, t, ms, i) in rows]
     )
     got = {
         (r.user_id, r.event_type, r.start_ms): (r.run_len, r.end_ms)
-        for r in runs.collect()
+        for r in event_type_runs(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -591,21 +611,15 @@ def test_rolling_7d_fanout_matches_bruteforce(spark, events):
     expected = {
         d: len({u for (u, dd) in events if d - 6 <= dd <= d}) for d in observed
     }
-    df = spark.createDataFrame(
-        [(u, d) for u, d in events], "user_id long, day long"
-    )
-    d = df.distinct()
-    days = df.select(F.col("day").alias("as_of_day")).distinct()
-    fan = d.select(
-        "user_id",
-        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("as_of_day"),
+    from hz_csv2parquet_spark.queries_ir import rolling_7d_active_users
+
+    sf_dir = _events_fixture_dir(
+        spark,
+        [(i, d * 86_400_000, u, "t", 0.0) for i, (u, d) in enumerate(events)],
     )
     got = {
         r.as_of_day: r.active_7d
-        for r in fan.join(days, "as_of_day")
-        .groupBy("as_of_day")
-        .agg(F.count_distinct("user_id").alias("active_7d"))
-        .collect()
+        for r in rolling_7d_active_users(spark, sf_dir).collect()
     }
     assert got == expected
 
