@@ -137,6 +137,45 @@ def cmd_curate(args: argparse.Namespace) -> None:
     print(args.dest)
 
 
+def cmd_table(args: argparse.Namespace) -> None:
+    """Maintenance surface for transaction-log tables
+    (sources/txlog.py): create from an existing parquet/csv input,
+    show commit history, OPTIMIZE-style compaction, vacuum of
+    unreferenced files, and snapshot export (optionally ``--as-of`` a
+    historical version). One verb per invocation, matching how a
+    scheduler would drive table upkeep."""
+    import json as jsonmod
+    import logging
+
+    from .sources.txlog import TxTable, _version_file
+
+    log = logging.getLogger("hz_csv2parquet_spark.cli")
+    spark = _spark()
+    t = TxTable(spark, args.table, stat_cols=args.stat_cols.split(",") if args.stat_cols else [])
+    if args.action == "create":
+        df = read_table(spark, args.src, fmt=_fmt_of(args.src))
+        v = t.create(df)
+        log.info("created %s at version %d (%d files)", args.table, v, len(t.files()))
+    elif args.action == "history":
+        for v in range(t.version() + 1):
+            actions = jsonmod.load(open(_version_file(args.table, v)))
+            kinds = {}
+            for a in actions:
+                k = next(iter(a))
+                kinds[k] = kinds.get(k, 0) + 1
+            print(f"v{v}: " + ", ".join(f"{k}×{n}" for k, n in sorted(kinds.items())))
+    elif args.action == "compact":
+        v = t.compact(target_files=args.target_files)
+        log.info("compacted to %d file(s) at version %d", len(t.files()), v)
+    elif args.action == "vacuum":
+        n = t.vacuum()
+        log.info("vacuumed %d unreferenced file(s)", n)
+    elif args.action == "export":
+        snap = t.snapshot(as_of=args.as_of)
+        write_table(snap, args.dest, fmt="parquet")
+        log.info("exported version %s to %s", args.as_of if args.as_of is not None else t.version(), args.dest)
+
+
 def _setup_logging(log_file: str | None) -> None:
     """Dual file + console logging, mirroring the reference's surface
     (csv2parquet.py:203-244: append-mode file next to console, DEBUG
@@ -214,6 +253,19 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--seed", type=int, default=0)
     k.add_argument("--no-quality", action="store_true", help="skip the repetition/quality gate")
     k.set_defaults(fn=cmd_curate)
+
+    t = sub.add_parser(
+        "table",
+        help="transaction-log table maintenance (create/history/compact/vacuum/export)",
+    )
+    t.add_argument("action", choices=("create", "history", "compact", "vacuum", "export"))
+    t.add_argument("table", help="table directory (contains _txlog/)")
+    t.add_argument("--src", default=None, help="input for create (parquet or csv)")
+    t.add_argument("--dest", default=None, help="output directory for export")
+    t.add_argument("--as-of", type=int, default=None, help="historical version for export")
+    t.add_argument("--target-files", type=int, default=1, help="compaction target file count")
+    t.add_argument("--stat-cols", default=None, help="comma-separated columns to record min/max stats for")
+    t.set_defaults(fn=cmd_table)
     return p
 
 

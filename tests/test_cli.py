@@ -127,3 +127,25 @@ def test_cli_curate_rate_zero_keeps_nothing(tmp_path, spark):
     # empty hive dataset has no schema to infer — expected shape)
     assert (out / "_SUCCESS").exists()
     assert not list(out.rglob("*.parquet"))
+
+
+def test_cli_table_lifecycle(tmp_path, spark):
+    """The txlog maintenance verbs driven through the CLI: create →
+    history → compact → vacuum → time-travel export."""
+    src = tmp_path / "in"
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").repartition(4).write.parquet(str(src))
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+    assert os.path.isdir(os.path.join(tbl, "_txlog"))
+    assert main(["table", "compact", tbl]) == 0
+    # time travel works while the pre-compaction files still exist...
+    out = str(tmp_path / "out")
+    assert main(["table", "export", tbl, "--dest", out, "--as-of", "0"]) == 0
+    assert spark.read.parquet(out).count() == 100
+    # ...vacuum then reclaims them (Delta-style: breaks time travel
+    # past the removes, never the current snapshot)
+    assert main(["table", "vacuum", tbl]) == 0
+    out2 = str(tmp_path / "out2")
+    assert main(["table", "export", tbl, "--dest", out2]) == 0
+    assert spark.read.parquet(out2).count() == 100
+    assert main(["table", "history", tbl]) == 0
