@@ -78,7 +78,17 @@ def _file_stats(path: str, stat_cols: list[str]) -> tuple[int, dict]:
                 break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
+        if isinstance(lo, bytes):
+            # BYTE_ARRAY stats surface as bytes; the log is JSON
+            try:
+                lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+            except UnicodeDecodeError:
+                lo = None  # binary payload column: no usable stats
         if lo is not None:
+            try:
+                json.dumps([lo, hi])
+            except TypeError:
+                continue  # non-JSON-serializable stat type: skip
             stats[c] = [lo, hi]
     return rows, stats
 

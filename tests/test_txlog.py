@@ -153,3 +153,36 @@ def test_empty_update_batch_is_noop(spark, tmp_path):
     empty = spark.createDataFrame([], "k long, v long")
     assert t.merge_upsert(empty, "k") == v0
     assert t.snapshot().count() == 10
+
+
+def test_string_key_stats_and_pruning(spark, tmp_path):
+    """BYTE_ARRAY footer stats surface as bytes — the log stores them
+    as JSON strings and MERGE pruning compares them as strings."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = (
+        spark.range(260)
+        .selectExpr("concat(chr(97 + CAST(id / 10 AS INT)), id % 10) AS k", "id AS v")
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t.create(df)
+    actions = json.load(open(_version_file(t.path, 0)))
+    stats = [a["add"]["stats"]["k"] for a in actions if "add" in a]
+    assert all(isinstance(s[0], str) for s in stats)
+    hit, miss = t.pruned_files("k", "a0", "a9")
+    assert len(hit) >= 1 and len(miss) >= 1
+    ups = spark.createDataFrame([("a5", -1)], "k string, v long")
+    t.merge_upsert(ups, "k")
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got["a5"] == -1 and len(got) == 260
+
+
+def test_timestamp_stats_are_skipped_not_crashed(spark, tmp_path):
+    """Stat types that don't serialize to JSON (timestamps) are
+    dropped from the log instead of failing the commit."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["ts", "k"])
+    df = spark.range(10).selectExpr("id AS k", "timestamp_millis(id * 1000) AS ts")
+    t.create(df)
+    actions = json.load(open(_version_file(t.path, 0)))
+    stats = [a["add"]["stats"] for a in actions if "add" in a]
+    assert all("k" in s for s in stats)  # numeric stats survive
