@@ -186,3 +186,16 @@ def test_timestamp_stats_are_skipped_not_crashed(spark, tmp_path):
     actions = json.load(open(_version_file(t.path, 0)))
     stats = [a["add"]["stats"] for a in actions if "add" in a]
     assert all("k" in s for s in stats)  # numeric stats survive
+
+
+def test_snapshot_preserves_catalyst_pushdown(spark, tmp_path):
+    """The txlog read path is a plain multi-file parquet relation —
+    filters and projections layered on a snapshot must reach the scan
+    (PushedFilters / pruned ReadSchema), the same 100 TB contract
+    test_plans.py pins for the fixture tables."""
+    t = _mk(spark, tmp_path, n=1000, files=4)
+    q = t.snapshot().filter(F.col("k") <= 10).select("k")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), LessThanOrEqual(k,10)" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "k" in read_schema and "v" not in read_schema
