@@ -1,0 +1,230 @@
+"""Brute-force property tests for the round-5 time-series catalog
+queries ahead of their first driver verification (round-7 window):
+each test writes hypothesis-generated rows as a production-shaped
+events fixture dir and drives the REAL registered query body, then
+checks it against a direct Python mirror. Oracle parity already
+covers the fixture distribution; these cover the edges the fixture
+can't hit — ties, single-event users, all-null groups, touching
+intervals, plateau peaks."""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.test_properties import _events_fixture_dir
+
+SET8 = settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+
+HOUR_MS = 3_600_000
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 3 * HOUR_MS),  # ms
+            st.booleans(),              # is_click
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),  # unique (user, ms): no asof ties
+    )
+)
+@SET8
+def test_asof_tolerance_matches_bruteforce(spark, events):
+    from hz_csv2parquet_spark.queries_extra import asof_tolerance_last_click
+
+    rows = [
+        (i, ms, u, "click" if c else "view", float(i))
+        for i, (u, ms, c) in enumerate(events)
+    ]
+    sf_dir = _events_fixture_dir(spark, rows)
+    got = {
+        r.event_id: (r.last_click_id, r.last_click_value, r.age_ms)
+        for r in asof_tolerance_last_click(spark, sf_dir).collect()
+    }
+    clicks = [(u, ms, i, v) for (i, ms, u, t, v) in rows if t == "click"]
+    expected = {}
+    for i, ms, u, _t, _v in rows:
+        cand = [(cms, cid, cv) for (cu, cms, cid, cv) in clicks if cu == u and cms <= ms]
+        if cand and ms - max(cand)[0] <= HOUR_MS:
+            cms, cid, cv = max(cand)
+            expected[i] = (cid, cv, ms - cms)
+        else:
+            expected[i] = (None, None, None)
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2_000_000)),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SET8
+def test_interval_coverage_matches_merge(spark, events):
+    from hz_csv2parquet_spark.queries_ir import interval_coverage_users
+
+    W = 300_000
+    rows = [(i, ms, u, "t", 0.0) for i, (u, ms) in enumerate(events)]
+    sf_dir = _events_fixture_dir(spark, rows)
+    got = {
+        r.user_id: (r.n_islands, r.covered_ms)
+        for r in interval_coverage_users(spark, sf_dir).collect()
+    }
+    expected = {}
+    for u in {r[2] for r in rows}:
+        ivs = sorted((ms, ms + W) for (_i, ms, uu, _t, _v) in rows if uu == u)
+        islands = []
+        for s, e in ivs:
+            # production rule: new island iff s > max prior end
+            # (touching intervals merge)
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        expected[u] = (len(islands), sum(e - s for s, e in islands))
+    assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 10_000_000)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET8
+def test_interarrival_stats_match_direct_diffs(spark, events):
+    from hz_csv2parquet_spark.queries_ir import interarrival_stats_users
+
+    rows = [(i, ms, u, "t", 0.0) for i, (u, ms) in enumerate(events)]
+    sf_dir = _events_fixture_dir(spark, rows)
+    got = {
+        r.user_id: (r.n_gaps, r.mean_gap_ms, r.cv2)
+        for r in interarrival_stats_users(spark, sf_dir).collect()
+    }
+    expected = {}
+    for u in {r[2] for r in rows}:
+        ts = [ms for (i, ms, uu, _t, _v) in sorted(
+            ((i, ms, uu, t, v) for (i, ms, uu, t, v) in rows if uu == u),
+            key=lambda r: (r[1], r[0]),
+        )]
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        sg = sum(gaps)
+        if gaps and sg > 0:
+            sg2 = sum(g * g for g in gaps)
+            n = len(gaps)
+            expected[u] = (n, sg / n, (n * sg2 - sg * sg) / (sg * sg))
+    assert set(got) == set(expected)
+    for u in got:
+        assert got[u][0] == expected[u][0]
+        assert got[u][1] == pytest.approx(expected[u][1], rel=1e-12)
+        assert got[u][2] == pytest.approx(expected[u][2], rel=1e-9, abs=1e-12)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 100), st.booleans()),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SET8
+def test_locf_matches_forward_scan(spark, events):
+    from hz_csv2parquet_spark.queries_ir import locf_carry_forward_events
+
+    rows = [
+        (i, ms, u, "purchase" if p else "view", float(i + 1))
+        for i, (u, ms, p) in enumerate(events)
+    ]
+    sf_dir = _events_fixture_dir(spark, rows)
+    got = {
+        r.event_id: r.last_purchase_value
+        for r in locf_carry_forward_events(spark, sf_dir).collect()
+    }
+    expected = {}
+    for u in {r[2] for r in rows}:
+        seq = sorted((r for r in rows if r[2] == u), key=lambda r: (r[1], r[0]))
+        carry = None
+        for i, _ms, _u, t, v in seq:
+            if t == "purchase":
+                carry = v
+            expected[i] = carry
+    assert got == expected
+
+
+@given(
+    counts=st.lists(st.integers(0, 4), min_size=3, max_size=12),
+)
+@SET8
+def test_hourly_peaks_match_local_maxima(spark, counts):
+    """counts[h] events in hour h for one type — strict local maxima
+    only, plateaus and boundary hours excluded. Hours with zero
+    events are ABSENT from the series (the window neighbors are the
+    adjacent observed hours, not calendar neighbors) — the brute
+    mirror reproduces that."""
+    from hz_csv2parquet_spark.queries_ir import hourly_peaks_events
+
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, h * HOUR_MS + eid % HOUR_MS, 0, "t", 0.0))
+            eid += 1
+    if not rows:
+        return
+    sf_dir = _events_fixture_dir(spark, rows)
+    got = {r.hour_bucket: (r.n, r.prev_n, r.next_n) for r in hourly_peaks_events(spark, sf_dir).collect()}
+    series = [(h, c) for h, c in enumerate(counts) if c > 0]
+    expected = {}
+    for j in range(1, len(series) - 1):
+        h, n = series[j]
+        pn, nn = series[j - 1][1], series[j + 1][1]
+        if n > pn and n > nn:
+            expected[h] = (n, pn, nn)
+    assert got == expected
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.booleans(), st.integers(-50, 50)),
+        min_size=1,
+        max_size=16,
+    )
+)
+@SET8
+def test_impute_group_median_matches_statistics(spark, vals):
+    """'error' rows impute their type's exact interpolating median;
+    a group that is ALL errors has no median — its sum stays NULL."""
+    from hz_csv2parquet_spark.queries_ir import impute_group_median_events
+
+    rows = [
+        (i, i * 1000, 0, "error" if e else "a", float(v))
+        for i, (e, v) in enumerate(vals)
+    ]
+    sf_dir = _events_fixture_dir(spark, rows)
+    got = {
+        r.event_type: (r.n, r.n_imputed, r.value_sum)
+        for r in impute_group_median_events(spark, sf_dir).collect()
+    }
+    a_vals = [v for (_i, _ms, _u, t, v) in rows if t == "a"]
+    err_n = sum(1 for r in rows if r[3] == "error")
+    expected_types = set()
+    if a_vals:
+        expected_types.add("a")
+        assert got["a"][0] == len(a_vals) and got["a"][1] == 0
+        assert got["a"][2] == pytest.approx(sum(a_vals), abs=1e-9)
+    if err_n:
+        expected_types.add("error")
+        n, n_imputed, s = got["error"]
+        assert n == err_n and n_imputed == err_n
+        assert s is None  # no non-null peer values anywhere in the group
+    assert set(got) == expected_types
