@@ -228,3 +228,62 @@ def test_impute_group_median_matches_statistics(spark, vals):
         assert n == err_n and n_imputed == err_n
         assert s is None  # no non-null peer values anywhere in the group
     assert set(got) == expected_types
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-85.0, max_value=5.0, allow_nan=False),
+            st.floats(min_value=-155.0, max_value=55.0, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+@SET8
+def test_geo_radius_grid_join_matches_semantic(spark, pts):
+    """The 3x3-cell grid decomposition of the radius join must equal
+    the semantic cross-join-with-distance-filter definition —
+    including points exactly ON the radius (d = R, kept) and on cell
+    boundaries (lat/lon multiples of the 15-degree cell size). Both
+    sides compute lat/lon with the same IEEE double expressions, so
+    the comparison is exact."""
+    import tempfile
+
+    from hz_csv2parquet_spark.queries_io import (
+        _GEO_CENTERS,
+        _GEO_RADIUS,
+        geo_radius_join_lineitem,
+    )
+
+    # adversarial plants: exactly-at-radius and exactly-on-cell-edge
+    plants = [
+        (_GEO_CENTERS[0][0] + _GEO_RADIUS, _GEO_CENTERS[0][1]),  # d == R
+        (_GEO_CENTERS[1][0], _GEO_CENTERS[1][1] - _GEO_RADIUS),  # d == R
+        (-45.0, -90.0),  # both coords on cell boundaries
+        (-30.0, 0.0),
+    ]
+    lls = list(pts) + plants
+    rows = [((lat + 80.0) / 800.0, (lon + 150.0) / 5.0, float(i + 1)) for i, (lat, lon) in enumerate(lls)]
+
+    d = tempfile.mkdtemp(prefix="hz_prop_li_")
+    spark.createDataFrame(
+        rows, "l_discount double, l_quantity double, l_extendedprice double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+
+    got = {
+        r.center_id: (r.n_points, r.revenue)
+        for r in geo_radius_join_lineitem(spark, d).collect()
+    }
+    r2 = _GEO_RADIUS * _GEO_RADIUS
+    expected = {}
+    for cid, (clat, clon) in enumerate(_GEO_CENTERS):
+        hits = []
+        for disc, qty, rev in rows:
+            lat = disc * 800.0 - 80.0  # same IEEE ops as the query
+            lon = qty * 5.0 - 150.0
+            if (lat - clat) * (lat - clat) + (lon - clon) * (lon - clon) <= r2:
+                hits.append(rev)
+        if hits:
+            expected[cid] = (len(hits), pytest.approx(sum(hits), abs=1e-9))
+    assert got == expected
