@@ -9,8 +9,6 @@ intervals, plateau peaks."""
 
 from __future__ import annotations
 
-import statistics
-
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -287,3 +285,33 @@ def test_geo_radius_grid_join_matches_semantic(spark, pts):
         if hits:
             expected[cid] = (len(hits), pytest.approx(sum(hits), abs=1e-9))
     assert got == expected
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 200_000), st.integers(0, 40 * 365 * 24 * HOUR_MS)),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET8
+def test_zorder_key_matches_python_interleave(spark, events):
+    """The Morton key produced by the production zorder_key_events
+    expression equals a direct Python bit interleave, including
+    dimension values above the 16-bit wrap (user_id % 65536)."""
+    from hz_csv2parquet_spark.queries_ir import zorder_key_events
+
+    rows = [(i, ms, u, "t", 0.0) for i, (u, ms) in enumerate(events)]
+    sf_dir = _events_fixture_dir(spark, rows)
+    got = {r.event_id: (r.ua, r.hb, r.zkey) for r in zorder_key_events(spark, sf_dir).collect()}
+
+    def interleave(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    for i, ms, u, _t, _v in rows:
+        ua, hb = u % 65536, (ms // HOUR_MS) % 65536
+        assert got[i] == (ua, hb, interleave(ua, hb))
