@@ -199,3 +199,43 @@ def test_snapshot_preserves_catalyst_pushdown(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(k), LessThanOrEqual(k,10)" in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "k" in read_schema and "v" not in read_schema
+
+
+def test_concurrent_appends_all_land_with_retry(spark, tmp_path):
+    """Optimistic concurrency under real contention: 4 threads race
+    appends with retry-on-conflict; every batch lands exactly once
+    and the log is a gapless version chain."""
+    import threading
+
+    t = _mk(spark, tmp_path, n=10, files=1)
+    errors = []
+
+    def writer(base):
+        try:
+            df = spark.range(base, base + 10).select(
+                F.col("id").alias("k"), F.lit(base).cast("long").alias("v")
+            )
+            w = TxTable(spark, t.path, stat_cols=["k"])
+            for _ in range(20):  # retry loop
+                try:
+                    w.append(df)
+                    return
+                except CommitConflictError:
+                    continue
+            errors.append(f"writer {base}: starved")
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer {base}: {e!r}")
+
+    threads = [threading.Thread(target=writer, args=(100 * (i + 1),)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.version() == 4  # create + 4 appends, gapless
+    snap = t.snapshot()
+    assert snap.count() == 50
+    # each batch's marker value appears exactly 10 times
+    got = {r.v: r.n for r in snap.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for base in (100, 200, 300, 400):
+        assert got[base] == 10
