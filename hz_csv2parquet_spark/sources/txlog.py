@@ -273,17 +273,32 @@ class TxTable:
             actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
         return self._commit(actions, base)
 
-    def compact(self, target_files: int = 1) -> int:
-        """OPTIMIZE: coalesce the live file set into ``target_files``
+    def compact(self, target_files: int = 1, layout_key: str | None = None) -> int:
+        """OPTIMIZE: rewrite the live file set into ``target_files``
         parquet files — remove+add in ONE commit, so readers flip
         atomically from the fragmented layout to the compacted one.
-        Content-lossless by construction (pure read-rewrite)."""
+        Content-lossless by construction (pure read-rewrite).
+
+        With ``layout_key`` the rewrite range-clusters on that column
+        (``repartitionByRange`` + in-partition sort — the OPTIMIZE
+        ZORDER shape for one dimension; pass a precomputed Morton key
+        column for multi-dimensional clustering): each output file
+        covers a disjoint key range, so the footer min/max stats stay
+        selective and ``pruned_files``/MERGE skip files after
+        compaction instead of degrading to scan-everything. Plain
+        ``coalesce`` otherwise (no shuffle)."""
         base = self.version()
         files = self.files()
-        if len(files) <= target_files:
+        if len(files) <= target_files and layout_key is None:
             return base
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        actions = self._stage(df.coalesce(target_files))
+        if layout_key is not None:
+            out = df.repartitionByRange(target_files, layout_key).sortWithinPartitions(
+                layout_key
+            )
+        else:
+            out = df.coalesce(target_files)
+        actions = self._stage(out)
         for f in files:
             actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
         return self._commit(actions, base)

@@ -239,3 +239,22 @@ def test_concurrent_appends_all_land_with_retry(spark, tmp_path):
     got = {r.v: r.n for r in snap.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
     for base in (100, 200, 300, 400):
         assert got[base] == 10
+
+
+def test_layout_aware_compaction_keeps_stats_selective(spark, tmp_path):
+    """OPTIMIZE with a layout key range-clusters the rewrite so each
+    output file covers a disjoint key range — pruning stays selective
+    after compaction. A hash-fragmented table (every file spans the
+    whole key domain) prunes nothing; after layout compaction a
+    narrow key range isolates one file."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = spark.range(400).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t.create(df.repartition(8))  # hash layout: all files span [0, 399]
+    hit0, miss0 = t.pruned_files("k", 0, 40)
+    assert len(miss0) == 0  # nothing prunable
+    v = t.compact(target_files=4, layout_key="k")
+    assert len(t.files()) == 4
+    hit1, miss1 = t.pruned_files("k", 0, 40)
+    assert len(hit1) == 1 and len(miss1) == 3
+    assert t.snapshot().count() == 400
+    assert {r.k for r in t.snapshot().collect()} == set(range(400))
