@@ -165,7 +165,7 @@ def cmd_table(args: argparse.Namespace) -> None:
                 kinds[k] = kinds.get(k, 0) + 1
             print(f"v{v}: " + ", ".join(f"{k}×{n}" for k, n in sorted(kinds.items())))
     elif args.action == "compact":
-        v = t.compact(target_files=args.target_files)
+        v = t.compact(target_files=args.target_files, layout_key=args.layout_key)
         log.info("compacted to %d file(s) at version %d", len(t.files()), v)
     elif args.action == "vacuum":
         n = t.vacuum()
@@ -264,6 +264,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dest", default=None, help="output directory for export")
     t.add_argument("--as-of", type=int, default=None, help="historical version for export")
     t.add_argument("--target-files", type=int, default=1, help="compaction target file count")
+    t.add_argument("--layout-key", default=None, help="range-cluster the compaction rewrite on this column")
     t.add_argument("--stat-cols", default=None, help="comma-separated columns to record min/max stats for")
     t.set_defaults(fn=cmd_table)
     return p
