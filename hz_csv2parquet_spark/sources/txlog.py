@@ -180,6 +180,49 @@ class TxTable:
         base = self.version()
         return self._commit(self._stage(df), base)
 
+    def committed_txns(self, app_id: str) -> set[int]:
+        """Batch ids already committed by ``app_id`` (txn actions)."""
+        out = set()
+        for v in range(self.version() + 1):
+            for action in json.load(open(_version_file(self.path, v))):
+                if "txn" in action and action["txn"]["appId"] == app_id:
+                    out.add(action["txn"]["batchId"])
+        return out
+
+    def append_batch(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
+        """Idempotent append for streaming ``foreachBatch`` sinks —
+        the exactly-once protocol every lakehouse sink uses over an
+        at-least-once engine: the commit carries a ``txn`` action
+        ``(appId, batchId)``; a replayed batch (failure/restart
+        reprocessing, speculative re-run) finds its marker in the log
+        and becomes a no-op instead of duplicating rows. Data is
+        staged BEFORE the txn check narrows the race to the commit
+        itself, where the version O_EXCL arbitrates: a conflict loser
+        re-reads the log, sees its own marker if the winner was its
+        twin, and drops out. Returns the committed version, or None
+        for a skipped duplicate."""
+        if batch_id in self.committed_txns(app_id):
+            return None
+        actions = self._stage(df)
+        actions.append({"txn": {"appId": app_id, "batchId": batch_id}})
+        while True:
+            base = self.version()
+            if batch_id in self.committed_txns(app_id):
+                return None  # twin won the race; staged files are vacuum-able orphans
+            try:
+                return self._commit(actions, base)
+            except CommitConflictError:
+                continue
+
+    def foreach_batch_writer(self, app_id: str):
+        """``writeStream.foreachBatch(t.foreach_batch_writer("job"))``
+        — binds append_batch as the sink function."""
+
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            self.append_batch(batch_df, app_id, batch_id)
+
+        return write
+
     def evolve_schema(self, df: DataFrame) -> int:
         """Append a batch whose schema is a SUPERSET (or subset) of
         the table's: the commit records the UNION schema in a meta

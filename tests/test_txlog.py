@@ -258,3 +258,33 @@ def test_layout_aware_compaction_keeps_stats_selective(spark, tmp_path):
     assert len(hit1) == 1 and len(miss1) == 3
     assert t.snapshot().count() == 400
     assert {r.k for r in t.snapshot().collect()} == set(range(400))
+
+
+def test_streaming_foreach_batch_sink_is_exactly_once(spark, tmp_path):
+    """A real availableNow stream lands in the table through the
+    foreachBatch sink; replaying a batch (the at-least-once hazard)
+    is a no-op thanks to the txn marker — rows never duplicate."""
+    src = tmp_path / "src"
+    spark.range(40).selectExpr("id AS k", "id * 3 AS v").write.parquet(str(src))
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(spark.createDataFrame([], "k long, v long"))
+
+    stream = spark.readStream.schema("k long, v long").parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(t.foreach_batch_writer("job1"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert t.snapshot().count() == 40
+    committed = t.committed_txns("job1")
+    assert committed  # at least one batch landed with a marker
+
+    # engine replays a batch after restart: same (app, batch) → no-op
+    replay = spark.range(40).selectExpr("id AS k", "id * 3 AS v")
+    assert t.append_batch(replay, "job1", next(iter(committed))) is None
+    assert t.snapshot().count() == 40
+    # a NEW batch id still appends
+    assert t.append_batch(replay.limit(5), "job1", max(committed) + 1) is not None
+    assert t.snapshot().count() == 45
