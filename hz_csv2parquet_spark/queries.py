@@ -126,7 +126,6 @@ ROTATION: set[str] = {
     "q22_idle_rich_customers",
     # -- never-checked IO / streaming-merge / multimodal / sim /
     # text / analytic picks (10) --
-    "orc_roundtrip_agg",
     "merge_upsert_events",
     "streaming_cdc_merge_events",
     "multimodal_audio_energy",
@@ -136,15 +135,16 @@ ROTATION: set[str] = {
     "readability_scores_documents",
     "skyline_orders",
     "repetition_stats_documents",
-    # -- implementation changed round 6 (expr-based signature builds
-    # in operators/dedup.py; skyline/repetition covered above) — a
-    # fresh driver row is mandatory even though plans are intended
-    # to be identical (4) --
+    # -- implementation changed round 6 (expr-based signature/bucket
+    # builds in operators/dedup.py and operators/similarity.py;
+    # skyline/repetition covered above) — a fresh driver row is
+    # mandatory even though plans are intended to be identical (5) --
     "dedup_simhash_documents",
     "dedup_minhash_documents",
     "dedup_cluster_documents",
     "levenshtein_near_pairs",
-    # Round-7 mandatory ledger — the 30 never-checked since=5
+    "embedding_near_pairs",
+    # Round-7 mandatory ledger — the 31 never-checked since=5
     # registrations deferred to round 7 (window hard-full at 50;
     # all become staleness-mandatory when CORRECTNESS_r07 is the
     # planning input): asof_tolerance_last_click,
@@ -157,12 +157,13 @@ ROTATION: set[str] = {
     # hourly_peaks_events, impute_group_median_events,
     # incremental_agg_merge_orders, interarrival_stats_users,
     # interval_coverage_users, keywords_per_document,
-    # locf_carry_forward_events, quantile_normalize_events,
-    # revenue_share_of_region, rolling_7d_active_users,
-    # scd2_snapshot_join_orders, schema_evolution_merge,
-    # skew_report_lineitem, tfidf_doc_similarity_pairs,
-    # train_val_test_split_documents, trimmed_mean_by_type,
-    # udaf_grouped_agg_chars, zorder_key_events.
+    # locf_carry_forward_events, orc_roundtrip_agg,
+    # quantile_normalize_events, revenue_share_of_region,
+    # rolling_7d_active_users, scd2_snapshot_join_orders,
+    # schema_evolution_merge, skew_report_lineitem,
+    # tfidf_doc_similarity_pairs, train_val_test_split_documents,
+    # trimmed_mean_by_type, udaf_grouped_agg_chars,
+    # zorder_key_events.
 }
 
 

@@ -93,7 +93,7 @@ def test_banded_lsh_identical_vectors_collide_in_every_table(spark, vecs):
         buckets = {
             r.vec_id: r.b
             for r in vecs.select(
-                "vec_id", banded_lsh_bucket(F.col("embedding"), t, 16, 4).alias("b")
+                "vec_id", banded_lsh_bucket("embedding", t, 16, 4).alias("b")
             ).collect()
         }
         assert buckets[1] == buckets[5]  # identical vectors, every table
