@@ -315,3 +315,36 @@ def test_zorder_key_matches_python_interleave(spark, events):
     for i, ms, u, _t, _v in rows:
         ua, hb = u % 65536, (ms // HOUR_MS) % 65536
         assert got[i] == (ua, hb, interleave(ua, hb))
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.sampled_from([0.0, 1.0, 1.0, 2.5, 500.0, 999.875, 1000.0]) | st.floats(0, 999.9, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET8
+def test_quantile_normalize_matches_sorted_rank(spark, events):
+    """The two-phase histogram rank behind quantile normalization must
+    reproduce the plain sorted rank q = (2·rn − 1)/(2n) per type,
+    including DUPLICATE values (tie-break on event_id) and domain
+    boundary values (0, bucket edges, the hi bound itself)."""
+    from hz_csv2parquet_spark.queries_ir import quantile_normalize_events
+
+    rows = [(i, i * 1000, 0, t, float(v)) for i, (t, v) in enumerate(events)]
+    sf_dir = _events_fixture_dir(spark, rows)
+    got = {r.event_id: (r.event_type, r.q) for r in quantile_normalize_events(spark, sf_dir).collect()}
+    expected = {}
+    for t in {r[3] for r in rows}:
+        grp = sorted(((v, i) for (i, _ms, _u, tt, v) in rows if tt == t))
+        n = len(grp)
+        for rn, (_v, i) in enumerate(grp, start=1):
+            expected[i] = (t, (2.0 * rn - 1.0) / (2.0 * n))
+    assert set(got) == set(expected)
+    for i in got:
+        assert got[i][0] == expected[i][0]
+        assert got[i][1] == pytest.approx(expected[i][1], rel=1e-12)
