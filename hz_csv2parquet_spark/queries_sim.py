@@ -565,11 +565,15 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
             lambda acc, t: acc + t,
         )
         withd = joined.select("x", d.alias("d"))
+        # one F.expr per dimension sum (not Column-composed: 16 dims
+        # × 5 iterations of nested casts built ~1 s of py4j driver
+        # time per call; the parsed aggregate is identical)
         sums = withd.agg(
             *[
-                F.sum((F.element_at("x", j + 1).cast("double") * F.col("d")).cast("decimal(38,10)"))
-                .cast("double")
-                .alias(f"s{j + 1}")
+                F.expr(
+                    f"CAST(sum(CAST(CAST(element_at(x, {j + 1}) AS DOUBLE) * d"
+                    f" AS DECIMAL(38,10))) AS DOUBLE)"
+                ).alias(f"s{j + 1}")
                 for j in range(_PCA_DIMS)
             ]
         )
