@@ -32,6 +32,14 @@ QUERIES = [
     "dedup_substring_spans",
     "ann_recall_eval",
     "pca_power_iteration_embeddings",
+    # round-6 additions ahead of their round-7 driver debut — the
+    # table checksum's whole contract is partition-order
+    # insensitivity; the rest are float-bearing ratio outputs
+    "checksum_orders_table",
+    "event_diversity_users",
+    "interarrival_stats_users",
+    "revenue_share_of_region",
+    "benford_first_digit_orders",
 ]
 
 
