@@ -348,3 +348,76 @@ def test_quantile_normalize_matches_sorted_rank(spark, events):
     for i in got:
         assert got[i][0] == expected[i][0]
         assert got[i][1] == pytest.approx(expected[i][1], rel=1e-12)
+
+
+def _orders_fixture_dir(spark, rows) -> str:
+    """rows of (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    date_ms, o_orderpriority) written as a minimal orders fixture."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    for old in _glob.glob(f"{_tempfile.gettempdir()}/hz_prop_orders_*"):
+        _shutil.rmtree(old, ignore_errors=True)
+    d = _tempfile.mkdtemp(prefix="hz_prop_orders_")
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, date_ms long, o_orderpriority string",
+    ).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "timestamp_millis(date_ms) AS o_orderdate",
+        "o_orderpriority",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    return d
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1000),
+            st.integers(0, 50),
+            st.sampled_from(["O", "F", "P"]),
+            st.integers(1, 10_000_00),  # cents, exact as double/100
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@SET8
+def test_table_checksum_matches_mirror_and_detects_change(spark, rows):
+    """The order-insensitive checksum equals a Python md5 mirror, and
+    flipping a single row's price changes it (anti-entropy: a silent
+    one-value corruption must not checksum-collide)."""
+    import hashlib
+
+    from hz_csv2parquet_spark.queries_tpch2 import checksum_orders_table
+
+    orders = [
+        (k, c, s, cents / 100.0, (k % 1000) * 86_400_000, "1-URGENT")
+        for (k, c, s, cents) in rows
+    ]
+    sf_dir = _orders_fixture_dir(spark, orders)
+    got = checksum_orders_table(spark, sf_dir).collect()[0]
+
+    def mirror(os_):
+        total = 0
+        for (k, c, s, price, dms, prio) in os_:
+            row = f"{k}|{c}|{s}|{round(price * 100)}|{dms}|{prio}"
+            total += int(hashlib.md5(row.encode()).hexdigest()[:8], 16)
+        return str(total)
+
+    assert got.n_rows == len(orders)
+    assert got.checksum == mirror(orders)
+
+    # corrupt one price by a cent: checksum must move
+    k0, c0, s0, p0, d0, pr0 = orders[0]
+    corrupted = [(k0, c0, s0, p0 + 0.01, d0, pr0)] + orders[1:]
+    sf2 = _orders_fixture_dir(spark, corrupted)
+    got2 = checksum_orders_table(spark, sf2).collect()[0]
+    assert got2.checksum != got.checksum
