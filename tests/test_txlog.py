@@ -288,3 +288,19 @@ def test_streaming_foreach_batch_sink_is_exactly_once(spark, tmp_path):
     # a NEW batch id still appends
     assert t.append_batch(replay.limit(5), "job1", max(committed) + 1) is not None
     assert t.snapshot().count() == 45
+
+
+def test_merge_with_new_column_evolves_on_read(spark, tmp_path):
+    """An update batch carrying a column the table lacks merges
+    cleanly: kept rows null-fill the new column (unionByName with
+    allowMissingColumns), and the snapshot surfaces it via
+    mergeSchema."""
+    t = _mk(spark, tmp_path, n=20, files=1)
+    ups = spark.createDataFrame([(5, -5, "new")], "k long, v long, tag string")
+    t.merge_upsert(ups, "k")
+    snap = t.snapshot()
+    assert set(snap.columns) == {"k", "v", "tag"}
+    rows = {r.k: (r.v, r.tag) for r in snap.collect()}
+    assert rows[5] == (-5, "new")
+    assert rows[6] == (12, None)
+    assert len(rows) == 20
