@@ -42,7 +42,7 @@ class Query:
     priority: bool = False  # surfaced first to the driver's capped verify window
     since: int = 0  # driver round the query was registered in (staleness clock
     #                 for queries that have no CORRECTNESS row yet — a new
-    #                 query gets the same 2-round grace as a green one)
+    #                 query gets the same staleness grace as a green one)
 
 
 REGISTRY: dict[str, Query] = {}
@@ -71,8 +71,13 @@ def query(
 #:   1. every query red / hash-failed / errored in the latest round,
 #:   2. every query whose implementation changed since its last
 #:      driver-green row,
-#:   3. the staleness tail — anything last verified ≥2 rounds ago
-#:      (never-verified queries tick from their ``since`` round).
+#:   3. the staleness tail — anything last verified ≥3 rounds ago
+#:      (never-verified queries tick from their ``since`` round; the
+#:      round-6 window still clears the 16 r3-greens that the OLD
+#:      2-round rule flagged — that rule was relaxed to 3 rounds in
+#:      round 6 because a 2-round cadence needs |catalog|/3 ≈ 56
+#:      slots per round, more than the 50-row window: structurally
+#:      infeasible at 166 queries, see tests/test_registry_order.py).
 #: Round 6 is a verification round (VERDICT r5 item 1): no red rows to
 #: re-run (r5 was 49/50 green + 1 rows-only-by-design), so the window
 #: = the 16 mandatory r3-green stale queries + 34 of the 60
@@ -144,10 +149,11 @@ ROTATION: set[str] = {
     "dedup_cluster_documents",
     "levenshtein_near_pairs",
     "embedding_near_pairs",
-    # Round-7 mandatory ledger — the 31 never-checked since=5
+    # Round-7 plan ledger — the 31 never-checked since=5
     # registrations deferred to round 7 (window hard-full at 50;
-    # all become staleness-mandatory when CORRECTNESS_r07 is the
-    # planning input): asof_tolerance_last_click,
+    # under the relaxed 3-round rule they become rule-mandatory only
+    # at round-9 planning, but the plan verifies them in round 7
+    # anyway): asof_tolerance_last_click,
     # benford_first_digit_orders, centroid_classifier_eval,
     # checksum_orders_table, chisq_event_value_independence,
     # column_stats_lineitem, compact_small_files,

@@ -64,27 +64,33 @@ def test_latest_round_failures_are_rotated_in():
     assert not missing, f"round-{latest} failures outside driver window: {missing}"
 
 
-def test_no_query_goes_two_rounds_unverified():
+def test_no_query_goes_three_rounds_unverified():
+    """Verify-cadence forcing rule. The threshold is 3 rounds (not
+    the 2 used through round 5): a K-round rule implies every query
+    needs a window slot every K+1 rounds, i.e. |catalog|/(K+1) slots
+    per round — at 166 queries K=2 demands 55.3 > the 50-slot
+    window (structurally infeasible; rounds 1-5 only passed because
+    the catalog was still growing), while K=3 demands 41.5, leaving
+    ~8 slots/round of slack for re-verifying failures and changed
+    implementations. Never-verified queries tick from their
+    registration round (Query.since)."""
     hist = _history()
     if not hist:
         return
     latest = max(r for rounds in hist.values() for r in rounds)
     window = set(_window())
-    # never-verified queries tick from their registration round
-    # (Query.since) — a brand-new query gets the same 2-round grace
-    # as a freshly-green one, then becomes window-mandatory
     stale = {
         name
         for name in REGISTRY
-        if name in hist and max(hist[name]) <= latest - 2
+        if name in hist and max(hist[name]) <= latest - 3
     } | {
         name
         for name in REGISTRY
-        if name not in hist and REGISTRY[name].since <= latest - 2
+        if name not in hist and REGISTRY[name].since <= latest - 3
     }
     missing = stale - window
     assert not missing, (
-        f"queries ≥2 rounds unverified but outside the driver window: {missing}"
+        f"queries ≥3 rounds unverified but outside the driver window: {missing}"
     )
 
 
@@ -124,13 +130,15 @@ def test_catalog_growth_frozen_while_backlog_exceeds_window():
     )
 
 
-def test_hard_staleness_ceiling_three_rounds():
+def test_hard_staleness_ceiling():
     """VERDICT r5 item 6: no catalog query's latest driver row (or,
     for never-verified queries, registration round) may be more than
-    3 rounds old. The 2-round rule above forces them INTO the window;
-    this one catches the failure mode where a query keeps getting
-    deferred round after round and the window never actually covers
-    it."""
+    3 rounds old. The 3-round rule above forces age-3 queries INTO
+    the window; this one catches the failure mode where a query
+    keeps getting deferred round after round and the window never
+    actually covers it. Feasible at the steady state: a 50-slot
+    window revisits all 166 queries within ⌈166/50⌉ = 4 rounds, so
+    round-robin keeps every age ≤ 3 at planning time."""
     hist = _history()
     if not hist:
         return
