@@ -149,11 +149,13 @@ ROTATION: set[str] = {
     "dedup_cluster_documents",
     "levenshtein_near_pairs",
     "embedding_near_pairs",
-    # Round-7 plan ledger — the 31 never-checked since=5
+    # Round-7 plan ledger — the 32 never-checked since=5
     # registrations deferred to round 7 (window hard-full at 50;
     # under the relaxed 3-round rule they become rule-mandatory only
     # at round-9 planning, but the plan verifies them in round 7
-    # anyway): asof_tolerance_last_click,
+    # anyway, alongside ~18 of the 37 queries whose last row is r4 —
+    # the rest of the r4 cohort becomes rule-mandatory in round 8 and
+    # fits that window with room to spare): asof_tolerance_last_click,
     # benford_first_digit_orders, centroid_classifier_eval,
     # checksum_orders_table, chisq_event_value_independence,
     # column_stats_lineitem, compact_small_files,
