@@ -154,6 +154,22 @@ def test_hard_staleness_ceiling():
     )
 
 
+def test_catalog_size_fits_the_verify_cadence():
+    """Feasibility invariant behind the 3-round rule: a catalog of N
+    queries on a 50-slot window needs N/4 ≤ 50 steady-state slots
+    (every query revisited within 4 rounds), and real rounds also
+    spend slots on failures and changed implementations — keep ≥15%
+    slack. At N=166 the demand is 41.5 (17% slack). A catalog that
+    grows past ~170 breaks the cadence arithmetic no matter how the
+    ROTATION is chosen — shrink the catalog or raise the window
+    before registering more queries."""
+    demand = len(REGISTRY) / 4
+    assert demand <= 0.85 * DRIVER_WINDOW, (
+        f"{len(REGISTRY)} queries need {demand:.1f} steady-state verify slots "
+        f"per round; the {DRIVER_WINDOW}-row window leaves too little slack"
+    )
+
+
 def test_ordering_is_a_permutation_of_the_registry():
     assert set(ordered_registry()) == set(REGISTRY)
     assert len(ordered_registry()) == len(REGISTRY)
