@@ -354,3 +354,19 @@ def test_copurchase_joins_on_orderkey(spark, sf_dir):
     assert "CartesianProduct" not in plan
     joins = [ln for ln in plan.splitlines() if "Join" in ln and "ok" in ln]
     assert joins, "expected an equi-join on the order key"
+
+
+def test_skyline_broadcasts_suffix_and_bounds_sorts(spark, sf_dir):
+    """The bucketed skyline's 100 TB contract: the cross-bucket
+    suffix-max frame (n_buckets rows) joins back BROADCAST, there is
+    no cartesian product, and every sort in the plan is either the
+    bucket-partitioned within-bucket window or the n_buckets-row
+    suffix window — never a global sort of the fact table."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "skyline_orders")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # suffix + threshold joins
+    for cols in re.findall(r"Sort \[(.*?)\]", plan):
+        first = cols.split(",")[0]
+        assert "__bkt" in first, f"unexpected global sort key: {cols[:80]}"
