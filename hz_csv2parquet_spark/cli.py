@@ -147,7 +147,17 @@ def cmd_table(args: argparse.Namespace) -> None:
     import json as jsonmod
     import logging
 
-    from .sources.txlog import TxTable, _version_file
+    from .sources.txlog import DEFAULT_VACUUM_RETENTION_S, TxTable, _version_file
+
+    # verb-specific required options — argparse keeps them optional
+    # across verbs, so validate up front instead of crashing inside
+    # read_table/write_table with a None path (ADVICE r6)
+    if args.action == "create" and not args.src:
+        raise SystemExit("table create requires --src")
+    if args.action == "export" and not args.dest:
+        raise SystemExit("table export requires --dest")
+    if args.retention_seconds is None:
+        args.retention_seconds = DEFAULT_VACUUM_RETENTION_S
 
     log = logging.getLogger("hz_csv2parquet_spark.cli")
     spark = _spark()
@@ -168,7 +178,7 @@ def cmd_table(args: argparse.Namespace) -> None:
         v = t.compact(target_files=args.target_files, layout_key=args.layout_key)
         log.info("compacted to %d file(s) at version %d", len(t.files()), v)
     elif args.action == "vacuum":
-        n = t.vacuum()
+        n = t.vacuum(retention_seconds=args.retention_seconds)
         log.info("vacuumed %d unreferenced file(s)", n)
     elif args.action == "export":
         snap = t.snapshot(as_of=args.as_of)
@@ -266,6 +276,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--target-files", type=int, default=1, help="compaction target file count")
     t.add_argument("--layout-key", default=None, help="range-cluster the compaction rewrite on this column")
     t.add_argument("--stat-cols", default=None, help="comma-separated columns to record min/max stats for")
+    t.add_argument(
+        "--retention-seconds",
+        type=float,
+        default=None,
+        help="vacuum retention window; files younger than this are kept "
+        "(default: 7 days, the Delta contract — 0 requires no in-flight writers)",
+    )
     t.set_defaults(fn=cmd_table)
     return p
 

@@ -60,7 +60,7 @@ def skyline_2d(
     )
     suffix = per_b.select(
         "__bkt",
-        F.coalesce(F.max("__p_max").over(w_suffix), F.lit(-1)).alias("__newer_bkt_max"),
+        F.max("__p_max").over(w_suffix).alias("__newer_bkt_max"),
     )
     # within-bucket greater-side max per distinct d (sorts bounded by bucket)
     w_in = (
@@ -71,8 +71,14 @@ def skyline_2d(
     bd_newer = bd.select(
         "__bkt",
         d_col,
-        F.coalesce(F.max("__p_at_d").over(w_in), F.lit(-1)).alias("__newer_in_bkt"),
+        F.max("__p_at_d").over(w_in).alias("__newer_in_bkt"),
     )
+    # NULL threshold = "no strictly-greater point exists" (greatest()
+    # ignores NULL operands, so the combined max is NULL only when
+    # both sides are). A NULL-aware keep condition — NOT a sentinel:
+    # a -1 stand-in would wrongly drop undominated points whose p is
+    # below the sentinel (ADVICE r6), and the operator's contract is
+    # any integer-encoded domain.
     thresh = bd_newer.join(F.broadcast(suffix), "__bkt").select(
         "__bkt",
         d_col,
@@ -80,6 +86,8 @@ def skyline_2d(
     )
     return (
         b.join(thresh, ["__bkt", d_col])
-        .filter(F.col(p_col) >= F.col("__newer_max"))
+        .filter(
+            F.col("__newer_max").isNull() | (F.col(p_col) >= F.col("__newer_max"))
+        )
         .drop("__bkt", "__newer_max")
     )

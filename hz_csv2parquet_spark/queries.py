@@ -87,91 +87,91 @@ def query(
 #: then the TPC-H batch, then IO-merge/multimodal/text. Catalog
 #: growth is frozen until the never-checked backlog fits the window
 #: (test_registry_order.py::test_catalog_growth_frozen_while_backlog).
+#:
+#: Round 7 drains the backlog (VERDICT r6 item 1): all 32
+#: never-driver-checked registrations, plus the 2 queries whose
+#: implementation changes this round (CDC rides the txlog MERGE;
+#: skyline's dominance threshold moved from a -1 sentinel to NULL),
+#: plus the 16 OLDEST r4-stale rows — the core reference surface
+#: (scan/binned_agg/collate/enrich/q1) whose last evidence predates
+#: every refactor since. The remaining 21 r4-stale rows become
+#: rule-mandatory at round-8 planning (21 + the first r5 picks fit
+#: that window with room to spare).
 ROTATION: set[str] = {
-    # -- mandatory: last green r3, ≥2 rounds stale (16) --
-    "boilerplate_ngram_stats",
-    "chunk_documents_overlap",
-    "corpus_diff_documents",
-    "dedup_canonical_documents",
-    "dedup_exact_documents",
-    "dedup_paragraph_documents",
-    "grouped_lang_stats_pandas",
-    "jsonl_roundtrip_agg",
-    "q19_disjunctive_revenue",
-    "quota_sample_per_source",
-    "rare_token_quality_documents",
-    "redact_mask_documents",
-    "text_quality_by_lang",
-    "text_stats_documents",
-    "top_terms_per_lang",
-    "vocab_zipf_histogram",
-    # -- never-driver-checked, headline-benched (3) --
-    "dedup_substring_spans",
-    "lm_bigram_score_documents",
-    "pagerank_event_types",
-    # -- never-checked iterative/eval harnesses: fixed-iteration
-    # oracle replays, the most fragile mirrors in the repo (6) --
-    "pca_power_iteration_embeddings",
-    "mmr_rerank_embeddings",
-    "hierarchy_depths_documents",
-    "ann_recall_eval",
-    "ivf_recall_eval",
-    "minhash_banding_eval",
-    # -- never-checked TPC-H batch (11) --
-    "q4_priority_with_discounted_lines",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_item_customers",
-    "q12_priority_shipping_modes",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q22_idle_rich_customers",
-    # -- never-checked IO / streaming-merge / multimodal / sim /
-    # text / analytic picks (10) --
-    "merge_upsert_events",
+    # -- never-driver-checked backlog, ALL 32 (VERDICT r6 item 1;
+    # ledgered below since round 6) --
+    "asof_tolerance_last_click",
+    "benford_first_digit_orders",
+    "centroid_classifier_eval",
+    "checksum_orders_table",
+    "chisq_event_value_independence",
+    "column_stats_lineitem",
+    "compact_small_files",
+    "copurchase_part_pairs",
+    "data_quality_checks",
+    "event_diversity_users",
+    "event_type_runs",
+    "geo_radius_join_lineitem",
+    "grouping_sets_revenue",
+    "hourly_peaks_events",
+    "impute_group_median_events",
+    "incremental_agg_merge_orders",
+    "interarrival_stats_users",
+    "interval_coverage_users",
+    "keywords_per_document",
+    "locf_carry_forward_events",
+    "orc_roundtrip_agg",
+    "quantile_normalize_events",
+    "revenue_share_of_region",
+    "rolling_7d_active_users",
+    "scd2_snapshot_join_orders",
+    "schema_evolution_merge",
+    "skew_report_lineitem",
+    "tfidf_doc_similarity_pairs",
+    "train_val_test_split_documents",
+    "trimmed_mean_by_type",
+    "udaf_grouped_agg_chars",
+    "zorder_key_events",
+    # -- implementation changed round 7: CDC merge now rides the
+    # txlog's stats-pruned MERGE (streaming/cdc.py); the skyline
+    # operator's dominance threshold is NULL-based (operators/
+    # skyline.py). Fresh driver rows are mandatory. (2) --
     "streaming_cdc_merge_events",
-    "multimodal_audio_energy",
-    "multimodal_phash_dedup",
-    "hard_negatives_embeddings",
-    "collocations_by_lift",
-    "readability_scores_documents",
     "skyline_orders",
-    "repetition_stats_documents",
-    # -- implementation changed round 6 (expr-based signature/bucket
-    # builds in operators/dedup.py and operators/similarity.py;
-    # skyline/repetition covered above) — a fresh driver row is
-    # mandatory even though plans are intended to be identical (5) --
-    "dedup_simhash_documents",
-    "dedup_minhash_documents",
-    "dedup_cluster_documents",
-    "levenshtein_near_pairs",
-    "embedding_near_pairs",
-    # Round-7 plan ledger — the 32 never-checked since=5
-    # registrations deferred to round 7 (window hard-full at 50;
-    # under the relaxed 3-round rule they become rule-mandatory only
-    # at round-9 planning, but the plan verifies them in round 7
-    # anyway, alongside ~18 of the 37 queries whose last row is r4 —
-    # the rest of the r4 cohort becomes rule-mandatory in round 8 and
-    # fits that window with room to spare): asof_tolerance_last_click,
-    # benford_first_digit_orders, centroid_classifier_eval,
-    # checksum_orders_table, chisq_event_value_independence,
-    # column_stats_lineitem, compact_small_files,
-    # copurchase_part_pairs, data_quality_checks,
-    # event_diversity_users, event_type_runs,
-    # geo_radius_join_lineitem, grouping_sets_revenue,
-    # hourly_peaks_events, impute_group_median_events,
-    # incremental_agg_merge_orders, interarrival_stats_users,
-    # interval_coverage_users, keywords_per_document,
-    # locf_carry_forward_events, orc_roundtrip_agg,
-    # quantile_normalize_events, revenue_share_of_region,
-    # rolling_7d_active_users, scd2_snapshot_join_orders,
-    # schema_evolution_merge, skew_report_lineitem,
-    # tfidf_doc_similarity_pairs, train_val_test_split_documents,
-    # trimmed_mean_by_type, udaf_grouped_agg_chars,
-    # zorder_key_events.
+    # -- oldest stale cohort: last green r4, the core reference
+    # surface first (16 of 37; the rest are round-8-mandatory) --
+    "scan_prune_filter",
+    "binned_agg_mean_1d",
+    "binned_agg_median_2d",
+    "binned_agg_max_2d",
+    "collate_union_all",
+    "enrich_broadcast_lookup",
+    "q1_pricing_summary",
+    "top_k_orders",
+    "window_rank_per_group",
+    "set_except_nations",
+    "json_extract_events",
+    "rollup_revenue",
+    "percentiles_by_segment",
+    "percentiles_by_segment_scalable",
+    "distinct_users_per_type",
+    "semi_anti_customers",
+    # Round-8 plan ledger — the 21 r4-stale rows NOT in this window
+    # become rule-mandatory at round-8 planning (last row r4 ≤
+    # latest(7) − 3): tokenize_regex_documents, bucketed_join_revenue,
+    # approx_percentiles_by_segment, pack_sequences_documents,
+    # skew_salted_event_counts, promo_revenue_by_brand,
+    # q3_shipping_priority, ntile_customer_quartiles,
+    # multimodal_byte_features, multimodal_decode_shapes,
+    # multimodal_frame_index, similarity_topk_embeddings,
+    # similarity_lsh_embeddings, similarity_topk_pandas_udf,
+    # quantize_embeddings_int8, sample_stratified_documents,
+    # shard_assignment_documents, global_shuffle_documents,
+    # mixture_resample_documents, weighted_sample_documents,
+    # zscore_outliers_events. 21 slots; the balance of the round-8
+    # window goes to the oldest r5 greens and the 2-3 txlog-backed
+    # catalog registrations VERDICT r6 item 5 green-lights once the
+    # backlog is drained.
 }
 
 

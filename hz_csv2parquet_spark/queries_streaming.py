@@ -349,12 +349,16 @@ def streaming_funnel_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_cdc_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-value-per-(user, type) table maintained by a real
-    foreachBatch CDC merge over the event stream (streaming/cdc.py:
-    versioned parquet target, commutative max-merge — the Delta-style
-    MERGE-inside-foreachBatch lakehouse pattern). The oracle computes
-    the same table declaratively over the batch data; equality holds
-    for ANY split of the source into micro-batches, which is the
-    property the multi-batch unit test pins."""
+    foreachBatch CDC merge over the event stream (streaming/cdc.py):
+    a transaction-log table (sources/txlog.py) whose stats-pruned
+    copy-on-write MERGE rewrites only key-intersecting files, with
+    exactly-once txn markers and last-writer-wins resolution — the
+    Delta-style MERGE-inside-foreachBatch lakehouse pattern, now
+    O(touched ∪ batch) per micro-batch instead of O(table). The
+    oracle computes the same table declaratively over the batch
+    data; equality holds for ANY split of the source into
+    micro-batches, which is the property the multi-batch unit test
+    pins."""
     from .streaming.cdc import run_cdc_merge
     from .streaming.windows import stream_events
 

@@ -10,6 +10,7 @@ holding a JSON list of actions:
 - ``{"add":    {"path", "rows", "stats": {col: [min, max]}}}``
 - ``{"remove": {"path"}}``
 - ``{"meta":   {"schema": <DDL string>}}``
+- ``{"txn":    {"appId", "batchId"}}`` (streaming exactly-once)
 
 The CURRENT snapshot = replay all commits in version order: the live
 file set is (all adds) − (all removes); the schema is the last
@@ -17,6 +18,18 @@ file set is (all adds) − (all removes); the schema is the last
 listing races, no eventually-consistent file discovery; at cluster
 scale this is why every lakehouse format replaced "list the
 directory" with "read the log".
+
+Checkpoints (VERDICT r6 item 4, the Delta ``_last_checkpoint``
+pattern): every ``checkpoint_interval`` commits the writer also
+drops ``<version>.ckpt.json`` — a snapshot of the fully-replayed
+state (live add actions, schema, txn markers) as of that version.
+Replay then costs O(tail): load the newest checkpoint ≤ the target
+version and apply only the commits after it. Without this a
+long-lived streaming sink pays O(versions) log reads per batch ⇒
+O(versions²) cumulative — the exact failure mode the open Delta
+protocol's checkpoint files exist to prevent. Checkpoints are
+derived data: last-writer-wins via atomic rename, and a missing or
+stale checkpoint only costs speed, never correctness.
 
 Concurrency: a commit is the CREATE of the next version file with
 O_EXCL (open mode ``x``) — exactly one writer wins a version;
@@ -39,11 +52,26 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
+import time
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Default VACUUM retention, mirroring Delta's 7-day default: files
+#: younger than this are never deleted, which protects both time
+#: travel and — critically — data files a concurrent writer has
+#: staged but not yet committed (the write path stages BEFORE the
+#: log commit, so a zero-retention vacuum racing a writer could
+#: delete files whose commit then lands: a committed version
+#: pointing at missing files).
+DEFAULT_VACUUM_RETENTION_S = 7 * 24 * 3600
+
+_COMMIT_RE = re.compile(r"^\d{8}\.json$")
+_CKPT_RE = re.compile(r"^(\d{8})\.ckpt\.json$")
 
 
 class CommitConflictError(RuntimeError):
@@ -57,6 +85,10 @@ def _log_dir(table_path: str) -> str:
 
 def _version_file(table_path: str, v: int) -> str:
     return os.path.join(_log_dir(table_path), f"{v:08d}.json")
+
+
+def _checkpoint_file(table_path: str, v: int) -> str:
+    return os.path.join(_log_dir(table_path), f"{v:08d}.ckpt.json")
 
 
 def _file_stats(path: str, stat_cols: list[str]) -> tuple[int, dict]:
@@ -102,22 +134,37 @@ class TxTable:
     log names.
     """
 
-    def __init__(self, spark: SparkSession, path: str, stat_cols: list[str] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stat_cols: list[str] | None = None,
+        checkpoint_interval: int = 10,
+    ):
         self.spark = spark
         self.path = path
         self.stat_cols = list(stat_cols or [])
+        self.checkpoint_interval = max(1, int(checkpoint_interval))
+        #: commit files parsed since construction — the O(tail)
+        #: replay contract is pinned against this counter.
+        self.log_reads = 0
 
     # ---------------- log primitives ----------------
 
     def version(self) -> int:
         """Latest committed version, -1 if the table does not exist."""
-        files = glob.glob(os.path.join(_log_dir(self.path), "*.json"))
-        return max((int(os.path.basename(f)[:8]) for f in files), default=-1)
+        try:
+            names = os.listdir(_log_dir(self.path))
+        except FileNotFoundError:
+            return -1
+        return max((int(n[:8]) for n in names if _COMMIT_RE.match(n)), default=-1)
 
     def _commit(self, actions: list[dict], expected_version: int) -> int:
         """Atomically write version ``expected_version + 1``. O_EXCL
         create: exactly one writer wins; a loser raises
-        CommitConflictError without touching the log."""
+        CommitConflictError without touching the log. The winner also
+        drops a replay checkpoint every ``checkpoint_interval``
+        commits."""
         v = expected_version + 1
         os.makedirs(_log_dir(self.path), exist_ok=True)
         target = _version_file(self.path, v)
@@ -128,28 +175,89 @@ class TxTable:
             raise CommitConflictError(
                 f"version {v} already committed by another writer"
             ) from exc
+        if (v + 1) % self.checkpoint_interval == 0:
+            self._write_checkpoint(v)
         return v
 
-    def _replay(self, as_of: int | None = None) -> tuple[list[str], str | None]:
-        """(live relative file paths in add order, last schema DDL)."""
-        live: dict[str, bool] = {}
-        schema = None
+    def _checkpoint_versions(self) -> list[int]:
+        try:
+            names = os.listdir(_log_dir(self.path))
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            m = _CKPT_RE.match(n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _write_checkpoint(self, v: int) -> None:
+        """Materialize the replayed state as of version ``v``. Atomic
+        via tmp+rename; best-effort (a failure costs replay speed on
+        future reads, never correctness)."""
+        state = self._replay_state(as_of=v)
+        payload = {
+            "version": v,
+            "adds": list(state["adds"].values()),
+            "schema": state["schema"],
+            "txns": {app: sorted(ids) for app, ids in state["txns"].items()},
+        }
+        tmp = _checkpoint_file(self.path, v) + f".tmp-{uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            os.replace(tmp, _checkpoint_file(self.path, v))
+        except OSError:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    def _replay_state(self, as_of: int | None = None) -> dict:
+        """Fully replayed log state at ``as_of`` (default: latest):
+        ``{"adds": {path: add_action}, "schema": ddl|None,
+        "txns": {appId: {batchId, ...}}}``. Starts from the newest
+        checkpoint ≤ target and parses only the tail commits — the
+        O(tail) contract tests/test_txlog.py pins via
+        ``log_reads``."""
         top = self.version()
         if top < 0:
             raise FileNotFoundError(f"no transaction log at {self.path}")
         hi = top if as_of is None else as_of
-        for v in range(hi + 1):
+        adds: dict[str, dict] = {}
+        schema: str | None = None
+        txns: dict[str, set] = {}
+        start = 0
+        ckpts = [c for c in self._checkpoint_versions() if c <= hi]
+        if ckpts:
+            try:
+                snap = json.load(open(_checkpoint_file(self.path, ckpts[-1])))
+                adds = {a["path"]: a for a in snap["adds"]}
+                schema = snap["schema"]
+                txns = {app: set(ids) for app, ids in snap["txns"].items()}
+                start = snap["version"] + 1
+            except (OSError, ValueError, KeyError):
+                adds, schema, txns, start = {}, None, {}, 0  # fall back to full replay
+        for v in range(start, hi + 1):
             f = _version_file(self.path, v)
             if not os.path.exists(f):
                 raise FileNotFoundError(f"missing log version {v} at {self.path}")
+            self.log_reads += 1
             for action in json.load(open(f)):
                 if "add" in action:
-                    live[action["add"]["path"]] = True
+                    adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+                    adds.pop(action["remove"]["path"], None)
                 elif "meta" in action:
                     schema = action["meta"]["schema"]
-        return [p for p in live], schema
+                elif "txn" in action:
+                    txns.setdefault(action["txn"]["appId"], set()).add(
+                        action["txn"]["batchId"]
+                    )
+        return {"adds": adds, "schema": schema, "txns": txns}
+
+    def _replay(self, as_of: int | None = None) -> tuple[list[str], str | None]:
+        """(live relative file paths in add order, last schema DDL)."""
+        state = self._replay_state(as_of)
+        return list(state["adds"]), state["schema"]
 
     # ---------------- write path ----------------
 
@@ -161,6 +269,12 @@ class TxTable:
         adds = []
         for f in sorted(glob.glob(os.path.join(stage, "*.parquet"))):
             rows, stats = _file_stats(f, self.stat_cols)
+            if rows == 0:
+                # don't register empty part files — a streaming sink
+                # would otherwise grow the live set (and every future
+                # snapshot scan) by dead files each batch
+                os.remove(f)
+                continue
             rel = os.path.relpath(f, self.path)
             adds.append({"add": {"path": rel, "rows": rows, "stats": stats}})
         return adds
@@ -182,12 +296,7 @@ class TxTable:
 
     def committed_txns(self, app_id: str) -> set[int]:
         """Batch ids already committed by ``app_id`` (txn actions)."""
-        out = set()
-        for v in range(self.version() + 1):
-            for action in json.load(open(_version_file(self.path, v))):
-                if "txn" in action and action["txn"]["appId"] == app_id:
-                    out.add(action["txn"]["batchId"])
-        return out
+        return set(self._replay_state()["txns"].get(app_id, set()))
 
     def append_batch(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
         """Idempotent append for streaming ``foreachBatch`` sinks —
@@ -272,49 +381,112 @@ class TxTable:
         """(files whose [min,max] stats for ``col`` intersect
         [keys_min, keys_max], files that provably cannot) — the
         data-skipping primitive MERGE uses. A file without stats for
-        ``col`` is conservatively IN."""
-        rel, _ = self._replay(as_of)
+        ``col`` — or whose logged stats aren't comparable with the
+        probe bounds (e.g. string stats vs numeric keys after a type
+        change) — is conservatively IN: skipping is only ever an
+        optimization, never a correctness gate."""
+        state = self._replay_state(as_of)
         hit, miss = [], []
-        stats_by_path: dict[str, dict] = {}
-        for v in range(self.version() + 1):
-            for action in json.load(open(_version_file(self.path, v))):
-                if "add" in action:
-                    stats_by_path[action["add"]["path"]] = action["add"].get("stats", {})
-        for p in rel:
-            st = stats_by_path.get(p, {}).get(col)
-            if st is None or (st[0] <= keys_max and keys_min <= st[1]):
-                hit.append(os.path.join(self.path, p))
-            else:
-                miss.append(os.path.join(self.path, p))
+        for p, add in state["adds"].items():
+            st = add.get("stats", {}).get(col)
+            try:
+                overlaps = st is None or (st[0] <= keys_max and keys_min <= st[1])
+            except TypeError:
+                overlaps = True  # incomparable stat types → cannot prove disjoint
+            (hit if overlaps else miss).append(os.path.join(self.path, p))
         return hit, miss
 
     # ---------------- transactions ----------------
 
-    def merge_upsert(self, updates: DataFrame, key: str) -> int:
-        """Copy-on-write MERGE (SCD1): rows of ``updates`` replace
-        same-key rows, new keys append. Only files whose key-range
-        stats intersect the update keys are rewritten; untouched
-        files keep their add entries — the Delta/Iceberg MERGE shape.
-        At cluster scale the rewrite join shuffles only (touched
-        files ∪ updates) on the key."""
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        key: str | list[str],
+        txn: tuple[str, int] | None = None,
+        resolve: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    ) -> int | None:
+        """Copy-on-write MERGE: rows of ``updates`` replace same-key
+        rows, new keys append. Only files whose key-range stats
+        intersect the update keys are rewritten; untouched files keep
+        their add entries — the Delta/Iceberg MERGE shape. At cluster
+        scale the rewrite join shuffles only (touched files ∪
+        updates) on the key.
+
+        ``key`` may be a composite (list); file pruning uses the
+        FIRST key column's footer stats (cluster the table on it —
+        ``compact(layout_key=...)``), matching follows the full key.
+
+        Default semantics are SCD1 "updates win", and — like
+        Delta/Iceberg MERGE — an update batch with multiple rows per
+        key raises rather than writing ambiguous duplicates. Pass
+        ``resolve`` to define custom match semantics: it receives
+        (current rows whose key matches an update key, the update
+        batch) and must return exactly the rows that replace them —
+        e.g. last-writer-wins by timestamp for a CDC feed
+        (streaming/cdc.py). With a resolver the duplicate-key check
+        is skipped: the resolver owns the per-key contract.
+
+        ``txn=(app_id, batch_id)`` stamps the commit with the
+        exactly-once marker (see :meth:`append_batch`): a replayed
+        merge of the same batch is a no-op (returns None), which is
+        what makes MERGE-inside-foreachBatch safe on an
+        at-least-once engine.
+
+        A batch that widens the table schema records the union
+        schema in a meta action, so an empty-after-vacuum snapshot
+        still reports the evolved schema."""
+        keys = [key] if isinstance(key, str) else list(key)
+        prune_col = keys[0]
+        if txn is not None and txn[1] in self.committed_txns(txn[0]):
+            return None
         base = self.version()
         bounds = updates.agg(
-            F.min(key).alias("lo"), F.max(key).alias("hi")
+            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
         ).collect()[0]
         if bounds.lo is None:  # empty update batch: no-op commit
             return base
-        touched, _ = self.pruned_files(key, bounds.lo, bounds.hi)
+        if resolve is None:
+            dup = (
+                updates.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_upsert: update batch has multiple rows per key {keys}; "
+                    "deduplicate first or pass a resolve function"
+                )
+        touched, _ = self.pruned_files(prune_col, bounds.lo, bounds.hi)
         actions: list[dict] = []
         if touched:
             current = self.spark.read.option("mergeSchema", "true").parquet(*touched)
-            keep = current.join(updates.select(key).distinct(), key, "left_anti")
-            rewritten = keep.unionByName(updates, allowMissingColumns=True)
+            match_keys = updates.select(*keys).distinct()
+            keep = current.join(match_keys, keys, "left_anti")
+            if resolve is None:
+                resolved = updates
+            else:
+                matched = current.join(match_keys, keys, "left_semi")
+                resolved = resolve(matched, updates)
+            rewritten = keep.unionByName(resolved, allowMissingColumns=True)
         else:
             rewritten = updates
         actions.extend(self._stage(rewritten))
         for f in touched:
             actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
-        return self._commit(actions, base)
+        _, old_schema = self._replay()
+        merged_schema = self.snapshot_schema_union(old_schema, updates)
+        if merged_schema != old_schema:
+            actions.append({"meta": {"schema": merged_schema}})
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
+        try:
+            return self._commit(actions, base)
+        except CommitConflictError:
+            if txn is not None and txn[1] in self.committed_txns(txn[0]):
+                return None  # a twin replay of this very batch won
+            raise  # genuine conflict: caller must re-merge on a fresh snapshot
 
     def compact(self, target_files: int = 1, layout_key: str | None = None) -> int:
         """OPTIMIZE: rewrite the live file set into ``target_files``
@@ -346,15 +518,23 @@ class TxTable:
             actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
         return self._commit(actions, base)
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_seconds: float = DEFAULT_VACUUM_RETENTION_S) -> int:
         """Delete data files no commit references anymore (removed or
         orphaned by crashed writers). Returns the number deleted.
-        Safe ONLY when no reader needs time travel past the removes —
-        the same contract as Delta's VACUUM retention window."""
+
+        The Delta retention contract: a file whose mtime is younger
+        than ``retention_seconds`` is NEVER deleted, even if the
+        current snapshot doesn't reference it — it may be (a) a
+        version a time-travel reader still needs, or (b) a file a
+        concurrent writer has staged but not yet committed (staging
+        precedes the log commit by design). Dropping the window to 0
+        additionally requires that no writer is in flight and that no
+        reader needs time travel past the removes."""
         live = set(self.files())
+        horizon = time.time() - retention_seconds
         deleted = 0
         for f in glob.glob(os.path.join(self.path, "data-*", "*.parquet")):
-            if f not in live:
+            if f not in live and os.path.getmtime(f) <= horizon:
                 os.remove(f)
                 deleted += 1
         for d in glob.glob(os.path.join(self.path, "data-*")):

@@ -143,8 +143,10 @@ def test_cli_table_lifecycle(tmp_path, spark):
     assert main(["table", "export", tbl, "--dest", out, "--as-of", "0"]) == 0
     assert spark.read.parquet(out).count() == 100
     # ...vacuum then reclaims them (Delta-style: breaks time travel
-    # past the removes, never the current snapshot)
-    assert main(["table", "vacuum", tbl]) == 0
+    # past the removes, never the current snapshot; the explicit
+    # zero-retention opt-out is required because the default window
+    # protects young files from racing in-flight writers)
+    assert main(["table", "vacuum", tbl, "--retention-seconds", "0"]) == 0
     out2 = str(tmp_path / "out2")
     assert main(["table", "export", tbl, "--dest", out2]) == 0
     assert spark.read.parquet(out2).count() == 100

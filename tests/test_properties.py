@@ -759,7 +759,11 @@ def test_keywords_topk_matches_bruteforce(spark, docs):
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pts=st.lists(
-        st.tuples(st.integers(0, 50), st.integers(0, 10_000), st.integers(0, 10_000)),
+        st.tuples(
+            st.integers(0, 50),
+            st.integers(0, 10_000),
+            st.integers(-10_000, 10_000),
+        ),
         min_size=1,
         max_size=60,
         unique_by=lambda t: t[0],
@@ -769,8 +773,10 @@ def test_skyline_decomposition_matches_bruteforce(spark, pts):
     """The PRODUCTION bucketed-skyline operator (operators/skyline.py,
     the same code skyline_orders runs) must equal the quadratic
     definition on arbitrary point sets, including bucket-boundary
-    collisions and duplicate (d, p) pairs across ids. A small bucket
-    count over a small domain maximizes boundary coverage."""
+    collisions, duplicate (d, p) pairs across ids, and NEGATIVE p
+    values — the domain a -1 'no dominator' sentinel would corrupt
+    (ADVICE r6: the operator now uses a NULL threshold). A small
+    bucket count over a small domain maximizes boundary coverage."""
     from hz_csv2parquet_spark.operators.skyline import skyline_2d
 
     df = spark.createDataFrame(pts, "o_orderkey long, d long, p long")

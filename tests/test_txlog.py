@@ -131,7 +131,11 @@ def test_vacuum_removes_only_dead_files(spark, tmp_path):
     t.compact(target_files=1)
     all_parquet = glob.glob(os.path.join(t.path, "data-*", "*.parquet"))
     assert len(all_parquet) == 9  # 8 dead + 1 live
-    deleted = t.vacuum()
+    # default retention (Delta-style 7 days) protects young files —
+    # even dead ones — from deletion (ADVICE r6: a zero-retention
+    # vacuum can race a writer's staged-but-uncommitted files)
+    assert t.vacuum() == 0
+    deleted = t.vacuum(retention_seconds=0)
     assert deleted == 8
     assert t.snapshot().count() == 100  # live data intact
 
@@ -144,7 +148,7 @@ def test_crashed_writer_leaves_no_torn_table(spark, tmp_path):
         spark.range(100, 200).select(F.col("id").alias("k"), F.lit(0).alias("v")).coalesce(1)
     )
     assert t.snapshot().count() == 10
-    assert t.vacuum() == 1  # the orphan is cleanable
+    assert t.vacuum(retention_seconds=0) == 1  # the orphan is cleanable
 
 
 def test_empty_update_batch_is_noop(spark, tmp_path):
@@ -304,3 +308,168 @@ def test_merge_with_new_column_evolves_on_read(spark, tmp_path):
     assert rows[5] == (-5, "new")
     assert rows[6] == (12, None)
     assert len(rows) == 20
+
+
+def test_checkpoint_bounds_replay_reads(spark, tmp_path):
+    """VERDICT r6 item 4: replay must be O(tail), not O(versions).
+    After 120+ commits with checkpoint_interval=10, a fresh reader's
+    state reconstruction parses only the commits after the newest
+    checkpoint — pinned via the ``log_reads`` counter. (The txn-only
+    commits mirror a long-lived streaming sink, the workload whose
+    O(versions²) cumulative replay the checkpoints exist to kill.)"""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], checkpoint_interval=10)
+    t.create(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    for i in range(120):
+        t._commit([{"txn": {"appId": "job", "batchId": i}}], t.version())
+    assert t.version() == 120
+    ckpts = t._checkpoint_versions()
+    assert len(ckpts) >= 11 and max(ckpts) >= 110
+
+    fresh = TxTable(spark, t.path, stat_cols=["k"], checkpoint_interval=10)
+    assert fresh.committed_txns("job") == set(range(120))
+    # newest checkpoint ≥ v110 → at most ~10 tail commits parsed
+    assert fresh.log_reads <= 11, fresh.log_reads
+    assert fresh.snapshot().count() == 10
+
+    # checkpoint + tail must equal a full ground-up replay
+    full = TxTable(spark, t.path, stat_cols=["k"])
+    for c in ckpts:
+        os.remove(os.path.join(t.path, "_txlog", f"{c:08d}.ckpt.json"))
+    want = full._replay_state()
+    got = fresh._replay_state()  # no checkpoints left → full replay too
+    assert got["adds"] == want["adds"]
+    assert got["schema"] == want["schema"]
+    assert got["txns"] == want["txns"]
+
+
+def test_checkpoint_time_travel_before_and_after_boundary(spark, tmp_path):
+    """as_of replay picks the newest checkpoint ≤ the target version
+    — a travel target BEFORE the first checkpoint replays from v0 and
+    must not read state from a later checkpoint."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], checkpoint_interval=5)
+    t.create(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+    )
+    for i in range(1, 13):
+        t.append(
+            spark.range(5 * i, 5 * (i + 1)).select(
+                F.col("id").alias("k"), F.lit(i).cast("long").alias("v")
+            )
+        )
+    assert t._checkpoint_versions()  # at least v4, v9
+    assert t.snapshot(as_of=2).count() == 15  # before the first checkpoint
+    assert t.snapshot(as_of=9).count() == 50  # exactly at one
+    assert t.snapshot(as_of=11).count() == 60  # checkpoint + tail
+    assert t.snapshot().count() == 65
+
+
+def test_merge_txn_marker_makes_replay_noop(spark, tmp_path):
+    """MERGE with a txn marker: replaying the same (app, batch) is a
+    no-op — the guarantee that makes MERGE-inside-foreachBatch safe
+    on an at-least-once engine (streaming/cdc.py rides this)."""
+    t = _mk(spark, tmp_path, n=20, files=1)
+    ups = spark.createDataFrame([(5, -5)], "k long, v long")
+    v = t.merge_upsert(ups, "k", txn=("cdc", 0))
+    assert v is not None
+    # engine restarts and replays batch 0 with different data — no-op
+    ups2 = spark.createDataFrame([(5, -999)], "k long, v long")
+    assert t.merge_upsert(ups2, "k", txn=("cdc", 0)) is None
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[5] == -5 and len(got) == 20
+    # the next batch id applies
+    assert t.merge_upsert(ups2, "k", txn=("cdc", 1)) is not None
+    assert {r.k: r.v for r in t.snapshot().collect()}[5] == -999
+
+
+def test_merge_duplicate_update_keys_raise(spark, tmp_path):
+    """Default (SCD1) MERGE matches Delta/Iceberg: multiple update
+    rows per key is an error, not silent duplication (ADVICE r6)."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    dup = spark.createDataFrame([(5, -5), (5, -6)], "k long, v long")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        t.merge_upsert(dup, "k")
+    assert t.snapshot().count() == 10  # nothing committed
+
+
+def test_merge_resolver_last_writer_wins(spark, tmp_path):
+    """A resolve hook owns match semantics: last-writer-wins by ms —
+    an update batch carrying an OLDER value for a key must NOT
+    overwrite the newer value the table holds (the CDC contract;
+    plain SCD1 'updates win' would corrupt it)."""
+    from hz_csv2parquet_spark.sources.txlog import TxTable as TT
+
+    t = TT(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(spark.createDataFrame([(1, 100, "new"), (2, 50, "mid")], "k long, ms long, val string"))
+
+    def resolve(cur, ups):
+        both = cur.unionByName(ups)
+        return (
+            both.groupBy("k")
+            .agg(F.max(F.struct("ms", "val")).alias("__m"))
+            .select("k", "__m.*")
+        )
+
+    ups = spark.createDataFrame(
+        [(1, 10, "stale"), (2, 60, "fresh"), (3, 5, "insert")],
+        "k long, ms long, val string",
+    )
+    t.merge_upsert(ups, "k", resolve=resolve)
+    got = {r.k: (r.ms, r.val) for r in t.snapshot().collect()}
+    assert got == {1: (100, "new"), 2: (60, "fresh"), 3: (5, "insert")}
+
+
+def test_merge_composite_key_prunes_on_first_column(spark, tmp_path):
+    """Composite-key MERGE: matching follows the full key while file
+    pruning uses the first column's footer stats — untouched files'
+    add actions survive the commit (the CDC pin, VERDICT r6 item 3)."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k1"])
+    df = (
+        spark.range(400)
+        .selectExpr("id AS k1", "CAST(id % 2 AS STRING) AS k2", "id AS v")
+        .repartitionByRange(4, "k1")
+        .sortWithinPartitions("k1")
+    )
+    t.create(df)
+    before = set(t.files())
+    assert len(before) == 4
+    ups = spark.createDataFrame(
+        [(10, "0", -1), (11, "1", -2), (12, "1", -3)], "k1 long, k2 string, v long"
+    )
+    t.merge_upsert(ups, ["k1", "k2"])
+    after = set(t.files())
+    assert len(before & after) == 3  # only the low-range file rewrote
+    got = {(r.k1, r.k2): r.v for r in t.snapshot().collect()}
+    assert got[(10, "0")] == -1 and got[(11, "1")] == -2 and got[(12, "1")] == -3
+    assert got[(13, "1")] == 13  # untouched row in the rewritten file intact
+    # composite semantics: update key (12, "1") does NOT match the
+    # existing row (12, "0") — same first column, different second —
+    # so it inserts and the old row survives: 401 rows, not 400
+    assert got[(12, "0")] == 12
+    assert len(got) == 401
+
+
+def test_merge_widening_batch_records_union_schema(spark, tmp_path):
+    """A schema-widening MERGE appends a union-schema meta action, so
+    a later-emptied snapshot still reports the evolved schema
+    (ADVICE r6)."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    ups = spark.createDataFrame([(5, -5, "w")], "k long, v long, tag string")
+    v = t.merge_upsert(ups, "k")
+    actions = json.load(open(_version_file(t.path, v)))
+    metas = [a for a in actions if "meta" in a]
+    assert len(metas) == 1
+    assert "tag" in metas[0]["meta"]["schema"]
+    _, schema = t._replay()
+    assert "tag" in schema
+
+
+def test_pruned_files_incomparable_stats_are_conservative(spark, tmp_path):
+    """Logged string stats probed with numeric bounds (e.g. after a
+    key type change) must degrade to conservatively-IN, not raise
+    (ADVICE r6 / VERDICT r6 'What's wrong' #4)."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"))
+    hit, miss = t.pruned_files("k", 0, 10)
+    assert miss == [] and len(hit) == len(t.files())
