@@ -1280,21 +1280,22 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     selective for range predicates on EITHER dimension, turning
     two-column point/range scans into file-skipping scans. The
     interleave is a pure integer expression (16 bits per dimension,
-    shifts and masks — whole-stage codegen, no UDF); the layout
-    write is ``df.repartitionByRange(zkey).sortWithinPartitions
-    (zkey).write`` — this query oracles the key computation, the
-    part data skipping depends on."""
-    z = None
-    for i in range(16):
-        pa = F.shiftright("ua", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
-        pb = F.shiftright("hb", i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
-        z = pa + pb if z is None else z + pa + pb
+    shifts and masks — whole-stage codegen, no UDF) shared with the
+    txlog layout rewrite (operators/zorder.py `morton_key`;
+    `TxTable.compact(layout_key=...)` over the key is the OPTIMIZE
+    ZORDER maintenance job, pinned in tests/test_txlog.py) — this
+    query oracles the key computation the data skipping depends
+    on."""
+    from .operators.zorder import morton_key
+
     c = table(spark, sf_dir, "events").select(
         "event_id",
         (F.col("user_id") % 65536).alias("ua"),
         (F.floor(F.unix_millis("ts") / 3600000) % 65536).alias("hb"),
     )
-    return c.select("event_id", "ua", "hb", z.alias("zkey"))
+    return c.select(
+        "event_id", "ua", "hb", morton_key(F.col("ua"), F.col("hb")).alias("zkey")
+    )
 
 
 @query(

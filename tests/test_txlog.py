@@ -473,3 +473,39 @@ def test_pruned_files_incomparable_stats_are_conservative(spark, tmp_path):
     t.create(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long"))
     hit, miss = t.pruned_files("k", 0, 10)
     assert miss == [] and len(hit) == len(t.files())
+
+
+def test_zorder_compaction_makes_both_dimensions_prunable(spark, tmp_path):
+    """E115 → txlog wiring (VERDICT r6 item 8): compacting on a
+    Morton key (operators/zorder.py, the same expression
+    ``zorder_key_events`` oracles) gives every output file a
+    quad-tree-cell footprint in (a, b) space, so footer stats prune
+    files for narrow range predicates on EITHER dimension. A
+    hash-fragmented layout prunes nothing on either."""
+    from hz_csv2parquet_spark.operators.zorder import morton_key
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["ua", "hb", "zkey"])
+    # full 64x64 grid, one row per cell, hash-fragmented on load
+    df = (
+        spark.range(4096)
+        .selectExpr("id", "CAST(id % 64 AS BIGINT) AS ua", "CAST(id DIV 64 AS BIGINT) AS hb")
+        .withColumn("zkey", morton_key(F.col("ua"), F.col("hb"), bits=6))
+        .repartition(8)
+    )
+    t.create(df)
+    hit_a0, miss_a0 = t.pruned_files("ua", 0, 7)
+    hit_b0, miss_b0 = t.pruned_files("hb", 0, 7)
+    assert len(miss_a0) == 0 and len(miss_b0) == 0  # hash layout: no skipping
+
+    t.compact(target_files=16, layout_key="zkey")
+    assert len(t.files()) == 16
+    # 16 z-contiguous files over a 64x64 grid = 16 quad cells; a
+    # one-cell-wide band on either axis intersects only a few
+    hit_a, miss_a = t.pruned_files("ua", 0, 7)
+    hit_b, miss_b = t.pruned_files("hb", 0, 7)
+    assert len(miss_a) >= 8, (len(hit_a), len(miss_a))
+    assert len(miss_b) >= 8, (len(hit_b), len(miss_b))
+    # lossless rewrite
+    assert t.snapshot().count() == 4096
+    assert t.snapshot().agg(F.sum("zkey")).collect()[0][0] == \
+        df.agg(F.sum("zkey")).collect()[0][0]
