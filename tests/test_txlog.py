@@ -509,3 +509,87 @@ def test_zorder_compaction_makes_both_dimensions_prunable(spark, tmp_path):
     assert t.snapshot().count() == 4096
     assert t.snapshot().agg(F.sum("zkey")).collect()[0][0] == \
         df.agg(F.sum("zkey")).collect()[0][0]
+
+
+def test_checkpoints_survive_concurrent_writer_races(spark, tmp_path):
+    """Checkpoint files are derived, last-writer-wins state — racing
+    appenders with an aggressive checkpoint_interval must neither
+    corrupt the log nor lose a batch, and a fresh reader through the
+    checkpoints sees exactly the union of what landed."""
+    import threading
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], checkpoint_interval=2)
+    t.create(
+        spark.range(10).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+    )
+    errors = []
+
+    def writer(base):
+        try:
+            df = spark.range(base, base + 10).select(
+                F.col("id").alias("k"), F.lit(base).cast("long").alias("v")
+            )
+            w = TxTable(spark, t.path, stat_cols=["k"], checkpoint_interval=2)
+            for _ in range(30):
+                try:
+                    w.append(df)
+                    return
+                except CommitConflictError:
+                    continue
+            errors.append(f"writer {base}: starved")
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer {base}: {e!r}")
+
+    threads = [threading.Thread(target=writer, args=(100 * (i + 1),)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.version() == 4
+    fresh = TxTable(spark, t.path, stat_cols=["k"], checkpoint_interval=2)
+    snap = fresh.snapshot()
+    assert snap.count() == 50
+    got = {r.v: r.n for r in snap.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for base in (100, 200, 300, 400):
+        assert got[base] == 10
+
+
+def test_cdc_stays_prunable_under_periodic_layout_compaction(spark, tmp_path):
+    """The 100 TB CDC maintenance loop (VERDICT r6 item 8): as merge
+    versions accumulate, periodically range-clustering the target on
+    the merge key (`compact(layout_key=...)`) restores selective
+    footer stats, so the NEXT merge still rewrites a strict subset of
+    files. Simulates: seed → 4 disjoint-range merges → compact →
+    narrow merge touches < all files."""
+    from hz_csv2parquet_spark.sources.txlog import TxTable as TT
+
+    t = TT(spark, str(tmp_path / "tbl"), stat_cols=["user_id"])
+    t.create(
+        spark.range(400).selectExpr(
+            "id AS user_id", "CAST(0 AS BIGINT) AS last_ms", "CAST(id AS BIGINT) AS last_cents"
+        )
+    )
+    for i in range(4):
+        ups = spark.range(100 * i, 100 * i + 50).selectExpr(
+            "id AS user_id",
+            f"CAST({i + 1} AS BIGINT) AS last_ms",
+            "CAST(-id AS BIGINT) AS last_cents",
+        )
+        t.merge_upsert(ups, "user_id")
+    # merges over a hash-ish layout accumulate wide-range files
+    t.compact(target_files=4, layout_key="user_id")
+    hit, miss = t.pruned_files("user_id", 0, 40)
+    assert len(hit) == 1 and len(miss) == 3
+    ups = spark.range(0, 41, 2).selectExpr(
+        "id AS user_id", "CAST(9 AS BIGINT) AS last_ms", "CAST(9 AS BIGINT) AS last_cents"
+    )
+    before = set(t.files())
+    t.merge_upsert(ups, "user_id")
+    after = set(t.files())
+    assert len(before & after) == 3  # compaction restored selectivity
+    snap = t.snapshot()
+    assert snap.count() == 400
+    assert snap.filter("user_id = 2").collect()[0].last_cents == 9
+    assert snap.filter("user_id = 349").collect()[0].last_cents == -349  # merged round 4
+    assert snap.filter("user_id = 399").collect()[0].last_cents == 399  # never merged
