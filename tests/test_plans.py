@@ -370,3 +370,43 @@ def test_skyline_broadcasts_suffix_and_bounds_sorts(spark, sf_dir):
     for cols in re.findall(r"Sort \[(.*?)\]", plan):
         first = cols.split(",")[0]
         assert "__bkt" in first, f"unexpected global sort key: {cols[:80]}"
+
+
+def test_geo_radius_join_is_cell_banded(spark, sf_dir):
+    """The 2-D radius join must meet candidates inside a grid cell
+    (equi-join on the cell key, distance as a post-filter) — never a
+    cartesian pair enumeration."""
+    plan = plan_of(spark, sf_dir, "geo_radius_join_lineitem")
+    assert "CartesianProduct" not in plan
+    assert "Join [cell" in plan.replace("BroadcastHashJoin [cell", "Join [cell").replace(
+        "SortMergeJoin [cell", "Join [cell"
+    )
+
+
+def test_tfidf_similarity_pairs_join_on_shingle(spark, sf_dir):
+    """Sparse idf doc-similarity: candidate pairs meet on the shingle
+    hash (equi-join), never all-pairs. The only nested-loop joins in
+    the plan are 1-row scalar broadcasts (corpus doc count / norm
+    denominators) — benign at any scale."""
+    plan = plan_of(spark, sf_dir, "tfidf_doc_similarity_pairs")
+    assert "CartesianProduct" not in plan
+    assert "Join [sh" in plan.replace("BroadcastHashJoin [sh", "Join [sh").replace(
+        "SortMergeJoin [sh", "Join [sh"
+    )
+    # every cross node must be a broadcast of a single-partition
+    # (scalar) side, not a data-sized relation
+    crosses = plan.count("BroadcastNestedLoopJoin")
+    assert crosses <= plan.count("Exchange SinglePartition")
+
+
+def test_scd2_snapshot_join_keys_on_dimension(spark, sf_dir):
+    """SCD2 temporal join: facts equi-join the versioned dimension on
+    the business key with the validity range as join condition — the
+    fact table never cross-joins versions."""
+    plan = plan_of(spark, sf_dir, "scd2_snapshot_join_orders")
+    assert "CartesianProduct" not in plan
+    joined = plan.replace("BroadcastHashJoin [c_nationkey", "KeyJoin").replace(
+        "SortMergeJoin [c_nationkey", "KeyJoin"
+    )
+    assert "KeyJoin" in joined
+    assert "valid_from" in plan and "valid_to" in plan  # range rides the join
