@@ -786,3 +786,66 @@ def test_skyline_decomposition_matches_bruteforce(spark, pts):
         if not any(d2 > d and p2 > p for _, d2, p2 in pts)
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 4)),
+            st.tuples(st.just("merge"), st.integers(0, 4)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_txlog_random_op_sequences_match_dict_mirror(spark, tmp_path_factory, ops):
+    """Lakehouse-layer soundness: an arbitrary interleaving of
+    append / stats-pruned MERGE / layout compaction over a TxTable
+    must equal a plain per-key dict replay of the same operations —
+    including time travel to every intermediate version. Appends use
+    unique key ranges; merges target a 10-key band (half updates,
+    half inserts), so the sequence exercises file pruning, rewrite,
+    and atomic layout flips together."""
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    root = tmp_path_factory.mktemp("txprop")
+    t = TxTable(spark, str(root / "tbl"), stat_cols=["k"], checkpoint_interval=3)
+    t.create(
+        spark.range(20).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v")
+    )
+    mirror = {k: -1 for k in range(20)}
+    history = [dict(mirror)]  # state after each committed version
+    serial = 0
+    for op, arg in ops:
+        serial += 1
+        if op == "append":
+            base = 1000 * serial + 100 * arg
+            t.append(
+                spark.range(base, base + 5).selectExpr(
+                    "id AS k", f"CAST({serial} AS BIGINT) AS v"
+                )
+            )
+            for k in range(base, base + 5):
+                mirror[k] = serial
+        elif op == "merge":
+            lo = 10 * arg
+            t.merge_upsert(
+                spark.range(lo, lo + 10).selectExpr(
+                    "id AS k", f"CAST({100 + serial} AS BIGINT) AS v"
+                ),
+                "k",
+            )
+            for k in range(lo, lo + 10):
+                mirror[k] = 100 + serial
+        else:
+            t.compact(target_files=2, layout_key="k")
+        history.append(dict(mirror))
+    # final state
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == mirror
+    # time travel to every intermediate version matches the replay
+    for v, want in enumerate(history):
+        got_v = {r.k: r.v for r in t.snapshot(as_of=v).collect()}
+        assert got_v == want, f"version {v}"
