@@ -140,10 +140,11 @@ def cmd_curate(args: argparse.Namespace) -> None:
 def cmd_table(args: argparse.Namespace) -> None:
     """Maintenance surface for transaction-log tables
     (sources/txlog.py): create from an existing parquet/csv input,
-    show commit history, OPTIMIZE-style compaction, vacuum of
-    unreferenced files, and snapshot export (optionally ``--as-of`` a
-    historical version). One verb per invocation, matching how a
-    scheduler would drive table upkeep."""
+    stats-pruned MERGE of an update batch (``--key``, composite via
+    commas), show commit history, OPTIMIZE-style compaction, vacuum
+    of unreferenced files (retention-guarded), and snapshot export
+    (optionally ``--as-of`` a historical version). One verb per
+    invocation, matching how a scheduler would drive table upkeep."""
     import json as jsonmod
     import logging
 
@@ -156,6 +157,8 @@ def cmd_table(args: argparse.Namespace) -> None:
         raise SystemExit("table create requires --src")
     if args.action == "export" and not args.dest:
         raise SystemExit("table export requires --dest")
+    if args.action == "merge" and not (args.src and args.key):
+        raise SystemExit("table merge requires --src and --key")
     if args.retention_seconds is None:
         args.retention_seconds = DEFAULT_VACUUM_RETENTION_S
 
@@ -177,6 +180,18 @@ def cmd_table(args: argparse.Namespace) -> None:
     elif args.action == "compact":
         v = t.compact(target_files=args.target_files, layout_key=args.layout_key)
         log.info("compacted to %d file(s) at version %d", len(t.files()), v)
+    elif args.action == "merge":
+        before = set(t.files())
+        updates = read_table(spark, args.src, fmt=_fmt_of(args.src))
+        v = t.merge_upsert(updates, args.key.split(","))
+        after = set(t.files())
+        log.info(
+            "merged %s at version %s (%d file(s) rewritten, %d untouched)",
+            args.src,
+            v,
+            len(before - after),
+            len(before & after),
+        )
     elif args.action == "vacuum":
         n = t.vacuum(retention_seconds=args.retention_seconds)
         log.info("vacuumed %d unreferenced file(s)", n)
@@ -266,11 +281,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser(
         "table",
-        help="transaction-log table maintenance (create/history/compact/vacuum/export)",
+        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export)",
     )
-    t.add_argument("action", choices=("create", "history", "compact", "vacuum", "export"))
+    t.add_argument(
+        "action", choices=("create", "merge", "history", "compact", "vacuum", "export")
+    )
     t.add_argument("table", help="table directory (contains _txlog/)")
-    t.add_argument("--src", default=None, help="input for create (parquet or csv)")
+    t.add_argument("--src", default=None, help="input for create/merge (parquet or csv)")
+    t.add_argument(
+        "--key",
+        default=None,
+        help="merge key column(s), comma-separated; the first keys file pruning",
+    )
     t.add_argument("--dest", default=None, help="output directory for export")
     t.add_argument("--as-of", type=int, default=None, help="historical version for export")
     t.add_argument("--target-files", type=int, default=1, help="compaction target file count")

@@ -151,3 +151,39 @@ def test_cli_table_lifecycle(tmp_path, spark):
     assert main(["table", "export", tbl, "--dest", out2]) == 0
     assert spark.read.parquet(out2).count() == 100
     assert main(["table", "history", tbl]) == 0
+
+
+def test_cli_table_merge_rewrites_only_touched_files(tmp_path, spark):
+    """`table merge` drives the txlog's stats-pruned MERGE: updates
+    confined to one file's key range rewrite that file only, and the
+    required options are validated up front."""
+    src = tmp_path / "in"
+    (
+        spark.range(400)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+        .write.parquet(str(src))
+    )
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+
+    ups = tmp_path / "ups"
+    spark.range(0, 41, 2).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v").coalesce(
+        1
+    ).write.parquet(str(ups))
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, tbl, stat_cols=["k"])
+    before = set(t.files())
+    assert main(["table", "merge", tbl, "--src", str(ups), "--key", "k", "--stat-cols", "k"]) == 0
+    after = set(t.files())
+    assert len(before & after) == len(before) - 1  # one file rewritten
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[0] == -1 and got[40] == -1 and got[41] == 82 and len(got) == 400
+
+    # verb validation: merge without --key refuses up front
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["table", "merge", tbl, "--src", str(ups)])
