@@ -266,9 +266,18 @@ class TxTable:
         subdir and return their add actions (footer stats only)."""
         stage = os.path.join(self.path, f"data-{uuid.uuid4().hex[:12]}")
         df.write.mode("errorifexists").parquet(stage)
+        files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+        if not files:
+            return []
+        # footer reads are driver-side metadata I/O; a big commit adds
+        # many part files, so read them concurrently (order preserved
+        # by executor.map) instead of serially
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            footer = list(ex.map(lambda f: _file_stats(f, self.stat_cols), files))
         adds = []
-        for f in sorted(glob.glob(os.path.join(stage, "*.parquet"))):
-            rows, stats = _file_stats(f, self.stat_cols)
+        for f, (rows, stats) in zip(files, footer):
             if rows == 0:
                 # don't register empty part files — a streaming sink
                 # would otherwise grow the live set (and every future
