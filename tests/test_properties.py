@@ -849,3 +849,45 @@ def test_txlog_random_op_sequences_match_dict_mirror(spark, tmp_path_factory, op
     for v, want in enumerate(history):
         got_v = {r.k: r.v for r in t.snapshot(as_of=v).collect()}
         assert got_v == want, f"version {v}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e8, max_value=1e8, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.sampled_from([1, 3, 8]),
+)
+def test_exact_sum_is_partitioning_invariant(spark, vals, parts):
+    """The DECIMAL(38,10)-routed sum (functions/exact.py) must be
+    bit-identical under ANY partitioning — the property that lets
+    166 oracle hashes survive distributed execution. A plain double
+    sum is order-dependent; the decimal path is associative and
+    commutative by construction, so 1, 3, and 8 partitions must
+    agree to the last bit (and match Python's exact Fraction sum
+    after the decimal quantization)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hz_csv2parquet_spark.functions.exact import exact_avg, exact_sum
+
+    results = []
+    for p in (1, parts):
+        df = spark.createDataFrame([(v,) for v in vals], "v double").repartition(p)
+        row = df.agg(
+            exact_sum("v").alias("s"), exact_avg("v").alias("a")
+        ).collect()[0]
+        results.append((row.s, row.a))
+    assert results[0] == results[1]  # bitwise equal across partitionings
+    # the quantized ground truth: sum of per-value decimal
+    # quantizations under HALF_UP — Spark's double→decimal cast
+    # rounding (Python's default HALF_EVEN diverges on exact ties,
+    # which dyadic doubles like 2^-11 DO produce at the 11th digit)
+    want = float(
+        sum(
+            Decimal(v).quantize(Decimal("1.0000000000"), rounding=ROUND_HALF_UP)
+            for v in vals
+        )
+    )
+    assert results[0][0] == want
