@@ -593,3 +593,30 @@ def test_cdc_stays_prunable_under_periodic_layout_compaction(spark, tmp_path):
     assert snap.filter("user_id = 2").collect()[0].last_cents == 9
     assert snap.filter("user_id = 349").collect()[0].last_cents == -349  # merged round 4
     assert snap.filter("user_id = 399").collect()[0].last_cents == 399  # never merged
+
+
+def test_merge_txn_twin_conflict_resolves_to_noop(spark, tmp_path, monkeypatch):
+    """The exactly-once race: a twin replay of the SAME batch commits
+    its txn marker between this merge's duplicate check and its
+    commit. The version conflict must resolve to a no-op (the marker
+    is found on re-read) — not an error, and not a double-apply."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    twin = TxTable(spark, t.path, stat_cols=["k"])
+    real_commit = TxTable._commit
+    state = {"injected": False}
+
+    def racing_commit(self, actions, expected_version):
+        if not state["injected"] and self is t:
+            state["injected"] = True
+            # twin wins the version with the same (app, batch) marker
+            real_commit(twin, [{"txn": {"appId": "cdc", "batchId": 7}}], expected_version)
+        return real_commit(self, actions, expected_version)
+
+    monkeypatch.setattr(TxTable, "_commit", racing_commit)
+    ups = spark.createDataFrame([(5, -5)], "k long, v long")
+    assert t.merge_upsert(ups, "k", txn=("cdc", 7)) is None
+    # twin's commit carried only the marker — the data is unchanged
+    # and the loser's staged files are vacuum-able orphans
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[5] == 10 and len(got) == 10
+    assert t.version() == 1
