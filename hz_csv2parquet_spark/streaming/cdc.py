@@ -77,11 +77,21 @@ def run_cdc_merge(
     stream: DataFrame,
     app_id: str = "cdc_merge",
     table_path: str | None = None,
+    compact_every: int | None = None,
+    compact_files: int = 4,
 ) -> DataFrame:
     """Execute the stream to completion (availableNow), applying the
     foreachBatch txlog MERGE; return the final target snapshot.
     ``table_path`` overrides the throwaway target location so tests
-    (and callers maintaining a durable table) can inspect the log."""
+    (and callers maintaining a durable table) can inspect the log.
+
+    ``compact_every=N`` interleaves the maintenance cycle a durable
+    deployment schedules: after every N merged batches the target is
+    range-clustered on the merge key (``compact(layout_key)``), so
+    file count stays bounded and the footer stats the NEXT merge
+    prunes with stay selective as versions accumulate — without it a
+    long-lived sink accretes small files whose key ranges widen until
+    pruning degrades to rewrite-everything."""
     table = TxTable(
         spark,
         table_path or tempfile.mkdtemp(prefix="hz_cdc_merge_"),
@@ -98,13 +108,20 @@ def run_cdc_merge(
         )
     )
 
+    merged = {"n": 0}
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        table.merge_upsert(
+        applied = table.merge_upsert(
             latest_per_key(cdc_project(batch_df)),
             key=CDC_KEYS,
             txn=(app_id, batch_id),
             resolve=_resolve_latest,
         )
+        if applied is None:
+            return  # replayed batch: no-op, no maintenance tick
+        merged["n"] += 1
+        if compact_every and merged["n"] % compact_every == 0:
+            table.compact(target_files=compact_files, layout_key=CDC_KEYS[0])
 
     q = (
         stream.writeStream.foreachBatch(merge)

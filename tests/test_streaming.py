@@ -370,3 +370,70 @@ def test_cdc_merge_rewrites_only_intersecting_files(spark, tmp_path):
     got = {r.user_id: r.last_cents for r in out.collect()}
     assert all(got[u] == 300 for u in range(1, 6))
     assert all(got[u] == 200 for u in range(1000, 1006))
+
+
+def test_cdc_merge_with_inline_compaction_bounds_files(spark, tmp_path):
+    """compact_every interleaves layout maintenance with the CDC
+    merge loop: after three single-file batches with per-batch
+    compaction, the live file count is bounded by compact_files and
+    the maintained table still equals the declarative latest-per-key
+    answer."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.streaming.cdc import (
+        cdc_project,
+        latest_per_key,
+        run_cdc_merge,
+    )
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    rows = [
+        [(1, 1000, 1, "click", 1.0), (2, 2000, 2, "view", 2.0)],
+        [(3, 3000, 1, "click", 3.0), (4, 500, 2, "view", 9.0)],  # late event
+        [(5, 9000, 3, "click", 5.0)],
+    ]
+    now = _time.time()
+    for i, batch in enumerate(rows):
+        stage = tmp_path / f"s{i}"
+        spark.createDataFrame(
+            [(e, m * 1000, u, t, v, "{}") for (e, m, u, t, v) in batch], schema
+        ).withColumn("ts", F.timestamp_micros(F.col("ts"))).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = _glob.glob(str(stage / "part-*.parquet"))[0]
+        dest = src / f"f{i}.parquet"
+        _os.replace(part, str(dest))
+        _os.utime(dest, (now - 30 + 10 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    tbl = str(tmp_path / "tbl")
+    out = run_cdc_merge(spark, stream, table_path=tbl, compact_every=1, compact_files=2)
+    t = TxTable(spark, tbl, stat_cols=["user_id"])
+    assert len(t.files()) <= 2  # maintenance bounded the layout
+    got = {
+        (r.user_id, r.event_type): (r.last_ms, r.last_event_id, r.last_cents)
+        for r in out.collect()
+    }
+    flat = spark.createDataFrame(
+        [(e, m * 1000, u, t_, v, "{}") for b in rows for (e, m, u, t_, v) in b], schema
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+    want = {
+        (r.user_id, r.event_type): (r.last_ms, r.last_event_id, r.last_cents)
+        for r in latest_per_key(cdc_project(flat)).collect()
+    }
+    assert got == want
+    # the late event (ms 500 for user 2) did NOT overwrite ms 2000
+    assert got[(2, "view")][0] == 2000
