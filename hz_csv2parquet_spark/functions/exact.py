@@ -20,6 +20,15 @@ double-rounds (int128 → double, then the scale divide), which is 1
 ulp off Spark's correctly-rounded BigDecimal.doubleValue for sums
 whose unscaled value exceeds 2^53; decimal→string→double is
 correctly rounded in both engines.
+
+Conversion semantics (pinned by the partitioning-invariance property
+test): Spark's double→decimal cast goes through the SHORTEST decimal
+representation (``BigDecimal.valueOf``, i.e. Python ``repr``), not
+the double's exact binary expansion — 4194304.38556613 becomes
+4194304.3855661300, where the exact expansion would quantize to
+…1303 — and rounds HALF_UP at the scale boundary (exact ties exist:
+dyadic doubles like 2^-11 tie at the 11th decimal digit). Both
+properties are measured, not assumed.
 """
 
 from __future__ import annotations

@@ -880,13 +880,15 @@ def test_exact_sum_is_partitioning_invariant(spark, vals, parts):
         ).collect()[0]
         results.append((row.s, row.a))
     assert results[0] == results[1]  # bitwise equal across partitionings
-    # the quantized ground truth: sum of per-value decimal
-    # quantizations under HALF_UP — Spark's double→decimal cast
-    # rounding (Python's default HALF_EVEN diverges on exact ties,
+    # the quantized ground truth mirrors Spark's cast semantics
+    # exactly: double → SHORTEST decimal repr (BigDecimal.valueOf /
+    # Python repr, NOT the exact binary expansion — measured 1 ulp
+    # apart on 4194304.38556613) → quantize to scale 10 under
+    # HALF_UP (Python's default HALF_EVEN diverges on exact ties,
     # which dyadic doubles like 2^-11 DO produce at the 11th digit)
     want = float(
         sum(
-            Decimal(v).quantize(Decimal("1.0000000000"), rounding=ROUND_HALF_UP)
+            Decimal(repr(v)).quantize(Decimal("1.0000000000"), rounding=ROUND_HALF_UP)
             for v in vals
         )
     )
