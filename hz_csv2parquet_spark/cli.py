@@ -183,7 +183,9 @@ def cmd_table(args: argparse.Namespace) -> None:
     elif args.action == "merge":
         before = set(t.files())
         updates = read_table(spark, args.src, fmt=_fmt_of(args.src))
-        v = t.merge_upsert(updates, args.key.split(","))
+        # a scheduler-driven merge may race other writers: re-run the
+        # transaction on a fresh snapshot rather than fail the job
+        v = t.merge_upsert(updates, args.key.split(","), retries=3)
         after = set(t.files())
         log.info(
             "merged %s at version %s (%d file(s) rewritten, %d untouched)",

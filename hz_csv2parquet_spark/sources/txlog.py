@@ -298,10 +298,23 @@ class TxTable:
         return self._commit(actions, -1)
 
     def append(self, df: DataFrame) -> int:
-        """Blind append — add actions only, no reads rewritten, no
-        conflict with concurrent appends beyond the version race."""
-        base = self.version()
-        return self._commit(self._stage(df), base)
+        """Blind append — add actions only, no reads rewritten.
+
+        Append-vs-append is the one cell of the optimistic-concurrency
+        conflict matrix that never LOGICALLY conflicts (the Delta
+        protocol's rule: a blind append reads nothing, so nothing it
+        read can have changed) — so a lost version race is resolved
+        here by REBASING: stage once, then re-commit against the fresh
+        head until the O_EXCL create wins. Callers never see
+        :class:`CommitConflictError` from an append; operations that
+        *read* the snapshot (merge, compact) still surface it, because
+        their staged rewrite may be stale."""
+        adds = self._stage(df)
+        while True:
+            try:
+                return self._commit(adds, self.version())
+            except CommitConflictError:
+                continue
 
     def committed_txns(self, app_id: str) -> set[int]:
         """Batch ids already committed by ``app_id`` (txn actions)."""
@@ -413,6 +426,7 @@ class TxTable:
         key: str | list[str],
         txn: tuple[str, int] | None = None,
         resolve: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+        retries: int = 0,
     ) -> int | None:
         """Copy-on-write MERGE: rows of ``updates`` replace same-key
         rows, new keys append. Only files whose key-range stats
@@ -443,17 +457,28 @@ class TxTable:
 
         A batch that widens the table schema records the union
         schema in a meta action, so an empty-after-vacuum snapshot
-        still reports the evolved schema."""
+        still reports the evolved schema.
+
+        ``retries`` (default 0) is the multi-writer story: a merge
+        that loses the version race is STALE — its rewrite was
+        computed against a superseded snapshot — so unlike a blind
+        :meth:`append` it cannot simply rebase the same actions.
+        With ``retries=N`` a conflict loser re-runs the whole
+        transaction (fresh snapshot → fresh prune → fresh rewrite →
+        commit) up to N more times, which is exactly Delta's internal
+        conflict-resolution loop; the failed attempt's staged files
+        become vacuum-able orphans. With the default 0 the conflict
+        surfaces as :class:`CommitConflictError` and the caller owns
+        the retry policy."""
         keys = [key] if isinstance(key, str) else list(key)
         prune_col = keys[0]
         if txn is not None and txn[1] in self.committed_txns(txn[0]):
             return None
-        base = self.version()
         bounds = updates.agg(
             F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
         ).collect()[0]
         if bounds.lo is None:  # empty update batch: no-op commit
-            return base
+            return self.version()
         if resolve is None:
             dup = (
                 updates.groupBy(*keys)
@@ -467,35 +492,40 @@ class TxTable:
                     f"merge_upsert: update batch has multiple rows per key {keys}; "
                     "deduplicate first or pass a resolve function"
                 )
-        touched, _ = self.pruned_files(prune_col, bounds.lo, bounds.hi)
-        actions: list[dict] = []
-        if touched:
-            current = self.spark.read.option("mergeSchema", "true").parquet(*touched)
-            match_keys = updates.select(*keys).distinct()
-            keep = current.join(match_keys, keys, "left_anti")
-            if resolve is None:
-                resolved = updates
+        for attempt in range(retries + 1):
+            if attempt and txn is not None and txn[1] in self.committed_txns(txn[0]):
+                return None  # the winner of the lost race was our twin
+            base = self.version()
+            touched, _ = self.pruned_files(prune_col, bounds.lo, bounds.hi)
+            actions: list[dict] = []
+            if touched:
+                current = self.spark.read.option("mergeSchema", "true").parquet(*touched)
+                match_keys = updates.select(*keys).distinct()
+                keep = current.join(match_keys, keys, "left_anti")
+                if resolve is None:
+                    resolved = updates
+                else:
+                    matched = current.join(match_keys, keys, "left_semi")
+                    resolved = resolve(matched, updates)
+                rewritten = keep.unionByName(resolved, allowMissingColumns=True)
             else:
-                matched = current.join(match_keys, keys, "left_semi")
-                resolved = resolve(matched, updates)
-            rewritten = keep.unionByName(resolved, allowMissingColumns=True)
-        else:
-            rewritten = updates
-        actions.extend(self._stage(rewritten))
-        for f in touched:
-            actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
-        _, old_schema = self._replay()
-        merged_schema = self.snapshot_schema_union(old_schema, updates)
-        if merged_schema != old_schema:
-            actions.append({"meta": {"schema": merged_schema}})
-        if txn is not None:
-            actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
-        try:
-            return self._commit(actions, base)
-        except CommitConflictError:
-            if txn is not None and txn[1] in self.committed_txns(txn[0]):
-                return None  # a twin replay of this very batch won
-            raise  # genuine conflict: caller must re-merge on a fresh snapshot
+                rewritten = updates
+            actions.extend(self._stage(rewritten))
+            for f in touched:
+                actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
+            _, old_schema = self._replay()
+            merged_schema = self.snapshot_schema_union(old_schema, updates)
+            if merged_schema != old_schema:
+                actions.append({"meta": {"schema": merged_schema}})
+            if txn is not None:
+                actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
+            try:
+                return self._commit(actions, base)
+            except CommitConflictError:
+                if txn is not None and txn[1] in self.committed_txns(txn[0]):
+                    return None  # a twin replay of this very batch won
+                if attempt == retries:
+                    raise  # genuine conflict: caller must re-merge on a fresh snapshot
 
     def compact(self, target_files: int = 1, layout_key: str | None = None) -> int:
         """OPTIMIZE: rewrite the live file set into ``target_files``

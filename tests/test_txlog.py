@@ -620,3 +620,75 @@ def test_merge_txn_twin_conflict_resolves_to_noop(spark, tmp_path, monkeypatch):
     got = {r.k: r.v for r in t.snapshot().collect()}
     assert got[5] == 10 and len(got) == 10
     assert t.version() == 1
+
+
+def test_append_rebases_lost_version_race(spark, tmp_path):
+    """Blind appends never surface CommitConflictError: append-vs-
+    append is the conflict-matrix cell with no logical conflict, so a
+    lost version race rebases the same staged add actions onto the
+    fresh head. Four threads each call append() ONCE — no caller
+    retry loop — and every batch lands."""
+    import threading
+
+    t = _mk(spark, tmp_path, n=10, files=1)
+    errors = []
+
+    def writer(base):
+        try:
+            TxTable(spark, t.path, stat_cols=["k"]).append(
+                spark.range(base, base + 10).select(
+                    F.col("id").alias("k"), F.lit(base).cast("long").alias("v")
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer {base}: {e!r}")
+
+    threads = [threading.Thread(target=writer, args=(100 * (i + 1),)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert t.version() == 4  # create + 4 appends, gapless
+    got = {r.v: r.n for r in t.snapshot().groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for base in (100, 200, 300, 400):
+        assert got[base] == 10
+
+
+def test_merge_retry_rebases_on_genuine_conflict(spark, tmp_path, monkeypatch):
+    """A merge that loses the version race to an UNRELATED writer is
+    stale (its rewrite was computed against a superseded snapshot).
+    With retries=0 the conflict surfaces; with retries=1 the whole
+    transaction re-runs on the fresh snapshot — the concurrent
+    append's rows survive AND the merge's update applies."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    other = TxTable(spark, t.path, stat_cols=["k"])
+    competing = spark.createDataFrame([(50, 999)], "k long, v long")
+    real_commit = TxTable._commit
+    ups = spark.createDataFrame([(5, -5)], "k long, v long")
+
+    def make_racer():
+        state = {"injected": False}
+
+        def racing_commit(self, actions, expected_version):
+            if not state["injected"] and self is t:
+                state["injected"] = True
+                real_commit(other, other._stage(competing), expected_version)
+            return real_commit(self, actions, expected_version)
+
+        return racing_commit
+
+    monkeypatch.setattr(TxTable, "_commit", make_racer())
+    with pytest.raises(CommitConflictError):
+        t.merge_upsert(ups, "k")  # default retries=0: caller owns policy
+    # the failed attempt changed nothing (its staged files are orphans)
+    assert {r.k: r.v for r in t.snapshot().collect()}[5] == 10
+
+    monkeypatch.setattr(TxTable, "_commit", make_racer())
+    v = t.merge_upsert(ups, "k", retries=1)
+    assert v == t.version()
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[5] == -5  # merge applied on the rebased snapshot
+    assert got[50] == 999  # the concurrent appends' rows survive
+    # 10 original + one competing (50, 999) row per injected race
+    assert t.snapshot().count() == 12
