@@ -579,4 +579,14 @@ class TxTable:
         for d in glob.glob(os.path.join(self.path, "data-*")):
             if not os.listdir(d):
                 shutil.rmtree(d)
+        # superseded replay checkpoints: derived data, so deletion is
+        # always correctness-safe (replay falls back to a longer log
+        # tail); keep the newest unconditionally and any still inside
+        # the retention window so a concurrent reader mid-replay never
+        # loses the file it just chose
+        ckpts = self._checkpoint_versions()
+        for v in ckpts[:-1]:
+            f = _checkpoint_file(self.path, v)
+            if os.path.getmtime(f) <= horizon:
+                os.remove(f)
         return deleted

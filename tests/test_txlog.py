@@ -207,8 +207,11 @@ def test_snapshot_preserves_catalyst_pushdown(spark, tmp_path):
 
 def test_concurrent_appends_all_land_with_retry(spark, tmp_path):
     """Optimistic concurrency under real contention: 4 threads race
-    appends with retry-on-conflict; every batch lands exactly once
-    and the log is a gapless version chain."""
+    appends through ONE shared TxTable handle (the rebase loop keys
+    off per-call state only, so a handle is thread-safe for blind
+    appends); every batch lands exactly once and the log is a gapless
+    version chain. The separate-handle variant is
+    test_append_rebases_lost_version_race."""
     import threading
 
     t = _mk(spark, tmp_path, n=10, files=1)
@@ -216,17 +219,11 @@ def test_concurrent_appends_all_land_with_retry(spark, tmp_path):
 
     def writer(base):
         try:
-            df = spark.range(base, base + 10).select(
-                F.col("id").alias("k"), F.lit(base).cast("long").alias("v")
+            t.append(
+                spark.range(base, base + 10).select(
+                    F.col("id").alias("k"), F.lit(base).cast("long").alias("v")
+                )
             )
-            w = TxTable(spark, t.path, stat_cols=["k"])
-            for _ in range(20):  # retry loop
-                try:
-                    w.append(df)
-                    return
-                except CommitConflictError:
-                    continue
-            errors.append(f"writer {base}: starved")
         except Exception as e:  # noqa: BLE001
             errors.append(f"writer {base}: {e!r}")
 
