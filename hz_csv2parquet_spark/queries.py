@@ -98,80 +98,80 @@ def query(
 #: rule-mandatory at round-8 planning (21 + the first r5 picks fit
 #: that window with room to spare).
 ROTATION: set[str] = {
-    # -- never-driver-checked backlog, ALL 32 (VERDICT r6 item 1;
-    # ledgered below since round 6) --
-    "asof_tolerance_last_click",
-    "benford_first_digit_orders",
-    "centroid_classifier_eval",
-    "checksum_orders_table",
-    "chisq_event_value_independence",
-    "column_stats_lineitem",
-    "compact_small_files",
-    "copurchase_part_pairs",
-    "data_quality_checks",
-    "event_diversity_users",
-    "event_type_runs",
-    "geo_radius_join_lineitem",
-    "grouping_sets_revenue",
-    "hourly_peaks_events",
-    "impute_group_median_events",
-    "incremental_agg_merge_orders",
-    "interarrival_stats_users",
-    "interval_coverage_users",
-    "keywords_per_document",
-    "locf_carry_forward_events",
-    "orc_roundtrip_agg",
-    "quantile_normalize_events",
-    "revenue_share_of_region",
-    "rolling_7d_active_users",
-    "scd2_snapshot_join_orders",
-    "schema_evolution_merge",
-    "skew_report_lineitem",
-    "tfidf_doc_similarity_pairs",
-    "train_val_test_split_documents",
-    "trimmed_mean_by_type",
-    "udaf_grouped_agg_chars",
-    "zorder_key_events",
-    # -- implementation changed round 7: CDC merge now rides the
-    # txlog's stats-pruned MERGE (streaming/cdc.py); the skyline
-    # operator's dominance threshold is NULL-based (operators/
-    # skyline.py). Fresh driver rows are mandatory. (2) --
-    "streaming_cdc_merge_events",
-    "skyline_orders",
-    # -- oldest stale cohort: last green r4, the core reference
-    # surface first (16 of 37; the rest are round-8-mandatory) --
-    "scan_prune_filter",
-    "binned_agg_mean_1d",
-    "binned_agg_median_2d",
-    "binned_agg_max_2d",
-    "collate_union_all",
-    "enrich_broadcast_lookup",
-    "q1_pricing_summary",
-    "top_k_orders",
-    "window_rank_per_group",
-    "set_except_nations",
-    "json_extract_events",
-    "rollup_revenue",
-    "percentiles_by_segment",
-    "percentiles_by_segment_scalable",
-    "distinct_users_per_type",
-    "semi_anti_customers",
-    # Round-8 plan ledger — the 21 r4-stale rows NOT in this window
-    # become rule-mandatory at round-8 planning (last row r4 ≤
-    # latest(7) − 3): tokenize_regex_documents, bucketed_join_revenue,
-    # approx_percentiles_by_segment, pack_sequences_documents,
-    # skew_salted_event_counts, promo_revenue_by_brand,
-    # q3_shipping_priority, ntile_customer_quartiles,
-    # multimodal_byte_features, multimodal_decode_shapes,
-    # multimodal_frame_index, similarity_topk_embeddings,
-    # similarity_lsh_embeddings, similarity_topk_pandas_udf,
-    # quantize_embeddings_int8, sample_stratified_documents,
-    # shard_assignment_documents, global_shuffle_documents,
-    # mixture_resample_documents, weighted_sample_documents,
-    # zscore_outliers_events. 21 slots; the balance of the round-8
-    # window goes to the oldest r5 greens and the 2-3 txlog-backed
-    # catalog registrations VERDICT r6 item 5 green-lights once the
-    # backlog is drained.
+    # ================= ROUND 8 WINDOW =================
+    # No red rows in r7 (50/50 green). Window = the 21 rule-mandatory
+    # r4-stale rows (last driver row r4 <= latest(7) - 3, per the
+    # round-7 ledger) + the 26 oldest r5 greens, streaming family
+    # first (most fragile harness). The 3 new txlog-backed catalog
+    # registrations (queries_txlog.py, VERDICT r6 item 5) ride in via
+    # priority=True/since=8 — total priority prefix = 50, exactly the
+    # driver cap.
+    #
+    # -- rule-mandatory: last green r4 (21) --
+    "approx_percentiles_by_segment",
+    "bucketed_join_revenue",
+    "global_shuffle_documents",
+    "mixture_resample_documents",
+    "multimodal_byte_features",
+    "multimodal_decode_shapes",
+    "multimodal_frame_index",
+    "ntile_customer_quartiles",
+    "pack_sequences_documents",
+    "promo_revenue_by_brand",
+    "q3_shipping_priority",
+    "quantize_embeddings_int8",
+    "sample_stratified_documents",
+    "shard_assignment_documents",
+    "similarity_lsh_embeddings",
+    "similarity_topk_embeddings",
+    "similarity_topk_pandas_udf",
+    "skew_salted_event_counts",
+    "tokenize_regex_documents",
+    "weighted_sample_documents",
+    "zscore_outliers_events",
+    # -- oldest r5 greens: the whole streaming family (10) --
+    "streaming_attribution_join",
+    "streaming_attribution_outer",
+    "streaming_convert_roundtrip",
+    "streaming_dedup_events",
+    "streaming_enrich_events",
+    "streaming_funnel_user_state",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_stateful_user_stats",
+    "streaming_tumbling_counts",
+    # -- oldest r5 greens: batch picks (16) --
+    "asof_last_click",
+    "bm25_topk_documents",
+    "contamination_check_documents",
+    "csv_roundtrip_agg",
+    "gap_fill_hourly_events",
+    "geo_aggregate_lineitem",
+    "inverted_index_documents",
+    "ngram_jaccard_pairs",
+    "range_join_event_pairs",
+    "rolling_hourly_user_counts",
+    "semantic_dedup_embeddings",
+    "sessionize_events",
+    "similarity_ivf_embeddings",
+    "source_similarity_minhash",
+    "tumbling_hourly_counts",
+    "vocab_oov_rate_documents",
+    # Round-9 plan ledger — the 21 r5 rows NOT in this window become
+    # rule-mandatory at round-9 planning (last row r5 <= latest(8) -
+    # 3): approx_distinct_users_per_type, correlation_matrix_lineitem,
+    # cube_order_stats, debounce_events, embedding_centroids_by_label,
+    # event_path_trigrams, full_outer_nation_presence,
+    # funnel_conversion_events, intersect_active_nations,
+    # length_histogram_documents, mad_outliers_events,
+    # multimodal_resize_thumbnails, pivot_event_counts,
+    # q17_small_quantity_revenue, q5_local_supplier_volume,
+    # quality_percentile_filter_documents, retention_cohorts_events,
+    # rfm_segmentation_customers, running_total_orders,
+    # seasonal_anomaly_events, trend_slope_by_type. 21 slots; the
+    # balance of the round-9 window goes to the oldest r6 greens (48
+    # of those at planning time) — the 3-round cadence stays feasible
+    # (21 + 29 of 48 fit; the rest age to round 10 at ceiling 3).
 }
 
 
@@ -608,4 +608,5 @@ from . import (  # noqa: E402,F401
     queries_analytic,
     queries_ir,
     queries_tpch2,
+    queries_txlog,
 )

@@ -1,0 +1,182 @@
+"""Driver-hash-checked coverage for the transaction-log table layer
+(sources/txlog.py) — VERDICT r6 item 5: the txlog read path was
+pytest-only; these queries put snapshot reads, time travel, and the
+stats-pruned copy-on-write MERGE behind the driver's DuckDB oracle.
+
+Each query BUILDS a real TxTable in a throwaway directory from the
+fixture tables (multiple commits, so replay genuinely merges
+add/remove actions), then answers through ``TxTable.snapshot()`` —
+the hash matches only if the log-governed file set reconstructs
+exactly the rows the oracle computes from the plain parquet fixtures.
+
+Determinism: table contents derive from fixture columns only (key
+parity splits), all doubles are carried as integer cents, and the
+oracle mirrors the same splits in SQL. The staging/commit machinery
+writes fresh UUID-named files each call but their *content* is
+deterministic, so the value hash is stable across runs.
+
+Scale note: create/append/merge stage data through normal
+``df.write.parquet`` (distributed); the only driver-side work is
+footer-stat registration and log JSON — O(files), not O(rows).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.txlog import TxTable
+from .tables import table
+
+
+def _orders_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+
+@query(
+    "txlog_snapshot_read_orders",
+    priority=True,
+    since=8,
+    sql="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_snapshot_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-commit build (create even keys, blind-append odd keys),
+    then aggregate through the replayed snapshot. A hash match proves
+    the log's live-file reconstruction (adds across versions, schema
+    meta, checkpoint replay path) loses/duplicates nothing vs the
+    plain fixture. checkpoint_interval=1 forces the checkpointed
+    replay branch, not just the full-log fallback."""
+    oc = _orders_cents(spark, sf_dir)
+    t = TxTable(
+        spark,
+        tempfile.mkdtemp(prefix="hz_txq_snap_"),
+        stat_cols=["o_orderkey"],
+        checkpoint_interval=1,
+    )
+    t.create(oc.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(oc.filter(F.col("o_orderkey") % 2 == 1))
+    return (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("cents_sum"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "txlog_time_travel_orders",
+    priority=True,
+    since=8,
+    sql="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def txlog_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-0 read AFTER later commits changed the table: create
+    even keys (v0), append odd keys (v1), compact everything into one
+    clustered file (v2 — removes v0's files from the LATEST snapshot),
+    then read ``as_of=0``. The oracle sees only the even-key rows, so
+    a hash match proves time travel resolves the historical file set
+    through add/remove replay, not the current one — and that vacuum's
+    retention default left the superseded files readable."""
+    oc = _orders_cents(spark, sf_dir)
+    t = TxTable(
+        spark,
+        tempfile.mkdtemp(prefix="hz_txq_tt_"),
+        stat_cols=["o_orderkey"],
+    )
+    t.create(oc.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(oc.filter(F.col("o_orderkey") % 2 == 1))
+    t.compact(target_files=1, layout_key="o_orderkey")
+    return (
+        t.snapshot(as_of=0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("cents_sum"),
+        )
+    )
+
+
+@query(
+    "txlog_merge_read_events",
+    priority=True,
+    since=8,
+    sql="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 3 != 0
+    ),
+    changes AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) + 1 AS cents
+      FROM events WHERE event_id % 2 = 0
+    )
+    SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+           COALESCE(c.user_id, b.user_id) AS user_id,
+           COALESCE(c.event_type, b.event_type) AS event_type,
+           COALESCE(c.cents, b.cents) AS cents
+    FROM base b FULL OUTER JOIN changes c USING (event_id)
+    """,
+)
+def txlog_merge_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL lakehouse MERGE, end to end: the same base/changes
+    split as ``merge_upsert_events`` (E105, which computes the merge
+    as a plain full-outer join) but executed through
+    ``TxTable.merge_upsert`` — stats-pruned copy-on-write rewrite,
+    remove+add commit, txn marker — and answered from the post-merge
+    snapshot. The base is created as FOUR range-clustered files
+    (repartitionByRange on the key) so footer pruning has real
+    disjoint ranges to skip; a hash match proves rewritten + untouched
+    files together hold exactly the SCD1 result."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = (
+        ev.filter(F.col("event_id") % 3 != 0)
+        .repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id")
+    )
+    changes = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "cents", F.col("cents") + 1
+    )
+    t = TxTable(
+        spark,
+        tempfile.mkdtemp(prefix="hz_txq_merge_"),
+        stat_cols=["event_id"],
+    )
+    t.create(base)
+    t.merge_upsert(changes, key="event_id", txn=("txlog_merge_read", 0))
+    return t.snapshot().select("event_id", "user_id", "event_type", "cents")

@@ -308,13 +308,31 @@ class TxTable:
         head until the O_EXCL create wins. Callers never see
         :class:`CommitConflictError` from an append; operations that
         *read* the snapshot (merge, compact) still surface it, because
-        their staged rewrite may be stale."""
+        their staged rewrite may be stale.
+
+        The rebase loop is bounded (64 attempts, jittered backoff
+        growing to ~50 ms) rather than spin-forever: system-wide
+        progress is guaranteed (every lost race means someone ELSE
+        committed) but an unbounded hot loop lets one caller starve
+        indefinitely under sustained contention; past the cap the
+        conflict surfaces and the caller owns the policy."""
         adds = self._stage(df)
-        while True:
+        return self._rebase_commit(adds)
+
+    _REBASE_ATTEMPTS = 64
+
+    def _rebase_commit(self, actions: list[dict]) -> int:
+        """Commit read-nothing actions against the moving head,
+        rebasing on version conflicts with capped jittered backoff."""
+        import random
+
+        for attempt in range(self._REBASE_ATTEMPTS):
             try:
-                return self._commit(adds, self.version())
+                return self._commit(actions, self.version())
             except CommitConflictError:
-                continue
+                if attempt == self._REBASE_ATTEMPTS - 1:
+                    raise
+                time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
 
     def committed_txns(self, app_id: str) -> set[int]:
         """Batch ids already committed by ``app_id`` (txn actions)."""
@@ -336,14 +354,18 @@ class TxTable:
             return None
         actions = self._stage(df)
         actions.append({"txn": {"appId": app_id, "batchId": batch_id}})
-        while True:
+        import random
+
+        for attempt in range(self._REBASE_ATTEMPTS):
             base = self.version()
             if batch_id in self.committed_txns(app_id):
                 return None  # twin won the race; staged files are vacuum-able orphans
             try:
                 return self._commit(actions, base)
             except CommitConflictError:
-                continue
+                if attempt == self._REBASE_ATTEMPTS - 1:
+                    raise
+                time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
 
     def foreach_batch_writer(self, app_id: str):
         """``writeStream.foreachBatch(t.foreach_batch_writer("job"))``
@@ -477,8 +499,28 @@ class TxTable:
         bounds = updates.agg(
             F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
         ).collect()[0]
-        if bounds.lo is None:  # empty update batch: no-op commit
-            return self.version()
+        if bounds.lo is None:
+            # Empty update batch: no data work, but a txn-stamped call
+            # still records its marker (marker-only commit) so callers
+            # using committed_txns as a progress/watermark record see
+            # every batch — matching append_batch, which always stamps.
+            if txn is None:
+                return self.version()
+            import random
+
+            for attempt in range(self._REBASE_ATTEMPTS):
+                base = self.version()
+                if txn[1] in self.committed_txns(txn[0]):
+                    return None
+                try:
+                    # marker-only commit rebases like a blind append
+                    return self._commit(
+                        [{"txn": {"appId": txn[0], "batchId": txn[1]}}], base
+                    )
+                except CommitConflictError:
+                    if attempt == self._REBASE_ATTEMPTS - 1:
+                        raise
+                    time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
         if resolve is None:
             dup = (
                 updates.groupBy(*keys)
@@ -543,7 +585,10 @@ class TxTable:
         ``coalesce`` otherwise (no shuffle)."""
         base = self.version()
         files = self.files()
-        if len(files) <= target_files and layout_key is None:
+        if not files or (len(files) <= target_files and layout_key is None):
+            # empty table: nothing to rewrite, even under layout_key
+            # (reachable from a maintenance tick after empty-batch
+            # merges — spark.read.parquet() with zero paths raises)
             return base
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
         if layout_key is not None:
@@ -571,14 +616,29 @@ class TxTable:
         reader needs time travel past the removes."""
         live = set(self.files())
         horizon = time.time() - retention_seconds
+
+        def _remove_if_aged(f: str) -> bool:
+            # stat+remove raced against a concurrent vacuum (or manual
+            # cleanup) must not abort the sweep: a vanished file is
+            # simply already vacuumed
+            try:
+                if os.path.getmtime(f) <= horizon:
+                    os.remove(f)
+                    return True
+            except FileNotFoundError:
+                pass
+            return False
+
         deleted = 0
         for f in glob.glob(os.path.join(self.path, "data-*", "*.parquet")):
-            if f not in live and os.path.getmtime(f) <= horizon:
-                os.remove(f)
-                deleted += 1
+            if f not in live:
+                deleted += _remove_if_aged(f)
         for d in glob.glob(os.path.join(self.path, "data-*")):
-            if not os.listdir(d):
-                shutil.rmtree(d)
+            try:
+                if not os.listdir(d):
+                    shutil.rmtree(d)
+            except FileNotFoundError:
+                pass
         # superseded replay checkpoints: derived data, so deletion is
         # always correctness-safe (replay falls back to a longer log
         # tail); keep the newest unconditionally and any still inside
@@ -586,7 +646,10 @@ class TxTable:
         # loses the file it just chose
         ckpts = self._checkpoint_versions()
         for v in ckpts[:-1]:
-            f = _checkpoint_file(self.path, v)
-            if os.path.getmtime(f) <= horizon:
-                os.remove(f)
+            _remove_if_aged(_checkpoint_file(self.path, v))
+        # tmp files leaked by a writer that crashed between checkpoint
+        # write and os.replace match no cleanup path otherwise — sweep
+        # the aged ones here
+        for f in glob.glob(os.path.join(_log_dir(self.path), "*.tmp-*")):
+            _remove_if_aged(f)
         return deleted

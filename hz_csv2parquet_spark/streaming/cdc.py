@@ -99,14 +99,20 @@ def run_cdc_merge(
     )
     # the maintained table's schema is static — create it empty up
     # front so EVERY batch (including the first) goes through the
-    # txn-marked MERGE and batch replays are no-ops from the start
-    table.create(
-        spark.createDataFrame(
-            [],
-            "user_id long, event_type string, last_ms long, "
-            "last_event_id long, last_cents long",
+    # txn-marked MERGE and batch replays are no-ops from the start.
+    # Create only when absent: a durable caller (scheduled
+    # availableNow runs, engine restart) reopens the existing table
+    # and the txn markers make replayed batches no-ops — an
+    # unconditional create would crash the restart path the
+    # exactly-once machinery exists to serve.
+    if table.version() < 0:
+        table.create(
+            spark.createDataFrame(
+                [],
+                "user_id long, event_type string, last_ms long, "
+                "last_event_id long, last_cents long",
+            )
         )
-    )
 
     merged = {"n": 0}
 

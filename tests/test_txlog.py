@@ -689,3 +689,86 @@ def test_merge_retry_rebases_on_genuine_conflict(spark, tmp_path, monkeypatch):
     assert got[50] == 999  # the concurrent appends' rows survive
     # 10 original + one competing (50, 999) row per injected race
     assert t.snapshot().count() == 12
+
+
+def test_compact_empty_table_with_layout_key_is_noop(spark, tmp_path):
+    """ADVICE r7: compact(layout_key=...) on an EMPTY table used to
+    bypass the small-table early return (layout_key short-circuited
+    it) and call spark.read.parquet with zero paths — reachable from
+    run_cdc_merge's maintenance tick after marker-only merges."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(spark.createDataFrame([], "k long, v long"))
+    base = t.version()
+    assert t.compact(target_files=2, layout_key="k") == base
+    assert t.snapshot().count() == 0
+
+
+def test_empty_merge_with_txn_records_marker(spark, tmp_path):
+    """ADVICE r7: an empty update batch with txn=(app, batch) must
+    still stamp the commit (marker-only action list), matching
+    append_batch — callers use committed_txns as a progress record."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    empty = spark.createDataFrame([], "k long, v long")
+    v = t.merge_upsert(empty, "k", txn=("job", 7))
+    assert v == t.version()  # a real commit landed
+    assert 7 in t.committed_txns("job")
+    # replaying the same empty batch is now a recorded no-op
+    assert t.merge_upsert(empty, "k", txn=("job", 7)) is None
+    assert t.snapshot().count() == 10
+    # a txn-less empty batch stays a pure no-op (no commit)
+    v_before = t.version()
+    assert t.merge_upsert(empty, "k") == v_before
+    assert t.version() == v_before
+
+
+def test_vacuum_sweeps_leaked_tmp_and_survives_races(spark, tmp_path):
+    """ADVICE r7: (a) checkpoint .tmp-* files leaked by a writer that
+    crashed between write and os.replace are swept once aged; (b) a
+    file vanishing between listing and stat (concurrent vacuum) must
+    not abort the sweep."""
+    import os as _os
+
+    t = _mk(spark, tmp_path, n=10, files=2)
+    log_dir = _os.path.join(t.path, "_txlog")
+    leaked = _os.path.join(log_dir, "00000099.ckpt.json.tmp-deadbeef")
+    with open(leaked, "w") as fh:
+        fh.write("{}")
+    _os.utime(leaked, (1, 1))  # aged far past any retention horizon
+    # race simulation: a dead data file that vanishes mid-sweep
+    t.compact(target_files=1)  # makes the original 2 files dead
+    dead = [f for f in glob.glob(_os.path.join(t.path, "data-*", "*.parquet"))
+            if f not in set(t.files())]
+    assert dead
+    real_getmtime = _os.path.getmtime
+
+    def racing_getmtime(p):
+        if p == dead[0]:
+            _os.remove(p)  # concurrent vacuum got there first
+        return real_getmtime(p) if _os.path.exists(p) else (_ for _ in ()).throw(
+            FileNotFoundError(p)
+        )
+
+    import unittest.mock as mock
+
+    with mock.patch("os.path.getmtime", side_effect=racing_getmtime):
+        t.vacuum(retention_seconds=0)  # must not raise
+    assert not _os.path.exists(leaked)
+    assert t.snapshot().count() == 10
+
+
+def test_append_rebase_is_bounded(spark, tmp_path, monkeypatch):
+    """ADVICE r7: the blind-append rebase loop is capped — under
+    pathological permanent conflict it surfaces CommitConflictError
+    instead of spinning forever."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    monkeypatch.setattr(TxTable, "_REBASE_ATTEMPTS", 3)
+    calls = {"n": 0}
+
+    def always_conflict(self, actions, expected_version):
+        calls["n"] += 1
+        raise CommitConflictError("permanent")
+
+    monkeypatch.setattr(TxTable, "_commit", always_conflict)
+    with pytest.raises(CommitConflictError):
+        t.append(spark.createDataFrame([(99, 99)], "k long, v long"))
+    assert calls["n"] == 3
