@@ -102,10 +102,10 @@ ROTATION: set[str] = {
     # No red rows in r7 (50/50 green). Window = the 21 rule-mandatory
     # r4-stale rows (last driver row r4 <= latest(7) - 3, per the
     # round-7 ledger) + the 26 oldest r5 greens, streaming family
-    # first (most fragile harness). The 3 new txlog-backed catalog
+    # first (most fragile harness). The 4 new txlog-backed catalog
     # registrations (queries_txlog.py, VERDICT r6 item 5) ride in via
     # priority=True/since=8 — total priority prefix = 50, exactly the
-    # driver cap.
+    # driver cap (after the change-feed swap: 21 + 25 + 4).
     #
     # -- rule-mandatory: last green r4 (21) --
     "approx_percentiles_by_segment",
@@ -140,7 +140,7 @@ ROTATION: set[str] = {
     "streaming_sliding_counts",
     "streaming_stateful_user_stats",
     "streaming_tumbling_counts",
-    # -- oldest r5 greens: batch picks (16) --
+    # -- oldest r5 greens: batch picks (15) --
     "asof_last_click",
     "bm25_topk_documents",
     "contamination_check_documents",
@@ -156,8 +156,7 @@ ROTATION: set[str] = {
     "similarity_ivf_embeddings",
     "source_similarity_minhash",
     "tumbling_hourly_counts",
-    "vocab_oov_rate_documents",
-    # Round-9 plan ledger — the 21 r5 rows NOT in this window become
+    # Round-9 plan ledger — the 22 r5 rows NOT in this window become
     # rule-mandatory at round-9 planning (last row r5 <= latest(8) -
     # 3): approx_distinct_users_per_type, correlation_matrix_lineitem,
     # cube_order_stats, debounce_events, embedding_centroids_by_label,
@@ -168,7 +167,9 @@ ROTATION: set[str] = {
     # q17_small_quantity_revenue, q5_local_supplier_volume,
     # quality_percentile_filter_documents, retention_cohorts_events,
     # rfm_segmentation_customers, running_total_orders,
-    # seasonal_anomaly_events, trend_slope_by_type. 21 slots; the
+    # seasonal_anomaly_events, trend_slope_by_type,
+    # vocab_oov_rate_documents (swapped out of the round-8 window for
+    # the 4th txlog registration, the E164 change feed). 22 slots; the
     # balance of the round-9 window goes to the oldest r6 greens (48
     # of those at planning time) — the 3-round cadence stays feasible
     # (21 + 29 of 48 fit; the rest age to round 10 at ceiling 3).

@@ -180,3 +180,65 @@ def txlog_merge_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.create(base)
     t.merge_upsert(changes, key="event_id", txn=("txlog_merge_read", 0))
     return t.snapshot().select("event_id", "user_id", "event_type", "cents")
+
+
+@query(
+    "txlog_changes_events",
+    priority=True,
+    since=8,
+    sql="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_id % 3 != 0
+    ),
+    changes AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) + 1 AS cents
+      FROM events WHERE event_id % 2 = 0
+    )
+    SELECT event_id, user_id, event_type, cents,
+           'insert' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM changes
+    UNION ALL
+    SELECT b.event_id, b.user_id, b.event_type, b.cents,
+           'delete' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM base b
+    WHERE b.event_id IN (SELECT event_id FROM changes)
+    """,
+)
+def txlog_changes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E164: the row-level change feed (CDF). Create base (v0), MERGE
+    the change batch (v1), then read ``changes(0)`` — the feed must
+    hold exactly: every change row as an insert, the pre-merge value
+    of every MATCHED key as a delete, and NOTHING for kept rows (they
+    appear in both the removed and rewritten files of the
+    copy-on-write commit and cancel in the content diff). The oracle
+    states that contract declaratively, with no knowledge of file
+    layout — a hash match proves the diff recovers logical changes
+    from physical rewrites. Scale: the diff reads only the commit's
+    touched files, and blind-append commits skip it entirely."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = (
+        ev.filter(F.col("event_id") % 3 != 0)
+        .repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id")
+    )
+    changes = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "cents", F.col("cents") + 1
+    )
+    t = TxTable(
+        spark,
+        tempfile.mkdtemp(prefix="hz_txq_cdf_"),
+        stat_cols=["event_id"],
+    )
+    t.create(base)
+    t.merge_upsert(changes, key="event_id", txn=("txlog_cdf", 0))
+    return t.changes(0)

@@ -598,9 +598,93 @@ class TxTable:
         else:
             out = df.coalesce(target_files)
         actions = self._stage(out)
+        for a in actions:
+            # the open Delta protocol's dataChange=false: this commit
+            # rearranges bytes, it does not change table content —
+            # change-feed readers skip it instead of diffing the
+            # whole rewritten table
+            a["add"]["dataChange"] = False
         for f in files:
-            actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
+            actions.append(
+                {"remove": {"path": os.path.relpath(f, self.path), "dataChange": False}}
+            )
         return self._commit(actions, base)
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level change feed for commits in ``(from_version,
+        to_version]`` — the lakehouse CDF shape: each returned row is
+        a table row plus ``_change_type`` (``insert``/``delete``; an
+        update surfaces as delete(old) + insert(new)) and
+        ``_commit_version``. The incremental-consumption primitive: a
+        downstream job reads only what each commit changed, never the
+        table.
+
+        Without row-level tracking in the log, a commit's change set
+        is recovered by content diff over ONLY that commit's files:
+        inserts = rows(added files) EXCEPT ALL rows(removed files),
+        deletes = the reverse — kept rows of a copy-on-write rewrite
+        appear on both sides and cancel, so the result is independent
+        of file layout. Cost per commit is O(touched files), never
+        O(table); blind appends skip the diff entirely (no removed
+        files). Commits whose actions carry ``dataChange: false``
+        (compaction/layout maintenance) are skipped outright — they
+        rearrange bytes, not content. Files must predate vacuum:
+        the change feed shares time travel's retention contract."""
+        from pyspark.sql.types import StructType
+
+        top = self.version()
+        hi = top if to_version is None else to_version
+        state = self._replay_state(as_of=hi)
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        out_schema = StructType.fromJson(json.loads(state["schema"])).add(
+            "_change_type", "string"
+        ).add("_commit_version", "long")
+        cols = [f.name for f in schema.fields]
+
+        def read_side(paths: list[str]) -> DataFrame:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            # align every generation to the as-of schema (null-fill
+            # columns a pre-evolution file lacks) so the content diff
+            # compares identical shapes
+            return df.select(
+                *[
+                    F.col(c) if c in df.columns else F.lit(None).cast(schema[c].dataType).alias(c)
+                    for c in cols
+                ]
+            )
+
+        feeds: list[DataFrame] = []
+        for v in range(from_version + 1, hi + 1):
+            f = _version_file(self.path, v)
+            if not os.path.exists(f):
+                raise FileNotFoundError(f"missing log version {v} at {self.path}")
+            added, removed = [], []
+            for action in json.load(open(f)):
+                if "add" in action and action["add"].get("dataChange", True):
+                    added.append(os.path.join(self.path, action["add"]["path"]))
+                elif "remove" in action and action["remove"].get("dataChange", True):
+                    removed.append(os.path.join(self.path, action["remove"]["path"]))
+            if not added and not removed:
+                continue
+            def tag(df: DataFrame, kind: str) -> DataFrame:
+                return df.withColumn("_change_type", F.lit(kind)).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+
+            if added and not removed:  # blind append: no diff needed
+                feeds.append(tag(read_side(added), "insert"))
+            elif removed and not added:  # pure delete commit
+                feeds.append(tag(read_side(removed), "delete"))
+            else:
+                a, r = read_side(added), read_side(removed)
+                feeds.append(tag(a.exceptAll(r), "insert"))
+                feeds.append(tag(r.exceptAll(a), "delete"))
+        if not feeds:
+            return self.spark.createDataFrame([], out_schema)
+        out = feeds[0]
+        for df in feeds[1:]:
+            out = out.unionByName(df)
+        return out
 
     def vacuum(self, retention_seconds: float = DEFAULT_VACUUM_RETENTION_S) -> int:
         """Delete data files no commit references anymore (removed or

@@ -187,3 +187,30 @@ def test_cli_table_merge_rewrites_only_touched_files(tmp_path, spark):
 
     with _pytest.raises(SystemExit):
         main(["table", "merge", tbl, "--src", str(ups)])
+
+
+def test_cli_table_changes_feed(tmp_path, spark):
+    """`table changes` exports the row-level CDF between versions:
+    create (v0) → merge (v1) → the feed over (0, latest] holds the
+    update's delete+insert and the new key's insert, nothing else."""
+    src = tmp_path / "in"
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.parquet(str(src))
+    ups = tmp_path / "ups"
+    spark.createDataFrame([(3, -3), (100, -100)], "k long, v long").coalesce(
+        1
+    ).write.parquet(str(ups))
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+    assert main(["table", "merge", tbl, "--src", str(ups), "--key", "k", "--stat-cols", "k"]) == 0
+    out = str(tmp_path / "feed")
+    assert main(["table", "changes", tbl, "--from-version", "0", "--dest", out]) == 0
+    feed = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert feed == {(3, -3, "insert", 1), (100, -100, "insert", 1), (3, 6, "delete", 1)}
+    # required-option validation
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["table", "changes", tbl])

@@ -772,3 +772,66 @@ def test_append_rebase_is_bounded(spark, tmp_path, monkeypatch):
     with pytest.raises(CommitConflictError):
         t.append(spark.createDataFrame([(99, 99)], "k long, v long"))
     assert calls["n"] == 3
+
+
+def test_changes_blind_append_is_pure_inserts(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    t.append(spark.createDataFrame([(100, 200), (101, 202)], "k long, v long"))
+    feed = t.changes(0).collect()
+    assert {(r.k, r.v, r._change_type, r._commit_version) for r in feed} == {
+        (100, 200, "insert", 1),
+        (101, 202, "insert", 1),
+    }
+
+
+def test_changes_merge_emits_delete_plus_insert(spark, tmp_path):
+    """An update surfaces as delete(old) + insert(new); kept rows of
+    the copy-on-write rewrite cancel in the content diff and never
+    appear — the CDF contract, independent of file layout."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = (
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t.create(df)
+    ups = spark.createDataFrame([(5, -5), (200, -200)], "k long, v long")
+    t.merge_upsert(ups, "k")
+    feed = {(r.k, r.v, r._change_type) for r in t.changes(0).collect()}
+    assert feed == {
+        (5, -5, "insert"),
+        (200, -200, "insert"),
+        (5, 10, "delete"),
+    }
+    # version filtering: nothing changed in (1, 1]
+    assert t.changes(1).count() == 0
+
+
+def test_changes_skip_data_change_false_maintenance(spark, tmp_path):
+    """Compaction rearranges bytes, not content: its add/remove
+    actions carry dataChange=false and the feed skips the commit
+    without reading (or diffing) the rewritten table."""
+    t = _mk(spark, tmp_path, n=50, files=4)
+    t.compact(target_files=1)
+    assert t.changes(0).count() == 0
+    # and a post-compaction append still feeds through
+    t.append(spark.createDataFrame([(999, 1)], "k long, v long"))
+    assert [(r.k, r._change_type, r._commit_version) for r in t.changes(1).collect()] == [
+        (999, "insert", 2)
+    ]
+
+
+def test_changes_null_fills_across_schema_evolution(spark, tmp_path):
+    """A feed spanning a schema-widening commit aligns every
+    generation to the as-of schema (old rows null-fill new columns)."""
+    t = _mk(spark, tmp_path, n=5, files=1)
+    t.evolve_schema(spark.createDataFrame([(70, 700, "x")], "k long, v long, tag string"))
+    feed = t.changes(0).collect()
+    assert [(r.k, r.v, r.tag, r._change_type) for r in feed] == [(70, 700, "x", "insert")]
+    # a feed that includes the PRE-evolution create would null-fill:
+    t2 = TxTable(spark, str(tmp_path / "t2"), stat_cols=["k"])
+    t2.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t2.evolve_schema(spark.createDataFrame([(2, 20, "y")], "k long, v long, tag string"))
+    got = {(r.k, r.v, r.tag) for r in t2.changes(0).collect()}
+    assert got == {(2, 20, "y")}
