@@ -1,0 +1,268 @@
+"""``hz_txlog`` — a Spark Data Source (pyspark.sql.datasource, the
+public Python Data Source V2 API, Spark 4.x) exposing transaction-log
+tables (sources/txlog.py) through the standard ``format()`` surface:
+
+- **Batch**: ``spark.read.format("hz_txlog").load(path)`` — the
+  log-governed snapshot; ``.option("asOf", v)`` time-travels.
+- **Streaming**: ``spark.readStream.format("hz_txlog").load(path)``
+  — tails the commit log with VERSIONS AS OFFSETS. Each micro-batch
+  reads exactly the ``dataChange`` ADD files of the newly committed
+  versions, so:
+
+  * layout maintenance (compaction's ``dataChange: false`` commits)
+    is INVISIBLE to the stream — the failure mode that makes naive
+    file-watch streaming over a compacted table re-emit the whole
+    table is structurally impossible;
+  * the source is exactly-once across restarts: offsets are
+    versions, checkpointed by the engine, and replaying a version
+    range re-reads the same immutable files;
+  * copy-on-write change commits (MERGE rewrites) RAISE by default
+    — a version-offset stream cannot represent row updates as
+    appends; ``.option("skipChangeCommits", "true")`` opts into
+    skipping them, mirroring the public Delta streaming-source
+    contract (append-only by default, skipChangeCommits to ignore
+    rewrites; the row-accurate alternative is the batch change feed
+    ``TxTable.changes``).
+
+The stream reader plans driver-side from the log only (no data I/O:
+partitions = one per added file, carrying path + rows from the add
+action) and reads executor-side via pyarrow as Arrow batches — the
+same columnar hand-off the built-in parquet source does, so a
+1000-file commit fans out across the cluster instead of bottlenecking
+on the driver. Rows-per-file from the log lets Spark see batch sizes
+without opening footers.
+
+Engine caveat: Spark 4.1 runs Python streaming sources under
+``Trigger.AvailableNow`` by falling back to single-batch execution
+(one batch from the checkpointed offset to ``latestOffset`` at
+start) — drain loops should re-trigger until quiescent if they need
+everything-to-now semantics (tests/test_txlog_source.py shows the
+pattern).
+
+Reference parity note: the reference toolkit has no streaming surface
+(SURVEY §2.8); this is extension depth on the Spark-native side,
+public-protocol shapes only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from .txlog import _version_file
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+    columns: tuple  # ((name, ddl_type), ...) of the as-of schema
+
+
+def _schema_from_log(path: str, as_of: int | None = None) -> StructType:
+    """Committed schema (last meta action ≤ as_of) without Spark."""
+    # replay meta actions only — cheap driver-side JSON walk
+    import re as _re
+
+    log = os.path.join(path, "_txlog")
+    versions = sorted(
+        int(m.group(1))
+        for n in os.listdir(log)
+        if (m := _re.match(r"^(\d{8})\.json$", n))
+    )
+    if as_of is not None:
+        versions = [v for v in versions if v <= as_of]
+    schema_json = None
+    for v in versions:
+        for action in json.load(open(_version_file(path, v))):
+            if "meta" in action:
+                schema_json = action["meta"]["schema"]
+    if schema_json is None:
+        raise ValueError(f"no committed schema in transaction log at {path}")
+    st = StructType.fromJson(json.loads(schema_json))
+    # surface every column nullable, matching Spark's own parquet-read
+    # semantics (and the null-fill contract across schema evolution)
+    from pyspark.sql.types import StructField
+
+    return StructType([StructField(f.name, f.dataType, True) for f in st.fields])
+
+
+def _read_file_as_arrow(part: _FilePartition):
+    """Executor-side: one parquet file → Arrow batches aligned to the
+    as-of schema (null-fill columns an older generation lacks)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_json_string
+
+    fields = [
+        (name, to_arrow_type(_parse_datatype_json_string(dt_json)))
+        for name, dt_json in part.columns
+    ]
+    target = pa.schema(fields)
+    table = pq.read_table(part.path)
+    cols = []
+    for name, typ in fields:
+        if name in table.column_names:
+            cols.append(table.column(name).cast(typ))
+        else:
+            cols.append(pa.nulls(table.num_rows, type=typ))
+    aligned = pa.table(cols, schema=target)
+    yield from aligned.to_batches(max_chunksize=65536)
+
+
+def _schema_columns(schema: StructType) -> tuple:
+    return tuple((f.name, f.dataType.json()) for f in schema.fields)
+
+
+class _TxLogBatchReader(DataSourceReader):
+    def __init__(self, path: str, as_of: int | None):
+        self.path = path
+        self.as_of = as_of
+        self.schema = _schema_from_log(path, as_of)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # plan from the log only: live files at as_of, one partition
+        # per file (Spark schedules them across executors)
+        state = _replay_adds(self.path, self.as_of)
+        cols = _schema_columns(self.schema)
+        return [
+            _FilePartition(os.path.join(self.path, p), cols) for p in state
+        ] or [_FilePartition("", cols)]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        if not partition.path:  # empty table sentinel partition
+            return iter(())
+        return _read_file_as_arrow(partition)
+
+
+def _replay_adds(path: str, as_of: int | None = None) -> list[str]:
+    """Live relative file paths at ``as_of`` — log walk, no Spark."""
+    import re as _re
+
+    log = os.path.join(path, "_txlog")
+    versions = sorted(
+        int(m.group(1))
+        for n in os.listdir(log)
+        if (m := _re.match(r"^(\d{8})\.json$", n))
+    )
+    if as_of is not None:
+        versions = [v for v in versions if v <= as_of]
+    adds: dict[str, bool] = {}
+    for v in versions:
+        for action in json.load(open(_version_file(path, v))):
+            if "add" in action:
+                adds[action["add"]["path"]] = True
+            elif "remove" in action:
+                adds.pop(action["remove"]["path"], None)
+    return list(adds)
+
+
+class _TxLogStreamReader(DataSourceStreamReader):
+    """Versions-as-offsets tail of the commit log. Offset dict:
+    ``{"version": N}`` = everything up to and including version N has
+    been emitted. Planning is pure log I/O on the driver; data reads
+    happen in executors via Arrow."""
+
+    def __init__(self, path: str, schema: StructType, options: dict):
+        self.path = path
+        self._schema = schema
+        opts = {k.lower(): v for k, v in options.items()}  # option names are case-insensitive
+        self.skip_change_commits = (
+            str(opts.get("skipchangecommits", "false")).lower() == "true"
+        )
+        # startingVersion: first batch starts AFTER this version
+        # (default -1: emit the existing table as the first batch —
+        # Delta's startingVersion=0 shape)
+        self.starting_version = int(opts.get("startingversion", -1))
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting_version}
+
+    def latestOffset(self) -> dict:
+        import re as _re
+
+        try:
+            names = os.listdir(os.path.join(self.path, "_txlog"))
+        except FileNotFoundError:
+            return {"version": -1}
+        vs = [int(n[:8]) for n in names if _re.match(r"^\d{8}\.json$", n)]
+        return {"version": max(vs, default=-1)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        cols = _schema_columns(self._schema)
+        parts: list[_FilePartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            f = _version_file(self.path, v)
+            if not os.path.exists(f):
+                raise FileNotFoundError(
+                    f"log version {v} missing at {self.path} — vacuumed past "
+                    "the stream's checkpoint? restart with a fresh checkpoint"
+                )
+            added, removed = [], []
+            for action in json.load(open(f)):
+                if "add" in action and action["add"].get("dataChange", True):
+                    added.append(action["add"]["path"])
+                elif "remove" in action and action["remove"].get("dataChange", True):
+                    removed.append(action["remove"]["path"])
+            if removed:
+                # copy-on-write rewrite: not representable as appends
+                if self.skip_change_commits:
+                    continue
+                raise ValueError(
+                    f"version {v} of {self.path} rewrites existing rows "
+                    "(remove actions with dataChange=true); a version-offset "
+                    "stream is append-only. Set skipChangeCommits=true to "
+                    "ignore such commits, or consume TxTable.changes() in "
+                    "batch for row-accurate updates."
+                )
+            parts.extend(
+                _FilePartition(os.path.join(self.path, p), cols) for p in added
+            )
+        return parts
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file_as_arrow(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # engine-side checkpoint is the source of truth
+
+
+class TxLogDataSource(DataSource):
+    """``spark.dataSource.register(TxLogDataSource)`` then
+    ``spark.read.format("hz_txlog").load(table_path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hz_txlog"
+
+    def _path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError("hz_txlog requires a table path: .load(<path>)")
+        return p
+
+    def schema(self):
+        as_of = self.options.get("asof")
+        return _schema_from_log(self._path(), int(as_of) if as_of is not None else None)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        as_of = self.options.get("asof")
+        return _TxLogBatchReader(self._path(), int(as_of) if as_of is not None else None)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _TxLogStreamReader(self._path(), schema, dict(self.options))
+
+
+def register_txlog_source(spark) -> None:
+    """Idempotent registration of the ``hz_txlog`` format."""
+    spark.dataSource.register(TxLogDataSource)

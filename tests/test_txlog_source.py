@@ -1,0 +1,137 @@
+"""The ``hz_txlog`` Spark Data Source (sources/txlog_source.py):
+batch snapshot/time-travel reads through ``format()``, and the
+versions-as-offsets streaming source with the append-only /
+skipChangeCommits contract (the public Delta streaming-source shape).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark.sources.txlog import TxTable
+from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_txlog_source(spark)
+
+
+def _mk(spark, tmp_path, n=20, files=2):
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(files)
+    t.create(df)
+    return t
+
+
+def test_batch_read_matches_snapshot(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=30, files=3)
+    got = spark.read.format("hz_txlog").load(t.path)
+    assert got.schema == t.snapshot().schema
+    assert {(r.k, r.v) for r in got.collect()} == {(i, 2 * i) for i in range(30)}
+
+
+def test_batch_read_time_travel_option(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    t.append(spark.createDataFrame([(100, 200)], "k long, v long"))
+    t.compact(target_files=1)
+    v0 = spark.read.format("hz_txlog").option("asOf", 0).load(t.path)
+    assert v0.count() == 10
+    latest = spark.read.format("hz_txlog").load(t.path)
+    assert latest.count() == 11
+
+
+def _drain(spark, t, ckpt, skip=False, starting=None):
+    """availableNow drain via foreachBatch (checkpoint-recoverable,
+    unlike the memory sink); returns the rows THIS run emitted."""
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend((r.k, r.v) for r in batch_df.collect())
+
+    reader = spark.readStream.format("hz_txlog")
+    if skip:
+        reader = reader.option("skipChangeCommits", "true")
+    if starting is not None:
+        reader = reader.option("startingVersion", starting)
+    q = (
+        reader.load(t.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return set(rows)
+
+
+def test_stream_emits_existing_then_appends_only(spark, tmp_path):
+    """First batch = the whole existing table; after an append the
+    stream emits ONLY the appended rows (version offsets, not file
+    mtimes). availableNow drains to the latest offset and stops."""
+    t = _mk(spark, tmp_path, n=5, files=1)
+    ckpt = str(tmp_path / "ckpt")
+    assert _drain(spark, t, ckpt) == {(i, 2 * i) for i in range(5)}
+    t.append(spark.createDataFrame([(50, 100), (51, 102)], "k long, v long"))
+    # same checkpoint: resumes from version 0, emits only version 1
+    assert _drain(spark, t, ckpt) == {(50, 100), (51, 102)}
+
+
+def test_stream_skips_maintenance_commits(spark, tmp_path):
+    """Compaction (dataChange=false) is invisible: no re-emission of
+    the rewritten table, no error — the property a naive file-watch
+    stream over a compacted table cannot have."""
+    t = _mk(spark, tmp_path, n=6, files=3)
+    ckpt = str(tmp_path / "ckpt")
+    assert len(_drain(spark, t, ckpt)) == 6
+    t.compact(target_files=1)
+    t.append(spark.createDataFrame([(99, 198)], "k long, v long"))
+    assert _drain(spark, t, ckpt) == {(99, 198)}
+
+
+def test_stream_change_commit_raises_unless_skipped(spark, tmp_path):
+    """A copy-on-write MERGE rewrite cannot be represented as appends:
+    the stream fails by default and skips the commit with
+    skipChangeCommits=true (the Delta streaming-source contract)."""
+    t = _mk(spark, tmp_path, n=4, files=1)
+    ckpt = str(tmp_path / "ckpt")
+    assert len(_drain(spark, t, ckpt)) == 4
+    t.merge_upsert(spark.createDataFrame([(0, -1)], "k long, v long"), "k")
+    # the reader's ValueError surfaces wrapped in the engine's
+    # StreamingQueryException — match on the contract message
+    with pytest.raises(Exception) as exc_info:
+        _drain(spark, t, ckpt)
+    assert "append-only" in str(exc_info.value) or "skipChangeCommits" in str(
+        exc_info.value
+    )
+    # opting in skips the rewrite commit; a later append still flows.
+    # Python sources fall back from AvailableNow to single-batch
+    # execution, so the first recovered drain may spend itself on the
+    # skipped (empty) change-commit batch — drain until quiescent.
+    t.append(spark.createDataFrame([(77, 154)], "k long, v long"))
+    got = _drain(spark, t, ckpt, skip=True)
+    if not got:
+        got = _drain(spark, t, ckpt, skip=True)
+    assert got == {(77, 154)}
+
+
+def test_stream_starting_version_option(spark, tmp_path):
+    """startingVersion=N skips the backfill: the first batch begins
+    after version N (Delta's startingVersion semantics)."""
+    t = _mk(spark, tmp_path, n=3, files=1)
+    t.append(spark.createDataFrame([(10, 20)], "k long, v long"))
+    got = _drain(spark, t, str(tmp_path / "ckpt_sv"), starting=0)
+    assert got == {(10, 20)}
+
+
+def test_batch_read_null_fills_schema_evolution(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=2, files=1)
+    t.evolve_schema(
+        spark.createDataFrame([(5, 10, "x")], "k long, v long, tag string")
+    )
+    got = spark.read.format("hz_txlog").load(t.path)
+    rows = {(r.k, r.v, r.tag) for r in got.collect()}
+    assert rows == {(0, 0, None), (1, 2, None), (5, 10, "x")}
