@@ -54,8 +54,10 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -262,7 +264,128 @@ class TxLogDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TxLogStreamReader(self._path(), schema, dict(self.options))
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _TxLogStreamWriter(self._path(), schema, dict(self.options))
+
 
 def register_txlog_source(spark) -> None:
     """Idempotent registration of the ``hz_txlog`` format."""
     spark.dataSource.register(TxLogDataSource)
+
+
+# ---------------- exactly-once streaming sink ----------------
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    """Per-task result: the staged file (relative to the table root)
+    plus the add-action metadata the driver needs — no driver-side
+    footer reads, the stats ride the commit message."""
+
+    rel_path: str | None  # None: this task saw no rows
+    rows: int
+    stats: dict
+
+
+class _TxLogStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("hz_txlog")`` — the exactly-once txlog
+    sink through the standard sink API. Executors stream Arrow batches
+    straight to parquet in a per-batch staging dir; the driver turns
+    the collected commit messages into ONE log commit carrying the
+    ``txn`` marker ``(appId, batchId)``, so a replayed micro-batch
+    (at-least-once engine restart) is a no-op and a failed batch's
+    staged files are invisible orphans (vacuum-able) — the same
+    protocol as :meth:`TxTable.append_batch`, with the data plane
+    moved into the sink API. Options: ``appId`` (marker namespace,
+    default ``hz_txlog_sink``), ``statCols`` (comma-separated columns
+    whose min/max ride the add actions for MERGE/scan pruning)."""
+
+    def __init__(self, path: str, schema: StructType, options: dict):
+        self.path = path
+        self._schema = schema
+        opts = {k.lower(): v for k, v in options.items()}
+        self.app_id = opts.get("appid", "hz_txlog_sink")
+        self.stat_cols = [
+            c for c in str(opts.get("statcols", "")).split(",") if c
+        ]
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _WriteMessage(None, 0, {})
+        table = pa.Table.from_batches(batches)
+        stage = os.path.join(self.path, "data-stream")
+        os.makedirs(stage, exist_ok=True)
+        rel = os.path.join("data-stream", f"part-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(table, os.path.join(self.path, rel))
+        stats = {}
+        for c in self.stat_cols:
+            if c not in table.column_names:
+                continue
+            col = table.column(c)
+            if col.null_count == len(col):
+                continue
+            lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
+            try:
+                json.dumps([lo, hi])
+            except TypeError:
+                continue
+            stats[c] = [lo, hi]
+        return _WriteMessage(rel, table.num_rows, stats)
+
+    def _table(self):
+        from .txlog import TxTable
+
+        # log-only operations: no SparkSession needed on this path
+        return TxTable(None, self.path, stat_cols=self.stat_cols)
+
+    def _committed(self, t) -> set:
+        # a brand-new table has no log yet — nothing committed
+        return t.committed_txns(self.app_id) if t.version() >= 0 else set()
+
+    def commit(self, messages, batchId: int) -> None:
+        t = self._table()
+        if batchId in self._committed(t):
+            # replayed batch: drop the freshly staged duplicates and
+            # keep the original commit — exactly-once
+            self.abort(messages, batchId)
+            return
+        actions: list[dict] = []
+        for m in messages:
+            if m is not None and m.rel_path is not None:
+                actions.append(
+                    {"add": {"path": m.rel_path, "rows": m.rows, "stats": m.stats}}
+                )
+        if t.version() < 0:
+            actions.append({"meta": {"schema": self._schema.json()}})
+        actions.append({"txn": {"appId": self.app_id, "batchId": batchId}})
+        # append_batch's bounded rebase with the twin check: if a
+        # replayed twin of this very batch wins a version race, drop
+        # out instead of double-committing
+        from .txlog import CommitConflictError
+
+        for attempt in range(t._REBASE_ATTEMPTS):
+            base = t.version()
+            if batchId in self._committed(t):
+                self.abort(messages, batchId)
+                return
+            try:
+                t._commit(actions, base)
+                return
+            except CommitConflictError:
+                if attempt == t._REBASE_ATTEMPTS - 1:
+                    raise
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.rel_path is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.rel_path))
+                except FileNotFoundError:
+                    pass
