@@ -53,6 +53,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
@@ -264,6 +265,9 @@ class TxLogDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TxLogStreamReader(self._path(), schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return _TxLogBatchWriter(self._path(), schema, dict(self.options), overwrite)
+
     def streamWriter(self, schema: StructType, overwrite: bool):
         return _TxLogStreamWriter(self._path(), schema, dict(self.options))
 
@@ -287,27 +291,14 @@ class _WriteMessage(WriterCommitMessage):
     stats: dict
 
 
-class _TxLogStreamWriter(DataSourceStreamArrowWriter):
-    """``df.writeStream.format("hz_txlog")`` — the exactly-once txlog
-    sink through the standard sink API. Executors stream Arrow batches
-    straight to parquet in a per-batch staging dir; the driver turns
-    the collected commit messages into ONE log commit carrying the
-    ``txn`` marker ``(appId, batchId)``, so a replayed micro-batch
-    (at-least-once engine restart) is a no-op and a failed batch's
-    staged files are invisible orphans (vacuum-able) — the same
-    protocol as :meth:`TxTable.append_batch`, with the data plane
-    moved into the sink API. Options: ``appId`` (marker namespace,
-    default ``hz_txlog_sink``), ``statCols`` (comma-separated columns
-    whose min/max ride the add actions for MERGE/scan pruning)."""
+class _StagedParquetWriteMixin:
+    """Executor-side write path shared by the batch and streaming
+    writers: Arrow batches → one staged parquet file per task, with
+    min/max pruning stats computed in-stream (no footer re-reads —
+    they ride the commit message back to the driver)."""
 
-    def __init__(self, path: str, schema: StructType, options: dict):
-        self.path = path
-        self._schema = schema
-        opts = {k.lower(): v for k, v in options.items()}
-        self.app_id = opts.get("appid", "hz_txlog_sink")
-        self.stat_cols = [
-            c for c in str(opts.get("statcols", "")).split(",") if c
-        ]
+    path: str
+    stat_cols: list
 
     def write(self, iterator):
         import uuid as _uuid
@@ -339,11 +330,87 @@ class _TxLogStreamWriter(DataSourceStreamArrowWriter):
             stats[c] = [lo, hi]
         return _WriteMessage(rel, table.num_rows, stats)
 
+    def abort(self, messages, batchId: int | None = None) -> None:
+        for m in messages:
+            if m is not None and m.rel_path is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.rel_path))
+                except FileNotFoundError:
+                    pass
+
     def _table(self):
         from .txlog import TxTable
 
         # log-only operations: no SparkSession needed on this path
         return TxTable(None, self.path, stat_cols=self.stat_cols)
+
+    @staticmethod
+    def _adds(messages) -> list[dict]:
+        return [
+            {"add": {"path": m.rel_path, "rows": m.rows, "stats": m.stats}}
+            for m in messages
+            if m is not None and m.rel_path is not None
+        ]
+
+
+class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
+    """``df.write.format("hz_txlog").mode("append"|"overwrite")
+    .save(path)`` — batch writes through the standard writer API.
+    Append is a blind-append commit (rebases lost version races like
+    :meth:`TxTable.append`); overwrite stages the new data, then
+    removes every live file and adds the staged set in ONE commit —
+    readers flip atomically, time travel keeps the old version. A
+    first write auto-creates the table."""
+
+    def __init__(self, path: str, schema: StructType, options: dict, overwrite: bool):
+        self.path = path
+        self._schema = schema
+        self.overwrite = overwrite
+        opts = {k.lower(): v for k, v in options.items()}
+        self.stat_cols = [c for c in str(opts.get("statcols", "")).split(",") if c]
+
+    def commit(self, messages) -> None:
+        t = self._table()
+        actions = self._adds(messages)
+        new_table = t.version() < 0
+        if new_table:
+            actions.append({"meta": {"schema": self._schema.json()}})
+        if self.overwrite and not new_table:
+            state = t._replay_state()
+            for rel in state["adds"]:
+                actions.append({"remove": {"path": rel}})
+            # overwrite read the snapshot it is replacing: a lost
+            # version race means that snapshot is stale — surface the
+            # conflict (single attempt), matching merge/compact
+            t._commit(actions, t.version())
+        else:
+            t._rebase_commit(actions)
+
+    def abort(self, messages) -> None:
+        super().abort(messages)
+
+
+class _TxLogStreamWriter(_StagedParquetWriteMixin, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("hz_txlog")`` — the exactly-once txlog
+    sink through the standard sink API. Executors stream Arrow batches
+    straight to parquet in a per-batch staging dir; the driver turns
+    the collected commit messages into ONE log commit carrying the
+    ``txn`` marker ``(appId, batchId)``, so a replayed micro-batch
+    (at-least-once engine restart) is a no-op and a failed batch's
+    staged files are invisible orphans (vacuum-able) — the same
+    protocol as :meth:`TxTable.append_batch`, with the data plane
+    moved into the sink API. Options: ``appId`` (marker namespace,
+    default ``hz_txlog_sink``), ``statCols`` (comma-separated columns
+    whose min/max ride the add actions for MERGE/scan pruning)."""
+
+    def __init__(self, path: str, schema: StructType, options: dict):
+        self.path = path
+        self._schema = schema
+        opts = {k.lower(): v for k, v in options.items()}
+        self.app_id = opts.get("appid", "hz_txlog_sink")
+        self.stat_cols = [
+            c for c in str(opts.get("statcols", "")).split(",") if c
+        ]
 
     def _committed(self, t) -> set:
         # a brand-new table has no log yet — nothing committed
@@ -356,12 +423,7 @@ class _TxLogStreamWriter(DataSourceStreamArrowWriter):
             # keep the original commit — exactly-once
             self.abort(messages, batchId)
             return
-        actions: list[dict] = []
-        for m in messages:
-            if m is not None and m.rel_path is not None:
-                actions.append(
-                    {"add": {"path": m.rel_path, "rows": m.rows, "stats": m.stats}}
-                )
+        actions = self._adds(messages)
         if t.version() < 0:
             actions.append({"meta": {"schema": self._schema.json()}})
         actions.append({"txn": {"appId": self.app_id, "batchId": batchId}})
@@ -382,10 +444,4 @@ class _TxLogStreamWriter(DataSourceStreamArrowWriter):
                 if attempt == t._REBASE_ATTEMPTS - 1:
                     raise
 
-    def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and m.rel_path is not None:
-                try:
-                    os.remove(os.path.join(self.path, m.rel_path))
-                except FileNotFoundError:
-                    pass
+

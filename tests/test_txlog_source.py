@@ -215,3 +215,38 @@ def test_stream_sink_roundtrip_through_stream_source(spark, tmp_path):
     assert {(r.k, r.v) for r in b.snapshot().collect()} == {
         (i, 2 * i) for i in range(8)
     }
+
+
+def test_batch_writer_append_and_autocreate(spark, tmp_path):
+    """df.write.format('hz_txlog').mode('append'): first write
+    auto-creates the table, later writes accumulate, stats land."""
+    tbl = str(tmp_path / "tbl")
+    spark.range(5).selectExpr("id AS k", "id * 2 AS v").write.format(
+        "hz_txlog"
+    ).option("statCols", "k").mode("append").save(tbl)
+    t = TxTable(spark, tbl, stat_cols=["k"])
+    assert t.snapshot().count() == 5
+    spark.createDataFrame([(50, 100)], "k long, v long").write.format(
+        "hz_txlog"
+    ).option("statCols", "k").mode("append").save(tbl)
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == {
+        (i, 2 * i) for i in range(5)
+    } | {(50, 100)}
+    hit, miss = t.pruned_files("k", 1000, 2000)
+    assert not hit and len(miss) >= 2
+
+
+def test_batch_writer_overwrite_is_atomic_and_time_travels(spark, tmp_path):
+    """mode('overwrite') removes every live file and adds the new set
+    in one commit — readers flip atomically, the old version stays
+    reachable via time travel."""
+    tbl = str(tmp_path / "tbl")
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").write.format(
+        "hz_txlog"
+    ).mode("append").save(tbl)
+    spark.createDataFrame([(999, 1)], "k long, v long").write.format(
+        "hz_txlog"
+    ).mode("overwrite").save(tbl)
+    t = TxTable(spark, tbl, stat_cols=["k"])
+    assert [(r.k, r.v) for r in t.snapshot().collect()] == [(999, 1)]
+    assert t.snapshot(as_of=0).count() == 10  # pre-overwrite generation
