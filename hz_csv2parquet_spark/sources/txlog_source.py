@@ -57,7 +57,13 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -132,14 +138,21 @@ class _TxLogBatchReader(DataSourceReader):
         self.path = path
         self.as_of = as_of
         self.schema = _schema_from_log(path, as_of)
+        self._pruning = []  # range filters usable for file skipping
 
     def partitions(self) -> Sequence[InputPartition]:
-        # plan from the log only: live files at as_of, one partition
-        # per file (Spark schedules them across executors)
+        # plan from the log only: live files at as_of minus the files
+        # whose stats prove no pushed filter can match, one partition
+        # per surviving file (Spark schedules them across executors)
         state = _replay_adds(self.path, self.as_of)
         cols = _schema_columns(self.schema)
+        live = [
+            p
+            for p, add in state.items()
+            if all(_stats_admit(add.get("stats", {}), f) for f in self._pruning)
+        ]
         return [
-            _FilePartition(os.path.join(self.path, p), cols) for p in state
+            _FilePartition(os.path.join(self.path, p), cols) for p in live
         ] or [_FilePartition("", cols)]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -148,8 +161,36 @@ class _TxLogBatchReader(DataSourceReader):
         return _read_file_as_arrow(partition)
 
 
-def _replay_adds(path: str, as_of: int | None = None) -> list[str]:
-    """Live relative file paths at ``as_of`` — log walk, no Spark."""
+class _TxLogPruningBatchReader(_TxLogBatchReader):
+    """The batch reader with filter pushdown. Split into a subclass
+    because Spark REFUSES any reader that merely defines
+    ``pushFilters`` while ``spark.sql.python.filterPushdown.enabled``
+    is false — the DataSource picks this class only when the conf is
+    on (``register_txlog_source`` enables it)."""
+
+    def pushFilters(self, filters):
+        """Record every range-comparable top-level-column filter for
+        FILE SKIPPING against the log's min/max stats, and hand ALL
+        filters back for Spark to evaluate row-level — skipping is a
+        superset guarantee, so correctness never depends on it. This
+        is the same contract the native parquet source has between
+        footer-stats row-group skipping and post-scan filtering."""
+        for f in filters:
+            if (
+                isinstance(
+                    f,
+                    (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In),
+                )
+                and len(f.attribute) == 1
+            ):
+                self._pruning.append(f)
+        return filters
+
+
+def _replay_adds(path: str, as_of: int | None = None) -> dict[str, dict]:
+    """Live ``{relative path: add action}`` at ``as_of`` — log walk,
+    no Spark (the add actions carry the min/max stats file skipping
+    needs)."""
     import re as _re
 
     log = os.path.join(path, "_txlog")
@@ -160,14 +201,42 @@ def _replay_adds(path: str, as_of: int | None = None) -> list[str]:
     )
     if as_of is not None:
         versions = [v for v in versions if v <= as_of]
-    adds: dict[str, bool] = {}
+    adds: dict[str, dict] = {}
     for v in versions:
         for action in json.load(open(_version_file(path, v))):
             if "add" in action:
-                adds[action["add"]["path"]] = True
+                adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 adds.pop(action["remove"]["path"], None)
-    return list(adds)
+    return adds
+
+
+def _stats_admit(stats: dict, flt) -> bool:
+    """True unless the file's [min, max] stats PROVE the filter can
+    match no row — the conservative data-skipping predicate. A file
+    without stats for the column (or with stats incomparable to the
+    literal) always admits."""
+    col = flt.attribute[0]
+    st = stats.get(col)
+    if st is None:
+        return True
+    lo, hi = st
+    try:
+        if isinstance(flt, EqualTo):
+            return lo <= flt.value <= hi
+        if isinstance(flt, GreaterThan):
+            return hi > flt.value
+        if isinstance(flt, GreaterThanOrEqual):
+            return hi >= flt.value
+        if isinstance(flt, LessThan):
+            return lo < flt.value
+        if isinstance(flt, LessThanOrEqual):
+            return lo <= flt.value
+        if isinstance(flt, In):
+            return any(lo <= v <= hi for v in flt.value)
+    except TypeError:
+        return True  # incomparable literal type: cannot prove disjoint
+    return True
 
 
 class _TxLogStreamReader(DataSourceStreamReader):
@@ -260,7 +329,22 @@ class TxLogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         as_of = self.options.get("asof")
-        return _TxLogBatchReader(self._path(), int(as_of) if as_of is not None else None)
+        cls = _TxLogBatchReader
+        try:
+            from pyspark.sql import SparkSession
+
+            session = SparkSession.getActiveSession()
+            if (
+                session is not None
+                and str(
+                    session.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+                ).lower()
+                == "true"
+            ):
+                cls = _TxLogPruningBatchReader
+        except Exception:
+            cls = _TxLogBatchReader  # no session/conf access: no pushdown
+        return cls(self._path(), int(as_of) if as_of is not None else None)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TxLogStreamReader(self._path(), schema, dict(self.options))
@@ -273,7 +357,15 @@ class TxLogDataSource(DataSource):
 
 
 def register_txlog_source(spark) -> None:
-    """Idempotent registration of the ``hz_txlog`` format."""
+    """Idempotent registration of the ``hz_txlog`` format. Also
+    enables Python data source filter pushdown so batch reads get
+    log-stats file skipping (without the conf, Spark rejects readers
+    that implement ``pushFilters`` — the DataSource falls back to the
+    non-pruning reader in that case)."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # conf locked down: reads still work, just without skipping
     spark.dataSource.register(TxLogDataSource)
 
 

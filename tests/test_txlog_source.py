@@ -250,3 +250,43 @@ def test_batch_writer_overwrite_is_atomic_and_time_travels(spark, tmp_path):
     t = TxTable(spark, tbl, stat_cols=["k"])
     assert [(r.k, r.v) for r in t.snapshot().collect()] == [(999, 1)]
     assert t.snapshot(as_of=0).count() == 10  # pre-overwrite generation
+
+
+def test_batch_reader_pushed_filters_skip_files(spark, tmp_path):
+    """pushFilters → log-stats file skipping: a filter on the stat
+    column plans only the files whose [min, max] range can match,
+    and results stay exact (Spark still evaluates the filter
+    row-level — skipping is a superset guarantee)."""
+    from hz_csv2parquet_spark.sources.txlog_source import (
+        _TxLogPruningBatchReader as _Reader,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = (
+        spark.range(400)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t.create(df)  # 4 files over disjoint k ranges
+
+    # unit level: the planned partition count shrinks under filters
+    r = _Reader(t.path, None)
+    assert len(r.partitions()) == 4
+    r2 = _Reader(t.path, None)
+    leftover = list(r2.pushFilters([EqualTo(("k",), 5)]))
+    assert len(leftover) == 1  # everything handed back to Spark
+    assert len(r2.partitions()) == 1
+    r3 = _Reader(t.path, None)
+    r3.pushFilters([GreaterThan(("k",), 299)])
+    assert len(r3.partitions()) == 1
+
+    # end to end: filtered read through format() is exact
+    got = (
+        spark.read.format("hz_txlog")
+        .load(t.path)
+        .filter("k >= 198 AND k < 202")
+        .collect()
+    )
+    assert {(r_.k, r_.v) for r_ in got} == {(k, 2 * k) for k in range(198, 202)}
