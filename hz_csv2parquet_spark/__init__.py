@@ -48,10 +48,15 @@ from .operators.similarity import (
 )
 from .operators.topk import grouped_topk
 from .sources.io import convert, read_table, write_table
+from .sources.txlog import CommitConflictError, TxTable
+from .sources.txlog_source import register_txlog_source
 from .streaming.dedup import dedup_within_watermark
 
 __all__ = [
     "BinSpec",
+    "TxTable",
+    "CommitConflictError",
+    "register_txlog_source",
     "binned_agg",
     "geo_aggregate",
     "asof_join",

@@ -849,6 +849,21 @@ def test_txlog_random_op_sequences_match_dict_mirror(spark, tmp_path_factory, op
     for v, want in enumerate(history):
         got_v = {r.k: r.v for r in t.snapshot(as_of=v).collect()}
         assert got_v == want, f"version {v}"
+    # change-feed soundness (E164): applying each commit's feed to
+    # the prior snapshot reproduces the next snapshot as a multiset —
+    # inserts add, deletes remove, kept rows never appear; layout
+    # compaction (dataChange=false) must feed NOTHING.
+    from collections import Counter
+
+    for v in range(1, len(history)):
+        feed = t.changes(v - 1, v).collect()
+        prev = Counter((r.k, r.v) for r in t.snapshot(as_of=v - 1).collect())
+        ins = Counter((r.k, r.v) for r in feed if r._change_type == "insert")
+        dels = Counter((r.k, r.v) for r in feed if r._change_type == "delete")
+        assert dels <= prev, f"version {v}: delete of a row not in the prior snapshot"
+        want_next = prev - dels + ins
+        got_next = Counter((r.k, r.v) for r in t.snapshot(as_of=v).collect())
+        assert got_next == want_next, f"version {v}: feed does not reconstruct snapshot"
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
