@@ -75,6 +75,39 @@ from .txlog import _version_file
 class _FilePartition(InputPartition):
     path: str
     columns: tuple  # ((name, ddl_type), ...) of the as-of schema
+    row_groups: tuple | None = None  # parquet row-group indices; None = whole file
+
+
+#: default split threshold: files whose logged row count exceeds this
+#: are split into row-group-aligned partitions so one giant file does
+#: not become one task (the native parquet source's split behavior)
+DEFAULT_SPLIT_ROWS = 4_000_000
+
+
+def _file_partitions(abs_path: str, rows: int, cols: tuple, split_rows: int):
+    """One partition per file, UNLESS the log says the file is big:
+    then open its footer (driver-side metadata read, same cost the
+    native source pays) and emit row-group-aligned chunks of ≲
+    ``split_rows`` rows each — a 10 GB file fans out across the
+    cluster instead of serializing through one Python task."""
+    if rows <= split_rows:
+        return [_FilePartition(abs_path, cols)]
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    chunks: list[list[int]] = []
+    acc, cur = 0, []
+    for rg in range(md.num_row_groups):
+        cur.append(rg)
+        acc += md.row_group(rg).num_rows
+        if acc >= split_rows:
+            chunks.append(cur)
+            acc, cur = 0, []
+    if cur:
+        chunks.append(cur)
+    if len(chunks) <= 1:  # one huge row group: nothing to split on
+        return [_FilePartition(abs_path, cols)]
+    return [_FilePartition(abs_path, cols, tuple(c)) for c in chunks]
 
 
 def _schema_from_log(path: str, as_of: int | None = None) -> StructType:
@@ -118,7 +151,10 @@ def _read_file_as_arrow(part: _FilePartition):
         for name, dt_json in part.columns
     ]
     target = pa.schema(fields)
-    table = pq.read_table(part.path)
+    if part.row_groups is not None:
+        table = pq.ParquetFile(part.path).read_row_groups(list(part.row_groups))
+    else:
+        table = pq.read_table(part.path)
     cols = []
     for name, typ in fields:
         if name in table.column_names:
@@ -134,9 +170,10 @@ def _schema_columns(schema: StructType) -> tuple:
 
 
 class _TxLogBatchReader(DataSourceReader):
-    def __init__(self, path: str, as_of: int | None):
+    def __init__(self, path: str, as_of: int | None, split_rows: int = DEFAULT_SPLIT_ROWS):
         self.path = path
         self.as_of = as_of
+        self.split_rows = split_rows
         self.schema = _schema_from_log(path, as_of)
         self._pruning = []  # range filters usable for file skipping
 
@@ -146,14 +183,19 @@ class _TxLogBatchReader(DataSourceReader):
         # per surviving file (Spark schedules them across executors)
         state = _replay_adds(self.path, self.as_of)
         cols = _schema_columns(self.schema)
-        live = [
-            p
-            for p, add in state.items()
-            if all(_stats_admit(add.get("stats", {}), f) for f in self._pruning)
-        ]
-        return [
-            _FilePartition(os.path.join(self.path, p), cols) for p in live
-        ] or [_FilePartition("", cols)]
+        parts: list[_FilePartition] = []
+        for p, add in state.items():
+            if not all(_stats_admit(add.get("stats", {}), f) for f in self._pruning):
+                continue
+            parts.extend(
+                _file_partitions(
+                    os.path.join(self.path, p),
+                    int(add.get("rows", 0)),
+                    cols,
+                    self.split_rows,
+                )
+            )
+        return parts or [_FilePartition("", cols)]
 
     def read(self, partition: _FilePartition) -> Iterator:
         if not partition.path:  # empty table sentinel partition
@@ -256,6 +298,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
         # (default -1: emit the existing table as the first batch —
         # Delta's startingVersion=0 shape)
         self.starting_version = int(opts.get("startingversion", -1))
+        self.split_rows = int(opts.get("splitrows", DEFAULT_SPLIT_ROWS))
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -283,7 +326,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
             added, removed = [], []
             for action in json.load(open(f)):
                 if "add" in action and action["add"].get("dataChange", True):
-                    added.append(action["add"]["path"])
+                    added.append((action["add"]["path"], int(action["add"].get("rows", 0))))
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removed.append(action["remove"]["path"])
             if removed:
@@ -297,9 +340,12 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     "ignore such commits, or consume TxTable.changes() in "
                     "batch for row-accurate updates."
                 )
-            parts.extend(
-                _FilePartition(os.path.join(self.path, p), cols) for p in added
-            )
+            for p, rows in added:
+                parts.extend(
+                    _file_partitions(
+                        os.path.join(self.path, p), rows, cols, self.split_rows
+                    )
+                )
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -344,7 +390,12 @@ class TxLogDataSource(DataSource):
                 cls = _TxLogPruningBatchReader
         except Exception:
             cls = _TxLogBatchReader  # no session/conf access: no pushdown
-        return cls(self._path(), int(as_of) if as_of is not None else None)
+        split = self.options.get("splitrows")
+        return cls(
+            self._path(),
+            int(as_of) if as_of is not None else None,
+            int(split) if split is not None else DEFAULT_SPLIT_ROWS,
+        )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _TxLogStreamReader(self._path(), schema, dict(self.options))

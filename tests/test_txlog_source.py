@@ -290,3 +290,50 @@ def test_batch_reader_pushed_filters_skip_files(spark, tmp_path):
         .collect()
     )
     assert {(r_.k, r_.v) for r_ in got} == {(k, 2 * k) for k in range(198, 202)}
+
+
+def test_batch_reader_splits_large_files_on_row_groups(spark, tmp_path):
+    """A file whose logged row count exceeds splitRows fans out into
+    row-group-aligned partitions instead of one Python task — the
+    native parquet source's split behavior. Planned from the footer
+    only when the log flags the file as big."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hz_csv2parquet_spark.sources.txlog_source import _TxLogBatchReader
+
+    tbl = tmp_path / "tbl"
+    (tbl / "data-x").mkdir(parents=True)
+    (tbl / "_txlog").mkdir()
+    arrow = pa.table(
+        {"k": list(range(100)), "v": [2 * i for i in range(100)]},
+        schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+    )
+    pq.write_table(arrow, str(tbl / "data-x" / "big.parquet"), row_group_size=10)
+    schema_json = spark.createDataFrame([], "k long, v long").schema.json()
+    with open(tbl / "_txlog" / "00000000.json", "w") as fh:
+        _json.dump(
+            [
+                {"add": {"path": "data-x/big.parquet", "rows": 100, "stats": {}}},
+                {"meta": {"schema": schema_json}},
+            ],
+            fh,
+        )
+    # unit: 10 row groups chunked at >=25 rows -> 4 partitions
+    r = _TxLogBatchReader(str(tbl), None, split_rows=25)
+    parts = r.partitions()
+    assert len(parts) == 4
+    assert [p.row_groups for p in parts] == [(0, 1, 2), (3, 4, 5), (6, 7, 8), (9,)]
+    # default threshold: one partition, whole file
+    assert len(_TxLogBatchReader(str(tbl), None).partitions()) == 1
+    # end to end: the split read is exact
+    got = (
+        spark.read.format("hz_txlog")
+        .option("splitRows", 25)
+        .load(str(tbl))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()[0]
+    )
+    assert (got.n, got.s) == (100, 9900)
