@@ -143,10 +143,12 @@ def cmd_table(args: argparse.Namespace) -> None:
     stats-pruned MERGE of an update batch (``--key``, composite via
     commas), show commit history, OPTIMIZE-style compaction, vacuum
     of unreferenced files (retention-guarded), snapshot export
-    (optionally ``--as-of`` a historical version), and the row-level
+    (optionally ``--as-of`` a historical version), the row-level
     change feed (``changes --from-version N`` — incremental
-    consumption without re-reading the table). One verb per
-    invocation, matching how a scheduler would drive table upkeep."""
+    consumption without re-reading the table), and copy-on-write
+    ``delete --where`` (GDPR-erasure shape: only files containing
+    matching rows are rewritten). One verb per invocation, matching
+    how a scheduler would drive table upkeep."""
     import json as jsonmod
     import logging
 
@@ -163,6 +165,8 @@ def cmd_table(args: argparse.Namespace) -> None:
         raise SystemExit("table merge requires --src and --key")
     if args.action == "changes" and args.from_version is None:
         raise SystemExit("table changes requires --from-version")
+    if args.action == "delete" and not args.where:
+        raise SystemExit("table delete requires --where")
     if args.retention_seconds is None:
         args.retention_seconds = DEFAULT_VACUUM_RETENTION_S
 
@@ -194,6 +198,17 @@ def cmd_table(args: argparse.Namespace) -> None:
         log.info(
             "merged %s at version %s (%d file(s) rewritten, %d untouched)",
             args.src,
+            v,
+            len(before - after),
+            len(before & after),
+        )
+    elif args.action == "delete":
+        before = set(t.files())
+        v = t.delete_where(args.where)
+        after = set(t.files())
+        log.info(
+            "deleted rows matching %r at version %s (%d file(s) rewritten, %d untouched)",
+            args.where,
             v,
             len(before - after),
             len(before & after),
@@ -305,11 +320,20 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser(
         "table",
-        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes)",
+        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete)",
     )
     t.add_argument(
         "action",
-        choices=("create", "merge", "history", "compact", "vacuum", "export", "changes"),
+        choices=(
+            "create",
+            "merge",
+            "history",
+            "compact",
+            "vacuum",
+            "export",
+            "changes",
+            "delete",
+        ),
     )
     t.add_argument("table", help="table directory (contains _txlog/)")
     t.add_argument("--src", default=None, help="input for create/merge (parquet or csv)")
@@ -321,6 +345,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dest", default=None, help="output directory for export")
     t.add_argument("--as-of", type=int, default=None, help="historical version for export")
     t.add_argument("--target-files", type=int, default=1, help="compaction target file count")
+    t.add_argument("--where", default=None, help="DELETE predicate (SQL expression)")
     t.add_argument(
         "--from-version",
         type=int,

@@ -569,6 +569,56 @@ class TxTable:
                 if attempt == retries:
                     raise  # genuine conflict: caller must re-merge on a fresh snapshot
 
+    def delete_where(
+        self,
+        predicate,
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
+        """Copy-on-write ``DELETE WHERE``: drop every row matching
+        ``predicate`` (a Spark Column or SQL string), rewriting ONLY
+        the files that actually contain matching rows — the Delta
+        DELETE shape (and the GDPR-erasure primitive).
+
+        Two-phase, both distributed: (1) one scan with
+        ``input_file_name()`` finds the touched files — Catalyst
+        pushes the predicate into the parquet scan, so row-group
+        stats bound the work; the driver receives only file names,
+        O(files). (2) the touched files are re-read and rewritten
+        without the matching rows; untouched files keep their log
+        entries. The commit is remove+add in one version (readers
+        flip atomically); ``txn`` gives streaming callers the same
+        exactly-once marker as MERGE. Returns the committed version,
+        None for a replayed txn, or the current version when nothing
+        matches."""
+        if txn is not None and txn[1] in self.committed_txns(txn[0]):
+            return None
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        base = self.version()
+        files = self.files()
+        if not files:
+            return base
+        scan = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        touched = [
+            r.f
+            for r in scan.filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        # input_file_name returns URIs; normalize to the paths we fed in
+        touched = [f.removeprefix("file://") for f in touched]
+        actions: list[dict] = []
+        if touched:
+            current = self.spark.read.option("mergeSchema", "true").parquet(*touched)
+            actions.extend(self._stage(current.filter(~pred)))
+            for f in touched:
+                actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
+        elif txn is None:
+            return base  # nothing matched, nothing to record
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
+        return self._commit(actions, base)
+
     def compact(self, target_files: int = 1, layout_key: str | None = None) -> int:
         """OPTIMIZE: rewrite the live file set into ``target_files``
         parquet files — remove+add in ONE commit, so readers flip
@@ -671,6 +721,14 @@ class TxTable:
                     "_commit_version", F.lit(v).cast("long")
                 )
 
+            for p in added + removed:
+                if not os.path.exists(p):
+                    raise FileNotFoundError(
+                        f"change feed for version {v} needs {p}, which vacuum "
+                        "has reclaimed — the feed shares time travel's "
+                        "retention contract; consume feeds inside the vacuum "
+                        "retention window"
+                    )
             if added and not removed:  # blind append: no diff needed
                 feeds.append(tag(read_side(added), "insert"))
             elif removed and not added:  # pure delete commit

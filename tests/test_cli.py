@@ -214,3 +214,20 @@ def test_cli_table_changes_feed(tmp_path, spark):
 
     with _pytest.raises(SystemExit):
         main(["table", "changes", tbl])
+
+
+def test_cli_table_delete_where(tmp_path, spark):
+    """`table delete --where` drives the copy-on-write DELETE."""
+    src = tmp_path / "in"
+    spark.range(20).selectExpr("id AS k", "id * 2 AS v").coalesce(1).write.parquet(str(src))
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+    assert main(["table", "delete", tbl, "--where", "k >= 15"]) == 0
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, tbl, stat_cols=["k"])
+    assert {r.k for r in t.snapshot().collect()} == set(range(15))
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["table", "delete", tbl])

@@ -835,3 +835,41 @@ def test_changes_null_fills_across_schema_evolution(spark, tmp_path):
     t2.evolve_schema(spark.createDataFrame([(2, 20, "y")], "k long, v long, tag string"))
     got = {(r.k, r.v, r.tag) for r in t2.changes(0).collect()}
     assert got == {(2, 20, "y")}
+
+
+def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
+    """DELETE WHERE: rows vanish, files without matching rows keep
+    their log entries (copy-on-write bounded by the touched set)."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = (
+        spark.range(400)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t.create(df)
+    before = set(t.files())
+    v = t.delete_where("k >= 120 AND k < 130")
+    assert v == 1
+    after = set(t.files())
+    assert len(before & after) == 3  # 3 of 4 files untouched
+    got = {r.k for r in t.snapshot().collect()}
+    assert got == set(range(400)) - set(range(120, 130))
+    # no match: no new version, no commit
+    assert t.delete_where("k > 10000") == v
+    assert t.version() == v
+    # txn-marked delete replays as a no-op
+    assert t.delete_where("k = 0", txn=("eraser", 1)) == v + 1
+    assert t.delete_where("k = 0", txn=("eraser", 1)) is None
+    assert 0 not in {r.k for r in t.snapshot().collect()}
+
+
+def test_changes_after_vacuum_raises_retention_error(spark, tmp_path):
+    """The feed shares time travel's retention contract: once vacuum
+    reclaims a commit's removed files, the diff is unrecoverable and
+    the feed says so instead of failing deep in an executor."""
+    t = _mk(spark, tmp_path, n=20, files=1)
+    t.merge_upsert(spark.createDataFrame([(5, -5)], "k long, v long"), "k")
+    t.vacuum(retention_seconds=0)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        t.changes(0).count()
