@@ -794,6 +794,7 @@ def test_skyline_decomposition_matches_bruteforce(spark, pts):
         st.one_of(
             st.tuples(st.just("append"), st.integers(0, 4)),
             st.tuples(st.just("merge"), st.integers(0, 4)),
+            st.tuples(st.just("delete"), st.integers(0, 4)),
             st.tuples(st.just("compact"), st.just(0)),
         ),
         min_size=1,
@@ -816,7 +817,7 @@ def test_txlog_random_op_sequences_match_dict_mirror(spark, tmp_path_factory, op
         spark.range(20).selectExpr("id AS k", "CAST(-1 AS BIGINT) AS v")
     )
     mirror = {k: -1 for k in range(20)}
-    history = [dict(mirror)]  # state after each committed version
+    history = [(0, dict(mirror))]  # (version, state) after each commit
     serial = 0
     for op, arg in ops:
         serial += 1
@@ -839,14 +840,22 @@ def test_txlog_random_op_sequences_match_dict_mirror(spark, tmp_path_factory, op
             )
             for k in range(lo, lo + 10):
                 mirror[k] = 100 + serial
+        elif op == "delete":
+            lo = 10 * arg
+            if not any(lo <= k < lo + 5 for k in mirror):
+                t.delete_where(f"k >= {lo} AND k < {lo + 5}")
+                continue  # no-match delete commits no version
+            t.delete_where(f"k >= {lo} AND k < {lo + 5}")
+            for k in [k for k in mirror if lo <= k < lo + 5]:
+                del mirror[k]
         else:
             t.compact(target_files=2, layout_key="k")
-        history.append(dict(mirror))
+        history.append((t.version(), dict(mirror)))
     # final state
     got = {r.k: r.v for r in t.snapshot().collect()}
     assert got == mirror
     # time travel to every intermediate version matches the replay
-    for v, want in enumerate(history):
+    for v, want in history:
         got_v = {r.k: r.v for r in t.snapshot(as_of=v).collect()}
         assert got_v == want, f"version {v}"
     # change-feed soundness (E164): applying each commit's feed to
@@ -855,15 +864,15 @@ def test_txlog_random_op_sequences_match_dict_mirror(spark, tmp_path_factory, op
     # compaction (dataChange=false) must feed NOTHING.
     from collections import Counter
 
-    for v in range(1, len(history)):
-        feed = t.changes(v - 1, v).collect()
-        prev = Counter((r.k, r.v) for r in t.snapshot(as_of=v - 1).collect())
+    for (v0, _), (v1, _) in zip(history, history[1:]):
+        feed = t.changes(v0, v1).collect()
+        prev = Counter((r.k, r.v) for r in t.snapshot(as_of=v0).collect())
         ins = Counter((r.k, r.v) for r in feed if r._change_type == "insert")
         dels = Counter((r.k, r.v) for r in feed if r._change_type == "delete")
-        assert dels <= prev, f"version {v}: delete of a row not in the prior snapshot"
+        assert dels <= prev, f"version {v1}: delete of a row not in the prior snapshot"
         want_next = prev - dels + ins
-        got_next = Counter((r.k, r.v) for r in t.snapshot(as_of=v).collect())
-        assert got_next == want_next, f"version {v}: feed does not reconstruct snapshot"
+        got_next = Counter((r.k, r.v) for r in t.snapshot(as_of=v1).collect())
+        assert got_next == want_next, f"version {v1}: feed does not reconstruct snapshot"
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
