@@ -299,6 +299,13 @@ class _TxLogStreamReader(DataSourceStreamReader):
         # Delta's startingVersion=0 shape)
         self.starting_version = int(opts.get("startingversion", -1))
         self.split_rows = int(opts.get("splitrows", DEFAULT_SPLIT_ROWS))
+        # Delta's maxFilesPerTrigger shape, at version grain: cap how
+        # many commits one micro-batch may span, so a stream that
+        # fell behind catches up in bounded batches instead of one
+        # giant one. None = unbounded (default).
+        mv = opts.get("maxversionspertrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -310,10 +317,16 @@ class _TxLogStreamReader(DataSourceStreamReader):
             names = os.listdir(os.path.join(self.path, "_txlog"))
         except FileNotFoundError:
             return {"version": -1}
-        vs = [int(n[:8]) for n in names if _re.match(r"^\d{8}\.json$", n)]
-        return {"version": max(vs, default=-1)}
+        top = max(
+            (int(n[:8]) for n in names if _re.match(r"^\d{8}\.json$", n)),
+            default=-1,
+        )
+        if self.max_versions is not None and self._last_end is not None:
+            top = min(top, self._last_end + self.max_versions)
+        return {"version": top}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        self._last_end = end["version"]  # rate-limit anchor for the next trigger
         cols = _schema_columns(self._schema)
         parts: list[_FilePartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):

@@ -337,3 +337,28 @@ def test_batch_reader_splits_large_files_on_row_groups(spark, tmp_path):
         .collect()[0]
     )
     assert (got.n, got.s) == (100, 9900)
+
+
+def test_stream_reader_rate_limit_caps_batch_span(spark, tmp_path):
+    """maxVersionsPerTrigger: after the first batch, each trigger
+    spans at most N commits (Delta's maxFilesPerTrigger shape at
+    version grain) — driven at the reader protocol level."""
+    from hz_csv2parquet_spark.sources.txlog_source import _TxLogStreamReader
+
+    t = _mk(spark, tmp_path, n=2, files=1)
+    for i in range(5):
+        t.append(spark.createDataFrame([(100 + i, i)], "k long, v long"))
+    # versions now 0..5
+    r = _TxLogStreamReader(
+        t.path, t.snapshot().schema, {"maxVersionsPerTrigger": "2"}
+    )
+    assert r.initialOffset() == {"version": -1}
+    first = r.latestOffset()
+    assert first == {"version": 5}  # first batch: full backfill (no anchor yet)
+    r.partitions({"version": -1}, first)
+    for i in range(3):
+        t.append(spark.createDataFrame([(200 + i, i)], "k long, v long"))
+    nxt = r.latestOffset()
+    assert nxt == {"version": 7}  # capped at last_end(5) + 2, not 8
+    r.partitions(first, nxt)
+    assert r.latestOffset() == {"version": 8}  # drains the remainder
