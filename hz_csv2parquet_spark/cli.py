@@ -181,10 +181,17 @@ def cmd_table(args: argparse.Namespace) -> None:
         for v in range(t.version() + 1):
             actions = jsonmod.load(open(_version_file(args.table, v)))
             kinds = {}
+            op = ""
             for a in actions:
                 k = next(iter(a))
+                if k == "commitInfo":
+                    op = a["commitInfo"].get("operation", "")
+                    continue
                 kinds[k] = kinds.get(k, 0) + 1
-            print(f"v{v}: " + ", ".join(f"{k}×{n}" for k, n in sorted(kinds.items())))
+            label = f" [{op}]" if op else ""
+            print(
+                f"v{v}{label}: " + ", ".join(f"{k}×{n}" for k, n in sorted(kinds.items()))
+            )
     elif args.action == "compact":
         v = t.compact(target_files=args.target_files, layout_key=args.layout_key)
         log.info("compacted to %d file(s) at version %d", len(t.files()), v)
@@ -214,8 +221,25 @@ def cmd_table(args: argparse.Namespace) -> None:
             len(before & after),
         )
     elif args.action == "vacuum":
-        n = t.vacuum(retention_seconds=args.retention_seconds)
-        log.info("vacuumed %d unreferenced file(s)", n)
+        n = t.vacuum(retention_seconds=args.retention_seconds, dry_run=args.dry_run)
+        log.info(
+            "%s %d unreferenced file(s)",
+            "would vacuum" if args.dry_run else "vacuumed",
+            n,
+        )
+    elif args.action == "describe":
+        state = t._replay_state()
+        rows = sum(a.get("rows", 0) for a in state["adds"].values())
+        print(f"version: {t.version()}")
+        print(f"files: {len(state['adds'])}")
+        print(f"rows: {rows}")
+        stat_cols = sorted({c for a in state["adds"].values() for c in a.get("stats", {})})
+        print(f"stat columns: {', '.join(stat_cols) if stat_cols else '(none)'}")
+        if state["schema"]:
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(jsonmod.loads(state["schema"]))
+            print("schema: " + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields))
     elif args.action == "export":
         snap = t.snapshot(as_of=args.as_of)
         write_table(snap, args.dest, fmt="parquet")
@@ -320,7 +344,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser(
         "table",
-        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete)",
+        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/describe)",
     )
     t.add_argument(
         "action",
@@ -333,6 +357,7 @@ def build_parser() -> argparse.ArgumentParser:
             "export",
             "changes",
             "delete",
+            "describe",
         ),
     )
     t.add_argument("table", help="table directory (contains _txlog/)")
@@ -346,6 +371,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--as-of", type=int, default=None, help="historical version for export")
     t.add_argument("--target-files", type=int, default=1, help="compaction target file count")
     t.add_argument("--where", default=None, help="DELETE predicate (SQL expression)")
+    t.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="vacuum: report the would-be-deleted count without touching disk",
+    )
     t.add_argument(
         "--from-version",
         type=int,

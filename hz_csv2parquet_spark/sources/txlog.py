@@ -159,15 +159,23 @@ class TxTable:
             return -1
         return max((int(n[:8]) for n in names if _COMMIT_RE.match(n)), default=-1)
 
-    def _commit(self, actions: list[dict], expected_version: int) -> int:
+    def _commit(
+        self, actions: list[dict], expected_version: int, operation: str | None = None
+    ) -> int:
         """Atomically write version ``expected_version + 1``. O_EXCL
         create: exactly one writer wins; a loser raises
         CommitConflictError without touching the log. The winner also
         drops a replay checkpoint every ``checkpoint_interval``
-        commits."""
+        commits. ``operation`` adds a ``commitInfo`` action (the Delta
+        commitInfo shape: operation name + wall-clock) — pure
+        observability, ignored by replay."""
         v = expected_version + 1
         os.makedirs(_log_dir(self.path), exist_ok=True)
         target = _version_file(self.path, v)
+        if operation is not None:
+            actions = actions + [
+                {"commitInfo": {"operation": operation, "timestamp": time.time()}}
+            ]
         try:
             with open(target, "x") as fh:
                 json.dump(actions, fh)
@@ -295,7 +303,7 @@ class TxTable:
         os.makedirs(self.path, exist_ok=True)
         actions = self._stage(df)
         actions.append({"meta": {"schema": df.schema.json()}})
-        return self._commit(actions, -1)
+        return self._commit(actions, -1, operation="CREATE")
 
     def append(self, df: DataFrame) -> int:
         """Blind append — add actions only, no reads rewritten.
@@ -317,18 +325,18 @@ class TxTable:
         indefinitely under sustained contention; past the cap the
         conflict surfaces and the caller owns the policy."""
         adds = self._stage(df)
-        return self._rebase_commit(adds)
+        return self._rebase_commit(adds, operation="APPEND")
 
     _REBASE_ATTEMPTS = 64
 
-    def _rebase_commit(self, actions: list[dict]) -> int:
+    def _rebase_commit(self, actions: list[dict], operation: str | None = None) -> int:
         """Commit read-nothing actions against the moving head,
         rebasing on version conflicts with capped jittered backoff."""
         import random
 
         for attempt in range(self._REBASE_ATTEMPTS):
             try:
-                return self._commit(actions, self.version())
+                return self._commit(actions, self.version(), operation=operation)
             except CommitConflictError:
                 if attempt == self._REBASE_ATTEMPTS - 1:
                     raise
@@ -361,7 +369,7 @@ class TxTable:
             if batch_id in self.committed_txns(app_id):
                 return None  # twin won the race; staged files are vacuum-able orphans
             try:
-                return self._commit(actions, base)
+                return self._commit(actions, base, operation="STREAMING-APPEND")
             except CommitConflictError:
                 if attempt == self._REBASE_ATTEMPTS - 1:
                     raise
@@ -385,7 +393,7 @@ class TxTable:
         _, old_schema = self._replay()
         merged = self.snapshot_schema_union(old_schema, df)
         actions.append({"meta": {"schema": merged}})
-        return self._commit(actions, base)
+        return self._commit(actions, base, operation="EVOLVE-SCHEMA")
 
     @staticmethod
     def snapshot_schema_union(old_json: str | None, df: DataFrame) -> str:
@@ -515,7 +523,9 @@ class TxTable:
                 try:
                     # marker-only commit rebases like a blind append
                     return self._commit(
-                        [{"txn": {"appId": txn[0], "batchId": txn[1]}}], base
+                        [{"txn": {"appId": txn[0], "batchId": txn[1]}}],
+                        base,
+                        operation="MERGE",
                     )
                 except CommitConflictError:
                     if attempt == self._REBASE_ATTEMPTS - 1:
@@ -562,7 +572,7 @@ class TxTable:
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
             try:
-                return self._commit(actions, base)
+                return self._commit(actions, base, operation="MERGE")
             except CommitConflictError:
                 if txn is not None and txn[1] in self.committed_txns(txn[0]):
                     return None  # a twin replay of this very batch won
@@ -617,7 +627,7 @@ class TxTable:
             return base  # nothing matched, nothing to record
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
-        return self._commit(actions, base)
+        return self._commit(actions, base, operation="DELETE")
 
     def compact(self, target_files: int = 1, layout_key: str | None = None) -> int:
         """OPTIMIZE: rewrite the live file set into ``target_files``
@@ -658,7 +668,7 @@ class TxTable:
             actions.append(
                 {"remove": {"path": os.path.relpath(f, self.path), "dataChange": False}}
             )
-        return self._commit(actions, base)
+        return self._commit(actions, base, operation="OPTIMIZE")
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level change feed for commits in ``(from_version,
@@ -744,7 +754,11 @@ class TxTable:
             out = out.unionByName(df)
         return out
 
-    def vacuum(self, retention_seconds: float = DEFAULT_VACUUM_RETENTION_S) -> int:
+    def vacuum(
+        self,
+        retention_seconds: float = DEFAULT_VACUUM_RETENTION_S,
+        dry_run: bool = False,
+    ) -> int:
         """Delete data files no commit references anymore (removed or
         orphaned by crashed writers). Returns the number deleted.
 
@@ -765,7 +779,8 @@ class TxTable:
             # simply already vacuumed
             try:
                 if os.path.getmtime(f) <= horizon:
-                    os.remove(f)
+                    if not dry_run:
+                        os.remove(f)
                     return True
             except FileNotFoundError:
                 pass
@@ -777,7 +792,7 @@ class TxTable:
                 deleted += _remove_if_aged(f)
         for d in glob.glob(os.path.join(self.path, "data-*")):
             try:
-                if not os.listdir(d):
+                if not dry_run and not os.listdir(d):
                     shutil.rmtree(d)
             except FileNotFoundError:
                 pass

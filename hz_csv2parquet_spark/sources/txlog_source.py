@@ -538,9 +538,9 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
             # overwrite read the snapshot it is replacing: a lost
             # version race means that snapshot is stale — surface the
             # conflict (single attempt), matching merge/compact
-            t._commit(actions, t.version())
+            t._commit(actions, t.version(), operation="WRITE-OVERWRITE")
         else:
-            t._rebase_commit(actions)
+            t._rebase_commit(actions, operation="WRITE-APPEND")
 
     def abort(self, messages) -> None:
         super().abort(messages)
@@ -594,7 +594,7 @@ class _TxLogStreamWriter(_StagedParquetWriteMixin, DataSourceStreamArrowWriter):
                 self.abort(messages, batchId)
                 return
             try:
-                t._commit(actions, base)
+                t._commit(actions, base, operation="STREAMING-SINK")
                 return
             except CommitConflictError:
                 if attempt == t._REBASE_ATTEMPTS - 1:

@@ -231,3 +231,18 @@ def test_cli_table_delete_where(tmp_path, spark):
 
     with _pytest.raises(SystemExit):
         main(["table", "delete", tbl])
+
+
+def test_cli_table_describe_and_history_ops(tmp_path, spark, capsys):
+    src = tmp_path / "in"
+    spark.range(10).selectExpr("id AS k", "id * 2 AS v").repartition(3).write.parquet(str(src))
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+    assert main(["table", "compact", tbl]) == 0
+    assert main(["table", "describe", tbl]) == 0
+    out = capsys.readouterr().out
+    assert "version: 1" in out and "rows: 10" in out and "k bigint" in out
+    assert main(["table", "history", tbl]) == 0
+    out = capsys.readouterr().out
+    assert "[CREATE]" in out and "[OPTIMIZE]" in out
+    assert main(["table", "vacuum", tbl, "--retention-seconds", "0", "--dry-run"]) == 0

@@ -873,3 +873,37 @@ def test_changes_after_vacuum_raises_retention_error(spark, tmp_path):
     t.vacuum(retention_seconds=0)
     with pytest.raises(FileNotFoundError, match="retention"):
         t.changes(0).count()
+
+
+def test_commit_info_records_operations_and_replay_ignores_it(spark, tmp_path):
+    """Every mutating verb stamps a commitInfo action (Delta's
+    commitInfo shape: operation + wall-clock) and replay treats it as
+    pure observability."""
+    t = _mk(spark, tmp_path, n=20, files=2)
+    t.append(spark.createDataFrame([(100, 1)], "k long, v long"))
+    t.merge_upsert(spark.createDataFrame([(0, -1)], "k long, v long"), "k")
+    t.delete_where("k = 1")
+    t.compact(target_files=1)
+    ops = []
+    for v in range(t.version() + 1):
+        for a in json.load(open(_version_file(t.path, v))):
+            if "commitInfo" in a:
+                ops.append(a["commitInfo"]["operation"])
+                assert a["commitInfo"]["timestamp"] > 0
+    assert ops == ["CREATE", "APPEND", "MERGE", "DELETE", "OPTIMIZE"]
+    # replay is unaffected by the extra action
+    assert {r.k for r in t.snapshot().collect()} == (
+        set(range(20)) | {100}
+    ) - {1}
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=2)
+    t.compact(target_files=1)
+    import glob as _glob
+
+    files_before = set(_glob.glob(os.path.join(t.path, "data-*", "*.parquet")))
+    n = t.vacuum(retention_seconds=0, dry_run=True)
+    assert n == 2  # the two pre-compaction files
+    assert set(_glob.glob(os.path.join(t.path, "data-*", "*.parquet"))) == files_before
+    assert t.vacuum(retention_seconds=0) == 2  # the real sweep still works
