@@ -110,24 +110,17 @@ def _file_partitions(abs_path: str, rows: int, cols: tuple, split_rows: int):
     return [_FilePartition(abs_path, cols, tuple(c)) for c in chunks]
 
 
+def _log_state(path: str, as_of: int | None = None) -> dict:
+    """Replayed log state without a SparkSession — rides TxTable's
+    checkpoint-accelerated replay (O(tail), not O(versions))."""
+    from .txlog import TxTable
+
+    return TxTable(None, path)._replay_state(as_of=as_of)
+
+
 def _schema_from_log(path: str, as_of: int | None = None) -> StructType:
     """Committed schema (last meta action ≤ as_of) without Spark."""
-    # replay meta actions only — cheap driver-side JSON walk
-    import re as _re
-
-    log = os.path.join(path, "_txlog")
-    versions = sorted(
-        int(m.group(1))
-        for n in os.listdir(log)
-        if (m := _re.match(r"^(\d{8})\.json$", n))
-    )
-    if as_of is not None:
-        versions = [v for v in versions if v <= as_of]
-    schema_json = None
-    for v in versions:
-        for action in json.load(open(_version_file(path, v))):
-            if "meta" in action:
-                schema_json = action["meta"]["schema"]
+    schema_json = _log_state(path, as_of)["schema"]
     if schema_json is None:
         raise ValueError(f"no committed schema in transaction log at {path}")
     st = StructType.fromJson(json.loads(schema_json))
@@ -230,27 +223,10 @@ class _TxLogPruningBatchReader(_TxLogBatchReader):
 
 
 def _replay_adds(path: str, as_of: int | None = None) -> dict[str, dict]:
-    """Live ``{relative path: add action}`` at ``as_of`` — log walk,
-    no Spark (the add actions carry the min/max stats file skipping
-    needs)."""
-    import re as _re
-
-    log = os.path.join(path, "_txlog")
-    versions = sorted(
-        int(m.group(1))
-        for n in os.listdir(log)
-        if (m := _re.match(r"^(\d{8})\.json$", n))
-    )
-    if as_of is not None:
-        versions = [v for v in versions if v <= as_of]
-    adds: dict[str, dict] = {}
-    for v in versions:
-        for action in json.load(open(_version_file(path, v))):
-            if "add" in action:
-                adds[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                adds.pop(action["remove"]["path"], None)
-    return adds
+    """Live ``{relative path: add action}`` at ``as_of`` — replayed
+    from the log without Spark (add actions carry the min/max stats
+    file skipping needs)."""
+    return _log_state(path, as_of)["adds"]
 
 
 def _stats_admit(stats: dict, flt) -> bool:

@@ -602,12 +602,12 @@ def test_merge_txn_twin_conflict_resolves_to_noop(spark, tmp_path, monkeypatch):
     real_commit = TxTable._commit
     state = {"injected": False}
 
-    def racing_commit(self, actions, expected_version):
+    def racing_commit(self, actions, expected_version, operation=None):
         if not state["injected"] and self is t:
             state["injected"] = True
             # twin wins the version with the same (app, batch) marker
             real_commit(twin, [{"txn": {"appId": "cdc", "batchId": 7}}], expected_version)
-        return real_commit(self, actions, expected_version)
+        return real_commit(self, actions, expected_version, operation=operation)
 
     monkeypatch.setattr(TxTable, "_commit", racing_commit)
     ups = spark.createDataFrame([(5, -5)], "k long, v long")
@@ -667,11 +667,11 @@ def test_merge_retry_rebases_on_genuine_conflict(spark, tmp_path, monkeypatch):
     def make_racer():
         state = {"injected": False}
 
-        def racing_commit(self, actions, expected_version):
+        def racing_commit(self, actions, expected_version, operation=None):
             if not state["injected"] and self is t:
                 state["injected"] = True
                 real_commit(other, other._stage(competing), expected_version)
-            return real_commit(self, actions, expected_version)
+            return real_commit(self, actions, expected_version, operation=operation)
 
         return racing_commit
 
@@ -764,7 +764,7 @@ def test_append_rebase_is_bounded(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(TxTable, "_REBASE_ATTEMPTS", 3)
     calls = {"n": 0}
 
-    def always_conflict(self, actions, expected_version):
+    def always_conflict(self, actions, expected_version, operation=None):
         calls["n"] += 1
         raise CommitConflictError("permanent")
 
