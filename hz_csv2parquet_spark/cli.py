@@ -193,7 +193,11 @@ def cmd_table(args: argparse.Namespace) -> None:
                 f"v{v}{label}: " + ", ".join(f"{k}×{n}" for k, n in sorted(kinds.items()))
             )
     elif args.action == "compact":
-        v = t.compact(target_files=args.target_files, layout_key=args.layout_key)
+        v = t.compact(
+            target_files=args.target_files,
+            layout_key=args.layout_key,
+            zorder=args.zorder.split(",") if args.zorder else None,
+        )
         log.info("compacted to %d file(s) at version %d", len(t.files()), v)
     elif args.action == "merge":
         before = set(t.files())
@@ -383,6 +387,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="change feed start (exclusive); pair with --as-of for the end (inclusive)",
     )
     t.add_argument("--layout-key", default=None, help="range-cluster the compaction rewrite on this column")
+    t.add_argument(
+        "--zorder",
+        default=None,
+        help="OPTIMIZE ZORDER BY: two integer columns (comma-separated) clustered on a transient Morton key",
+    )
     t.add_argument("--stat-cols", default=None, help="comma-separated columns to record min/max stats for")
     t.add_argument(
         "--retention-seconds",

@@ -629,7 +629,12 @@ class TxTable:
             actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
         return self._commit(actions, base, operation="DELETE")
 
-    def compact(self, target_files: int = 1, layout_key: str | None = None) -> int:
+    def compact(
+        self,
+        target_files: int = 1,
+        layout_key: str | None = None,
+        zorder: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE: rewrite the live file set into ``target_files``
         parquet files — remove+add in ONE commit, so readers flip
         atomically from the fragmented layout to the compacted one.
@@ -637,21 +642,43 @@ class TxTable:
 
         With ``layout_key`` the rewrite range-clusters on that column
         (``repartitionByRange`` + in-partition sort — the OPTIMIZE
-        ZORDER shape for one dimension; pass a precomputed Morton key
-        column for multi-dimensional clustering): each output file
-        covers a disjoint key range, so the footer min/max stats stay
+        ZORDER shape for one dimension): each output file covers a
+        disjoint key range, so the footer min/max stats stay
         selective and ``pruned_files``/MERGE skip files after
-        compaction instead of degrading to scan-everything. Plain
+        compaction instead of degrading to scan-everything.
+
+        ``zorder=[a, b]`` is the two-dimensional form (OPTIMIZE
+        ZORDER BY): the rewrite clusters on a TRANSIENT Morton
+        interleave of the two integer columns (operators/zorder.py)
+        and drops the key from the output — every file gets a
+        quad-tree-cell footprint, so stats prune on EITHER dimension
+        without storing a layout column in the table. Plain
         ``coalesce`` otherwise (no shuffle)."""
+        if zorder is not None and layout_key is not None:
+            raise ValueError("pass layout_key or zorder, not both")
+        if zorder is not None and len(zorder) != 2:
+            raise ValueError("zorder takes exactly two integer columns")
         base = self.version()
         files = self.files()
-        if not files or (len(files) <= target_files and layout_key is None):
+        if not files or (
+            len(files) <= target_files and layout_key is None and zorder is None
+        ):
             # empty table: nothing to rewrite, even under layout_key
             # (reachable from a maintenance tick after empty-batch
             # merges — spark.read.parquet() with zero paths raises)
             return base
         df = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        if layout_key is not None:
+        if zorder is not None:
+            from ..operators.zorder import morton_key
+
+            zcol = "__hz_zorder"
+            out = (
+                df.withColumn(zcol, morton_key(F.col(zorder[0]), F.col(zorder[1])))
+                .repartitionByRange(target_files, zcol)
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
+            )
+        elif layout_key is not None:
             out = df.repartitionByRange(target_files, layout_key).sortWithinPartitions(
                 layout_key
             )

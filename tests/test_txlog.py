@@ -907,3 +907,29 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     assert n == 2  # the two pre-compaction files
     assert set(_glob.glob(os.path.join(t.path, "data-*", "*.parquet"))) == files_before
     assert t.vacuum(retention_seconds=0) == 2  # the real sweep still works
+
+
+def test_compact_inline_zorder_prunes_both_dimensions_without_stored_key(spark, tmp_path):
+    """compact(zorder=[a, b]) — OPTIMIZE ZORDER BY without polluting
+    the table schema: the Morton key is computed transiently for the
+    rewrite and dropped, yet both dimensions become prunable."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["ua", "hb"])
+    df = (
+        spark.range(4096)
+        .selectExpr("CAST(id % 64 AS BIGINT) AS ua", "CAST(id DIV 64 AS BIGINT) AS hb")
+        .repartition(8)
+    )
+    t.create(df)
+    t.compact(target_files=16, zorder=["ua", "hb"])
+    assert len(t.files()) == 16
+    assert t.snapshot().columns == ["ua", "hb"]  # transient key dropped
+    _, miss_a = t.pruned_files("ua", 0, 7)
+    _, miss_b = t.pruned_files("hb", 0, 7)
+    assert len(miss_a) >= 8 and len(miss_b) >= 8
+    assert t.snapshot().count() == 4096
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.compact(zorder=["ua"])
+    with _pytest.raises(ValueError):
+        t.compact(layout_key="ua", zorder=["ua", "hb"])
