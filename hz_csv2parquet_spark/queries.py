@@ -98,81 +98,79 @@ def query(
 #: rule-mandatory at round-8 planning (21 + the first r5 picks fit
 #: that window with room to spare).
 ROTATION: set[str] = {
-    # ================= ROUND 8 WINDOW =================
-    # No red rows in r7 (50/50 green). Window = the 21 rule-mandatory
-    # r4-stale rows (last driver row r4 <= latest(7) - 3, per the
-    # round-7 ledger) + the 26 oldest r5 greens, streaming family
-    # first (most fragile harness). The 4 new txlog-backed catalog
-    # registrations (queries_txlog.py, VERDICT r6 item 5) ride in via
-    # priority=True/since=8 — total priority prefix = 50, exactly the
-    # driver cap (after the change-feed swap: 21 + 25 + 4).
+    # ================= ROUND 9 WINDOW =================
+    # No red rows in r8 (48/50 green + 2 rows-only-by-design). Window
+    # = the 22 rule-mandatory r5-stale rows (last driver row r5 <=
+    # latest(8) - 3 — exactly the round-9 ledger written at round-8
+    # planning) + the 25 alphabetically-first of the 48 oldest (r6)
+    # greens. 47 named here + 3 round-9 txlog registrations riding in
+    # via priority=True/since=9 (queries_txlog.py: CDF stream read,
+    # RESTORE, deletion-vector DELETE) = 50, exactly the driver cap.
     #
-    # -- rule-mandatory: last green r4 (21) --
-    "approx_percentiles_by_segment",
-    "bucketed_join_revenue",
-    "global_shuffle_documents",
-    "mixture_resample_documents",
-    "multimodal_byte_features",
-    "multimodal_decode_shapes",
-    "multimodal_frame_index",
-    "ntile_customer_quartiles",
-    "pack_sequences_documents",
-    "promo_revenue_by_brand",
-    "q3_shipping_priority",
-    "quantize_embeddings_int8",
-    "sample_stratified_documents",
-    "shard_assignment_documents",
-    "similarity_lsh_embeddings",
-    "similarity_topk_embeddings",
-    "similarity_topk_pandas_udf",
-    "skew_salted_event_counts",
-    "tokenize_regex_documents",
-    "weighted_sample_documents",
-    "zscore_outliers_events",
-    # -- oldest r5 greens: the whole streaming family (10) --
-    "streaming_attribution_join",
-    "streaming_attribution_outer",
-    "streaming_convert_roundtrip",
-    "streaming_dedup_events",
-    "streaming_enrich_events",
-    "streaming_funnel_user_state",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
-    "streaming_stateful_user_stats",
-    "streaming_tumbling_counts",
-    # -- oldest r5 greens: batch picks (15) --
-    "asof_last_click",
-    "bm25_topk_documents",
-    "contamination_check_documents",
-    "csv_roundtrip_agg",
-    "gap_fill_hourly_events",
-    "geo_aggregate_lineitem",
-    "inverted_index_documents",
-    "ngram_jaccard_pairs",
-    "range_join_event_pairs",
-    "rolling_hourly_user_counts",
-    "semantic_dedup_embeddings",
-    "sessionize_events",
-    "similarity_ivf_embeddings",
-    "source_similarity_minhash",
-    "tumbling_hourly_counts",
-    # Round-9 plan ledger — the 22 r5 rows NOT in this window become
-    # rule-mandatory at round-9 planning (last row r5 <= latest(8) -
-    # 3): approx_distinct_users_per_type, correlation_matrix_lineitem,
-    # cube_order_stats, debounce_events, embedding_centroids_by_label,
-    # event_path_trigrams, full_outer_nation_presence,
-    # funnel_conversion_events, intersect_active_nations,
-    # length_histogram_documents, mad_outliers_events,
-    # multimodal_resize_thumbnails, pivot_event_counts,
-    # q17_small_quantity_revenue, q5_local_supplier_volume,
-    # quality_percentile_filter_documents, retention_cohorts_events,
-    # rfm_segmentation_customers, running_total_orders,
-    # seasonal_anomaly_events, trend_slope_by_type,
-    # vocab_oov_rate_documents (swapped out of the round-8 window for
-    # the 4th txlog registration, the E164 change feed). 22 slots; the
-    # balance of the round-9 window goes to the oldest r6 greens (48
-    # of those at planning time) — the 3-round cadence stays feasible
-    # (21 + 29 of 48 fit; the rest age to round 10 at ceiling 3).
+    # -- rule-mandatory: last green r5 (22) --
+    "approx_distinct_users_per_type",
+    "correlation_matrix_lineitem",
+    "cube_order_stats",
+    "debounce_events",
+    "embedding_centroids_by_label",
+    "event_path_trigrams",
+    "full_outer_nation_presence",
+    "funnel_conversion_events",
+    "intersect_active_nations",
+    "length_histogram_documents",
+    "mad_outliers_events",
+    "multimodal_resize_thumbnails",
+    "pivot_event_counts",
+    "q17_small_quantity_revenue",
+    "q5_local_supplier_volume",
+    "quality_percentile_filter_documents",
+    "retention_cohorts_events",
+    "rfm_segmentation_customers",
+    "running_total_orders",
+    "seasonal_anomaly_events",
+    "trend_slope_by_type",
+    "vocab_oov_rate_documents",
+    # -- oldest (r6) greens, alphabetical prefix (25) --
+    "ann_recall_eval",
+    "boilerplate_ngram_stats",
+    "chunk_documents_overlap",
+    "collocations_by_lift",
+    "corpus_diff_documents",
+    "dedup_canonical_documents",
+    "dedup_cluster_documents",
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "dedup_paragraph_documents",
+    "dedup_simhash_documents",
+    "dedup_substring_spans",
+    "embedding_near_pairs",
+    "grouped_lang_stats_pandas",
+    "hard_negatives_embeddings",
+    "hierarchy_depths_documents",
+    "ivf_recall_eval",
+    "jsonl_roundtrip_agg",
+    "levenshtein_near_pairs",
+    "lm_bigram_score_documents",
+    "merge_upsert_events",
+    "minhash_banding_eval",
+    "mmr_rerank_embeddings",
+    "multimodal_audio_energy",
+    "multimodal_phash_dedup",
+    # Round-10 plan ledger — the 23 r6 rows NOT in this window become
+    # rule-mandatory at round-10 planning (last row r6 <= latest(9) -
+    # 3): pagerank_event_types, pca_power_iteration_embeddings,
+    # q10_returned_item_customers, q12_priority_shipping_modes,
+    # q13_order_count_distribution, q14_promo_revenue_ratio,
+    # q15_top_supplier, q18_large_volume_customers,
+    # q19_disjunctive_revenue, q22_idle_rich_customers,
+    # q4_priority_with_discounted_lines, q6_forecast_revenue,
+    # q7_volume_shipping, q8_market_share, quota_sample_per_source,
+    # rare_token_quality_documents, readability_scores_documents,
+    # redact_mask_documents, repetition_stats_documents,
+    # text_quality_by_lang, text_stats_documents, top_terms_per_lang,
+    # vocab_zipf_histogram. 23 slots; the balance of the round-10
+    # window goes to the oldest r7 greens (50 of those at planning
+    # time) — 23 + 27 of 50 fit; the rest age to round 11 at ceiling 3.
 }
 
 

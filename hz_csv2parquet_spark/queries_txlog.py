@@ -44,7 +44,7 @@ def _orders_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_snapshot_read_orders",
-    priority=True,
+    priority=False,  # r8-verified; rotated out of the round-9 window
     since=8,
     sql="""
     SELECT o_orderstatus,
@@ -87,7 +87,7 @@ def txlog_snapshot_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_time_travel_orders",
-    priority=True,
+    priority=False,  # r8-verified; rotated out of the round-9 window
     since=8,
     sql="""
     SELECT o_orderstatus,
@@ -128,7 +128,7 @@ def txlog_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_merge_read_events",
-    priority=True,
+    priority=False,  # r8-verified; rotated out of the round-9 window
     since=8,
     sql="""
     WITH base AS (
@@ -184,7 +184,7 @@ def txlog_merge_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_changes_events",
-    priority=True,
+    priority=False,  # r8-verified; rotated out of the round-9 window
     since=8,
     sql="""
     WITH base AS (
