@@ -79,6 +79,18 @@ class CommitConflictError(RuntimeError):
     snapshot and retry the transaction."""
 
 
+def _uri_to_path(uri: str) -> str:
+    """``input_file_name()`` returns a percent-encoded ``file:`` URI;
+    map it back to the local filesystem path (spaces and %-escapes
+    must round-trip, or downstream remove actions name a file that
+    does not exist and the 'deleted' rows stay live)."""
+    from urllib.parse import unquote, urlparse
+
+    if uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return unquote(uri)
+
+
 def _log_dir(table_path: str) -> str:
     return os.path.join(table_path, "_txlog")
 
@@ -615,12 +627,19 @@ class TxTable:
             .distinct()
             .collect()
         ]
-        # input_file_name returns URIs; normalize to the paths we fed in
-        touched = [f.removeprefix("file://") for f in touched]
+        # input_file_name returns percent-encoded URIs; decode back to
+        # the filesystem paths we fed in (a table path with a space or
+        # %-char must still resolve to its own files)
+        touched = [_uri_to_path(f) for f in touched]
         actions: list[dict] = []
         if touched:
             current = self.spark.read.option("mergeSchema", "true").parquet(*touched)
-            actions.extend(self._stage(current.filter(~pred)))
+            # DELETE keeps every row where the predicate is NOT TRUE.
+            # Under three-valued logic ~pred is NULL when pred is NULL,
+            # so filter(~pred) would silently DROP NULL-key rows that
+            # merely share a file with matching rows — eqNullSafe maps
+            # NULL → keep, matching Delta's DELETE semantics.
+            actions.extend(self._stage(current.filter(~pred.eqNullSafe(F.lit(True)))))
             for f in touched:
                 actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
         elif txn is None:

@@ -864,6 +864,37 @@ def test_delete_where_rewrites_only_touched_files(spark, tmp_path):
     assert 0 not in {r.k for r in t.snapshot().collect()}
 
 
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """Data-loss regression (ADVICE r8/r9 high): DELETE keeps rows
+    where the predicate is NOT TRUE. A row whose predicate evaluates
+    to NULL satisfies neither ``pred`` nor ``~pred`` under
+    three-valued logic, so a naive ``filter(~pred)`` rewrite silently
+    drops NULL-key rows co-located in a touched file. Delta's DELETE
+    keeps them; so must ours."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["v"])
+    # one file holding matching rows, non-matching rows, AND NULLs
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 99), (4, None), (5, 10)],
+        "k long, v long",
+    ).coalesce(1)
+    t.create(df)
+    t.delete_where("v = 10")
+    got = {(r.k, r.v) for r in t.snapshot().collect()}
+    # rows with v=10 gone; NULL-v rows SURVIVE the rewrite
+    assert got == {(2, None), (3, 99), (4, None)}
+
+
+def test_delete_where_table_path_with_space(spark, tmp_path):
+    """input_file_name() percent-encodes URIs; the touched-file list
+    must decode back to real paths or the remove action names a
+    nonexistent file and the deleted rows stay live (ADVICE low)."""
+    t = TxTable(spark, str(tmp_path / "tbl with space"), stat_cols=["k"])
+    t.create(spark.createDataFrame([(1, 1), (2, 2)], "k long, v long").coalesce(1))
+    v = t.delete_where("k = 1")
+    assert v == 1
+    assert {r.k for r in t.snapshot().collect()} == {2}
+
+
 def test_changes_after_vacuum_raises_retention_error(spark, tmp_path):
     """The feed shares time travel's retention contract: once vacuum
     reclaims a commit's removed files, the diff is unrecoverable and
