@@ -88,89 +88,90 @@ def query(
 #: growth is frozen until the never-checked backlog fits the window
 #: (test_registry_order.py::test_catalog_growth_frozen_while_backlog).
 #:
-#: Round 7 drains the backlog (VERDICT r6 item 1): all 32
-#: never-driver-checked registrations, plus the 2 queries whose
-#: implementation changes this round (CDC rides the txlog MERGE;
-#: skyline's dominance threshold moved from a -1 sentinel to NULL),
-#: plus the 16 OLDEST r4-stale rows — the core reference surface
-#: (scan/binned_agg/collate/enrich/q1) whose last evidence predates
-#: every refactor since. The remaining 21 r4-stale rows become
-#: rule-mandatory at round-8 planning (21 + the first r5 picks fit
-#: that window with room to spare).
+#: Round 7 drained the never-checked backlog; rounds 8-9 ran the
+#: steady-state cadence (oldest-third of the catalog per round).
+#:
+#: ROUND 10 WINDOW. No red rows in r9 (49/50 green + 1
+#: rows-only-by-design). Mandatory: the 23 rows whose last driver
+#: check is r6 (<= latest(9) - 3 — exactly the ledger written at
+#: round-9 planning). Fill: the 24 alphabetically-first of the 46
+#: oldest (r7) greens — including enrich_broadcast_lookup, whose r9
+#: bench reading is driver-flagged and needs a fresh row next to the
+#: in-session 3-run audit (BASELINE.md). 47 named here; the balance
+#: of the 50-row window belongs to whatever ``priority=True`` /
+#: ``since=10`` registrations exist at round end — slack goes UNUSED
+#: if fewer land (round 9's mistake was ledgering promised
+#: registrations as fact; this comment makes no existence claim —
+#: count what is registered, not what is planned). Catalog note:
+#: round 10 retired three redundant queries (percentiles_by_segment,
+#: tumbling_hourly_counts, merge_upsert_events — each subsumed by a
+#: stronger sibling with the same oracle semantics), keeping the
+#: catalog inside the 4-round revisit arithmetic while the txlog
+#: features register their queries.
 ROTATION: set[str] = {
-    # ================= ROUND 9 WINDOW =================
-    # No red rows in r8 (48/50 green + 2 rows-only-by-design). Window
-    # = the 22 rule-mandatory r5-stale rows (last driver row r5 <=
-    # latest(8) - 3 — exactly the round-9 ledger written at round-8
-    # planning) + the 25 alphabetically-first of the 48 oldest (r6)
-    # greens. 47 named here + 3 round-9 txlog registrations riding in
-    # via priority=True/since=9 (queries_txlog.py: CDF stream read,
-    # RESTORE, deletion-vector DELETE) = 50, exactly the driver cap.
-    #
-    # -- rule-mandatory: last green r5 (22) --
-    "approx_distinct_users_per_type",
-    "correlation_matrix_lineitem",
-    "cube_order_stats",
-    "debounce_events",
-    "embedding_centroids_by_label",
-    "event_path_trigrams",
-    "full_outer_nation_presence",
-    "funnel_conversion_events",
-    "intersect_active_nations",
-    "length_histogram_documents",
-    "mad_outliers_events",
-    "multimodal_resize_thumbnails",
-    "pivot_event_counts",
-    "q17_small_quantity_revenue",
-    "q5_local_supplier_volume",
-    "quality_percentile_filter_documents",
-    "retention_cohorts_events",
-    "rfm_segmentation_customers",
-    "running_total_orders",
-    "seasonal_anomaly_events",
-    "trend_slope_by_type",
-    "vocab_oov_rate_documents",
-    # -- oldest (r6) greens, alphabetical prefix (25) --
-    "ann_recall_eval",
-    "boilerplate_ngram_stats",
-    "chunk_documents_overlap",
-    "collocations_by_lift",
-    "corpus_diff_documents",
-    "dedup_canonical_documents",
-    "dedup_cluster_documents",
-    "dedup_exact_documents",
-    "dedup_minhash_documents",
-    "dedup_paragraph_documents",
-    "dedup_simhash_documents",
-    "dedup_substring_spans",
-    "embedding_near_pairs",
-    "grouped_lang_stats_pandas",
-    "hard_negatives_embeddings",
-    "hierarchy_depths_documents",
-    "ivf_recall_eval",
-    "jsonl_roundtrip_agg",
-    "levenshtein_near_pairs",
-    "lm_bigram_score_documents",
-    "merge_upsert_events",
-    "minhash_banding_eval",
-    "mmr_rerank_embeddings",
-    "multimodal_audio_energy",
-    "multimodal_phash_dedup",
-    # Round-10 plan ledger — the 23 r6 rows NOT in this window become
-    # rule-mandatory at round-10 planning (last row r6 <= latest(9) -
-    # 3): pagerank_event_types, pca_power_iteration_embeddings,
-    # q10_returned_item_customers, q12_priority_shipping_modes,
-    # q13_order_count_distribution, q14_promo_revenue_ratio,
-    # q15_top_supplier, q18_large_volume_customers,
-    # q19_disjunctive_revenue, q22_idle_rich_customers,
-    # q4_priority_with_discounted_lines, q6_forecast_revenue,
-    # q7_volume_shipping, q8_market_share, quota_sample_per_source,
-    # rare_token_quality_documents, readability_scores_documents,
-    # redact_mask_documents, repetition_stats_documents,
-    # text_quality_by_lang, text_stats_documents, top_terms_per_lang,
-    # vocab_zipf_histogram. 23 slots; the balance of the round-10
-    # window goes to the oldest r7 greens (50 of those at planning
-    # time) — 23 + 27 of 50 fit; the rest age to round 11 at ceiling 3.
+    # -- rule-mandatory: last green r6 (23) --
+    "pagerank_event_types",
+    "pca_power_iteration_embeddings",
+    "q10_returned_item_customers",
+    "q12_priority_shipping_modes",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q4_priority_with_discounted_lines",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quota_sample_per_source",
+    "rare_token_quality_documents",
+    "readability_scores_documents",
+    "redact_mask_documents",
+    "repetition_stats_documents",
+    "text_quality_by_lang",
+    "text_stats_documents",
+    "top_terms_per_lang",
+    "vocab_zipf_histogram",
+    # -- oldest (r7) greens, alphabetical prefix (24) --
+    "asof_tolerance_last_click",
+    "benford_first_digit_orders",
+    "binned_agg_max_2d",
+    "centroid_classifier_eval",
+    "checksum_orders_table",
+    "chisq_event_value_independence",
+    "collate_union_all",
+    "column_stats_lineitem",
+    "compact_small_files",
+    "copurchase_part_pairs",
+    "data_quality_checks",
+    "distinct_users_per_type",
+    "enrich_broadcast_lookup",
+    "event_diversity_users",
+    "event_type_runs",
+    "geo_radius_join_lineitem",
+    "grouping_sets_revenue",
+    "hourly_peaks_events",
+    "impute_group_median_events",
+    "incremental_agg_merge_orders",
+    "interarrival_stats_users",
+    "interval_coverage_users",
+    "json_extract_events",
+    "keywords_per_document",
+    # Round-11 plan ledger — the 22 r7 rows NOT in this window become
+    # rule-mandatory at round-11 planning (last row r7 <= latest(10)
+    # - 3): locf_carry_forward_events, orc_roundtrip_agg,
+    # percentiles_by_segment_scalable, q1_pricing_summary,
+    # quantile_normalize_events, revenue_share_of_region,
+    # rolling_7d_active_users, rollup_revenue,
+    # scd2_snapshot_join_orders, schema_evolution_merge,
+    # semi_anti_customers, set_except_nations, skew_report_lineitem,
+    # skyline_orders, streaming_cdc_merge_events,
+    # tfidf_doc_similarity_pairs, top_k_orders,
+    # train_val_test_split_documents, trimmed_mean_by_type,
+    # udaf_grouped_agg_chars, window_rank_per_group, zorder_key_events
+    # (22 slots; the balance of the round-11 window goes to the
+    # oldest r8 greens).
 }
 
 
@@ -564,33 +565,6 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("tms") - F.min("tms")).alias("duration_ms"),
-    )
-
-
-@query(
-    "tumbling_hourly_counts",
-    sql="""
-    SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS hour_bucket,
-           event_type,
-           COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS value_sum
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregation in batch form (epoch-aligned hourly
-    buckets). The Structured Streaming variant over the same data is
-    streaming_tumbling_counts (rows-only check)."""
-    return (
-        table(spark, sf_dir, "events")
-        .select(
-            F.floor(F.unix_millis("ts") / F.lit(3600000)).alias("hour_bucket"),
-            "event_type",
-            "value",
-        )
-        .groupBy("hour_bucket", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), exact_sum("value").alias("value_sum"))
     )
 
 

@@ -83,32 +83,6 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "percentiles_by_segment",
-    sql="""
-    SELECT c_mktsegment,
-           quantile_cont(c_acctbal, 0.25) AS p25,
-           quantile_cont(c_acctbal, 0.5) AS p50,
-           quantile_cont(c_acctbal, 0.75) AS p75,
-           COUNT(*) AS n
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-)
-def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolating quantiles per group (Spark ``percentile``
-    = DuckDB ``quantile_cont``). Exact percentile holds per-group
-    values — the grid/group key is the shrink step, same trade as
-    the median binned aggregation."""
-    c = table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.percentile("c_acctbal", F.lit(0.25)).alias("p25"),
-        F.percentile("c_acctbal", F.lit(0.5)).alias("p50"),
-        F.percentile("c_acctbal", F.lit(0.75)).alias("p75"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@query(
     "percentiles_by_segment_scalable",
     sql="""
     SELECT c_mktsegment,
@@ -132,8 +106,10 @@ def percentiles_by_segment_scalable(spark: SparkSession, sf_dir: str) -> DataFra
     identical double arithmetic Spark's percentile and DuckDB's
     quantile_cont implement (NOT ``v_lo + frac·Δ``, which differs by
     1 ulp on real data) — runs on that aggregate-sized frame. The
-    oracle is the same quantile_cont SQL as percentiles_by_segment,
-    so the hash gate proves bit-equality of the scalable plan."""
+    oracle is DuckDB quantile_cont, so the hash gate proves
+    bit-equality of the scalable plan against the exact semantics
+    (the naive per-group-buffer ``F.percentile`` variant this
+    replaced was retired in round 10: same oracle, OOM shape)."""
     from .operators.rank import two_phase_rank
 
     c = table(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey", "c_acctbal")
@@ -314,7 +290,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("approx_percentiles_by_segment", sql=None)
 def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch-based scale path next to percentiles_by_segment:
+    """The sketch-based scale path next to percentiles_by_segment_scalable:
     ``approx_percentile`` (KLL-style, mergeable, bounded memory) is
     what replaces exact per-group value lists at 100 TB. No SQL
     oracle — DuckDB's approx sketch differs by construction; accuracy

@@ -671,72 +671,10 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(F.col("node").alias("event_type"), F.col("r").alias("rank"))
 
 
-# ---------------------------------------------------------------------
-# E105: lakehouse upsert merge (SCD1)
-# ---------------------------------------------------------------------
-
-
-@query(
-    "merge_upsert_events",
-    since=5,
-    sql="""
-    WITH base AS (
-      SELECT event_id, user_id, event_type,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events WHERE event_id % 3 != 0
-    ),
-    changes AS (
-      SELECT event_id, user_id, event_type,
-             CAST(round(value * 100) AS BIGINT) + 1 AS cents
-      FROM events WHERE event_id % 2 = 0
-    )
-    SELECT COALESCE(c.event_id, b.event_id) AS event_id,
-           COALESCE(c.user_id, b.user_id) AS user_id,
-           COALESCE(c.event_type, b.event_type) AS event_type,
-           COALESCE(c.cents, b.cents) AS cents,
-           CASE WHEN b.event_id IS NULL THEN 'insert'
-                WHEN c.event_id IS NULL THEN 'keep'
-                ELSE 'update' END AS action
-    FROM base b FULL OUTER JOIN changes c USING (event_id)
-    """,
-)
-def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE INTO semantics (SCD1 upsert) on plain parquet frames:
-    a change batch full-outer-joins the base snapshot on the key;
-    matched rows take the change values, unmatched-by-source rows
-    keep the base, unmatched-by-target rows insert — with the action
-    tagged per row, the audit column a lakehouse writer emits. The
-    base/change split is derived deterministically from the fixture
-    so both engines construct identical inputs. Scale shape: one
-    key-partitioned shuffle join (this is exactly Delta/Iceberg's
-    merge join stage); no broadcast assumption since change batches
-    can be large."""
-    ev = table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-    )
-    base = ev.filter(F.col("event_id") % 3 != 0)
-    changes = ev.filter(F.col("event_id") % 2 == 0).withColumn(
-        "cents", F.col("cents") + 1
-    )
-    b, c = base.alias("b"), changes.alias("c")
-    return (
-        b.join(c, F.col("b.event_id") == F.col("c.event_id"), "full_outer")
-        .select(
-            F.coalesce(F.col("c.event_id"), F.col("b.event_id")).alias("event_id"),
-            F.coalesce(F.col("c.user_id"), F.col("b.user_id")).alias("user_id"),
-            F.coalesce(F.col("c.event_type"), F.col("b.event_type")).alias(
-                "event_type"
-            ),
-            F.coalesce(F.col("c.cents"), F.col("b.cents")).alias("cents"),
-            F.when(F.col("b.event_id").isNull(), F.lit("insert"))
-            .when(F.col("c.event_id").isNull(), F.lit("keep"))
-            .otherwise(F.lit("update"))
-            .alias("action"),
-        )
-    )
+# E105 (merge_upsert_events, the SCD1 merge as a plain full-outer
+# join) was retired in round 10: txlog_merge_read_events exercises the
+# identical base/changes split through the real stats-pruned MERGE and
+# shares its oracle shape, so the join-only variant added no evidence.
 
 
 # ---------------------------------------------------------------------

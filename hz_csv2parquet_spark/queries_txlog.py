@@ -149,9 +149,8 @@ def txlog_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def txlog_merge_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL lakehouse MERGE, end to end: the same base/changes
-    split as ``merge_upsert_events`` (E105, which computes the merge
-    as a plain full-outer join) but executed through
+    """The REAL lakehouse MERGE, end to end: a deterministic
+    base/changes split of the events fixture executed through
     ``TxTable.merge_upsert`` — stats-pruned copy-on-write rewrite,
     remove+add commit, txn marker — and answered from the post-merge
     snapshot. The base is created as FOUR range-clustered files

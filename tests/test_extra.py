@@ -42,7 +42,7 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     }
     exact = {
         r.c_mktsegment: r.p50
-        for r in REGISTRY["percentiles_by_segment"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["percentiles_by_segment_scalable"].fn(spark, sf_dir).collect()
     }
     for seg, p in exact.items():
         # 10k accuracy on ~30-300 rows/group: effectively exact
