@@ -147,8 +147,10 @@ def cmd_table(args: argparse.Namespace) -> None:
     change feed (``changes --from-version N`` — incremental
     consumption without re-reading the table), and copy-on-write
     ``delete --where`` (GDPR-erasure shape: only files containing
-    matching rows are rewritten). One verb per invocation, matching
-    how a scheduler would drive table upkeep."""
+    matching rows are rewritten), and ``restore --to-version N``
+    (rollback-as-commit: history preserved, no data rewritten). One
+    verb per invocation, matching how a scheduler would drive table
+    upkeep."""
     import json as jsonmod
     import logging
 
@@ -167,6 +169,8 @@ def cmd_table(args: argparse.Namespace) -> None:
         raise SystemExit("table changes requires --from-version")
     if args.action == "delete" and not args.where:
         raise SystemExit("table delete requires --where")
+    if args.action == "restore" and args.to_version is None:
+        raise SystemExit("table restore requires --to-version")
     if args.retention_seconds is None:
         args.retention_seconds = DEFAULT_VACUUM_RETENTION_S
 
@@ -223,6 +227,14 @@ def cmd_table(args: argparse.Namespace) -> None:
             v,
             len(before - after),
             len(before & after),
+        )
+    elif args.action == "restore":
+        v = t.restore(args.to_version)
+        log.info(
+            "restored %s to version %d as new version %d",
+            args.table,
+            args.to_version,
+            v,
         )
     elif args.action == "vacuum":
         n = t.vacuum(retention_seconds=args.retention_seconds, dry_run=args.dry_run)
@@ -348,7 +360,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser(
         "table",
-        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/describe)",
+        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/restore/describe)",
     )
     t.add_argument(
         "action",
@@ -361,6 +373,7 @@ def build_parser() -> argparse.ArgumentParser:
             "export",
             "changes",
             "delete",
+            "restore",
             "describe",
         ),
     )
@@ -375,6 +388,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--as-of", type=int, default=None, help="historical version for export")
     t.add_argument("--target-files", type=int, default=1, help="compaction target file count")
     t.add_argument("--where", default=None, help="DELETE predicate (SQL expression)")
+    t.add_argument(
+        "--to-version",
+        type=int,
+        default=None,
+        help="restore: roll the table back to this version as a new commit",
+    )
     t.add_argument(
         "--dry-run",
         action="store_true",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from .functions.exact import exact_sum
 from .operators.asof import asof_join
 from .queries import query
+from .scratch import scratch_dir
 from .tables import table
 
 
@@ -255,14 +256,13 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     call (bench warm-up + timed runs) would defeat the amortization
     the pattern exists for."""
     import hashlib
-    import tempfile
-
+    
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     t_orders, t_customer = f"hz_b_orders_{tag}", f"hz_b_customer_{tag}"
     if not (spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(t_customer)):
         o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
         c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-        base = tempfile.mkdtemp(prefix="hz_bucketed_")
+        base = scratch_dir("hz_bucketed_")
         (
             o.write.mode("overwrite")
             .option("path", f"{base}/orders")

@@ -20,13 +20,13 @@ driver's hash gate:
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.binned_agg import geo_aggregate, meters_to_degrees
 from .queries import dlit, query
+from .scratch import scratch_dir
 from .sources.io import read_table, write_table
 from .tables import table
 
@@ -46,7 +46,7 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → CSV sink (S9) → inferring CSV scan (S1) + projection
     (S2) → aggregate. Oracle runs on the original parquet table, so a
     hash match proves the round-trip is value-lossless."""
-    out = os.path.join(tempfile.mkdtemp(prefix="hz_csv_rt_"), "customer_csv")
+    out = os.path.join(scratch_dir("hz_csv_rt_"), "customer_csv")
     write_table(table(spark, sf_dir, "customer"), out, fmt="csv")
     back = read_table(
         spark, out, fmt="csv", columns=["c_mktsegment", "c_acctbal", "c_custkey"]
@@ -116,7 +116,7 @@ def streaming_convert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once (no dup/missing rows)."""
     from .sources.io import convert_streaming
 
-    base = tempfile.mkdtemp(prefix="hz_stream_cv_")
+    base = scratch_dir("hz_stream_cv_")
     landing = os.path.join(base, "landing")
     dest = os.path.join(base, "out_parquet")
     src = table(spark, sf_dir, "nation")
@@ -145,7 +145,7 @@ def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     original parquet table, so a hash match proves the JSONL
     round-trip preserved every document byte-for-byte — the
     interchange format an LLM corpus actually ships in."""
-    out = os.path.join(tempfile.mkdtemp(prefix="hz_jsonl_rt_"), "documents_jsonl")
+    out = os.path.join(scratch_dir("hz_jsonl_rt_"), "documents_jsonl")
     src = table(spark, sf_dir, "documents")
     write_table(src, out, fmt="json")
     back = read_table(spark, out, fmt="json", schema=src.schema)
@@ -186,7 +186,7 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the S-surface (SURVEY §2.1 S5/S10 format dispatch) to the
     Hive/Trino ecosystem's columnar format. Same pushdown/pruning
     story as parquet at 100 TB."""
-    out = os.path.join(tempfile.mkdtemp(prefix="hz_orc_rt_"), "documents_orc")
+    out = os.path.join(scratch_dir("hz_orc_rt_"), "documents_orc")
     src = table(spark, sf_dir, "documents")
     write_table(src, out, fmt="orc")
     back = read_table(spark, out, fmt="orc")
@@ -228,9 +228,8 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     superset schema lives in a catalog (Delta/Iceberg) instead, but
     the read semantics pinned here are identical."""
     import os
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="hz_schema_ev_")
+    
+    base = scratch_dir("hz_schema_ev_")
     o = table(spark, sf_dir, "orders")
     gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     gen2 = o.filter(F.col("o_orderkey") % 2 != 0).select(
@@ -274,9 +273,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout key (see zorder_key_events) or Delta OPTIMIZE — the
     read-rewrite-swap shape is the same."""
     import os
-    import tempfile
-
-    base = tempfile.mkdtemp(prefix="hz_compact_")
+    
+    base = scratch_dir("hz_compact_")
     frag_dir, compact_dir = os.path.join(base, "frag"), os.path.join(base, "compact")
     table(spark, sf_dir, "supplier").repartition(16).write.mode("overwrite").parquet(frag_dir)
     spark.read.parquet(frag_dir).coalesce(1).write.mode("overwrite").parquet(compact_dir)

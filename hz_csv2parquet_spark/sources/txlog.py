@@ -152,11 +152,23 @@ class TxTable:
         path: str,
         stat_cols: list[str] | None = None,
         checkpoint_interval: int = 10,
+        change_data: bool = False,
     ):
         self.spark = spark
         self.path = path
         self.stat_cols = list(stat_cols or [])
         self.checkpoint_interval = max(1, int(checkpoint_interval))
+        #: Change Data Feed: with ``change_data=True`` every verb that
+        #: rewrites rows (MERGE, DELETE, RESTORE) also stages the
+        #: row-level change set as parquet sidecars under
+        #: ``_change_data/`` and records them as ``cdc`` actions in
+        #: the same commit — Delta's CDF table property. Snapshot
+        #: replay ignores cdc actions; ``changes()`` and the
+        #: ``hz_txlog`` readChangeFeed stream serve them directly,
+        #: with no content diff and no dependence on superseded data
+        #: files. Costs one extra diff+write per change commit,
+        #: bounded by the commit's touched files.
+        self.change_data = bool(change_data)
         #: commit files parsed since construction — the O(tail)
         #: replay contract is pinned against this counter.
         self.log_reads = 0
@@ -307,6 +319,60 @@ class TxTable:
             rel = os.path.relpath(f, self.path)
             adds.append({"add": {"path": rel, "rows": rows, "stats": stats}})
         return adds
+
+    def _stage_cdc(self, feed: DataFrame) -> list[dict]:
+        """Write a change feed (table columns + ``_change_type``) as
+        parquet sidecars under ``_change_data/`` and return their
+        ``cdc`` actions. cdc files are NOT part of the snapshot —
+        replay ignores them; they exist so change consumers never
+        re-derive row-level diffs from data files."""
+        stage = os.path.join(
+            self.path, "_change_data", f"cdc-{uuid.uuid4().hex[:12]}"
+        )
+        feed.write.mode("errorifexists").parquet(stage)
+        actions = []
+        for f in sorted(glob.glob(os.path.join(stage, "*.parquet"))):
+            rows, _ = _file_stats(f, [])
+            if rows == 0:
+                os.remove(f)
+                continue
+            actions.append(
+                {"cdc": {"path": os.path.relpath(f, self.path), "rows": rows}}
+            )
+        return actions
+
+    @staticmethod
+    def _align_columns(df: DataFrame, like: DataFrame) -> DataFrame:
+        """Project ``df`` onto ``like``'s schema, null-filling columns
+        it lacks — the shape-normalization both sides of a change
+        diff need across schema evolution."""
+        return df.select(
+            *[
+                F.col(f.name) if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in like.schema.fields
+            ]
+        )
+
+    def _cdc_diff_actions(self, old: DataFrame | None, new: DataFrame) -> list[dict]:
+        """Stage the row-level change set of a copy-on-write rewrite:
+        inserts = new ∖ old, deletes = old ∖ new (multiset EXCEPT ALL,
+        so rows a rewrite merely relocated cancel — identical to the
+        content-diff semantics of :meth:`changes`, computed once at
+        commit time over only the touched scope instead of at every
+        read)."""
+        if old is None:
+            feed = new.withColumn("_change_type", F.lit("insert"))
+        else:
+            old_a = self._align_columns(old, new)
+            feed = (
+                new.exceptAll(old_a)
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    old_a.exceptAll(new).withColumn("_change_type", F.lit("delete"))
+                )
+            )
+        return self._stage_cdc(feed)
 
     def create(self, df: DataFrame) -> int:
         """Version 0: data files + schema meta in one commit."""
@@ -573,8 +639,11 @@ class TxTable:
                     resolved = resolve(matched, updates)
                 rewritten = keep.unionByName(resolved, allowMissingColumns=True)
             else:
+                current = None
                 rewritten = updates
             actions.extend(self._stage(rewritten))
+            if self.change_data:
+                actions.extend(self._cdc_diff_actions(current, rewritten))
             for f in touched:
                 actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
             _, old_schema = self._replay()
@@ -640,6 +709,14 @@ class TxTable:
             # merely share a file with matching rows — eqNullSafe maps
             # NULL → keep, matching Delta's DELETE semantics.
             actions.extend(self._stage(current.filter(~pred.eqNullSafe(F.lit(True)))))
+            if self.change_data:
+                actions.extend(
+                    self._stage_cdc(
+                        current.filter(pred.eqNullSafe(F.lit(True))).withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                )
             for f in touched:
                 actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
         elif txn is None:
@@ -716,6 +793,68 @@ class TxTable:
             )
         return self._commit(actions, base, operation="OPTIMIZE")
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION: roll the table back to the
+        ``version`` snapshot AS A NEW COMMIT (Delta's RESTORE shape) —
+        history is preserved, time travel still sees every version,
+        and a racing writer conflicts instead of being silently
+        undone. The commit is pure log surgery: re-add the target
+        snapshot's files the current one dropped, remove the files it
+        gained, and roll back the schema meta if it evolved — no data
+        is rewritten, O(changed files) actions.
+
+        Requires the target snapshot's files to still exist (RESTORE
+        shares time travel's vacuum-retention contract). On a
+        ``change_data=True`` table the commit also stages cdc
+        sidecars (content diff of only the differing files), so
+        change-feed consumers see the rollback as row-level
+        delete+insert instead of failing on a rewrite commit.
+
+        Returns the committed version; restoring to the current state
+        is a no-op that returns the current version."""
+        base = self.version()
+        if version < 0 or version > base:
+            raise ValueError(
+                f"cannot restore {self.path} to version {version}: "
+                f"table is at version {base}"
+            )
+        cur_state = self._replay_state()
+        tgt_state = self._replay_state(as_of=version)
+        cur, tgt = cur_state["adds"], tgt_state["adds"]
+        re_added = [rel for rel in tgt if rel not in cur]
+        dropped = [rel for rel in cur if rel not in tgt]
+        actions: list[dict] = []
+        for rel in re_added:
+            if not os.path.exists(os.path.join(self.path, rel)):
+                raise FileNotFoundError(
+                    f"restore to version {version} needs {rel}, which vacuum "
+                    "has reclaimed — RESTORE shares time travel's retention "
+                    "contract"
+                )
+            actions.append({"add": tgt[rel]})
+        for rel in dropped:
+            actions.append({"remove": {"path": rel}})
+        if tgt_state["schema"] != cur_state["schema"]:
+            actions.append({"meta": {"schema": tgt_state["schema"]}})
+        if not actions:
+            return base
+        if self.change_data and (re_added or dropped):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(tgt_state["schema"]))
+            like = self.spark.createDataFrame([], schema)
+
+            def side(rels: list[str]) -> DataFrame:
+                if not rels:
+                    return like
+                df = self.spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.path, r) for r in rels]
+                )
+                return self._align_columns(df, like)
+
+            actions.extend(self._cdc_diff_actions(side(dropped), side(re_added)))
+        return self._commit(actions, base, operation="RESTORE")
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level change feed for commits in ``(from_version,
         to_version]`` — the lakehouse CDF shape: each returned row is
@@ -725,8 +864,11 @@ class TxTable:
         downstream job reads only what each commit changed, never the
         table.
 
-        Without row-level tracking in the log, a commit's change set
-        is recovered by content diff over ONLY that commit's files:
+        Commits that carry ``cdc`` sidecar actions (tables built with
+        ``change_data=True``) serve their staged change set directly.
+        Otherwise, without row-level tracking in the log, a commit's
+        change set is recovered by content diff over ONLY that
+        commit's files:
         inserts = rows(added files) EXCEPT ALL rows(removed files),
         deletes = the reverse — kept rows of a copy-on-write rewrite
         appear on both sides and cancel, so the result is independent
@@ -764,12 +906,37 @@ class TxTable:
             f = _version_file(self.path, v)
             if not os.path.exists(f):
                 raise FileNotFoundError(f"missing log version {v} at {self.path}")
-            added, removed = [], []
+            added, removed, cdcs = [], [], []
             for action in json.load(open(f)):
                 if "add" in action and action["add"].get("dataChange", True):
                     added.append(os.path.join(self.path, action["add"]["path"]))
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removed.append(os.path.join(self.path, action["remove"]["path"]))
+                elif "cdc" in action:
+                    cdcs.append(os.path.join(self.path, action["cdc"]["path"]))
+            if cdcs:
+                # the commit staged its own change set (change_data
+                # table): serve it directly — no content diff, no
+                # dependence on the superseded data files
+                for p in cdcs:
+                    if not os.path.exists(p):
+                        raise FileNotFoundError(
+                            f"change feed for version {v} needs sidecar {p}, "
+                            "which vacuum has reclaimed — consume feeds inside "
+                            "the retention window"
+                        )
+                cdf = self.spark.read.option("mergeSchema", "true").parquet(*cdcs)
+                feeds.append(
+                    cdf.select(
+                        *[
+                            F.col(c) if c in cdf.columns
+                            else F.lit(None).cast(schema[c].dataType).alias(c)
+                            for c in cols
+                        ],
+                        "_change_type",
+                    ).withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+                continue
             if not added and not removed:
                 continue
             def tag(df: DataFrame, kind: str) -> DataFrame:
@@ -837,6 +1004,17 @@ class TxTable:
             if f not in live:
                 deleted += _remove_if_aged(f)
         for d in glob.glob(os.path.join(self.path, "data-*")):
+            try:
+                if not dry_run and not os.listdir(d):
+                    shutil.rmtree(d)
+            except FileNotFoundError:
+                pass
+        # change-data sidecars share the retention contract: a feed
+        # older than the window is unrecoverable anyway (its data
+        # files may be gone), so aged cdc files are reclaimed too
+        for f in glob.glob(os.path.join(self.path, "_change_data", "*", "*.parquet")):
+            deleted += _remove_if_aged(f)
+        for d in glob.glob(os.path.join(self.path, "_change_data", "*")):
             try:
                 if not dry_run and not os.listdir(d):
                     shutil.rmtree(d)

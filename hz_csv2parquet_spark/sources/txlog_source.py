@@ -4,6 +4,15 @@ tables (sources/txlog.py) through the standard ``format()`` surface:
 
 - **Batch**: ``spark.read.format("hz_txlog").load(path)`` — the
   log-governed snapshot; ``.option("asOf", v)`` time-travels.
+- **Change feed** (batch and streaming):
+  ``.option("readChangeFeed", "true")`` emits CDF rows (table columns
+  + ``_change_type`` + ``_commit_version``). Appends plan straight
+  from add actions; MERGE/DELETE/RESTORE commits are served from the
+  ``cdc`` sidecar files a ``change_data=True`` TxTable stages at
+  commit time — so a rewritten table streams row-accurate updates
+  instead of raising. Batch takes ``startingVersion`` (default 0) /
+  ``endingVersion`` (default latest); streaming checkpoints versions
+  exactly like the append-only stream.
 - **Streaming**: ``spark.readStream.format("hz_txlog").load(path)``
   — tails the commit log with VERSIONS AS OFFSETS. Each micro-batch
   reads exactly the ``dataChange`` ADD files of the newly committed
@@ -76,6 +85,11 @@ class _FilePartition(InputPartition):
     path: str
     columns: tuple  # ((name, ddl_type), ...) of the as-of schema
     row_groups: tuple | None = None  # parquet row-group indices; None = whole file
+    #: ((name, value), ...) columns attached as constants executor-side
+    #: (change-feed reads stamp _change_type/_commit_version this way —
+    #: the values are per-partition facts the LOG knows, so they ride
+    #: the partition instead of being materialized in data files)
+    constants: tuple = ()
 
 
 #: default split threshold: files whose logged row count exceeds this
@@ -84,14 +98,16 @@ class _FilePartition(InputPartition):
 DEFAULT_SPLIT_ROWS = 4_000_000
 
 
-def _file_partitions(abs_path: str, rows: int, cols: tuple, split_rows: int):
+def _file_partitions(
+    abs_path: str, rows: int, cols: tuple, split_rows: int, constants: tuple = ()
+):
     """One partition per file, UNLESS the log says the file is big:
     then open its footer (driver-side metadata read, same cost the
     native source pays) and emit row-group-aligned chunks of ≲
     ``split_rows`` rows each — a 10 GB file fans out across the
     cluster instead of serializing through one Python task."""
     if rows <= split_rows:
-        return [_FilePartition(abs_path, cols)]
+        return [_FilePartition(abs_path, cols, None, constants)]
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -106,8 +122,8 @@ def _file_partitions(abs_path: str, rows: int, cols: tuple, split_rows: int):
     if cur:
         chunks.append(cur)
     if len(chunks) <= 1:  # one huge row group: nothing to split on
-        return [_FilePartition(abs_path, cols)]
-    return [_FilePartition(abs_path, cols, tuple(c)) for c in chunks]
+        return [_FilePartition(abs_path, cols, None, constants)]
+    return [_FilePartition(abs_path, cols, tuple(c), constants) for c in chunks]
 
 
 def _log_state(path: str, as_of: int | None = None) -> dict:
@@ -133,7 +149,9 @@ def _schema_from_log(path: str, as_of: int | None = None) -> StructType:
 
 def _read_file_as_arrow(part: _FilePartition):
     """Executor-side: one parquet file → Arrow batches aligned to the
-    as-of schema (null-fill columns an older generation lacks)."""
+    as-of schema (null-fill columns an older generation lacks;
+    partition constants — e.g. a change feed's _commit_version —
+    materialize as repeated scalars)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_type
@@ -148,9 +166,12 @@ def _read_file_as_arrow(part: _FilePartition):
         table = pq.ParquetFile(part.path).read_row_groups(list(part.row_groups))
     else:
         table = pq.read_table(part.path)
+    const = dict(part.constants or ())
     cols = []
     for name, typ in fields:
-        if name in table.column_names:
+        if name in const:
+            cols.append(pa.array([const[name]] * table.num_rows, type=typ))
+        elif name in table.column_names:
             cols.append(table.column(name).cast(typ))
         else:
             cols.append(pa.nulls(table.num_rows, type=typ))
@@ -160,6 +181,82 @@ def _read_file_as_arrow(part: _FilePartition):
 
 def _schema_columns(schema: StructType) -> tuple:
     return tuple((f.name, f.dataType.json()) for f in schema.fields)
+
+
+def _cdf_schema(path: str, as_of: int | None = None) -> StructType:
+    """Change-feed schema: the table's columns + the CDF metadata
+    pair (``_change_type`` string, ``_commit_version`` long) — the
+    public Delta CDF column shape."""
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    st = _schema_from_log(path, as_of)
+    return StructType(
+        list(st.fields)
+        + [
+            StructField("_change_type", StringType(), True),
+            StructField("_commit_version", LongType(), True),
+        ]
+    )
+
+
+def _cdf_version_partitions(
+    path: str,
+    v: int,
+    cols: tuple,
+    split_rows: int,
+    skip_change_commits: bool,
+) -> list[_FilePartition]:
+    """Plan ONE version of a change-feed read, from the log only:
+
+    - commits carrying ``cdc`` sidecar actions → read the sidecars
+      (``_change_type`` is in the file; ``_commit_version`` rides the
+      partition as a constant);
+    - blind appends → read the added files, stamping
+      ``_change_type='insert'``;
+    - copy-on-write rewrites WITHOUT sidecars are not row-accurately
+      representable → raise with the fix (write with
+      ``change_data=True``), or skip under ``skipChangeCommits``;
+    - ``dataChange: false`` layout commits are invisible.
+    """
+    f = _version_file(path, v)
+    if not os.path.exists(f):
+        raise FileNotFoundError(
+            f"log version {v} missing at {path} — vacuumed past the "
+            "feed's start? begin from a retained version"
+        )
+    added, removed, cdcs = [], [], []
+    for action in json.load(open(f)):
+        if "add" in action and action["add"].get("dataChange", True):
+            added.append((action["add"]["path"], int(action["add"].get("rows", 0))))
+        elif "remove" in action and action["remove"].get("dataChange", True):
+            removed.append(action["remove"]["path"])
+        elif "cdc" in action:
+            cdcs.append((action["cdc"]["path"], int(action["cdc"].get("rows", 0))))
+    parts: list[_FilePartition] = []
+    if cdcs:
+        ver_const = (("_commit_version", v),)
+        for p, rows in cdcs:
+            parts.extend(
+                _file_partitions(
+                    os.path.join(path, p), rows, cols, split_rows, ver_const
+                )
+            )
+        return parts
+    if removed:
+        if skip_change_commits:
+            return []
+        raise ValueError(
+            f"version {v} of {path} rewrites existing rows without "
+            "change-data sidecars; a row-accurate change feed needs the "
+            "writer to run with change_data=True (TxTable CDF property). "
+            "Set skipChangeCommits=true to ignore rewrite commits."
+        )
+    const = (("_change_type", "insert"), ("_commit_version", v))
+    for p, rows in added:
+        parts.extend(
+            _file_partitions(os.path.join(path, p), rows, cols, split_rows, const)
+        )
+    return parts
 
 
 class _TxLogBatchReader(DataSourceReader):
@@ -257,6 +354,50 @@ def _stats_admit(stats: dict, flt) -> bool:
     return True
 
 
+class _TxLogChangesBatchReader(DataSourceReader):
+    """Batch change-feed read: ``spark.read.format("hz_txlog")
+    .option("readChangeFeed", "true").option("startingVersion", N)
+    [.option("endingVersion", M)].load(path)`` — every change in
+    versions [N, M] as CDF rows, planned from the log only (the
+    public Delta batch-CDF surface)."""
+
+    def __init__(self, path: str, start: int, end: int | None, split_rows: int):
+        self.path = path
+        self.start = start
+        top = _top_version(path)
+        self.end = top if end is None else min(end, top)
+        self.split_rows = split_rows
+        self.schema = _cdf_schema(path, self.end)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        cols = _schema_columns(self.schema)
+        parts: list[_FilePartition] = []
+        for v in range(self.start, self.end + 1):
+            parts.extend(
+                _cdf_version_partitions(
+                    self.path, v, cols, self.split_rows, skip_change_commits=False
+                )
+            )
+        return parts or [_FilePartition("", cols)]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        if not partition.path:
+            return iter(())
+        return _read_file_as_arrow(partition)
+
+
+def _top_version(path: str) -> int:
+    import re as _re
+
+    try:
+        names = os.listdir(os.path.join(path, "_txlog"))
+    except FileNotFoundError:
+        return -1
+    return max(
+        (int(n[:8]) for n in names if _re.match(r"^\d{8}\.json$", n)), default=-1
+    )
+
+
 class _TxLogStreamReader(DataSourceStreamReader):
     """Versions-as-offsets tail of the commit log. Offset dict:
     ``{"version": N}`` = everything up to and including version N has
@@ -270,6 +411,12 @@ class _TxLogStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(opts.get("skipchangecommits", "false")).lower() == "true"
         )
+        # readChangeFeed: emit the CDF row shape (_change_type,
+        # _commit_version) instead of the append-only table rows —
+        # rewrite commits are served from their cdc sidecars
+        self.read_change_feed = (
+            str(opts.get("readchangefeed", "false")).lower() == "true"
+        )
         # startingVersion: first batch starts AFTER this version
         # (default -1: emit the existing table as the first batch —
         # Delta's startingVersion=0 shape)
@@ -281,7 +428,29 @@ class _TxLogStreamReader(DataSourceStreamReader):
         # giant one. None = unbounded (default).
         mv = opts.get("maxversionspertrigger")
         self.max_versions = int(mv) if mv is not None else None
+        # streamId: names a per-stream anchor file under _txlog/ that
+        # commit() keeps at the last committed end version. The Python
+        # stream-reader protocol never tells the reader the
+        # checkpointed offset before the first latestOffset() of a
+        # run, so WITHOUT an anchor the first post-restart batch is
+        # uncapped — exactly the catch-up case maxVersionsPerTrigger
+        # exists to bound. The anchor must be unique per stream
+        # (checkpoint): a shared one could sit behind another stream's
+        # offset and cap latestOffset below it.
+        self.stream_id = opts.get("streamid")
         self._last_end: int | None = None
+        if self.stream_id is not None:
+            try:
+                self._last_end = int(
+                    json.load(open(self._anchor_file()))["version"]
+                )
+            except (OSError, ValueError, KeyError):
+                pass  # no anchor yet (first run) — first batch uncapped
+
+    def _anchor_file(self) -> str:
+        return os.path.join(
+            self.path, "_txlog", f".stream-anchor-{self.stream_id}.json"
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
@@ -305,6 +474,14 @@ class _TxLogStreamReader(DataSourceStreamReader):
         self._last_end = end["version"]  # rate-limit anchor for the next trigger
         cols = _schema_columns(self._schema)
         parts: list[_FilePartition] = []
+        if self.read_change_feed:
+            for v in range(start["version"] + 1, end["version"] + 1):
+                parts.extend(
+                    _cdf_version_partitions(
+                        self.path, v, cols, self.split_rows, self.skip_change_commits
+                    )
+                )
+            return parts
         for v in range(start["version"] + 1, end["version"] + 1):
             f = _version_file(self.path, v)
             if not os.path.exists(f):
@@ -341,7 +518,20 @@ class _TxLogStreamReader(DataSourceStreamReader):
         return _read_file_as_arrow(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # engine-side checkpoint is the source of truth
+        # the engine-side checkpoint is the source of truth for
+        # offsets; the anchor only re-seeds the rate limiter after a
+        # restart (atomic tmp+rename, best-effort: a lost anchor costs
+        # one uncapped batch, never correctness)
+        if self.stream_id is None:
+            return
+        # the ".tmp-" suffix matches vacuum's leaked-tmp sweep glob
+        tmp = self._anchor_file() + f".tmp-{os.getpid()}"
+        try:
+            with open(tmp, "w") as fh:
+                json.dump({"version": end["version"]}, fh)
+            os.replace(tmp, self._anchor_file())
+        except OSError:
+            pass
 
 
 class TxLogDataSource(DataSource):
@@ -358,12 +548,28 @@ class TxLogDataSource(DataSource):
             raise ValueError("hz_txlog requires a table path: .load(<path>)")
         return p
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("readchangefeed", "false")).lower() == "true"
+
     def schema(self):
         as_of = self.options.get("asof")
+        if self._cdf():
+            ev = self.options.get("endingversion")
+            return _cdf_schema(self._path(), int(ev) if ev is not None else None)
         return _schema_from_log(self._path(), int(as_of) if as_of is not None else None)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         as_of = self.options.get("asof")
+        split = self.options.get("splitrows")
+        if self._cdf():
+            sv = self.options.get("startingversion")
+            ev = self.options.get("endingversion")
+            return _TxLogChangesBatchReader(
+                self._path(),
+                int(sv) if sv is not None else 0,
+                int(ev) if ev is not None else None,
+                int(split) if split is not None else DEFAULT_SPLIT_ROWS,
+            )
         cls = _TxLogBatchReader
         try:
             from pyspark.sql import SparkSession
@@ -379,7 +585,6 @@ class TxLogDataSource(DataSource):
                 cls = _TxLogPruningBatchReader
         except Exception:
             cls = _TxLogBatchReader  # no session/conf access: no pushdown
-        split = self.options.get("splitrows")
         return cls(
             self._path(),
             int(as_of) if as_of is not None else None,
@@ -500,6 +705,9 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
         self.overwrite = overwrite
         opts = {k.lower(): v for k, v in options.items()}
         self.stat_cols = [c for c in str(opts.get("statcols", "")).split(",") if c]
+        self.overwrite_schema = (
+            str(opts.get("overwriteschema", "false")).lower() == "true"
+        )
 
     def commit(self, messages) -> None:
         t = self._table()
@@ -508,13 +716,40 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
         if new_table:
             actions.append({"meta": {"schema": self._schema.json()}})
         if self.overwrite and not new_table:
-            state = t._replay_state()
+            # capture the base version FIRST and replay exactly that
+            # snapshot: a commit landing between replay and commit must
+            # surface as a conflict, not survive the overwrite with its
+            # files silently left out of the remove set
+            base = t.version()
+            state = t._replay_state(as_of=base)
             for rel in state["adds"]:
                 actions.append({"remove": {"path": rel}})
+            # schema-changing overwrite: without a fresh meta action
+            # the table keeps the stale schema and reads silently drop
+            # the new columns — gate behind overwriteSchema (Delta's
+            # contract) so an accidental shape change fails loudly.
+            # Compare names+types only: nullability flips with the
+            # writing plan (spark.range is non-nullable, a literal
+            # frame isn't) and reads surface everything nullable anyway
+            def _shape(st: StructType):
+                return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+            old = state["schema"]
+            if old is not None and _shape(
+                StructType.fromJson(json.loads(old))
+            ) != _shape(self._schema):
+                if not self.overwrite_schema:
+                    raise ValueError(
+                        f"overwrite changes the table schema at {self.path}; "
+                        'set .option("overwriteSchema", "true") to replace it '
+                        "(reads resolve the latest meta action, so the old "
+                        "schema would otherwise hide the new columns)"
+                    )
+                actions.append({"meta": {"schema": self._schema.json()}})
             # overwrite read the snapshot it is replacing: a lost
             # version race means that snapshot is stale — surface the
             # conflict (single attempt), matching merge/compact
-            t._commit(actions, t.version(), operation="WRITE-OVERWRITE")
+            t._commit(actions, base, operation="WRITE-OVERWRITE")
         else:
             t._rebase_commit(actions, operation="WRITE-APPEND")
 

@@ -30,12 +30,12 @@ CLI exposes (``table compact --layout-key``).
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.txlog import TxTable
+from ..scratch import scratch_dir
 
 #: composite merge key; file pruning uses the first column's stats
 CDC_KEYS = ["user_id", "event_type"]
@@ -94,7 +94,7 @@ def run_cdc_merge(
     pruning degrades to rewrite-everything."""
     table = TxTable(
         spark,
-        table_path or tempfile.mkdtemp(prefix="hz_cdc_merge_"),
+        table_path or scratch_dir("hz_cdc_merge_"),
         stat_cols=["user_id"],
     )
     # the maintained table's schema is static — create it empty up
@@ -131,7 +131,7 @@ def run_cdc_merge(
 
     q = (
         stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="hz_cdc_ckpt_"))
+        .option("checkpointLocation", scratch_dir("hz_cdc_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

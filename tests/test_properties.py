@@ -24,7 +24,7 @@ SET = settings(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-
+from hz_csv2parquet_spark.scratch import scratch_dir
 def _events_fixture_dir(spark, rows) -> str:
     """Write ``rows`` of ``(event_id, ms, user_id, event_type,
     value)`` as a production-shaped events fixture (unique tmp dir,
@@ -39,7 +39,7 @@ def _events_fixture_dir(spark, rows) -> str:
     # drop previous examples' dirs (serial tests; bounds /tmp growth)
     for old in glob.glob(f"{tempfile.gettempdir()}/hz_prop_events_*"):
         shutil.rmtree(old, ignore_errors=True)
-    d = tempfile.mkdtemp(prefix="hz_prop_events_")
+    d = scratch_dir("hz_prop_events_")
     df = spark.createDataFrame(
         [(e, m, u, t, v, None) for (e, m, u, t, v) in rows],
         "event_id long, ms long, user_id long, event_type string, value double, props string",
@@ -311,9 +311,7 @@ def test_funnel_matches_bruteforce(spark, events):
         if (fp - fc).total_seconds() * 1000 <= FUNNEL_STEP_MS:
             n_purch += 1
 
-    import tempfile
-
-    d = tempfile.mkdtemp()
+    d = scratch_dir("hz_prop_tmp_")
     spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     ).write.mode("overwrite").parquet(f"{d}/events.parquet")
@@ -328,9 +326,7 @@ def _write_events_native(spark, rows):
     """rows: (event_id, ts_ms, user_id, event_type) → a temp dir laid
     out like an sf_dir with a native-timestamp events.parquet."""
     import datetime
-    import tempfile
-
-    d = tempfile.mkdtemp()
+    d = scratch_dir("hz_prop_tmp_")
     spark.createDataFrame(
         [
             (i, datetime.datetime.utcfromtimestamp(ms / 1000.0), u, t, 1.0, "{}")
@@ -455,7 +451,6 @@ def test_trend_slope_matches_bruteforce(spark, events):
     """Closed-form OLS slope on exact integer moments vs a direct
     fraction computation in Python big-ints (no float drift)."""
     import datetime
-    import tempfile
     from fractions import Fraction
 
     from hz_csv2parquet_spark.queries import REGISTRY
@@ -476,7 +471,7 @@ def test_trend_slope_matches_bruteforce(spark, events):
         return  # all events in one hour for the single type — no slope
     expected = float(Fraction(n * sxy - sx * sy, den) / 100)
 
-    d = tempfile.mkdtemp()
+    d = scratch_dir("hz_prop_tmp_")
     spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
     ).write.mode("overwrite").parquet(f"{d}/events.parquet")

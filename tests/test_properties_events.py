@@ -19,7 +19,7 @@ SET8 = settings(max_examples=8, deadline=None, suppress_health_check=list(Health
 
 HOUR_MS = 3_600_000
 
-
+from hz_csv2parquet_spark.scratch import scratch_dir
 @given(
     events=st.lists(
         st.tuples(
@@ -264,7 +264,7 @@ def test_geo_radius_grid_join_matches_semantic(spark, pts):
     lls = list(pts) + plants
     rows = [((lat + 80.0) / 800.0, (lon + 150.0) / 5.0, float(i + 1)) for i, (lat, lon) in enumerate(lls)]
 
-    d = tempfile.mkdtemp(prefix="hz_prop_li_")
+    d = scratch_dir("hz_prop_li_")
     spark.createDataFrame(
         rows, "l_discount double, l_quantity double, l_extendedprice double"
     ).coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
@@ -359,7 +359,7 @@ def _orders_fixture_dir(spark, rows) -> str:
 
     for old in _glob.glob(f"{_tempfile.gettempdir()}/hz_prop_orders_*"):
         _shutil.rmtree(old, ignore_errors=True)
-    d = _tempfile.mkdtemp(prefix="hz_prop_orders_")
+    d = scratch_dir("hz_prop_orders_")
     df = spark.createDataFrame(
         rows,
         "o_orderkey long, o_custkey long, o_orderstatus string, "

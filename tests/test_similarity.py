@@ -16,7 +16,7 @@ from hz_csv2parquet_spark.operators.similarity import (
     lsh_topk,
 )
 
-
+from hz_csv2parquet_spark.scratch import scratch_dir
 @pytest.fixture(scope="module")
 def vecs(spark):
     rows = [
@@ -214,7 +214,7 @@ def test_pca_power_iteration_matches_numpy(spark):
 
     import tempfile, os
 
-    d = tempfile.mkdtemp(prefix="hz_pca_np_")
+    d = scratch_dir("hz_pca_np_")
     spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>").write.parquet(
         os.path.join(d, "embeddings.parquet")
     )
@@ -234,7 +234,7 @@ def test_collocation_lift_matches_bruteforce(spark):
 
     docs = [(i, ("new york is big . " * 3 + "the city of new york . ") ) for i in range(5)]
     docs += [(10 + i, "a b c d e f g h") for i in range(3)]
-    d = tempfile.mkdtemp(prefix="hz_coll_np_")
+    d = scratch_dir("hz_coll_np_")
     spark.createDataFrame(
         [(i, t, "en", "s", len(t)) for i, t in docs],
         "doc_id long, text string, lang string, source string, n_chars long",

@@ -964,3 +964,63 @@ def test_compact_inline_zorder_prunes_both_dimensions_without_stored_key(spark, 
         t.compact(zorder=["ua"])
     with _pytest.raises(ValueError):
         t.compact(layout_key="ua", zorder=["ua", "hb"])
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE: the snapshot equals the time-travel read of the
+    target version, history is preserved (new commit, old versions
+    intact), and no data files are rewritten (pure log surgery)."""
+    t = _mk(spark, tmp_path, n=10, files=2)  # v0
+    t.append(spark.createDataFrame([(100, 1), (101, 2)], "k long, v long"))  # v1
+    t.delete_where("k < 3")  # v2: rewrite
+    files_before = set(glob.glob(os.path.join(t.path, "data-*", "*.parquet")))
+    v = t.restore(1)
+    assert v == 3  # rollback is a COMMIT, not history erasure
+    files_after = set(glob.glob(os.path.join(t.path, "data-*", "*.parquet")))
+    assert files_before == files_after  # no data rewritten
+    assert {r.k for r in t.snapshot().collect()} == {
+        r.k for r in t.snapshot(as_of=1).collect()
+    }
+    assert {r.k for r in t.snapshot().collect()} == set(range(10)) | {100, 101}
+    # time travel still sees the deleted state
+    assert {r.k for r in t.snapshot(as_of=2).collect()} == (
+        set(range(3, 10)) | {100, 101}
+    )
+    # restoring to the current state is a no-op
+    assert t.restore(3) == 3
+    with pytest.raises(ValueError, match="version"):
+        t.restore(99)
+
+
+def test_restore_schema_rollback_and_change_feed(spark, tmp_path):
+    """RESTORE across a schema evolution rolls the meta back, and on
+    a change_data table the rollback commit carries cdc sidecars so
+    the feed shows it as row-level delete+insert."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], change_data=True)
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))  # v0
+    t.evolve_schema(
+        spark.createDataFrame([(3, 30, "x")], "k long, v long, tag string")
+    )  # v1
+    t.delete_where("k = 1")  # v2
+    v = t.restore(0)
+    assert v == 3
+    snap = t.snapshot()
+    assert snap.columns == ["k", "v"]  # schema meta rolled back
+    assert {(r.k, r.v) for r in snap.collect()} == {(1, 10), (2, 20)}
+    feed = {
+        (r.k, r._change_type)
+        for r in t.changes(2).collect()  # just the restore commit
+    }
+    # restore re-inserts the deleted k=1 row and drops the k=3 row
+    assert feed == {(1, "insert"), (3, "delete")}
+
+
+def test_restore_past_vacuum_raises(spark, tmp_path):
+    """RESTORE shares time travel's retention contract: once vacuum
+    reclaims the target version's files the rollback is impossible
+    and says so."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    t.delete_where("k < 5")
+    t.vacuum(retention_seconds=0)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        t.restore(0)

@@ -362,3 +362,227 @@ def test_stream_reader_rate_limit_caps_batch_span(spark, tmp_path):
     assert nxt == {"version": 7}  # capped at last_end(5) + 2, not 8
     r.partitions(first, nxt)
     assert r.latestOffset() == {"version": 8}  # drains the remainder
+
+
+# ---------------- change feed (readChangeFeed) ----------------
+
+
+def _mk_cdf(spark, tmp_path, n=6):
+    """A change_data=True table: create (v0), MERGE upserting k=3 and
+    inserting k=99 (v1), DELETE k=5 (v2)."""
+    t = TxTable(spark, str(tmp_path / "cdf_tbl"), stat_cols=["k"], change_data=True)
+    t.create(
+        spark.createDataFrame(
+            [(i, 2 * i) for i in range(n)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.merge_upsert(spark.createDataFrame([(3, -3), (99, -99)], "k long, v long"), "k")
+    t.delete_where("k = 5")
+    return t
+
+
+_CDF_EXPECT_V0_2 = (
+    {(i, 2 * i, "insert", 0) for i in range(6)}
+    | {(3, 6, "delete", 1), (3, -3, "insert", 1), (99, -99, "insert", 1)}
+    | {(5, 10, "delete", 2)}
+)
+
+
+def _drain_cdf(spark, path, ckpt, skip=False):
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend(
+            (r.k, r.v, r._change_type, r._commit_version) for r in batch_df.collect()
+        )
+
+    reader = spark.readStream.format("hz_txlog").option("readChangeFeed", "true")
+    if skip:
+        reader = reader.option("skipChangeCommits", "true")
+    q = (
+        reader.load(path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return set(rows)
+
+
+def test_cdf_stream_reads_change_commits_and_resumes(spark, tmp_path):
+    """The CDF stream serves MERGE/DELETE commits row-accurately from
+    their cdc sidecars (instead of raising, the append-only stream's
+    behavior) and resumption from the checkpoint emits only commits
+    past the stored version offset."""
+    t = _mk_cdf(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    assert _drain_cdf(spark, t.path, ckpt) == _CDF_EXPECT_V0_2
+    # incremental: one more delete, same checkpoint
+    t.delete_where("k = 0")
+    assert _drain_cdf(spark, t.path, ckpt) == {(0, 0, "delete", 3)}
+    # quiescent: nothing new
+    assert _drain_cdf(spark, t.path, ckpt) == set()
+
+
+def test_cdf_stream_without_sidecars_raises_unless_skipped(spark, tmp_path):
+    """A rewrite commit from a writer WITHOUT change_data=True has no
+    row-accurate representation: the CDF stream fails with the fix in
+    the message, and skipChangeCommits=true opts into skipping it."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _mk(spark, tmp_path, n=4, files=1)  # change_data defaults off
+    t.merge_upsert(spark.createDataFrame([(0, -1)], "k long, v long"), "k")
+    with pytest.raises(StreamingQueryException, match="change_data=True"):
+        _drain_cdf(spark, t.path, str(tmp_path / "ck1"))
+    got = _drain_cdf(spark, t.path, str(tmp_path / "ck2"), skip=True)
+    assert got == {(i, 2 * i, "insert", 0) for i in range(4)}
+
+
+def test_cdf_batch_read_full_and_range(spark, tmp_path):
+    """Batch readChangeFeed: full history by default; startingVersion
+    / endingVersion bound the commit range (Delta's batch CDF
+    options). Layout commits stay invisible."""
+    t = _mk_cdf(spark, tmp_path)
+    t.compact(target_files=1)  # dataChange=false: must not surface
+    full = spark.read.format("hz_txlog").option("readChangeFeed", "true").load(t.path)
+    assert set(full.columns) == {"k", "v", "_change_type", "_commit_version"}
+    got = {(r.k, r.v, r._change_type, r._commit_version) for r in full.collect()}
+    assert got == _CDF_EXPECT_V0_2
+    ranged = (
+        spark.read.format("hz_txlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .option("endingVersion", 1)
+        .load(t.path)
+    )
+    assert {(r.k, r.v, r._change_type) for r in ranged.collect()} == {
+        (3, 6, "delete"),
+        (3, -3, "insert"),
+        (99, -99, "insert"),
+    }
+
+
+def test_cdf_read_does_not_need_superseded_files(spark, tmp_path):
+    """cdc sidecars decouple the feed from superseded data files:
+    after deleting every file the MERGE removed, both the batch CDF
+    read and TxTable.changes still reconstruct the change set (the
+    content-diff path would raise FileNotFoundError here)."""
+    import json as _json
+    import os as _os
+
+    from hz_csv2parquet_spark.sources.txlog import _version_file
+
+    t = _mk_cdf(spark, tmp_path)
+    for v in (1, 2):
+        for a in _json.load(open(_version_file(t.path, v))):
+            if "remove" in a:
+                _os.remove(_os.path.join(t.path, a["remove"]["path"]))
+    # changes(0) = commits in (0, hi]: the v1 merge + v2 delete (the
+    # v0 create's inserts live in its data files, not sidecars, and
+    # are exactly what this test deleted)
+    got = {
+        (r.k, r._change_type, r._commit_version)
+        for r in t.changes(0).collect()
+    }
+    assert got == {(k, c, v) for (k, _, c, v) in _CDF_EXPECT_V0_2 if v > 0}
+    batch = (
+        spark.read.format("hz_txlog")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1)
+        .load(t.path)
+    )
+    assert batch.count() == 4
+
+
+def test_write_overwrite_conflicts_on_interleaved_commit(spark, tmp_path):
+    """A commit landing between the overwrite's snapshot replay and
+    its log commit must surface as a conflict — the old code computed
+    the remove set, then committed against the NEWER version, so the
+    interleaved commit's files silently survived the 'overwrite'."""
+    from hz_csv2parquet_spark.sources import txlog_source as mod
+    from hz_csv2parquet_spark.sources.txlog import CommitConflictError, TxTable
+    from hz_csv2parquet_spark.sources.txlog_source import (
+        _TxLogBatchWriter,
+        _WriteMessage,
+    )
+
+    t = _mk(spark, tmp_path, n=4, files=1)
+    w = _TxLogBatchWriter(t.path, t.snapshot().schema, {}, overwrite=True)
+    # stage a fake part file the way an executor task would
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os as _os
+
+    stage = _os.path.join(t.path, "data-stream")
+    _os.makedirs(stage, exist_ok=True)
+    pq.write_table(pa.table({"k": [9], "v": [9]}), _os.path.join(stage, "p.parquet"))
+    msg = _WriteMessage("data-stream/p.parquet", 1, {})
+
+    orig = TxTable._replay_state
+    fired = {"n": 0}
+
+    def racy(self, as_of=None):
+        state = orig(self, as_of=as_of)
+        if fired["n"] == 0:
+            fired["n"] += 1  # one interleaved append between replay and commit
+            t.append(spark.createDataFrame([(50, 100)], "k long, v long"))
+        return state
+
+    TxTable._replay_state = racy
+    try:
+        with pytest.raises(CommitConflictError):
+            w.commit([msg])
+    finally:
+        TxTable._replay_state = orig
+    # the interleaved append is intact and nothing was overwritten
+    assert {r.k for r in t.snapshot().collect()} == {0, 1, 2, 3, 50}
+
+
+def test_write_overwrite_schema_gate(spark, tmp_path):
+    """Schema-changing overwrite: refused without overwriteSchema
+    (reads would silently keep the stale shape), accepted with it —
+    and the new schema is what hz_txlog reads resolve."""
+    t = _mk(spark, tmp_path, n=3, files=1)
+    new = spark.createDataFrame([(7, "x")], "k long, tag string")
+    with pytest.raises(Exception, match="overwriteSchema"):
+        new.write.format("hz_txlog").mode("overwrite").save(t.path)
+    new.write.format("hz_txlog").mode("overwrite").option(
+        "overwriteSchema", "true"
+    ).save(t.path)
+    got = spark.read.format("hz_txlog").load(t.path)
+    assert got.columns == ["k", "tag"]
+    assert [(r.k, r.tag) for r in got.collect()] == [(7, "x")]
+    # time travel still resolves the OLD schema at version 0
+    v0 = spark.read.format("hz_txlog").option("asOf", 0).load(t.path)
+    assert v0.columns == ["k", "v"]
+    assert v0.count() == 3
+
+
+def test_stream_rate_limit_anchor_survives_restart(spark, tmp_path):
+    """With streamId, the rate limiter's anchor persists across
+    reader instances: the first latestOffset of a NEW reader (a
+    restart) is capped at anchor + maxVersionsPerTrigger instead of
+    jumping to the top — the catch-up case the option exists to
+    bound. Driven at the protocol level like the in-run test above."""
+    from hz_csv2parquet_spark.sources.txlog_source import _TxLogStreamReader
+
+    t = _mk(spark, tmp_path, n=2, files=1)
+    for i in range(6):
+        t.append(spark.createDataFrame([(100 + i, i)], "k long, v long"))
+    opts = {"maxVersionsPerTrigger": "2", "streamId": "s1"}
+    r1 = _TxLogStreamReader(t.path, t.snapshot().schema, opts)
+    first = r1.latestOffset()
+    assert first == {"version": 6}  # genuinely-first batch: full backfill
+    r1.partitions({"version": -1}, first)
+    r1.commit(first)  # engine confirms the batch → anchor persisted
+    # restart: fresh reader object, same stream identity
+    r2 = _TxLogStreamReader(t.path, t.snapshot().schema, opts)
+    for i in range(4):
+        t.append(spark.createDataFrame([(200 + i, i)], "k long, v long"))
+    assert r2.latestOffset() == {"version": 8}  # anchor(6) + 2, not 10
+    # without streamId the restart batch is uncapped (documented)
+    r3 = _TxLogStreamReader(
+        t.path, t.snapshot().schema, {"maxVersionsPerTrigger": "2"}
+    )
+    assert r3.latestOffset() == {"version": 10}
