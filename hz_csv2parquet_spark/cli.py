@@ -179,7 +179,10 @@ def cmd_table(args: argparse.Namespace) -> None:
     t = TxTable(spark, args.table, stat_cols=args.stat_cols.split(",") if args.stat_cols else [])
     if args.action == "create":
         df = read_table(spark, args.src, fmt=_fmt_of(args.src))
-        v = t.create(df)
+        v = t.create(
+            df,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+        )
         log.info("created %s at version %d (%d files)", args.table, v, len(t.files()))
     elif args.action == "history":
         for v in range(t.version() + 1):
@@ -412,6 +415,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="OPTIMIZE ZORDER BY: two integer columns (comma-separated) clustered on a transient Morton key",
     )
     t.add_argument("--stat-cols", default=None, help="comma-separated columns to record min/max stats for")
+    t.add_argument(
+        "--partition-by",
+        default=None,
+        help="create: hive-partition the table by these comma-separated columns",
+    )
     t.add_argument(
         "--retention-seconds",
         type=float,

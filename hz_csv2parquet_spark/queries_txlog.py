@@ -372,3 +372,59 @@ def txlog_restore_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@query(
+    "txlog_dv_delete_read_events",
+    priority=True,
+    since=10,
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_id % 7 != 0
+    GROUP BY event_type
+    """,
+)
+def txlog_dv_delete_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE (merge-on-read, VERDICT r8 item 4):
+    create the events fixture as a two-file table (v0), DELETE every
+    event_id divisible by 7 on a ``deletion_vectors=True`` table (v1
+    — ZERO data files rewritten, one position sidecar per touched
+    file), then aggregate through the ``hz_txlog`` DSv2 reader, whose
+    executors mask the vector positions out of the Arrow batches. A
+    hash match proves position masking is exact end to end: scan →
+    vector anti-set → aggregate equals the oracle's logical filter.
+    Scale: the delete costs O(deleted rows) sidecar bytes instead of
+    rewriting the touched files; readers pay one tiny vector read per
+    dv'd file."""
+    from .sources.txlog_source import register_txlog_source
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = TxTable(
+        spark,
+        scratch_dir("hz_txq_dv_"),
+        stat_cols=["event_id"],
+        deletion_vectors=True,
+    )
+    t.create(ev.repartitionByRange(2, "event_id").sortWithinPartitions("event_id"))
+    t.delete_where("event_id % 7 = 0")
+    register_txlog_source(spark)
+    return (
+        spark.read.format("hz_txlog")
+        .load(t.path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )

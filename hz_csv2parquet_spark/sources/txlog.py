@@ -8,9 +8,15 @@ data files plus ``_txlog/<version 8-digit>.json`` commit files, each
 holding a JSON list of actions:
 
 - ``{"add":    {"path", "rows", "stats": {col: [min, max]}}}``
+  — optionally carrying ``"dv": {"path", "deleted"}``, a
+  deletion-vector sidecar whose row positions readers mask out
+  (merge-on-read DELETE; re-adding a path replaces its action)
 - ``{"remove": {"path"}}``
 - ``{"meta":   {"schema": <DDL string>}}``
 - ``{"txn":    {"appId", "batchId"}}`` (streaming exactly-once)
+- ``{"cdc":    {"path", "rows"}}`` — change-data sidecar files
+  (``change_data=True`` tables); ignored by snapshot replay, served
+  by the change feed
 
 The CURRENT snapshot = replay all commits in version order: the live
 file set is (all adds) − (all removes); the schema is the last
@@ -91,6 +97,43 @@ def _uri_to_path(uri: str) -> str:
     return unquote(uri)
 
 
+def _pv_from_path(rel_path: str) -> dict[str, str | None]:
+    """``{col: value}`` from a hive-layout relative path's
+    ``col=value`` segments — percent-decoded (Spark escapes special
+    chars in directory names); the hive NULL sentinel maps to None."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for seg in rel_path.split(os.sep)[:-1]:
+        if "=" in seg:
+            col, _, val = seg.partition("=")
+            out[unquote(col)] = (
+                None if val == "__HIVE_DEFAULT_PARTITION__" else unquote(val)
+            )
+    return out
+
+
+def pv_cast(value: str | None, data_type):
+    """A logged partition value (string) → the Python value of the
+    column's Spark type — the same stringified-partition-value
+    round-trip the Delta protocol defines. Unknown types stay
+    strings (readers cast the literal column instead)."""
+    if value is None:
+        return None
+    t = data_type.typeName()
+    if t in ("byte", "short", "integer", "long"):
+        return int(value)
+    if t in ("float", "double"):
+        return float(value)
+    if t == "boolean":
+        return value.lower() == "true"
+    if t == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(value)
+    return value
+
+
 def _log_dir(table_path: str) -> str:
     return os.path.join(table_path, "_txlog")
 
@@ -153,6 +196,7 @@ class TxTable:
         stat_cols: list[str] | None = None,
         checkpoint_interval: int = 10,
         change_data: bool = False,
+        deletion_vectors: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -169,6 +213,15 @@ class TxTable:
         #: files. Costs one extra diff+write per change commit,
         #: bounded by the commit's touched files.
         self.change_data = bool(change_data)
+        #: Merge-on-read DELETE: with ``deletion_vectors=True``,
+        #: ``delete_where`` writes a position sidecar per touched
+        #: file (``_dv/``, recorded on the re-emitted add action)
+        #: instead of rewriting data — the Delta deletion-vector
+        #: shape. Readers mask the positions; ``compact()``
+        #: materializes and drops the vectors. A selective delete on
+        #: a 10 GB file costs one tiny sidecar write instead of a
+        #: 10 GB rewrite.
+        self.deletion_vectors = bool(deletion_vectors)
         #: commit files parsed since construction — the O(tail)
         #: replay contract is pinned against this counter.
         self.log_reads = 0
@@ -232,6 +285,7 @@ class TxTable:
             "version": v,
             "adds": list(state["adds"].values()),
             "schema": state["schema"],
+            "partitionColumns": state["partitionColumns"],
             "txns": {app: sorted(ids) for app, ids in state["txns"].items()},
         }
         tmp = _checkpoint_file(self.path, v) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -256,6 +310,7 @@ class TxTable:
         hi = top if as_of is None else as_of
         adds: dict[str, dict] = {}
         schema: str | None = None
+        pcols: list[str] = []
         txns: dict[str, set] = {}
         start = 0
         ckpts = [c for c in self._checkpoint_versions() if c <= hi]
@@ -264,10 +319,12 @@ class TxTable:
                 snap = json.load(open(_checkpoint_file(self.path, ckpts[-1])))
                 adds = {a["path"]: a for a in snap["adds"]}
                 schema = snap["schema"]
+                pcols = snap.get("partitionColumns", [])
                 txns = {app: set(ids) for app, ids in snap["txns"].items()}
                 start = snap["version"] + 1
             except (OSError, ValueError, KeyError):
-                adds, schema, txns, start = {}, None, {}, 0  # fall back to full replay
+                adds, schema, pcols, start = {}, None, [], 0  # full replay
+                txns = {}
         for v in range(start, hi + 1):
             f = _version_file(self.path, v)
             if not os.path.exists(f):
@@ -280,11 +337,18 @@ class TxTable:
                     adds.pop(action["remove"]["path"], None)
                 elif "meta" in action:
                     schema = action["meta"]["schema"]
+                    if "partitionColumns" in action["meta"]:
+                        pcols = action["meta"]["partitionColumns"]
                 elif "txn" in action:
                     txns.setdefault(action["txn"]["appId"], set()).add(
                         action["txn"]["batchId"]
                     )
-        return {"adds": adds, "schema": schema, "txns": txns}
+        return {
+            "adds": adds,
+            "schema": schema,
+            "partitionColumns": pcols,
+            "txns": txns,
+        }
 
     def _replay(self, as_of: int | None = None) -> tuple[list[str], str | None]:
         """(live relative file paths in add order, last schema DDL)."""
@@ -293,12 +357,25 @@ class TxTable:
 
     # ---------------- write path ----------------
 
-    def _stage(self, df: DataFrame) -> list[dict]:
+    def _stage(self, df: DataFrame, partition_by: list[str] | None = None) -> list[dict]:
         """Write ``df``'s partitions as parquet into a fresh staging
-        subdir and return their add actions (footer stats only)."""
+        subdir and return their add actions (footer stats only). With
+        ``partition_by`` the write is hive-layout (``partitionBy``)
+        and each add action records its ``partitionValues`` — exact
+        per-file values the readers reattach as literal columns and
+        the planners prune on (the Delta add-action shape; partition
+        columns are NOT stored in the data files)."""
         stage = os.path.join(self.path, f"data-{uuid.uuid4().hex[:12]}")
-        df.write.mode("errorifexists").parquet(stage)
-        files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+        w = df.write.mode("errorifexists")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(stage)
+        pattern = (
+            os.path.join(stage, *(["*"] * len(partition_by)), "*.parquet")
+            if partition_by
+            else os.path.join(stage, "*.parquet")
+        )
+        files = sorted(glob.glob(pattern))
         if not files:
             return []
         # footer reads are driver-side metadata I/O; a big commit adds
@@ -317,7 +394,10 @@ class TxTable:
                 os.remove(f)
                 continue
             rel = os.path.relpath(f, self.path)
-            adds.append({"add": {"path": rel, "rows": rows, "stats": stats}})
+            add = {"add": {"path": rel, "rows": rows, "stats": stats}}
+            if partition_by:
+                add["add"]["partitionValues"] = _pv_from_path(rel)
+            adds.append(add)
         return adds
 
     def _stage_cdc(self, feed: DataFrame) -> list[dict]:
@@ -374,13 +454,25 @@ class TxTable:
             )
         return self._stage_cdc(feed)
 
-    def create(self, df: DataFrame) -> int:
-        """Version 0: data files + schema meta in one commit."""
+    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Version 0: data files + schema meta in one commit. With
+        ``partition_by`` the table is hive-partitioned: data files
+        live under ``col=value`` directories WITHOUT the partition
+        columns (values ride the add actions), the meta action
+        records ``partitionColumns``, and every later rewrite
+        preserves the layout."""
         if self.version() >= 0:
             raise FileExistsError(f"table already exists at {self.path}")
+        pcols = list(partition_by or [])
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in the frame: {missing}")
         os.makedirs(self.path, exist_ok=True)
-        actions = self._stage(df)
-        actions.append({"meta": {"schema": df.schema.json()}})
+        actions = self._stage(df, pcols)
+        meta: dict = {"schema": df.schema.json()}
+        if pcols:
+            meta["partitionColumns"] = pcols
+        actions.append({"meta": meta})
         return self._commit(actions, -1, operation="CREATE")
 
     def append(self, df: DataFrame) -> int:
@@ -402,7 +494,7 @@ class TxTable:
         committed) but an unbounded hot loop lets one caller starve
         indefinitely under sustained contention; past the cap the
         conflict surfaces and the caller owns the policy."""
-        adds = self._stage(df)
+        adds = self._stage(df, self.partition_columns())
         return self._rebase_commit(adds, operation="APPEND")
 
     _REBASE_ATTEMPTS = 64
@@ -467,7 +559,7 @@ class TxTable:
         the table's: the commit records the UNION schema in a meta
         action; readers null-fill missing columns (mergeSchema)."""
         base = self.version()
-        actions = self._stage(df)
+        actions = self._stage(df, self.partition_columns())
         _, old_schema = self._replay()
         merged = self.snapshot_schema_union(old_schema, df)
         actions.append({"meta": {"schema": merged}})
@@ -494,18 +586,121 @@ class TxTable:
         rel, _ = self._replay(as_of)
         return [os.path.join(self.path, p) for p in rel]
 
+    def partition_columns(self, as_of: int | None = None) -> list[str]:
+        """The table's hive-partition columns ([] = unpartitioned),
+        from the committed meta — every rewrite preserves them."""
+        if self.version() < 0:
+            return []
+        return self._replay_state(as_of)["partitionColumns"]
+
     def snapshot(self, as_of: int | None = None) -> DataFrame:
         """DataFrame over exactly the log's live files (time travel
         via ``as_of``). mergeSchema covers evolved generations —
-        every file's columns surface, missing ones null-fill."""
-        files = self.files(as_of)
+        every file's columns surface, missing ones null-fill;
+        deletion-vector positions are masked out."""
+        state = self._replay_state(as_of)
+        files = [os.path.join(self.path, p) for p in state["adds"]]
         if not files:
             # empty table: zero-row frame with the committed schema
-            _, schema = self._replay(as_of)
             from pyspark.sql.types import StructType
 
-            return self.spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(state["schema"]))
+            )
+        return self._read_files(files, state["adds"])
+
+    def _read_files(self, files: list[str], adds: dict[str, dict] | None = None) -> DataFrame:
+        """Read data files, reattaching hive partition values and
+        masking any deletion-vector positions the log attaches — THE
+        read primitive every verb (snapshot, MERGE rewrite, DELETE
+        rewrite, OPTIMIZE) goes through, so partition layout and
+        merge-on-read deletes are invisible to all of them.
+
+        Partitioned files don't store their partition columns; the
+        values ride the add actions and come back as typed literal
+        columns, one read branch per distinct value tuple (bounded by
+        the partition cardinality). Files without a dv take the plain
+        vectorized scan unchanged. dv'd files scan once with
+        ``_metadata`` row positions and anti-join the vector rows on
+        (part-file name, position) — part-file names embed a per-job
+        UUID, so the name is a stable relocation-proof key. The
+        vector side is broadcast (deleted positions are small by
+        construction; a vector that grew big is what ``compact()``
+        materializes away)."""
+        if adds is None:
+            adds = self._replay_state()["adds"]
+        dv_of = {
+            os.path.join(self.path, rel): a["dv"]
+            for rel, a in adds.items()
+            if a.get("dv")
+        }
+        pv_of = {
+            os.path.join(self.path, rel): a["partitionValues"]
+            for rel, a in adds.items()
+            if a.get("partitionValues")
+        }
+        if any(f in pv_of for f in files):
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(
+                json.loads(self._replay_state()["schema"])
+            )
+            types = {fld.name: fld.dataType for fld in schema.fields}
+            groups: dict[tuple, list[str]] = {}
+            for f in files:
+                key = tuple(sorted(pv_of.get(f, {}).items()))
+                groups.setdefault(key, []).append(f)
+            parts: list[DataFrame] = []
+            for key, fs in groups.items():
+                df = self._read_files_core(fs, dv_of)
+                for col, val in key:
+                    dt = types.get(col)
+                    lit = F.lit(pv_cast(val, dt)) if dt is not None else F.lit(val)
+                    if dt is not None:
+                        lit = lit.cast(dt)
+                    df = df.withColumn(col, lit)
+                parts.append(df)
+            out = parts[0]
+            for df in parts[1:]:
+                out = out.unionByName(df, allowMissingColumns=True)
+            # deterministic order: the committed schema's column order
+            ordered = [fld.name for fld in schema.fields if fld.name in out.columns]
+            extra = [c for c in out.columns if c not in ordered]
+            return out.select(*ordered, *extra)
+        return self._read_files_core(files, dv_of)
+
+    def _read_files_core(self, files: list[str], dv_of: dict[str, dict]) -> DataFrame:
+        plain = [f for f in files if f not in dv_of]
+        dvd = [f for f in files if f in dv_of]
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(
+                self.spark.read.option("mergeSchema", "true").parquet(*plain)
+            )
+        if dvd:
+            scan = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*dvd)
+                .withColumn("__hz_fname", F.col("_metadata.file_name"))
+                .withColumn("__hz_pos", F.col("_metadata.row_index"))
+            )
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, dv_of[f]["path"]) for f in dvd]
+            ).select(
+                F.col("fname").alias("__dv_fname"), F.col("pos").alias("__dv_pos")
+            )
+            parts.append(
+                scan.join(
+                    F.broadcast(dv),
+                    (F.col("__hz_fname") == F.col("__dv_fname"))
+                    & (F.col("__hz_pos") == F.col("__dv_pos")),
+                    "left_anti",
+                ).drop("__hz_fname", "__hz_pos")
+            )
+        out = parts[0]
+        for df in parts[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
 
     def pruned_files(self, col: str, keys_min, keys_max, as_of: int | None = None) -> tuple[list[str], list[str]]:
         """(files whose [min,max] stats for ``col`` intersect
@@ -519,6 +714,16 @@ class TxTable:
         hit, miss = [], []
         for p, add in state["adds"].items():
             st = add.get("stats", {}).get(col)
+            if st is None:
+                # a hive partition value is an exact [v, v] stat —
+                # partition pruning for free through the same gate
+                pv = add.get("partitionValues", {}).get(col)
+                if pv is not None:
+                    try:
+                        v = float(pv) if isinstance(keys_min, (int, float)) else pv
+                        st = [v, v]
+                    except (TypeError, ValueError):
+                        st = None
             try:
                 overlaps = st is None or (st[0] <= keys_max and keys_min <= st[1])
             except TypeError:
@@ -629,7 +834,7 @@ class TxTable:
             touched, _ = self.pruned_files(prune_col, bounds.lo, bounds.hi)
             actions: list[dict] = []
             if touched:
-                current = self.spark.read.option("mergeSchema", "true").parquet(*touched)
+                current = self._read_files(touched)
                 match_keys = updates.select(*keys).distinct()
                 keep = current.join(match_keys, keys, "left_anti")
                 if resolve is None:
@@ -641,7 +846,7 @@ class TxTable:
             else:
                 current = None
                 rewritten = updates
-            actions.extend(self._stage(rewritten))
+            actions.extend(self._stage(rewritten, self.partition_columns()))
             if self.change_data:
                 actions.extend(self._cdc_diff_actions(current, rewritten))
             for f in touched:
@@ -665,50 +870,109 @@ class TxTable:
         predicate,
         txn: tuple[str, int] | None = None,
     ) -> int | None:
-        """Copy-on-write ``DELETE WHERE``: drop every row matching
-        ``predicate`` (a Spark Column or SQL string), rewriting ONLY
-        the files that actually contain matching rows — the Delta
-        DELETE shape (and the GDPR-erasure primitive).
+        """``DELETE WHERE``: drop every row matching ``predicate`` (a
+        Spark Column or SQL string), touching ONLY the files that
+        actually contain matching rows — the Delta DELETE shape (and
+        the GDPR-erasure primitive).
 
-        Two-phase, both distributed: (1) one scan with
+        Two modes, chosen by the table's ``deletion_vectors`` flag:
+
+        - **copy-on-write** (default): touched files are re-read and
+          rewritten without the matching rows; untouched files keep
+          their log entries. remove+add in one commit.
+        - **merge-on-read** (``deletion_vectors=True``): NO data is
+          rewritten — each touched file gets a position sidecar under
+          ``_dv/`` (re-emitted add action carries it), readers mask
+          the positions, and ``compact()`` materializes. A selective
+          delete on huge files costs O(deleted rows), not O(file).
+
+        Both phases are distributed: (1) one scan with
         ``input_file_name()`` finds the touched files — Catalyst
         pushes the predicate into the parquet scan, so row-group
         stats bound the work; the driver receives only file names,
-        O(files). (2) the touched files are re-read and rewritten
-        without the matching rows; untouched files keep their log
-        entries. The commit is remove+add in one version (readers
-        flip atomically); ``txn`` gives streaming callers the same
-        exactly-once marker as MERGE. Returns the committed version,
-        None for a replayed txn, or the current version when nothing
-        matches."""
+        O(files). (2) the rewrite (or vector write) runs as Spark
+        jobs over only the touched scope. ``txn`` gives streaming
+        callers the same exactly-once marker as MERGE. Returns the
+        committed version, None for a replayed txn, or the current
+        version when nothing matches."""
         if txn is not None and txn[1] in self.committed_txns(txn[0]):
             return None
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         base = self.version()
-        files = self.files()
+        state = self._replay_state()
+        files = [os.path.join(self.path, rel) for rel in state["adds"]]
         if not files:
             return base
-        scan = self.spark.read.option("mergeSchema", "true").parquet(*files)
-        touched = [
-            r.f
-            for r in scan.filter(pred)
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        ]
+        # detection scan: pv-aware (predicates on partition columns
+        # must resolve) but NOT dv-masked — input_file_name() cannot
+        # sit above the vector anti-join (multi-source), and touching
+        # a file via an already-deleted row is harmless (the rewrite
+        # reads dv-applied; the vector write unions). The file name is
+        # computed per branch, before any union.
+        def detect(fs: list[str]) -> list:
+            pv_of = {
+                os.path.join(self.path, rel): a.get("partitionValues") or {}
+                for rel, a in state["adds"].items()
+            }
+            groups: dict[tuple, list[str]] = {}
+            for f in fs:
+                groups.setdefault(tuple(sorted(pv_of.get(f, {}).items())), []).append(f)
+            types = {}
+            if any(k for k in groups):
+                from pyspark.sql.types import StructType
+
+                types = {
+                    fld.name: fld.dataType
+                    for fld in StructType.fromJson(
+                        json.loads(state["schema"])
+                    ).fields
+                }
+            branches = []
+            for key, grp in groups.items():
+                df = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*grp)
+                    .withColumn("__hz_f", F.input_file_name())
+                )
+                for col, val in key:
+                    dt = types.get(col)
+                    lit = F.lit(pv_cast(val, dt)) if dt is not None else F.lit(val)
+                    df = df.withColumn(col, lit.cast(dt) if dt is not None else lit)
+                branches.append(df.filter(pred).select(F.col("__hz_f").alias("f")))
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionByName(b)
+            return out.distinct().collect()
+
+        touched = [r.f for r in detect(files)]
         # input_file_name returns percent-encoded URIs; decode back to
         # the filesystem paths we fed in (a table path with a space or
         # %-char must still resolve to its own files)
         touched = [_uri_to_path(f) for f in touched]
         actions: list[dict] = []
         if touched:
-            current = self.spark.read.option("mergeSchema", "true").parquet(*touched)
-            # DELETE keeps every row where the predicate is NOT TRUE.
-            # Under three-valued logic ~pred is NULL when pred is NULL,
-            # so filter(~pred) would silently DROP NULL-key rows that
-            # merely share a file with matching rows — eqNullSafe maps
-            # NULL → keep, matching Delta's DELETE semantics.
-            actions.extend(self._stage(current.filter(~pred.eqNullSafe(F.lit(True)))))
+            # dv-aware read: only LIVE rows participate — in the
+            # rewrite, in the change feed, and in vector accounting
+            current = self._read_files(touched, state["adds"])
+            if self.deletion_vectors:
+                actions.extend(self._stage_dv(touched, state["adds"], pred))
+            else:
+                # DELETE keeps every row where the predicate is NOT
+                # TRUE. Under three-valued logic ~pred is NULL when
+                # pred is NULL, so filter(~pred) would silently DROP
+                # NULL-key rows that merely share a file with matching
+                # rows — eqNullSafe maps NULL → keep, matching Delta's
+                # DELETE semantics.
+                actions.extend(
+                    self._stage(
+                        current.filter(~pred.eqNullSafe(F.lit(True))),
+                        state["partitionColumns"],
+                    )
+                )
+                for f in touched:
+                    actions.append(
+                        {"remove": {"path": os.path.relpath(f, self.path)}}
+                    )
             if self.change_data:
                 actions.extend(
                     self._stage_cdc(
@@ -717,13 +981,101 @@ class TxTable:
                         )
                     )
                 )
-            for f in touched:
-                actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
         elif txn is None:
             return base  # nothing matched, nothing to record
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
         return self._commit(actions, base, operation="DELETE")
+
+    def _stage_dv(self, touched: list[str], adds: dict, pred) -> list[dict]:
+        """Merge-on-read DELETE: write one position sidecar per
+        touched file and return the re-emitted add actions carrying
+        it. Positions come from the scan's ``_metadata.row_index``
+        (file-global parquet row order — stable); a file that already
+        has a vector gets the UNION of old and new positions (its old
+        sidecar becomes vacuum-able). The vector write itself is
+        distributed — one ``applyInPandas`` group per file — and the
+        driver receives O(touched files) rows, never positions."""
+        rels = {os.path.basename(f): os.path.relpath(f, self.path) for f in touched}
+        pv_groups: dict[tuple, list[str]] = {}
+        for f in touched:
+            pv = adds[rels[os.path.basename(f)]].get("partitionValues") or {}
+            pv_groups.setdefault(tuple(sorted(pv.items())), []).append(f)
+        types = {}
+        if any(key for key in pv_groups):
+            from pyspark.sql.types import StructType
+
+            types = {
+                fld.name: fld.dataType
+                for fld in StructType.fromJson(
+                    json.loads(self._replay_state()["schema"])
+                ).fields
+            }
+        branches = []
+        for key, fs in pv_groups.items():
+            raw = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*fs)
+                .withColumn("fname", F.col("_metadata.file_name"))
+                .withColumn("pos", F.col("_metadata.row_index"))
+            )
+            for col, val in key:
+                dt = types.get(col)
+                lit = F.lit(pv_cast(val, dt)) if dt is not None else F.lit(val)
+                raw = raw.withColumn(col, lit.cast(dt) if dt is not None else lit)
+            branches.append(
+                raw.filter(pred.eqNullSafe(F.lit(True))).select("fname", "pos")
+            )
+        hits = branches[0]
+        for b in branches[1:]:
+            hits = hits.unionByName(b)
+        old_dvs = [
+            os.path.join(self.path, adds[rel]["dv"]["path"])
+            for rel in rels.values()
+            if adds[rel].get("dv")
+        ]
+        if old_dvs:
+            hits = hits.unionByName(
+                self.spark.read.parquet(*old_dvs).select("fname", "pos")
+            )
+        hits = hits.distinct()
+        os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
+        table_path = self.path
+
+        def write_vector(pdf):
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as _pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            rel = _os.path.join("_dv", f"dv-{_uuid.uuid4().hex}.parquet")
+            srt = pdf.sort_values("pos")
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "fname": srt["fname"].astype(str),
+                        "pos": srt["pos"].astype("int64"),
+                    }
+                ),
+                _os.path.join(table_path, rel),
+            )
+            return _pd.DataFrame(
+                {"fname": [pdf.fname.iloc[0]], "dv": [rel], "n": [len(pdf)]}
+            )
+
+        meta = (
+            hits.groupBy("fname")
+            .applyInPandas(write_vector, "fname string, dv string, n long")
+            .collect()
+        )
+        actions = []
+        for r in meta:
+            add = dict(adds[rels[r.fname]])
+            add["dv"] = {"path": r.dv, "deleted": int(r.n)}
+            actions.append({"add": add})
+        return actions
 
     def compact(
         self,
@@ -763,7 +1115,9 @@ class TxTable:
             # (reachable from a maintenance tick after empty-batch
             # merges — spark.read.parquet() with zero paths raises)
             return base
-        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        # dv-aware read: OPTIMIZE materializes deletion vectors —
+        # the rewritten files carry no dv and the old vectors die
+        df = self._read_files(files)
         if zorder is not None:
             from ..operators.zorder import morton_key
 
@@ -780,7 +1134,9 @@ class TxTable:
             )
         else:
             out = df.coalesce(target_files)
-        actions = self._stage(out)
+        # a partitioned table keeps its layout: target_files is then
+        # per partition value, not global (hive dirs can't merge)
+        actions = self._stage(out, self.partition_columns())
         for a in actions:
             # the open Delta protocol's dataChange=false: this commit
             # rearranges bytes, it does not change table content —
@@ -844,15 +1200,17 @@ class TxTable:
             schema = StructType.fromJson(json.loads(tgt_state["schema"]))
             like = self.spark.createDataFrame([], schema)
 
-            def side(rels: list[str]) -> DataFrame:
+            def side(rels: list[str], adds: dict) -> DataFrame:
                 if not rels:
                     return like
-                df = self.spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.path, r) for r in rels]
+                df = self._read_files(
+                    [os.path.join(self.path, r) for r in rels], adds
                 )
                 return self._align_columns(df, like)
 
-            actions.extend(self._cdc_diff_actions(side(dropped), side(re_added)))
+            actions.extend(
+                self._cdc_diff_actions(side(dropped, cur), side(re_added, tgt))
+            )
         return self._commit(actions, base, operation="RESTORE")
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
@@ -907,8 +1265,11 @@ class TxTable:
             if not os.path.exists(f):
                 raise FileNotFoundError(f"missing log version {v} at {self.path}")
             added, removed, cdcs = [], [], []
+            dv_commit = False
             for action in json.load(open(f)):
                 if "add" in action and action["add"].get("dataChange", True):
+                    if action["add"].get("dv"):
+                        dv_commit = True
                     added.append(os.path.join(self.path, action["add"]["path"]))
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removed.append(os.path.join(self.path, action["remove"]["path"]))
@@ -937,6 +1298,15 @@ class TxTable:
                     ).withColumn("_commit_version", F.lit(v).cast("long"))
                 )
                 continue
+            if dv_commit:
+                # a deletion-vector commit re-adds the file unchanged;
+                # a content diff would misread it as a blind-append
+                # insert — only a cdc sidecar knows the deleted rows
+                raise ValueError(
+                    f"version {v} of {self.path} is a deletion-vector "
+                    "commit without change-data sidecars; recreate the "
+                    "table with change_data=True for a row-accurate feed"
+                )
             if not added and not removed:
                 continue
             def tag(df: DataFrame, kind: str) -> DataFrame:
@@ -1009,6 +1379,18 @@ class TxTable:
                     shutil.rmtree(d)
             except FileNotFoundError:
                 pass
+        # deletion vectors: superseded ones (replaced by a union
+        # vector, or materialized away by compaction) die with the
+        # retention guard; vectors the CURRENT snapshot references are
+        # never touched
+        live_dv = {
+            os.path.join(self.path, a["dv"]["path"])
+            for a in self._replay_state()["adds"].values()
+            if a.get("dv")
+        } if self.version() >= 0 else set()
+        for f in glob.glob(os.path.join(self.path, "_dv", "*.parquet")):
+            if f not in live_dv:
+                deleted += _remove_if_aged(f)
         # change-data sidecars share the retention contract: a feed
         # older than the window is unrecoverable anyway (its data
         # files may be gone), so aged cdc files are reclaimed too

@@ -90,6 +90,10 @@ class _FilePartition(InputPartition):
     #: the values are per-partition facts the LOG knows, so they ride
     #: the partition instead of being materialized in data files)
     constants: tuple = ()
+    #: absolute path of the file's deletion-vector sidecar (None =
+    #: no deleted positions); the executor masks the vector's row
+    #: positions out of the Arrow batches it yields
+    dv: str | None = None
 
 
 #: default split threshold: files whose logged row count exceeds this
@@ -99,7 +103,12 @@ DEFAULT_SPLIT_ROWS = 4_000_000
 
 
 def _file_partitions(
-    abs_path: str, rows: int, cols: tuple, split_rows: int, constants: tuple = ()
+    abs_path: str,
+    rows: int,
+    cols: tuple,
+    split_rows: int,
+    constants: tuple = (),
+    dv: str | None = None,
 ):
     """One partition per file, UNLESS the log says the file is big:
     then open its footer (driver-side metadata read, same cost the
@@ -107,7 +116,7 @@ def _file_partitions(
     ``split_rows`` rows each — a 10 GB file fans out across the
     cluster instead of serializing through one Python task."""
     if rows <= split_rows:
-        return [_FilePartition(abs_path, cols, None, constants)]
+        return [_FilePartition(abs_path, cols, None, constants, dv)]
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -122,8 +131,10 @@ def _file_partitions(
     if cur:
         chunks.append(cur)
     if len(chunks) <= 1:  # one huge row group: nothing to split on
-        return [_FilePartition(abs_path, cols, None, constants)]
-    return [_FilePartition(abs_path, cols, tuple(c), constants) for c in chunks]
+        return [_FilePartition(abs_path, cols, None, constants, dv)]
+    return [
+        _FilePartition(abs_path, cols, tuple(c), constants, dv) for c in chunks
+    ]
 
 
 def _log_state(path: str, as_of: int | None = None) -> dict:
@@ -163,9 +174,38 @@ def _read_file_as_arrow(part: _FilePartition):
     ]
     target = pa.schema(fields)
     if part.row_groups is not None:
-        table = pq.ParquetFile(part.path).read_row_groups(list(part.row_groups))
+        pf = pq.ParquetFile(part.path)
+        table = pf.read_row_groups(list(part.row_groups))
     else:
+        pf = None
         table = pq.read_table(part.path)
+    if part.dv is not None:
+        # mask the deletion vector's positions. Vector positions are
+        # file-global row indices; a row-group-split partition maps
+        # its local rows to global indices via the footer's row-group
+        # offsets (same footer the split read already opened).
+        import numpy as np
+
+        pos = pq.read_table(part.dv, columns=["pos"]).column("pos").to_numpy()
+        if part.row_groups is not None:
+            starts, acc = [], 0
+            for rg in range(pf.metadata.num_row_groups):
+                starts.append(acc)
+                acc += pf.metadata.row_group(rg).num_rows
+            global_idx = np.concatenate(
+                [
+                    np.arange(
+                        starts[rg],
+                        starts[rg] + pf.metadata.row_group(rg).num_rows,
+                        dtype="int64",
+                    )
+                    for rg in part.row_groups
+                ]
+            )
+        else:
+            global_idx = np.arange(table.num_rows, dtype="int64")
+        keep = ~np.isin(global_idx, pos)
+        table = table.filter(pa.array(keep))
     const = dict(part.constants or ())
     cols = []
     for name, typ in fields:
@@ -181,6 +221,25 @@ def _read_file_as_arrow(part: _FilePartition):
 
 def _schema_columns(schema: StructType) -> tuple:
     return tuple((f.name, f.dataType.json()) for f in schema.fields)
+
+
+def _pv_constants(add: dict, cols: tuple) -> tuple:
+    """Typed (name, value) constants for an add action's hive
+    partition values — partition columns aren't in the data files, so
+    they ride the partition spec and materialize executor-side."""
+    pv = add.get("partitionValues")
+    if not pv:
+        return ()
+    from pyspark.sql.types import _parse_datatype_json_string
+
+    from .txlog import pv_cast
+
+    types = dict(cols)
+    return tuple(
+        (c, pv_cast(v, _parse_datatype_json_string(types[c])))
+        for c, v in pv.items()
+        if c in types
+    )
 
 
 def _cdf_schema(path: str, as_of: int | None = None) -> StructType:
@@ -225,9 +284,12 @@ def _cdf_version_partitions(
             "feed's start? begin from a retained version"
         )
     added, removed, cdcs = [], [], []
+    dv_commit = False
     for action in json.load(open(f)):
         if "add" in action and action["add"].get("dataChange", True):
-            added.append((action["add"]["path"], int(action["add"].get("rows", 0))))
+            if action["add"].get("dv"):
+                dv_commit = True
+            added.append(action["add"])
         elif "remove" in action and action["remove"].get("dataChange", True):
             removed.append(action["remove"]["path"])
         elif "cdc" in action:
@@ -242,19 +304,28 @@ def _cdf_version_partitions(
                 )
             )
         return parts
-    if removed:
+    if removed or dv_commit:
+        # copy-on-write rewrite OR a deletion-vector re-add: neither
+        # is row-accurately representable without sidecars (a dv
+        # re-add looks like an append of the WHOLE file)
         if skip_change_commits:
             return []
         raise ValueError(
-            f"version {v} of {path} rewrites existing rows without "
+            f"version {v} of {path} changes existing rows without "
             "change-data sidecars; a row-accurate change feed needs the "
             "writer to run with change_data=True (TxTable CDF property). "
             "Set skipChangeCommits=true to ignore rewrite commits."
         )
     const = (("_change_type", "insert"), ("_commit_version", v))
-    for p, rows in added:
+    for add in added:
         parts.extend(
-            _file_partitions(os.path.join(path, p), rows, cols, split_rows, const)
+            _file_partitions(
+                os.path.join(path, add["path"]),
+                int(add.get("rows", 0)),
+                cols,
+                split_rows,
+                const + _pv_constants(add, cols),
+            )
         )
     return parts
 
@@ -275,14 +346,17 @@ class _TxLogBatchReader(DataSourceReader):
         cols = _schema_columns(self.schema)
         parts: list[_FilePartition] = []
         for p, add in state.items():
-            if not all(_stats_admit(add.get("stats", {}), f) for f in self._pruning):
+            if not all(_stats_admit(add, f) for f in self._pruning):
                 continue
+            dv = add.get("dv")
             parts.extend(
                 _file_partitions(
                     os.path.join(self.path, p),
                     int(add.get("rows", 0)),
                     cols,
                     self.split_rows,
+                    constants=_pv_constants(add, cols),
+                    dv=os.path.join(self.path, dv["path"]) if dv else None,
                 )
             )
         return parts or [_FilePartition("", cols)]
@@ -326,15 +400,36 @@ def _replay_adds(path: str, as_of: int | None = None) -> dict[str, dict]:
     return _log_state(path, as_of)["adds"]
 
 
-def _stats_admit(stats: dict, flt) -> bool:
-    """True unless the file's [min, max] stats PROVE the filter can
-    match no row — the conservative data-skipping predicate. A file
-    without stats for the column (or with stats incomparable to the
-    literal) always admits."""
+def _stats_admit(add: dict, flt) -> bool:
+    """True unless the file's [min, max] stats — or its exact hive
+    partition value, an implicit [v, v] stat — PROVE the filter can
+    match no row: the conservative data-skipping predicate, now doing
+    PARTITION PRUNING through the same gate. A file without stats for
+    the column (or with stats incomparable to the literal) always
+    admits."""
     col = flt.attribute[0]
-    st = stats.get(col)
+    st = add.get("stats", {}).get(col)
     if st is None:
-        return True
+        pv = add.get("partitionValues", {}).get(col)
+        if pv is None:
+            return True
+
+        def _coerce(sample):
+            # bool("false") is True — literal strings need the map
+            if isinstance(sample, bool):
+                return pv.lower() == "true"
+            return type(sample)(pv)
+
+        try:
+            if isinstance(flt, In):
+                if not flt.value:
+                    return False  # IN () matches nothing
+                v = _coerce(next(iter(flt.value)))
+            else:
+                v = _coerce(flt.value)
+            st = [v, v]
+        except (TypeError, ValueError):
+            return True
     lo, hi = st
     try:
         if isinstance(flt, EqualTo):
@@ -490,26 +585,35 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     "the stream's checkpoint? restart with a fresh checkpoint"
                 )
             added, removed = [], []
+            dv_commit = False
             for action in json.load(open(f)):
                 if "add" in action and action["add"].get("dataChange", True):
-                    added.append((action["add"]["path"], int(action["add"].get("rows", 0))))
+                    if action["add"].get("dv"):
+                        dv_commit = True
+                    added.append(action["add"])
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removed.append(action["remove"]["path"])
-            if removed:
-                # copy-on-write rewrite: not representable as appends
+            if removed or dv_commit:
+                # copy-on-write rewrite, or a deletion-vector re-add
+                # (emitting it would replay the whole file as inserts):
+                # not representable as appends
                 if self.skip_change_commits:
                     continue
                 raise ValueError(
-                    f"version {v} of {self.path} rewrites existing rows "
-                    "(remove actions with dataChange=true); a version-offset "
-                    "stream is append-only. Set skipChangeCommits=true to "
-                    "ignore such commits, or consume TxTable.changes() in "
-                    "batch for row-accurate updates."
+                    f"version {v} of {self.path} changes existing rows; a "
+                    "version-offset stream is append-only. Set "
+                    "skipChangeCommits=true to ignore such commits, use "
+                    "readChangeFeed=true on a change_data table, or consume "
+                    "TxTable.changes() in batch for row-accurate updates."
                 )
-            for p, rows in added:
+            for add in added:
                 parts.extend(
                     _file_partitions(
-                        os.path.join(self.path, p), rows, cols, self.split_rows
+                        os.path.join(self.path, add["path"]),
+                        int(add.get("rows", 0)),
+                        cols,
+                        self.split_rows,
+                        _pv_constants(add, cols),
                     )
                 )
         return parts

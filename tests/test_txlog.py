@@ -1024,3 +1024,173 @@ def test_restore_past_vacuum_raises(spark, tmp_path):
     t.vacuum(retention_seconds=0)
     with pytest.raises(FileNotFoundError, match="retention"):
         t.restore(0)
+
+
+# ---------------- deletion vectors (merge-on-read DELETE) ----------------
+
+
+def _mk_dv(spark, tmp_path, **kw):
+    t = TxTable(
+        spark, str(tmp_path / "dv_tbl"), stat_cols=["k"], deletion_vectors=True, **kw
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(20)], "k long, v long"
+        ).repartition(2)
+    )
+    return t
+
+
+def test_dv_delete_rewrites_zero_data_files(spark, tmp_path):
+    """Merge-on-read DELETE: data files untouched, positions masked by
+    every reader, a second delete on the same file unions its vector,
+    and the re-emitted add actions carry the vector in the log."""
+    t = _mk_dv(spark, tmp_path)
+    before = set(glob.glob(os.path.join(t.path, "data-*", "*.parquet")))
+    v = t.delete_where("k % 5 = 0")
+    after = set(glob.glob(os.path.join(t.path, "data-*", "*.parquet")))
+    assert before == after  # zero data files rewritten
+    assert {r.k for r in t.snapshot().collect()} == {
+        k for k in range(20) if k % 5 != 0
+    }
+    acts = json.load(open(_version_file(t.path, v)))
+    dv_adds = [a["add"] for a in acts if "add" in a and a["add"].get("dv")]
+    assert len(dv_adds) == 2  # both files held multiples of 5
+    assert sum(a["dv"]["deleted"] for a in dv_adds) == 4
+    assert not any("remove" in a for a in acts)
+    # union: a second delete touching the same files
+    t.delete_where("k = 7")
+    assert {r.k for r in t.snapshot().collect()} == {
+        k for k in range(20) if k % 5 != 0 and k != 7
+    }
+    # txn replay is a no-op, same as copy-on-write
+    v = t.delete_where("k = 1", txn=("dv_eraser", 0))
+    assert t.delete_where("k = 1", txn=("dv_eraser", 0)) is None
+    # MERGE and time travel see through / around the vectors
+    t.merge_upsert(spark.createDataFrame([(2, -2)], "k long, v long"), "k")
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[2] == -2 and 1 not in got and 7 not in got and 5 not in got
+    assert t.snapshot(as_of=0).count() == 20  # pre-delete snapshot intact
+
+
+def test_dv_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """The NULL-predicate contract holds in merge-on-read mode too:
+    only rows where the predicate is TRUE enter the vector."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["v"], deletion_vectors=True)
+    t.create(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 99), (4, None), (5, 10)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.delete_where("v = 10")
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == {
+        (2, None),
+        (3, 99),
+        (4, None),
+    }
+
+
+def test_dv_compact_materializes_and_vacuum_reclaims(spark, tmp_path):
+    """OPTIMIZE materializes vectors (rewritten adds carry none) and
+    vacuum reclaims dead vectors under the retention guard while live
+    ones are never touched."""
+    t = _mk_dv(spark, tmp_path)
+    t.delete_where("k < 4")
+    live_dv = glob.glob(os.path.join(t.path, "_dv", "*.parquet"))
+    assert live_dv
+    assert t.vacuum(retention_seconds=0) == 0  # live vectors protected
+    v = t.compact(target_files=1)
+    acts = json.load(open(_version_file(t.path, v)))
+    assert not any(a.get("add", {}).get("dv") for a in acts)
+    assert {r.k for r in t.snapshot().collect()} == set(range(4, 20))
+    # vectors are now dead: retention-guarded, then reclaimed
+    assert t.vacuum() == 0
+    n = t.vacuum(retention_seconds=0)
+    assert n >= len(live_dv)
+    assert not glob.glob(os.path.join(t.path, "_dv", "*"))
+    assert {r.k for r in t.snapshot().collect()} == set(range(4, 20))
+
+
+def test_dv_changes_needs_cdc_sidecars(spark, tmp_path):
+    """A dv commit re-adds the data file unchanged, so a content diff
+    would misread it as a whole-file insert: without change_data the
+    feed refuses; with it the cdc sidecars serve exact deletes."""
+    t = _mk_dv(spark, tmp_path)
+    t.delete_where("k = 3")
+    with pytest.raises(ValueError, match="change_data"):
+        t.changes(0).count()
+    t2 = _mk_dv(spark, tmp_path / "cdf", change_data=True)
+    t2.delete_where("k = 3")
+    feed = [(r.k, r._change_type, r._commit_version) for r in t2.changes(0).collect()]
+    assert feed == [(3, "delete", 1)]
+
+
+# ---------------- hive partitioning (partitionValues in the log) ----------------
+
+
+def test_partitioned_table_roundtrip_and_pruning(spark, tmp_path):
+    """create(partition_by): hive layout, partition values in the add
+    actions (NOT in the data files), typed reconstruction by every
+    reader, layout preserved across append/MERGE/DELETE/OPTIMIZE, and
+    partition pruning through the same stats gate MERGE uses."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = spark.createDataFrame(
+        [(i, i % 3, 10 * i) for i in range(30)], "k long, p int, v long"
+    )
+    t.create(df, partition_by=["p"])
+    assert t.partition_columns() == ["p"]
+    # hive layout on disk; partition column absent from the files
+    leaf = glob.glob(os.path.join(t.path, "data-*", "p=*", "*.parquet"))
+    assert leaf
+    import pyarrow.parquet as pq
+
+    assert "p" not in pq.ParquetFile(leaf[0]).schema_arrow.names
+    acts = json.load(open(_version_file(t.path, 0)))
+    pvs = {a["add"]["partitionValues"]["p"] for a in acts if "add" in a}
+    assert pvs == {"0", "1", "2"}
+    # typed reconstruction
+    got = {(r.k, r.p, r.v) for r in t.snapshot().collect()}
+    assert got == {(i, i % 3, 10 * i) for i in range(30)}
+    assert dict(t.snapshot().dtypes)["p"] == "int"
+    # partition pruning via pruned_files
+    hit, miss = t.pruned_files("p", 1, 1)
+    assert len(miss) >= 1 and all("p=1" in h for h in hit)
+    # append preserves the layout
+    t.append(spark.createDataFrame([(100, 1, -1)], "k long, p int, v long"))
+    assert t.snapshot().count() == 31
+    # MERGE on a partitioned table: updates win, layout kept
+    t.merge_upsert(spark.createDataFrame([(5, 2, -5)], "k long, p int, v long"), "k")
+    got = {r.k: (r.p, r.v) for r in t.snapshot().collect()}
+    assert got[5] == (2, -5) and len(got) == 31
+    assert not glob.glob(os.path.join(t.path, "data-*", "*.parquet"))  # no flat files
+    # DELETE on the PARTITION column (predicate resolves via pv literals)
+    t.delete_where("p = 0")
+    got = {r.k for r in t.snapshot().collect()}
+    assert got == {k for k in range(30) if k % 3 != 0 or k == 5} | {100} - {0}
+    # OPTIMIZE keeps the layout and the values
+    t.compact(target_files=1)
+    assert t.partition_columns() == ["p"]
+    assert {(r.k, r.p) for r in t.snapshot().collect()} == {
+        (k, k % 3 if k != 5 else 2) for k in got
+    } | ({(100, 1)} if 100 in got else set())
+
+
+def test_partitioned_dv_delete(spark, tmp_path):
+    """Deletion vectors compose with hive partitioning: the position
+    scan resolves partition-column predicates via the log's values,
+    zero data files are rewritten, and readers mask + reattach."""
+    t = TxTable(
+        spark, str(tmp_path / "tbl"), stat_cols=["k"], deletion_vectors=True
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 2, 10 * i) for i in range(10)], "k long, p int, v long"
+        ),
+        partition_by=["p"],
+    )
+    before = set(glob.glob(os.path.join(t.path, "data-*", "p=*", "*.parquet")))
+    t.delete_where("p = 1 AND k < 5")
+    after = set(glob.glob(os.path.join(t.path, "data-*", "p=*", "*.parquet")))
+    assert before == after
+    got = {(r.k, r.p) for r in t.snapshot().collect()}
+    assert got == {(i, i % 2) for i in range(10) if not (i % 2 == 1 and i < 5)}

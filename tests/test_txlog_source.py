@@ -586,3 +586,138 @@ def test_stream_rate_limit_anchor_survives_restart(spark, tmp_path):
         t.path, t.snapshot().schema, {"maxVersionsPerTrigger": "2"}
     )
     assert r3.latestOffset() == {"version": 10}
+
+
+def test_dv_batch_read_masks_positions_and_splits(spark, tmp_path):
+    """The hz_txlog batch reader masks deletion-vector positions
+    executor-side, including on row-group-split partitions where
+    local rows map to file-global indices via the footer offsets."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = tmp_path / "tbl"
+    (tbl / "data-x").mkdir(parents=True)
+    (tbl / "_dv").mkdir()
+    (tbl / "_txlog").mkdir()
+    pq.write_table(
+        pa.table({"k": list(range(100)), "v": [2 * i for i in range(100)]}),
+        str(tbl / "data-x" / "big.parquet"),
+        row_group_size=10,
+    )
+    # delete every multiple of 7 by position (k == position here)
+    dead = [i for i in range(100) if i % 7 == 0]
+    pq.write_table(
+        pa.table({"fname": ["big.parquet"] * len(dead), "pos": dead}),
+        str(tbl / "_dv" / "dv-1.parquet"),
+    )
+    schema_json = spark.createDataFrame([], "k long, v long").schema.json()
+    with open(tbl / "_txlog" / "00000000.json", "w") as fh:
+        _json.dump(
+            [
+                {
+                    "add": {
+                        "path": "data-x/big.parquet",
+                        "rows": 100,
+                        "stats": {},
+                        "dv": {"path": "_dv/dv-1.parquet", "deleted": len(dead)},
+                    }
+                },
+                {"meta": {"schema": schema_json}},
+            ],
+            fh,
+        )
+    expect = {k for k in range(100) if k % 7 != 0}
+    whole = spark.read.format("hz_txlog").load(str(tbl))
+    assert {r.k for r in whole.collect()} == expect
+    split = spark.read.format("hz_txlog").option("splitRows", 25).load(str(tbl))
+    assert {r.k for r in split.collect()} == expect
+    assert split.count() == len(expect)
+
+
+def test_dv_commit_is_a_change_commit_for_streams(spark, tmp_path):
+    """A deletion-vector commit re-adds its file; the append-only
+    stream must NOT replay the whole file as inserts — it raises (or
+    skips under skipChangeCommits), and the CDF stream serves it from
+    cdc sidecars when the table records them."""
+    t = TxTable(
+        spark,
+        str(tmp_path / "tbl"),
+        stat_cols=["k"],
+        deletion_vectors=True,
+        change_data=True,
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, 2 * i) for i in range(6)], "k long, v long"
+        ).coalesce(1)
+    )
+    ck = str(tmp_path / "ck1")
+    assert len(_drain(spark, t, ck)) == 6
+    t.delete_where("k = 2")
+    with pytest.raises(Exception, match="append-only"):
+        _drain(spark, t, ck)
+    t.append(spark.createDataFrame([(50, 100)], "k long, v long"))
+    got = _drain(spark, t, ck, skip=True)
+    if not got:
+        got = _drain(spark, t, ck, skip=True)
+    assert got == {(50, 100)}
+    # CDF stream: exact rows for create + dv delete + append
+    cdf = _drain_cdf(spark, t.path, str(tmp_path / "ck2"))
+    assert cdf == (
+        {(i, 2 * i, "insert", 0) for i in range(6)}
+        | {(2, 4, "delete", 1), (50, 100, "insert", 2)}
+    )
+
+
+def test_partitioned_dsv2_read_stream_and_partition_pruning(spark, tmp_path):
+    """The hz_txlog reader reattaches typed partition values as
+    executor-side constants (batch AND streaming), and pushFilters
+    prunes files on exact partition values through the same
+    stats-admit gate."""
+    from hz_csv2parquet_spark.sources.txlog_source import (
+        _TxLogPruningBatchReader as _Reader,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 3, 2 * i) for i in range(12)], "k long, p int, v long"
+        ),
+        partition_by=["p"],
+    )
+    got = spark.read.format("hz_txlog").load(t.path)
+    assert dict(got.dtypes)["p"] == "int"
+    assert {(r.k, r.p, r.v) for r in got.collect()} == {
+        (i, i % 3, 2 * i) for i in range(12)
+    }
+    # partition pruning: EqualTo on p plans only the p=1 files
+    r = _Reader(t.path, None)
+    n_all = len(r.partitions())
+    r2 = _Reader(t.path, None)
+    r2.pushFilters([EqualTo(("p",), 1)])
+    n_pruned = len(r2.partitions())
+    assert 0 < n_pruned < n_all
+    # end to end exactness under the pushed filter
+    assert {
+        r_.k
+        for r_ in spark.read.format("hz_txlog").load(t.path).filter("p = 1").collect()
+    } == {i for i in range(12) if i % 3 == 1}
+    # streaming read reattaches values too
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend((r_.k, r_.p) for r_ in batch_df.collect())
+
+    q = (
+        spark.readStream.format("hz_txlog")
+        .load(t.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert set(rows) == {(i, i % 3) for i in range(12)}
