@@ -254,6 +254,12 @@ def cmd_table(args: argparse.Namespace) -> None:
         print(f"rows: {rows}")
         stat_cols = sorted({c for a in state["adds"].values() for c in a.get("stats", {})})
         print(f"stat columns: {', '.join(stat_cols) if stat_cols else '(none)'}")
+        pcols = state.get("partitionColumns") or []
+        print(f"partition columns: {', '.join(pcols) if pcols else '(none)'}")
+        n_dv = sum(1 for a in state["adds"].values() if a.get("dv"))
+        if n_dv:
+            dead = sum(a["dv"].get("deleted", 0) for a in state["adds"].values() if a.get("dv"))
+            print(f"deletion vectors: {n_dv} file(s), {dead} masked row(s)")
         if state["schema"]:
             from pyspark.sql.types import StructType
 

@@ -410,3 +410,43 @@ def test_scd2_snapshot_join_keys_on_dimension(spark, sf_dir):
     )
     assert "KeyJoin" in joined
     assert "valid_from" in plan and "valid_to" in plan  # range rides the join
+
+
+def test_dv_masked_read_broadcasts_the_vector(spark, tmp_path):
+    """The deletion-vector read: vector positions join as a BROADCAST
+    anti-join on (file name, position) — never a cartesian product,
+    never a shuffled sort-merge of the data side against a tiny
+    vector. This is the plan shape that keeps a dv'd 100 TB scan at
+    scan cost + one broadcast."""
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+    from pyspark.sql import functions as F
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], deletion_vectors=True)
+    t.create(
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+    )
+    t.delete_where("k % 10 = 0")
+    plan = t.snapshot()._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_snapshot_is_shuffle_free(spark, tmp_path):
+    """Reattaching hive partition values is pure projection work: the
+    partitioned snapshot plans as a union of scans + projects with NO
+    exchange — partition reconstruction must never cost a shuffle."""
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 3, 2 * i) for i in range(30)], "k long, p int, v long"
+        ),
+        partition_by=["p"],
+    )
+    plan = t.snapshot()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Union" in plan
