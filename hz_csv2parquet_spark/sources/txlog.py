@@ -134,6 +134,21 @@ def pv_cast(value: str | None, data_type):
     return value
 
 
+#: SQL expression extracting a file's table-relative key from
+#: ``_metadata.file_path`` — the LAST ``data-*/`` segment of the RAW
+#: (still percent-encoded) URI. Both the vector writer and every
+#: masked reader derive the key from the same expression, so it is
+#: consistent by construction, unique per file (part-file basenames
+#: COLLIDE across hive partition dirs — one task writes the same
+#: name into several ``col=val`` dirs), and relocation-proof (the
+#: prefix outside the table root never participates).
+_DV_KEY_RE = r".*/(data-[^/]+/.+)$"
+
+
+def _dv_key_col():
+    return F.regexp_extract(F.col("_metadata.file_path"), _DV_KEY_RE, 1)
+
+
 def _log_dir(table_path: str) -> str:
     return os.path.join(table_path, "_txlog")
 
@@ -681,7 +696,7 @@ class TxTable:
             scan = (
                 self.spark.read.option("mergeSchema", "true")
                 .parquet(*dvd)
-                .withColumn("__hz_fname", F.col("_metadata.file_name"))
+                .withColumn("__hz_fname", _dv_key_col())
                 .withColumn("__hz_pos", F.col("_metadata.row_index"))
             )
             dv = self.spark.read.parquet(
@@ -996,10 +1011,10 @@ class TxTable:
         sidecar becomes vacuum-able). The vector write itself is
         distributed — one ``applyInPandas`` group per file — and the
         driver receives O(touched files) rows, never positions."""
-        rels = {os.path.basename(f): os.path.relpath(f, self.path) for f in touched}
         pv_groups: dict[tuple, list[str]] = {}
         for f in touched:
-            pv = adds[rels[os.path.basename(f)]].get("partitionValues") or {}
+            rel = os.path.relpath(f, self.path)
+            pv = adds[rel].get("partitionValues") or {}
             pv_groups.setdefault(tuple(sorted(pv.items())), []).append(f)
         types = {}
         if any(key for key in pv_groups):
@@ -1016,7 +1031,7 @@ class TxTable:
             raw = (
                 self.spark.read.option("mergeSchema", "true")
                 .parquet(*fs)
-                .withColumn("fname", F.col("_metadata.file_name"))
+                .withColumn("fname", _dv_key_col())
                 .withColumn("pos", F.col("_metadata.row_index"))
             )
             for col, val in key:
@@ -1030,9 +1045,9 @@ class TxTable:
         for b in branches[1:]:
             hits = hits.unionByName(b)
         old_dvs = [
-            os.path.join(self.path, adds[rel]["dv"]["path"])
-            for rel in rels.values()
-            if adds[rel].get("dv")
+            os.path.join(self.path, adds[os.path.relpath(f, self.path)]["dv"]["path"])
+            for f in touched
+            if adds[os.path.relpath(f, self.path)].get("dv")
         ]
         if old_dvs:
             hits = hits.unionByName(
@@ -1070,9 +1085,13 @@ class TxTable:
             .applyInPandas(write_vector, "fname string, dv string, n long")
             .collect()
         )
+        from urllib.parse import unquote
+
         actions = []
         for r in meta:
-            add = dict(adds[rels[r.fname]])
+            # the key is the percent-encoded rel path; unquote maps it
+            # back to the on-disk relative path the add action uses
+            add = dict(adds[unquote(r.fname)])
             add["dv"] = {"path": r.dv, "deleted": int(r.n)}
             actions.append({"add": add})
         return actions
@@ -1247,11 +1266,13 @@ class TxTable:
         ).add("_commit_version", "long")
         cols = [f.name for f in schema.fields]
 
-        def read_side(paths: list[str]) -> DataFrame:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        def read_side(paths: list[str], adds: dict[str, dict]) -> DataFrame:
+            # pv/dv-aware read (partition columns reattach; positions
+            # already dead at this state never enter the diff), then
             # align every generation to the as-of schema (null-fill
             # columns a pre-evolution file lacks) so the content diff
             # compares identical shapes
+            df = self._read_files(paths, adds)
             return df.select(
                 *[
                     F.col(c) if c in df.columns else F.lit(None).cast(schema[c].dataType).alias(c)
@@ -1265,12 +1286,14 @@ class TxTable:
             if not os.path.exists(f):
                 raise FileNotFoundError(f"missing log version {v} at {self.path}")
             added, removed, cdcs = [], [], []
+            added_adds: dict[str, dict] = {}
             dv_commit = False
             for action in json.load(open(f)):
                 if "add" in action and action["add"].get("dataChange", True):
                     if action["add"].get("dv"):
                         dv_commit = True
                     added.append(os.path.join(self.path, action["add"]["path"]))
+                    added_adds[action["add"]["path"]] = action["add"]
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removed.append(os.path.join(self.path, action["remove"]["path"]))
                 elif "cdc" in action:
@@ -1323,13 +1346,19 @@ class TxTable:
                         "retention window"
                     )
             if added and not removed:  # blind append: no diff needed
-                feeds.append(tag(read_side(added), "insert"))
-            elif removed and not added:  # pure delete commit
-                feeds.append(tag(read_side(removed), "delete"))
+                feeds.append(tag(read_side(added, added_adds), "insert"))
             else:
-                a, r = read_side(added), read_side(removed)
-                feeds.append(tag(a.exceptAll(r), "insert"))
-                feeds.append(tag(r.exceptAll(a), "delete"))
+                # removed files read at their PRE-commit state (their
+                # partition values and any live deletion vectors come
+                # from the v-1 replay, not the current one)
+                prev_adds = self._replay_state(as_of=v - 1)["adds"]
+                if removed and not added:  # pure delete commit
+                    feeds.append(tag(read_side(removed, prev_adds), "delete"))
+                else:
+                    a = read_side(added, added_adds)
+                    r = read_side(removed, prev_adds)
+                    feeds.append(tag(a.exceptAll(r), "insert"))
+                    feeds.append(tag(r.exceptAll(a), "delete"))
         if not feeds:
             return self.spark.createDataFrame([], out_schema)
         out = feeds[0]

@@ -912,3 +912,104 @@ def test_exact_sum_is_partitioning_invariant(spark, vals, parts):
         )
     )
     assert results[0][0] == want
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(0, 3)),
+            st.tuples(st.just("merge"), st.integers(0, 3)),
+            st.tuples(st.just("delete"), st.integers(0, 3)),
+            st.tuples(st.just("restore"), st.just(0)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, ops):
+    """The round-10 feature stack composed: a HIVE-PARTITIONED table
+    with DELETION VECTORS and CHANGE-DATA sidecars under arbitrary
+    append / merge / merge-on-read delete / RESTORE / compaction
+    interleavings must equal the per-key dict replay — including time
+    travel to every version and feed-reconstructs-snapshot over cdc
+    sidecars (updates as delete+insert, dv deletes as exact rows,
+    restores as the inverse of what they undo, compaction silent)."""
+    from collections import Counter
+
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    root = tmp_path_factory.mktemp("txprop_full")
+    t = TxTable(
+        spark,
+        str(root / "tbl"),
+        stat_cols=["k"],
+        checkpoint_interval=3,
+        change_data=True,
+        deletion_vectors=True,
+    )
+    t.create(
+        spark.range(20).selectExpr(
+            "id AS k", "CAST(id % 3 AS INT) AS p", "CAST(-1 AS BIGINT) AS v"
+        ),
+        partition_by=["p"],
+    )
+    mirror = {k: (k % 3, -1) for k in range(20)}
+    history = [(0, dict(mirror))]
+    serial = 0
+    for op, arg in ops:
+        serial += 1
+        if op == "append":
+            base = 1000 * serial + 100 * arg
+            t.append(
+                spark.range(base, base + 5).selectExpr(
+                    "id AS k", "CAST(id % 3 AS INT) AS p",
+                    f"CAST({serial} AS BIGINT) AS v",
+                )
+            )
+            for k in range(base, base + 5):
+                mirror[k] = (k % 3, serial)
+        elif op == "merge":
+            lo = 10 * arg
+            t.merge_upsert(
+                spark.range(lo, lo + 10).selectExpr(
+                    "id AS k", "CAST(id % 3 AS INT) AS p",
+                    f"CAST({100 + serial} AS BIGINT) AS v",
+                ),
+                "k",
+            )
+            for k in range(lo, lo + 10):
+                mirror[k] = (k % 3, 100 + serial)
+        elif op == "delete":
+            lo = 10 * arg
+            victims = [k for k in mirror if lo <= k < lo + 5]
+            t.delete_where(f"k >= {lo} AND k < {lo + 5}")
+            if not victims:
+                continue  # no-match delete commits no version
+            for k in victims:
+                del mirror[k]
+        elif op == "restore":
+            tgt_v, tgt_state = history[len(history) // 2]
+            if t.restore(tgt_v) == t.version() and not history:
+                continue
+            mirror = dict(tgt_state)
+            if t.version() == history[-1][0]:
+                continue  # restore-to-identical state: no commit
+        else:
+            t.compact(target_files=2, layout_key="k")
+        history.append((t.version(), dict(mirror)))
+    got = {r.k: (r.p, r.v) for r in t.snapshot().collect()}
+    assert got == mirror
+    for v, want in history:
+        got_v = {r.k: (r.p, r.v) for r in t.snapshot(as_of=v).collect()}
+        assert got_v == want, f"version {v}"
+    for (v0, _), (v1, _) in zip(history, history[1:]):
+        feed = t.changes(v0, v1).collect()
+        prev = Counter((r.k, r.p, r.v) for r in t.snapshot(as_of=v0).collect())
+        ins = Counter((r.k, r.p, r.v) for r in feed if r._change_type == "insert")
+        dels = Counter((r.k, r.p, r.v) for r in feed if r._change_type == "delete")
+        assert dels <= prev, f"version {v1}: delete of a row not in prior snapshot"
+        assert prev - dels + ins == Counter(
+            (r.k, r.p, r.v) for r in t.snapshot(as_of=v1).collect()
+        ), f"version {v1}: feed does not reconstruct snapshot"
