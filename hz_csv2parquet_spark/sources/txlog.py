@@ -704,9 +704,17 @@ class TxTable:
             ).select(
                 F.col("fname").alias("__dv_fname"), F.col("pos").alias("__dv_pos")
             )
+            # the log knows the vector size exactly — broadcast while
+            # it fits comfortably, fall back to a shuffled anti-join
+            # for a pathological vector (the state compact() exists
+            # to materialize away) instead of blowing the broadcast
+            # memory limit on the driver/executors
+            total_deleted = sum(int(dv_of[f].get("deleted", 0)) for f in dvd)
+            if total_deleted <= 10_000_000:
+                dv = F.broadcast(dv)
             parts.append(
                 scan.join(
-                    F.broadcast(dv),
+                    dv,
                     (F.col("__hz_fname") == F.col("__dv_fname"))
                     & (F.col("__hz_pos") == F.col("__dv_pos")),
                     "left_anti",

@@ -481,6 +481,34 @@ class _TxLogChangesBatchReader(DataSourceReader):
         return _read_file_as_arrow(partition)
 
 
+def _ts_option(raw: str) -> float:
+    """startingTimestamp accepts epoch seconds or an ISO datetime."""
+    try:
+        return float(raw)
+    except ValueError:
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw).timestamp()
+
+
+def _version_at_or_after(path: str, ts: float) -> int:
+    """First version whose commitInfo wall-clock is >= ``ts`` (the
+    Delta startingTimestamp resolution); top+1 when every commit
+    predates it — the caller starts at the log head. Pure driver-side
+    log metadata, O(versions)."""
+    top = _top_version(path)
+    for v in range(top + 1):
+        f = _version_file(path, v)
+        if not os.path.exists(f):
+            continue  # vacuumed head of the log: cannot predate ts anyway
+        for action in json.load(open(f)):
+            if "commitInfo" in action and float(
+                action["commitInfo"].get("timestamp", 0)
+            ) >= ts:
+                return v
+    return top + 1
+
+
 def _top_version(path: str) -> int:
     import re as _re
 
@@ -514,8 +542,15 @@ class _TxLogStreamReader(DataSourceStreamReader):
         )
         # startingVersion: first batch starts AFTER this version
         # (default -1: emit the existing table as the first batch —
-        # Delta's startingVersion=0 shape)
-        self.starting_version = int(opts.get("startingversion", -1))
+        # Delta's startingVersion=0 shape). startingTimestamp resolves
+        # to the first version committed at or after the wall-clock.
+        sv, st = opts.get("startingversion"), opts.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError("pass startingVersion OR startingTimestamp, not both")
+        if st is not None:
+            self.starting_version = _version_at_or_after(path, _ts_option(st)) - 1
+        else:
+            self.starting_version = int(sv) if sv is not None else -1
         self.split_rows = int(opts.get("splitrows", DEFAULT_SPLIT_ROWS))
         # Delta's maxFilesPerTrigger shape, at version grain: cap how
         # many commits one micro-batch may span, so a stream that
@@ -667,10 +702,19 @@ class TxLogDataSource(DataSource):
         split = self.options.get("splitrows")
         if self._cdf():
             sv = self.options.get("startingversion")
+            st = self.options.get("startingtimestamp")
+            if sv is not None and st is not None:
+                raise ValueError(
+                    "pass startingVersion OR startingTimestamp, not both"
+                )
+            if st is not None:
+                start = _version_at_or_after(self._path(), _ts_option(st))
+            else:
+                start = int(sv) if sv is not None else 0
             ev = self.options.get("endingversion")
             return _TxLogChangesBatchReader(
                 self._path(),
-                int(sv) if sv is not None else 0,
+                start,
                 int(ev) if ev is not None else None,
                 int(split) if split is not None else DEFAULT_SPLIT_ROWS,
             )

@@ -721,3 +721,46 @@ def test_partitioned_dsv2_read_stream_and_partition_pruning(spark, tmp_path):
     )
     q.awaitTermination()
     assert set(rows) == {(i, i % 3) for i in range(12)}
+
+
+def test_starting_timestamp_resolves_to_version(spark, tmp_path):
+    """startingTimestamp (epoch or ISO) resolves to the first commit
+    at-or-after the wall-clock for both the batch CDF read and the
+    stream's starting offset — Delta's time-based start."""
+    import json as _json
+    import time as _time
+
+    from hz_csv2parquet_spark.sources.txlog import _version_file
+    from hz_csv2parquet_spark.sources.txlog_source import (
+        _TxLogStreamReader,
+        _version_at_or_after,
+    )
+
+    t = _mk(spark, tmp_path, n=3, files=1)  # v0
+    t.append(spark.createDataFrame([(10, 20)], "k long, v long"))  # v1
+    t.append(spark.createDataFrame([(11, 22)], "k long, v long"))  # v2
+    # pin deterministic commit times: v0=1000, v1=2000, v2=3000
+    for v, ts in ((0, 1000.0), (1, 2000.0), (2, 3000.0)):
+        f = _version_file(t.path, v)
+        acts = _json.load(open(f))
+        for a in acts:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        _json.dump(acts, open(f, "w"))
+    assert _version_at_or_after(t.path, 1500.0) == 1
+    assert _version_at_or_after(t.path, 3000.0) == 2
+    assert _version_at_or_after(t.path, 9999.0) == 3  # nothing yet
+    got = (
+        spark.read.format("hz_txlog")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", "1500")
+        .load(t.path)
+    )
+    assert {(r.k, r._commit_version) for r in got.collect()} == {(10, 1), (11, 2)}
+    r = _TxLogStreamReader(t.path, t.snapshot().schema, {"startingTimestamp": "2500"})
+    assert r.initialOffset() == {"version": 1}  # first batch = v2 only
+    with pytest.raises(ValueError, match="not both"):
+        _TxLogStreamReader(
+            t.path, t.snapshot().schema,
+            {"startingTimestamp": "1", "startingVersion": "0"},
+        )
