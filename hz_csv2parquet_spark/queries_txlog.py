@@ -1,7 +1,10 @@
 """Driver-hash-checked coverage for the transaction-log table layer
 (sources/txlog.py) — VERDICT r6 item 5: the txlog read path was
-pytest-only; these queries put snapshot reads, time travel, and the
-stats-pruned copy-on-write MERGE behind the driver's DuckDB oracle.
+pytest-only; these queries put snapshot reads, time travel, the
+stats-pruned copy-on-write MERGE, the batch change feed, the
+STREAMING change feed (readChangeFeed over cdc sidecars), RESTORE,
+and deletion-vector DELETE (merge-on-read, masked by the hz_txlog
+DSv2 reader) behind the driver's DuckDB oracle.
 
 Each query BUILDS a real TxTable in a throwaway directory from the
 fixture tables (multiple commits, so replay genuinely merges
