@@ -767,13 +767,15 @@ def register_txlog_source(spark) -> None:
 
 @dataclass
 class _WriteMessage(WriterCommitMessage):
-    """Per-task result: the staged file (relative to the table root)
+    """Per-task result: the staged files (relative to the table root)
     plus the add-action metadata the driver needs — no driver-side
-    footer reads, the stats ride the commit message."""
+    footer reads, the stats ride the commit message. One task stages
+    ONE file for an unpartitioned write and one file PER partition
+    value it saw for a hive-partitioned write."""
 
-    rel_path: str | None  # None: this task saw no rows
-    rows: int
-    stats: dict
+    #: [{"path", "rows", "stats", "partitionValues"?}, ...]; empty:
+    #: this task saw no rows
+    files: list
 
 
 class _StagedParquetWriteMixin:
@@ -784,21 +786,45 @@ class _StagedParquetWriteMixin:
 
     path: str
     stat_cols: list
+    partition_cols: list
 
-    def write(self, iterator):
+    def _resolve_partition_cols(self, opts: dict) -> list:
+        """The effective hive-partition columns for this write: the
+        ``partitionBy`` option for a new table, the table's committed
+        partitionColumns otherwise (a mismatching option raises —
+        silent layout drift would break pruning expectations)."""
+        from .txlog import TxTable
+
+        opt = [c for c in str(opts.get("partitionby", "")).split(",") if c]
+        t = TxTable(None, self.path)
+        existing = t.partition_columns() if t.version() >= 0 else None
+        if existing is None:
+            return opt
+        if opt and opt != existing:
+            raise ValueError(
+                f"partitionBy={opt} does not match the table's committed "
+                f"partition columns {existing} at {self.path}"
+            )
+        return existing
+
+    @staticmethod
+    def _hive_value(v) -> str | None:
+        """The log's stringified partition value (Delta shape); None
+        stays None (hive default-partition sentinel in the path)."""
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return v.isoformat() if hasattr(v, "isoformat") else str(v)
+
+    def _stage_one(self, table, rel_dir: str, pv: dict | None):
         import uuid as _uuid
 
-        import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        batches = list(iterator)
-        if not batches or sum(b.num_rows for b in batches) == 0:
-            return _WriteMessage(None, 0, {})
-        table = pa.Table.from_batches(batches)
-        stage = os.path.join(self.path, "data-stream")
-        os.makedirs(stage, exist_ok=True)
-        rel = os.path.join("data-stream", f"part-{_uuid.uuid4().hex}.parquet")
+        os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
+        rel = os.path.join(rel_dir, f"part-{_uuid.uuid4().hex}.parquet")
         pq.write_table(table, os.path.join(self.path, rel))
         stats = {}
         for c in self.stat_cols:
@@ -813,13 +839,63 @@ class _StagedParquetWriteMixin:
             except TypeError:
                 continue
             stats[c] = [lo, hi]
-        return _WriteMessage(rel, table.num_rows, stats)
+        entry = {"path": rel, "rows": table.num_rows, "stats": stats}
+        if pv:
+            entry["partitionValues"] = pv
+        return entry
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _WriteMessage([])
+        table = pa.Table.from_batches(batches)
+        if not self.partition_cols:
+            return _WriteMessage([self._stage_one(table, "data-stream", None)])
+        from urllib.parse import quote
+
+        missing = [c for c in self.partition_cols if c not in table.column_names]
+        if missing:
+            raise ValueError(f"partition columns not in the written frame: {missing}")
+        files = []
+        combos = table.group_by(self.partition_cols).aggregate([])
+        for i in range(combos.num_rows):
+            vals = {c: combos.column(c)[i].as_py() for c in self.partition_cols}
+            mask = None
+            for c, v in vals.items():
+                cond = (
+                    pc.is_null(table.column(c))
+                    if v is None
+                    else pc.equal(table.column(c), v)
+                )
+                mask = cond if mask is None else pc.and_(mask, cond)
+            sub = table.filter(mask).drop_columns(list(self.partition_cols))
+            segs = [
+                f"{c}=" + (
+                    "__HIVE_DEFAULT_PARTITION__"
+                    if vals[c] is None
+                    else quote(self._hive_value(vals[c]), safe="")
+                )
+                for c in self.partition_cols
+            ]
+            files.append(
+                self._stage_one(
+                    sub,
+                    os.path.join("data-stream", *segs),
+                    {c: self._hive_value(vals[c]) for c in self.partition_cols},
+                )
+            )
+        return _WriteMessage(files)
 
     def abort(self, messages, batchId: int | None = None) -> None:
         for m in messages:
-            if m is not None and m.rel_path is not None:
+            if m is None:
+                continue
+            for f in m.files:
                 try:
-                    os.remove(os.path.join(self.path, m.rel_path))
+                    os.remove(os.path.join(self.path, f["path"]))
                 except FileNotFoundError:
                     pass
 
@@ -832,9 +908,10 @@ class _StagedParquetWriteMixin:
     @staticmethod
     def _adds(messages) -> list[dict]:
         return [
-            {"add": {"path": m.rel_path, "rows": m.rows, "stats": m.stats}}
+            {"add": dict(f)}
             for m in messages
-            if m is not None and m.rel_path is not None
+            if m is not None
+            for f in m.files
         ]
 
 
@@ -856,13 +933,20 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
         self.overwrite_schema = (
             str(opts.get("overwriteschema", "false")).lower() == "true"
         )
+        self.partition_cols = self._resolve_partition_cols(opts)
+        bad = [c for c in self.partition_cols if c not in schema.fieldNames()]
+        if bad:
+            raise ValueError(f"partition columns not in the written schema: {bad}")
 
     def commit(self, messages) -> None:
         t = self._table()
         actions = self._adds(messages)
         new_table = t.version() < 0
         if new_table:
-            actions.append({"meta": {"schema": self._schema.json()}})
+            meta: dict = {"schema": self._schema.json()}
+            if self.partition_cols:
+                meta["partitionColumns"] = self.partition_cols
+            actions.append({"meta": meta})
         if self.overwrite and not new_table:
             # capture the base version FIRST and replay exactly that
             # snapshot: a commit landing between replay and commit must
@@ -926,6 +1010,10 @@ class _TxLogStreamWriter(_StagedParquetWriteMixin, DataSourceStreamArrowWriter):
         self.stat_cols = [
             c for c in str(opts.get("statcols", "")).split(",") if c
         ]
+        self.partition_cols = self._resolve_partition_cols(opts)
+        bad = [c for c in self.partition_cols if c not in schema.fieldNames()]
+        if bad:
+            raise ValueError(f"partition columns not in the streamed schema: {bad}")
 
     def _committed(self, t) -> set:
         # a brand-new table has no log yet — nothing committed
@@ -940,7 +1028,10 @@ class _TxLogStreamWriter(_StagedParquetWriteMixin, DataSourceStreamArrowWriter):
             return
         actions = self._adds(messages)
         if t.version() < 0:
-            actions.append({"meta": {"schema": self._schema.json()}})
+            meta: dict = {"schema": self._schema.json()}
+            if self.partition_cols:
+                meta["partitionColumns"] = self.partition_cols
+            actions.append({"meta": meta})
         actions.append({"txn": {"appId": self.app_id, "batchId": batchId}})
         # append_batch's bounded rebase with the twin check: if a
         # replayed twin of this very batch wins a version race, drop

@@ -517,7 +517,7 @@ def test_write_overwrite_conflicts_on_interleaved_commit(spark, tmp_path):
     stage = _os.path.join(t.path, "data-stream")
     _os.makedirs(stage, exist_ok=True)
     pq.write_table(pa.table({"k": [9], "v": [9]}), _os.path.join(stage, "p.parquet"))
-    msg = _WriteMessage("data-stream/p.parquet", 1, {})
+    msg = _WriteMessage([{"path": "data-stream/p.parquet", "rows": 1, "stats": {}}])
 
     orig = TxTable._replay_state
     fired = {"n": 0}
@@ -764,3 +764,76 @@ def test_starting_timestamp_resolves_to_version(spark, tmp_path):
             t.path, t.snapshot().schema,
             {"startingTimestamp": "1", "startingVersion": "0"},
         )
+
+
+def test_writer_partition_by_creates_hive_table(spark, tmp_path):
+    """df.write.format('hz_txlog').option('partitionBy', ...) creates
+    a hive-partitioned table through the standard writer API: values
+    in the add actions, partitionColumns in the meta, typed read-back,
+    pruning — and later appends inherit the layout with NO option."""
+    import json as _json
+
+    from hz_csv2parquet_spark.sources.txlog import _version_file
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 3, 2 * i) for i in range(12)], "k long, p int, v long"
+    )
+    df.write.format("hz_txlog").option("partitionBy", "p").option(
+        "statCols", "k"
+    ).mode("append").save(tbl)
+    acts = _json.load(open(_version_file(tbl, 0)))
+    metas = [a["meta"] for a in acts if "meta" in a]
+    assert metas[0]["partitionColumns"] == ["p"]
+    pvs = {a["add"]["partitionValues"]["p"] for a in acts if "add" in a}
+    assert pvs == {"0", "1", "2"}
+    t = TxTable(spark, tbl, stat_cols=["k"])
+    assert {(r.k, r.p, r.v) for r in t.snapshot().collect()} == {
+        (i, i % 3, 2 * i) for i in range(12)
+    }
+    # appends WITHOUT the option inherit the committed layout
+    spark.createDataFrame([(100, 1, 0)], "k long, p int, v long").write.format(
+        "hz_txlog"
+    ).mode("append").save(tbl)
+    acts1 = _json.load(open(_version_file(tbl, 1)))
+    assert all(
+        a["add"]["partitionValues"] == {"p": "1"} for a in acts1 if "add" in a
+    )
+    hit, miss = t.pruned_files("p", 2, 2)
+    assert miss and all("p=2" in h for h in hit)
+    # a mismatching option refuses instead of drifting the layout
+    with pytest.raises(Exception, match="does not match"):
+        spark.createDataFrame([(1, 1, 1)], "k long, p int, v long").write.format(
+            "hz_txlog"
+        ).option("partitionBy", "v").mode("append").save(tbl)
+
+
+def test_stream_sink_partitioned_table(spark, tmp_path):
+    """The exactly-once streaming sink stages hive-partitioned files
+    when asked: one staged file per (task, partition value), values in
+    the log, snapshot and DSv2 read reattach them."""
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, i % 2, 3 * i) for i in range(8)], "k long, p int, v long"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    tbl = tmp_path / "tbl"
+    q = (
+        spark.readStream.schema("k long, p int, v long")
+        .parquet(str(src))
+        .writeStream.format("hz_txlog")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("statCols", "k")
+        .option("partitionBy", "p")
+        .trigger(availableNow=True)
+        .start(str(tbl))
+    )
+    q.awaitTermination()
+    t = TxTable(spark, str(tbl), stat_cols=["k"])
+    assert t.partition_columns() == ["p"]
+    assert {(r.k, r.p, r.v) for r in t.snapshot().collect()} == {
+        (i, i % 2, 3 * i) for i in range(8)
+    }
+    got = spark.read.format("hz_txlog").load(str(tbl))
+    assert dict(got.dtypes)["p"] == "int"
+    assert got.filter("p = 1").count() == 4
