@@ -1407,14 +1407,24 @@ class TxTable:
             return False
 
         deleted = 0
-        for f in glob.glob(os.path.join(self.path, "data-*", "*.parquet")):
+        # recursive: hive-partitioned staging nests files under
+        # data-*/col=val/... directories
+        for f in glob.glob(
+            os.path.join(self.path, "data-*", "**", "*.parquet"), recursive=True
+        ):
             if f not in live:
                 deleted += _remove_if_aged(f)
-        for d in glob.glob(os.path.join(self.path, "data-*")):
+        # prune now-empty staging trees bottom-up
+        dirs = sorted(
+            glob.glob(os.path.join(self.path, "data-*", "**"), recursive=True),
+            key=len,
+            reverse=True,
+        )
+        for d in dirs + glob.glob(os.path.join(self.path, "data-*")):
             try:
-                if not dry_run and not os.listdir(d):
-                    shutil.rmtree(d)
-            except FileNotFoundError:
+                if not dry_run and os.path.isdir(d) and not os.listdir(d):
+                    os.rmdir(d)
+            except (FileNotFoundError, OSError):
                 pass
         # deletion vectors: superseded ones (replaced by a union
         # vector, or materialized away by compaction) die with the

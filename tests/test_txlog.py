@@ -1194,3 +1194,33 @@ def test_partitioned_dv_delete(spark, tmp_path):
     assert before == after
     got = {(r.k, r.p) for r in t.snapshot().collect()}
     assert got == {(i, i % 2) for i in range(10) if not (i % 2 == 1 and i < 5)}
+
+
+def test_vacuum_reclaims_partitioned_files(spark, tmp_path):
+    """Dead files under hive partition subdirectories are swept too
+    (the glob is recursive), and emptied partition trees are pruned."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 2, i) for i in range(10)], "k long, p int, v long"
+        ),
+        partition_by=["p"],
+    )
+    t.compact(target_files=1)  # supersedes every partitioned file
+    dead = [
+        f
+        for f in glob.glob(
+            os.path.join(t.path, "data-*", "**", "*.parquet"), recursive=True
+        )
+        if f not in set(t.files())
+    ]
+    assert dead
+    assert t.vacuum(retention_seconds=0) >= len(dead)
+    assert not [
+        f
+        for f in glob.glob(
+            os.path.join(t.path, "data-*", "**", "*.parquet"), recursive=True
+        )
+        if f not in set(t.files())
+    ]
+    assert t.snapshot().count() == 10
