@@ -1100,6 +1100,10 @@ class TxTable:
             # the key is the percent-encoded rel path; unquote maps it
             # back to the on-disk relative path the add action uses
             add = dict(adds[unquote(r.fname)])
+            # a vector write IS a data change even when the prior add
+            # was a dataChange:false compaction product — feeds and
+            # streams must see this commit, not skip it as maintenance
+            add.pop("dataChange", None)
             add["dv"] = {"path": r.dv, "deleted": int(r.n)}
             actions.append({"add": add})
         return actions
@@ -1204,7 +1208,21 @@ class TxTable:
         cur_state = self._replay_state()
         tgt_state = self._replay_state(as_of=version)
         cur, tgt = cur_state["adds"], tgt_state["adds"]
-        re_added = [rel for rel in tgt if rel not in cur]
+
+        def _norm(a: dict) -> dict:
+            # dataChange is provenance (append vs maintenance), not
+            # content — two adds differing only by it are the same
+            return {k: v for k, v in a.items() if k != "dataChange"}
+
+        # a path present in BOTH versions but with a different add
+        # action (a deletion vector grown, shrunk, or gone) is a
+        # content change too: re-emitting the target's action rolls
+        # the vector back, no data movement needed
+        re_added = [
+            rel
+            for rel in tgt
+            if rel not in cur or _norm(cur[rel]) != _norm(tgt[rel])
+        ]
         dropped = [rel for rel in cur if rel not in tgt]
         actions: list[dict] = []
         for rel in re_added:
@@ -1214,7 +1232,8 @@ class TxTable:
                     "has reclaimed — RESTORE shares time travel's retention "
                     "contract"
                 )
-            actions.append({"add": tgt[rel]})
+            add = {k: v for k, v in tgt[rel].items() if k != "dataChange"}
+            actions.append({"add": add})
         for rel in dropped:
             actions.append({"remove": {"path": rel}})
         if tgt_state["schema"] != cur_state["schema"]:
@@ -1235,8 +1254,15 @@ class TxTable:
                 )
                 return self._align_columns(df, like)
 
+            # changed-in-place files (vector rollbacks) contribute to
+            # BOTH sides: old rows under the current vectors, new rows
+            # under the target's — the diff emits exactly the rows the
+            # rollback resurrects or re-deletes
+            changed = [rel for rel in re_added if rel in cur]
             actions.extend(
-                self._cdc_diff_actions(side(dropped, cur), side(re_added, tgt))
+                self._cdc_diff_actions(
+                    side(dropped + changed, cur), side(re_added, tgt)
+                )
             )
         return self._commit(actions, base, operation="RESTORE")
 

@@ -991,11 +991,11 @@ def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, 
                 del mirror[k]
         elif op == "restore":
             tgt_v, tgt_state = history[len(history) // 2]
-            if t.restore(tgt_v) == t.version() and not history:
-                continue
+            before = t.version()
+            t.restore(tgt_v)
+            if t.version() == before:
+                continue  # restoring the identical state commits nothing
             mirror = dict(tgt_state)
-            if t.version() == history[-1][0]:
-                continue  # restore-to-identical state: no commit
         else:
             t.compact(target_files=2, layout_key="k")
         history.append((t.version(), dict(mirror)))

@@ -1224,3 +1224,47 @@ def test_vacuum_reclaims_partitioned_files(spark, tmp_path):
         if f not in set(t.files())
     ]
     assert t.snapshot().count() == 10
+
+
+def test_restore_rolls_back_deletion_vectors(spark, tmp_path):
+    """A version differing ONLY in deletion vectors must restore: the
+    file set is identical, but the target's add actions (no vector /
+    a smaller vector) replace the current ones — the hypothesis
+    sequence compact → dv-delete → restore found this as a silent
+    no-op. With change_data the rollback commit's feed shows exactly
+    the resurrected rows."""
+    t = TxTable(
+        spark,
+        str(tmp_path / "tbl"),
+        stat_cols=["k"],
+        deletion_vectors=True,
+        change_data=True,
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(10)], "k long, v long"
+        ).repartition(2)
+    )
+    t.compact(target_files=1)  # v1: dataChange=false layout commit
+    t.delete_where("k < 5")  # v2: vector on the compacted file
+    assert t.snapshot().count() == 5
+    v = t.restore(1)
+    assert v == 3  # the dv-only difference IS a restorable change
+    assert {r.k for r in t.snapshot().collect()} == set(range(10))
+    feed = {(r.k, r._change_type) for r in t.changes(2).collect()}
+    assert feed == {(k, "insert") for k in range(5)}  # resurrections only
+
+
+def test_dv_delete_after_compaction_visible_to_streams(spark, tmp_path):
+    """_stage_dv copies the prior add action; a compaction product
+    carries dataChange=false, which must NOT leak onto the vector
+    re-add — streams and feeds would silently skip a real delete."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], deletion_vectors=True)
+    t.create(
+        spark.createDataFrame([(i, i) for i in range(6)], "k long, v long").coalesce(1)
+    )
+    t.compact(target_files=1)
+    v = t.delete_where("k = 2")
+    acts = json.load(open(_version_file(t.path, v)))
+    dv_adds = [a["add"] for a in acts if "add" in a and a["add"].get("dv")]
+    assert dv_adds and all(a.get("dataChange", True) for a in dv_adds)
