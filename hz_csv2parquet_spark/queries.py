@@ -108,70 +108,80 @@ def query(
 #: stronger sibling with the same oracle semantics), keeping the
 #: catalog inside the 4-round revisit arithmetic while the txlog
 #: features register their queries.
+#: ROUND 11 WINDOW. No red rows in r10 (50/50 green). Mandatory: the
+#: 22 rows whose last driver check is r7 (<= latest(10) - 3 — exactly
+#: the ledger written at round-10 planning). Fill: the 26
+#: alphabetically-first of the 49 live r8 greens. 48 named here; the
+#: remaining 2 window slots are reserved for ``priority=True``
+#: registrations/changed implementations landing this round — slack
+#: goes UNUSED if fewer land (count what is registered, not what is
+#: planned).
 ROTATION: set[str] = {
-    # -- rule-mandatory: last green r6 (23) --
-    "pagerank_event_types",
-    "pca_power_iteration_embeddings",
-    "q10_returned_item_customers",
-    "q12_priority_shipping_modes",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q4_priority_with_discounted_lines",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "quota_sample_per_source",
-    "rare_token_quality_documents",
-    "readability_scores_documents",
-    "redact_mask_documents",
-    "repetition_stats_documents",
-    "text_quality_by_lang",
-    "text_stats_documents",
-    "top_terms_per_lang",
-    "vocab_zipf_histogram",
-    # -- oldest (r7) greens, alphabetical prefix (24) --
-    "asof_tolerance_last_click",
-    "benford_first_digit_orders",
-    "binned_agg_max_2d",
-    "centroid_classifier_eval",
-    "checksum_orders_table",
-    "chisq_event_value_independence",
-    "collate_union_all",
-    "column_stats_lineitem",
-    "compact_small_files",
-    "copurchase_part_pairs",
-    "data_quality_checks",
-    "distinct_users_per_type",
-    "enrich_broadcast_lookup",
-    "event_diversity_users",
-    "event_type_runs",
-    "geo_radius_join_lineitem",
-    "grouping_sets_revenue",
-    "hourly_peaks_events",
-    "impute_group_median_events",
-    "incremental_agg_merge_orders",
-    "interarrival_stats_users",
-    "interval_coverage_users",
-    "json_extract_events",
-    "keywords_per_document",
-    # Round-11 plan ledger — the 22 r7 rows NOT in this window become
-    # rule-mandatory at round-11 planning (last row r7 <= latest(10)
-    # - 3): locf_carry_forward_events, orc_roundtrip_agg,
-    # percentiles_by_segment_scalable, q1_pricing_summary,
-    # quantile_normalize_events, revenue_share_of_region,
-    # rolling_7d_active_users, rollup_revenue,
-    # scd2_snapshot_join_orders, schema_evolution_merge,
-    # semi_anti_customers, set_except_nations, skew_report_lineitem,
-    # skyline_orders, streaming_cdc_merge_events,
-    # tfidf_doc_similarity_pairs, top_k_orders,
-    # train_val_test_split_documents, trimmed_mean_by_type,
-    # udaf_grouped_agg_chars, window_rank_per_group, zorder_key_events
-    # (22 slots; the balance of the round-11 window goes to the
-    # oldest r8 greens).
+    # -- rule-mandatory: last green r7 (22) --
+    "locf_carry_forward_events",
+    "orc_roundtrip_agg",
+    "percentiles_by_segment_scalable",
+    "q1_pricing_summary",
+    "quantile_normalize_events",
+    "revenue_share_of_region",
+    "rolling_7d_active_users",
+    "rollup_revenue",
+    "scd2_snapshot_join_orders",
+    "schema_evolution_merge",
+    "semi_anti_customers",
+    "set_except_nations",
+    "skew_report_lineitem",
+    "skyline_orders",
+    "streaming_cdc_merge_events",
+    "tfidf_doc_similarity_pairs",
+    "top_k_orders",
+    "train_val_test_split_documents",
+    "trimmed_mean_by_type",
+    "udaf_grouped_agg_chars",
+    "window_rank_per_group",
+    "zorder_key_events",
+    # -- oldest (r8) greens, alphabetical prefix (26) --
+    "approx_percentiles_by_segment",
+    "asof_last_click",
+    "bm25_topk_documents",
+    "bucketed_join_revenue",
+    "contamination_check_documents",
+    "csv_roundtrip_agg",
+    "gap_fill_hourly_events",
+    "geo_aggregate_lineitem",
+    "global_shuffle_documents",
+    "inverted_index_documents",
+    "mixture_resample_documents",
+    "multimodal_byte_features",
+    "multimodal_decode_shapes",
+    "multimodal_frame_index",
+    "ngram_jaccard_pairs",
+    "ntile_customer_quartiles",
+    "pack_sequences_documents",
+    "promo_revenue_by_brand",
+    "q3_shipping_priority",
+    "quantize_embeddings_int8",
+    "range_join_event_pairs",
+    "rolling_hourly_user_counts",
+    "sample_stratified_documents",
+    "semantic_dedup_embeddings",
+    "sessionize_events",
+    "shard_assignment_documents",
+    # Round-12 plan ledger — the 23 r8 rows NOT in this window become
+    # rule-mandatory at round-12 planning (last row r8 <= latest(11)
+    # - 3): similarity_ivf_embeddings, similarity_lsh_embeddings,
+    # similarity_topk_embeddings, similarity_topk_pandas_udf,
+    # skew_salted_event_counts, source_similarity_minhash,
+    # streaming_attribution_join, streaming_attribution_outer,
+    # streaming_convert_roundtrip, streaming_dedup_events,
+    # streaming_enrich_events, streaming_funnel_user_state,
+    # streaming_session_windows, streaming_sliding_counts,
+    # streaming_stateful_user_stats, streaming_tumbling_counts,
+    # tokenize_regex_documents, txlog_changes_events,
+    # txlog_merge_read_events, txlog_snapshot_read_orders,
+    # txlog_time_travel_orders, weighted_sample_documents,
+    # zscore_outliers_events (23 slots; the balance of the round-12
+    # window goes to the oldest r9 greens).
 }
 
 

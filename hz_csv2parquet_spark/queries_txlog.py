@@ -248,7 +248,7 @@ def txlog_changes_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_cdf_stream_events",
-    priority=True,
+    priority=False,  # verified r10 (CORRECTNESS_r10: green); rotated out
     since=10,
     streaming=True,
     sql="""
@@ -332,7 +332,7 @@ def txlog_cdf_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_restore_read_orders",
-    priority=True,
+    priority=False,  # verified r10 (CORRECTNESS_r10: green); rotated out
     since=10,
     sql="""
     SELECT o_orderstatus,
@@ -379,7 +379,7 @@ def txlog_restore_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_dv_delete_read_events",
-    priority=True,
+    priority=False,  # verified r10 (CORRECTNESS_r10: green); rotated out
     since=10,
     sql="""
     SELECT event_type,

@@ -181,6 +181,40 @@ def test_catalog_size_fits_the_verify_cadence():
     )
 
 
+def test_next_round_window_is_feasible():
+    """VERDICT r10 item 7: don't just satisfy THIS round's window —
+    simulate the next one. Assume the driver verifies exactly the
+    current 50-row window at round latest+1; then round latest+2's
+    rule-mandatory set is every query whose last row would be
+    ≤ (latest+1) − 3. If that set alone exceeds the window, the
+    cadence is already structurally broken one round out (a growth
+    spurt or a mis-chosen ROTATION can do this while the current
+    round still passes)."""
+    hist = _history()
+    if not hist:
+        return
+    latest = max(r for rounds in hist.values() for r in rounds)
+    window = set(_window())
+    # project each query's last-verified round after the next driver run
+    projected = {
+        name: (latest + 1 if name in window else max(hist[name]))
+        for name in REGISTRY
+        if name in hist
+    }
+    projected.update(
+        {
+            name: (latest + 1 if name in window else REGISTRY[name].since)
+            for name in REGISTRY
+            if name not in hist
+        }
+    )
+    next_mandatory = {n for n, r in projected.items() if r <= (latest + 1) - 3}
+    assert len(next_mandatory) <= DRIVER_WINDOW, (
+        f"round-{latest + 2} would be infeasible: {len(next_mandatory)} "
+        f"rule-mandatory queries > {DRIVER_WINDOW}-row window"
+    )
+
+
 def test_ordering_is_a_permutation_of_the_registry():
     assert set(ordered_registry()) == set(REGISTRY)
     assert len(ordered_registry()) == len(REGISTRY)
