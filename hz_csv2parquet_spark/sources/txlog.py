@@ -622,9 +622,14 @@ class TxTable:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(state["schema"]))
             )
-        return self._read_files(files, state["adds"])
+        return self._read_files(files, state["adds"], state["schema"])
 
-    def _read_files(self, files: list[str], adds: dict[str, dict] | None = None) -> DataFrame:
+    def _read_files(
+        self,
+        files: list[str],
+        adds: dict[str, dict] | None = None,
+        schema_json: str | None = None,
+    ) -> DataFrame:
         """Read data files, reattaching hive partition values and
         masking any deletion-vector positions the log attaches — THE
         read primitive every verb (snapshot, MERGE rewrite, DELETE
@@ -641,9 +646,16 @@ class TxTable:
         UUID, so the name is a stable relocation-proof key. The
         vector side is broadcast (deleted positions are small by
         construction; a vector that grew big is what ``compact()``
-        materializes away)."""
+        materializes away).
+
+        ``schema_json`` is the CALLER's replayed schema (time travel
+        must reattach partition values with the historical types and
+        column order, not the head's — and threading it avoids a
+        redundant full replay per read)."""
         if adds is None:
-            adds = self._replay_state()["adds"]
+            state = self._replay_state()
+            adds = state["adds"]
+            schema_json = schema_json or state["schema"]
         dv_of = {
             os.path.join(self.path, rel): a["dv"]
             for rel, a in adds.items()
@@ -658,7 +670,7 @@ class TxTable:
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(
-                json.loads(self._replay_state()["schema"])
+                json.loads(schema_json or self._replay_state()["schema"])
             )
             types = {fld.name: fld.dataType for fld in schema.fields}
             groups: dict[tuple, list[str]] = {}
@@ -976,9 +988,25 @@ class TxTable:
         if touched:
             # dv-aware read: only LIVE rows participate — in the
             # rewrite, in the change feed, and in vector accounting
-            current = self._read_files(touched, state["adds"])
+            current = self._read_files(touched, state["adds"], state["schema"])
+            if self.deletion_vectors and not current.filter(
+                pred.eqNullSafe(F.lit(True))
+            ).limit(1).count():
+                # every matching row is ALREADY masked by a live
+                # vector (detection scans raw files, not dv-applied):
+                # committing re-emitted vectors for a no-op delete
+                # would churn sidecars and stamp a contentless change
+                # commit (advisor r10 low: with change_data it even
+                # committed dv adds with zero cdc files) — skip
+                # unless a txn marker still has to land
+                if txn is None:
+                    return base
+                touched = []
+        if touched:
             if self.deletion_vectors:
-                actions.extend(self._stage_dv(touched, state["adds"], pred))
+                actions.extend(
+                    self._stage_dv(touched, state["adds"], pred, state["schema"])
+                )
             else:
                 # DELETE keeps every row where the predicate is NOT
                 # TRUE. Under three-valued logic ~pred is NULL when
@@ -1010,7 +1038,9 @@ class TxTable:
             actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
         return self._commit(actions, base, operation="DELETE")
 
-    def _stage_dv(self, touched: list[str], adds: dict, pred) -> list[dict]:
+    def _stage_dv(
+        self, touched: list[str], adds: dict, pred, schema_json: str | None = None
+    ) -> list[dict]:
         """Merge-on-read DELETE: write one position sidecar per
         touched file and return the re-emitted add actions carrying
         it. Positions come from the scan's ``_metadata.row_index``
@@ -1031,7 +1061,7 @@ class TxTable:
             types = {
                 fld.name: fld.dataType
                 for fld in StructType.fromJson(
-                    json.loads(self._replay_state()["schema"])
+                    json.loads(schema_json or self._replay_state()["schema"])
                 ).fields
             }
         branches = []
@@ -1108,16 +1138,79 @@ class TxTable:
             actions.append({"add": add})
         return actions
 
+    def _partition_scope(self, state: dict, where: str | None) -> list[str]:
+        """Live relative paths whose logged ``partitionValues``
+        satisfy the SQL predicate ``where`` (partition columns only —
+        the Delta ``OPTIMIZE ... WHERE`` contract). Evaluated as one
+        tiny Spark job over O(files) rows of log metadata, never data.
+        ``where=None`` means every live file."""
+        rels = list(state["adds"])
+        if where is None:
+            return rels
+        pcols = state["partitionColumns"]
+        if not pcols:
+            raise ValueError(
+                "compact(where=...) scopes by partition predicate, but "
+                f"{self.path} is not partitioned"
+            )
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        rows = [
+            tuple(
+                [rel]
+                + [
+                    pv_cast(
+                        (state["adds"][rel].get("partitionValues") or {}).get(c),
+                        types[c],
+                    )
+                    for c in pcols
+                ]
+            )
+            for rel in rels
+        ]
+        from pyspark.sql.types import StringType, StructField
+
+        pv_schema = StructType(
+            [StructField("__hz_rel", StringType())]
+            + [StructField(c, types[c]) for c in pcols]
+        )
+        frame = self.spark.createDataFrame(rows, pv_schema)
+        return [r["__hz_rel"] for r in frame.filter(F.expr(where)).collect()]
+
     def compact(
         self,
         target_files: int = 1,
         layout_key: str | None = None,
         zorder: list[str] | None = None,
+        where: str | None = None,
+        max_file_rows: int | None = None,
     ) -> int:
-        """OPTIMIZE: rewrite the live file set into ``target_files``
-        parquet files — remove+add in ONE commit, so readers flip
-        atomically from the fragmented layout to the compacted one.
-        Content-lossless by construction (pure read-rewrite).
+        """OPTIMIZE: rewrite fragmented data files — remove+add in
+        ONE commit, so readers flip atomically from the old layout to
+        the compacted one. Content-lossless by construction (pure
+        read-rewrite). Rewritten files never carry deletion vectors:
+        OPTIMIZE is also what materializes vectors away.
+
+        **Selection is the scale story** (Delta's OPTIMIZE contract —
+        a maintenance pass must cost O(fragmentation), not O(table)):
+
+        - ``where`` scopes the pass to live files whose logged
+          partitionValues satisfy a SQL predicate over the partition
+          columns — a 100 TB table compacts yesterday's partition
+          without touching the other 10 000.
+        - ``max_file_rows`` turns on bin-packing: ONLY files smaller
+          than the target (or carrying a deletion vector — those must
+          rewrite to materialize) are selected; every right-sized
+          file keeps its add action untouched. Output is
+          ``ceil(selected rows / max_file_rows)`` files. A small
+          append onto a compacted table rewrites O(appended) bytes.
+        - neither ⇒ the full in-scope set rewrites into
+          ``target_files`` files (the small-table / full-layout
+          case), skipped entirely when the scope is already at or
+          under the target AND vector-free (a lone file with a grown
+          vector still rewrites — the vector is the fragmentation).
 
         With ``layout_key`` the rewrite range-clusters on that column
         (``repartitionByRange`` + in-partition sort — the OPTIMIZE
@@ -1132,42 +1225,76 @@ class TxTable:
         and drops the key from the output — every file gets a
         quad-tree-cell footprint, so stats prune on EITHER dimension
         without storing a layout column in the table. Plain
-        ``coalesce`` otherwise (no shuffle)."""
+        ``coalesce`` otherwise (no shuffle). Layout rewrites
+        legitimately touch every in-scope file (re-sorting IS the
+        point), so ``max_file_rows`` does not combine with them."""
         if zorder is not None and layout_key is not None:
             raise ValueError("pass layout_key or zorder, not both")
         if zorder is not None and len(zorder) != 2:
             raise ValueError("zorder takes exactly two integer columns")
+        if max_file_rows is not None and (layout_key or zorder):
+            raise ValueError(
+                "max_file_rows bin-packing does not combine with layout "
+                "rewrites — a re-sort must touch every in-scope file"
+            )
         base = self.version()
-        files = self.files()
-        if not files or (
-            len(files) <= target_files and layout_key is None and zorder is None
-        ):
-            # empty table: nothing to rewrite, even under layout_key
-            # (reachable from a maintenance tick after empty-batch
-            # merges — spark.read.parquet() with zero paths raises)
+        if base < 0:
             return base
+        state = self._replay_state()
+        scope = self._partition_scope(state, where)
+        if max_file_rows is not None:
+            # bin-packing: under-target files + dv carriers only
+            scope = [
+                rel
+                for rel in scope
+                if int(state["adds"][rel].get("rows", 0)) < max_file_rows
+                or state["adds"][rel].get("dv")
+            ]
+        has_dv = any(state["adds"][rel].get("dv") for rel in scope)
+        if not scope or (
+            len(scope) <= (1 if max_file_rows is not None else target_files)
+            and layout_key is None
+            and zorder is None
+            and not has_dv
+        ):
+            # nothing fragmented in scope: a no-op pass commits
+            # nothing (reachable from a maintenance tick after
+            # empty-batch merges — and a lone already-compact file
+            # must not be rewritten forever; only a deletion vector
+            # forces the rewrite of a small scope)
+            return base
+        files = [os.path.join(self.path, rel) for rel in scope]
         # dv-aware read: OPTIMIZE materializes deletion vectors —
         # the rewritten files carry no dv and the old vectors die
-        df = self._read_files(files)
+        df = self._read_files(files, state["adds"], state["schema"])
+        if max_file_rows is not None:
+            total = sum(
+                max(0, int(state["adds"][rel].get("rows", 0))
+                    - int((state["adds"][rel].get("dv") or {}).get("deleted", 0)))
+                for rel in scope
+            )
+            n_out = max(1, -(-total // max_file_rows))
+        else:
+            n_out = target_files
         if zorder is not None:
             from ..operators.zorder import morton_key
 
             zcol = "__hz_zorder"
             out = (
                 df.withColumn(zcol, morton_key(F.col(zorder[0]), F.col(zorder[1])))
-                .repartitionByRange(target_files, zcol)
+                .repartitionByRange(n_out, zcol)
                 .sortWithinPartitions(zcol)
                 .drop(zcol)
             )
         elif layout_key is not None:
-            out = df.repartitionByRange(target_files, layout_key).sortWithinPartitions(
+            out = df.repartitionByRange(n_out, layout_key).sortWithinPartitions(
                 layout_key
             )
         else:
-            out = df.coalesce(target_files)
-        # a partitioned table keeps its layout: target_files is then
-        # per partition value, not global (hive dirs can't merge)
-        actions = self._stage(out, self.partition_columns())
+            out = df.coalesce(n_out)
+        # a partitioned table keeps its layout: n_out is then per
+        # partition value, not global (hive dirs can't merge)
+        actions = self._stage(out, state["partitionColumns"])
         for a in actions:
             # the open Delta protocol's dataChange=false: this commit
             # rearranges bytes, it does not change table content —
@@ -1246,11 +1373,11 @@ class TxTable:
             schema = StructType.fromJson(json.loads(tgt_state["schema"]))
             like = self.spark.createDataFrame([], schema)
 
-            def side(rels: list[str], adds: dict) -> DataFrame:
+            def side(rels: list[str], adds: dict, schema_json: str) -> DataFrame:
                 if not rels:
                     return like
                 df = self._read_files(
-                    [os.path.join(self.path, r) for r in rels], adds
+                    [os.path.join(self.path, r) for r in rels], adds, schema_json
                 )
                 return self._align_columns(df, like)
 
@@ -1261,7 +1388,8 @@ class TxTable:
             changed = [rel for rel in re_added if rel in cur]
             actions.extend(
                 self._cdc_diff_actions(
-                    side(dropped + changed, cur), side(re_added, tgt)
+                    side(dropped + changed, cur, cur_state["schema"]),
+                    side(re_added, tgt, tgt_state["schema"]),
                 )
             )
         return self._commit(actions, base, operation="RESTORE")
@@ -1280,12 +1408,28 @@ class TxTable:
         Otherwise, without row-level tracking in the log, a commit's
         change set is recovered by content diff over ONLY that
         commit's files:
-        inserts = rows(added files) EXCEPT ALL rows(removed files),
+        inserts = rows(new state) EXCEPT ALL rows(pre state),
         deletes = the reverse — kept rows of a copy-on-write rewrite
         appear on both sides and cancel, so the result is independent
         of file layout. Cost per commit is O(touched files), never
-        O(table); blind appends skip the diff entirely (no removed
-        files). Commits whose actions carry ``dataChange: false``
+        O(table); blind appends skip the diff entirely.
+
+        A commit may also change a file IN PLACE — re-emit its add
+        action with a different deletion vector (merge-on-read
+        DELETE) or with the vector rolled back/dropped (RESTORE) —
+        with no remove action at all. Classifying such a commit by
+        ``removed == []`` would replay the entire file as inserts
+        (the round-10 advisor finding); instead every added path that
+        was ALREADY LIVE at v−1 with a different action joins the
+        diff on BOTH sides: old rows under the v−1 vector state, new
+        rows under the committed one. Rows the commit masked surface
+        as deletes, rows it unmasked (a vector rollback) as inserts,
+        and an action re-emitted unchanged contributes nothing. The
+        pre-commit state is tracked INCREMENTALLY along the walk (one
+        replay at ``from_version``, then one commit file per step) —
+        not one full replay per version.
+
+        Commits whose actions carry ``dataChange: false``
         (compaction/layout maintenance) are skipped outright — they
         rearrange bytes, not content. Files must predate vacuum:
         the change feed shares time travel's retention contract."""
@@ -1299,6 +1443,17 @@ class TxTable:
             "_change_type", "string"
         ).add("_commit_version", "long")
         cols = [f.name for f in schema.fields]
+        # pre-commit live state, maintained incrementally as the walk
+        # applies each commit's actions (dataChange=false included:
+        # maintenance changes the live SET even with equal content)
+        live: dict[str, dict] = (
+            dict(self._replay_state(as_of=from_version)["adds"])
+            if from_version >= 0
+            else {}
+        )
+
+        def _norm(a: dict) -> dict:
+            return {k: v for k, v in a.items() if k != "dataChange"}
 
         def read_side(paths: list[str], adds: dict[str, dict]) -> DataFrame:
             # pv/dv-aware read (partition columns reattach; positions
@@ -1306,7 +1461,7 @@ class TxTable:
             # align every generation to the as-of schema (null-fill
             # columns a pre-evolution file lacks) so the content diff
             # compares identical shapes
-            df = self._read_files(paths, adds)
+            df = self._read_files(paths, adds, state["schema"])
             return df.select(
                 *[
                     F.col(c) if c in df.columns else F.lit(None).cast(schema[c].dataType).alias(c)
@@ -1321,17 +1476,36 @@ class TxTable:
                 raise FileNotFoundError(f"missing log version {v} at {self.path}")
             added, removed, cdcs = [], [], []
             added_adds: dict[str, dict] = {}
-            dv_commit = False
+            commit_adds: list[dict] = []
+            commit_removes: list[str] = []
             for action in json.load(open(f)):
+                if "add" in action:
+                    commit_adds.append(action["add"])
+                elif "remove" in action:
+                    commit_removes.append(action["remove"]["path"])
                 if "add" in action and action["add"].get("dataChange", True):
-                    if action["add"].get("dv"):
-                        dv_commit = True
-                    added.append(os.path.join(self.path, action["add"]["path"]))
-                    added_adds[action["add"]["path"]] = action["add"]
+                    rel = action["add"]["path"]
+                    if rel in live and _norm(live[rel]) == _norm(action["add"]):
+                        continue  # re-emitted unchanged: no content change
+                    added.append(os.path.join(self.path, rel))
+                    added_adds[rel] = action["add"]
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removed.append(os.path.join(self.path, action["remove"]["path"]))
                 elif "cdc" in action:
                     cdcs.append(os.path.join(self.path, action["cdc"]["path"]))
+            # in-place changes: added paths live at v-1 with a
+            # DIFFERENT action (vector grown / rolled back / dropped)
+            # — their pre-state rows join the removed side of the diff
+            in_place = [
+                rel for rel in added_adds
+                if rel in live and os.path.join(self.path, rel) not in removed
+            ]
+            pre_adds = dict(live)  # v-1 state for the removed side
+            # advance the live state BEFORE any early-continue
+            for a in commit_adds:
+                live[a["path"]] = a
+            for rel in commit_removes:
+                live.pop(rel, None)
             if cdcs:
                 # the commit staged its own change set (change_data
                 # table): serve it directly — no content diff, no
@@ -1355,22 +1529,15 @@ class TxTable:
                     ).withColumn("_commit_version", F.lit(v).cast("long"))
                 )
                 continue
-            if dv_commit:
-                # a deletion-vector commit re-adds the file unchanged;
-                # a content diff would misread it as a blind-append
-                # insert — only a cdc sidecar knows the deleted rows
-                raise ValueError(
-                    f"version {v} of {self.path} is a deletion-vector "
-                    "commit without change-data sidecars; recreate the "
-                    "table with change_data=True for a row-accurate feed"
-                )
             if not added and not removed:
                 continue
+
             def tag(df: DataFrame, kind: str) -> DataFrame:
                 return df.withColumn("_change_type", F.lit(kind)).withColumn(
                     "_commit_version", F.lit(v).cast("long")
                 )
 
+            old_side = removed + [os.path.join(self.path, rel) for rel in in_place]
             for p in added + removed:
                 if not os.path.exists(p):
                     raise FileNotFoundError(
@@ -1379,20 +1546,15 @@ class TxTable:
                         "retention contract; consume feeds inside the vacuum "
                         "retention window"
                     )
-            if added and not removed:  # blind append: no diff needed
+            if added and not old_side:  # blind append: no diff needed
                 feeds.append(tag(read_side(added, added_adds), "insert"))
+            elif old_side and not added:  # pure delete commit
+                feeds.append(tag(read_side(old_side, pre_adds), "delete"))
             else:
-                # removed files read at their PRE-commit state (their
-                # partition values and any live deletion vectors come
-                # from the v-1 replay, not the current one)
-                prev_adds = self._replay_state(as_of=v - 1)["adds"]
-                if removed and not added:  # pure delete commit
-                    feeds.append(tag(read_side(removed, prev_adds), "delete"))
-                else:
-                    a = read_side(added, added_adds)
-                    r = read_side(removed, prev_adds)
-                    feeds.append(tag(a.exceptAll(r), "insert"))
-                    feeds.append(tag(r.exceptAll(a), "delete"))
+                a = read_side(added, added_adds)
+                r = read_side(old_side, pre_adds)
+                feeds.append(tag(a.exceptAll(r), "insert"))
+                feeds.append(tag(r.exceptAll(a), "delete"))
         if not feeds:
             return self.spark.createDataFrame([], out_schema)
         out = feeds[0]
