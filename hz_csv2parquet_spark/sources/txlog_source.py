@@ -258,6 +258,32 @@ def _cdf_schema(path: str, as_of: int | None = None) -> StructType:
     )
 
 
+def _split_in_place(path: str, v: int, added: list[dict]) -> tuple[list[dict], list[str]]:
+    """(genuinely new adds, paths re-added IN PLACE with a changed
+    action). An add whose path was already live at v−1 is NOT an
+    append: restore() rolls a deletion vector back by re-emitting the
+    add with no remove action and no dv (advisor r10 medium) — and a
+    reader classifying that by ``removed == []`` replays every row of
+    the file as a duplicate insert. Identical re-emits are dropped
+    outright (no content change). Costs one checkpoint-accelerated
+    replay at v−1, paid only for commits that LOOK like blind
+    appends."""
+    if not added:
+        return added, []
+    prev = _replay_adds(path, as_of=v - 1)
+
+    def _norm(a: dict) -> dict:
+        return {k: w for k, w in a.items() if k != "dataChange"}
+
+    new, changed = [], []
+    for a in added:
+        if a["path"] not in prev:
+            new.append(a)
+        elif _norm(prev[a["path"]]) != _norm(a):
+            changed.append(a["path"])
+    return new, changed
+
+
 def _cdf_version_partitions(
     path: str,
     v: int,
@@ -304,10 +330,16 @@ def _cdf_version_partitions(
                 )
             )
         return parts
-    if removed or dv_commit:
-        # copy-on-write rewrite OR a deletion-vector re-add: neither
-        # is row-accurately representable without sidecars (a dv
-        # re-add looks like an append of the WHOLE file)
+    in_place: list[str] = []
+    if not removed and not dv_commit:
+        # a commit that LOOKS like a blind append may still change
+        # rows in place (restore's vector rollback re-adds the file
+        # with no remove) — verify against the v-1 live state
+        added, in_place = _split_in_place(path, v, added)
+    if removed or dv_commit or in_place:
+        # copy-on-write rewrite, deletion-vector re-add, or in-place
+        # restore: none is row-accurately representable without
+        # sidecars (emitting the file would replay it wholesale)
         if skip_change_commits:
             return []
         raise ValueError(
@@ -628,10 +660,16 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     added.append(action["add"])
                 elif "remove" in action and action["remove"].get("dataChange", True):
                     removed.append(action["remove"]["path"])
-            if removed or dv_commit:
-                # copy-on-write rewrite, or a deletion-vector re-add
-                # (emitting it would replay the whole file as inserts):
-                # not representable as appends
+            in_place: list[str] = []
+            if not removed and not dv_commit:
+                # restore's in-place vector rollback re-adds the file
+                # with NO remove action — it must not replay as a
+                # blind append of the whole file (advisor r10)
+                added, in_place = _split_in_place(self.path, v, added)
+            if removed or dv_commit or in_place:
+                # copy-on-write rewrite, a deletion-vector re-add, or
+                # an in-place restore (emitting any of them would
+                # replay whole files as inserts): not appends
                 if self.skip_change_commits:
                     continue
                 raise ValueError(

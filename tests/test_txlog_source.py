@@ -837,3 +837,63 @@ def test_stream_sink_partitioned_table(spark, tmp_path):
     got = spark.read.format("hz_txlog").load(str(tbl))
     assert dict(got.dtypes)["p"] == "int"
     assert got.filter("p = 1").count() == 4
+
+
+def test_restore_in_place_readd_is_a_change_commit_for_streams(spark, tmp_path):
+    """Advisor r10 medium: restore() rolls a deletion vector back by
+    re-emitting the add IN PLACE — no remove action, no dv on the new
+    action. A stream classifying commits by removed==[] would replay
+    the entire file as duplicate inserts. The append-only stream must
+    treat it as a change commit (raise / skip), and the CDF stream on
+    a change_data table serves the exact resurrected rows."""
+    t = TxTable(
+        spark,
+        str(tmp_path / "tbl"),
+        stat_cols=["k"],
+        deletion_vectors=True,
+        change_data=True,
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, 2 * i) for i in range(6)], "k long, v long"
+        ).coalesce(1)
+    )
+    ck = str(tmp_path / "ck1")
+    assert len(_drain(spark, t, ck)) == 6
+    t.delete_where("k < 3")      # v1: dv commit
+    t.restore(0)                 # v2: in-place re-add, no remove, no dv
+    # append-only stream: the restore must NOT surface as 6 inserts
+    with pytest.raises(Exception, match="append-only"):
+        _drain(spark, t, ck)
+    got = _drain(spark, t, ck, skip=True)
+    if not got:
+        got = _drain(spark, t, ck, skip=True)
+    assert got == set()          # both change commits skipped, no replay
+    # CDF stream: deletes at v1, resurrections at v2, nothing else
+    cdf = _drain_cdf(spark, t.path, str(tmp_path / "ck2"))
+    assert cdf == (
+        {(i, 2 * i, "insert", 0) for i in range(6)}
+        | {(i, 2 * i, "delete", 1) for i in range(3)}
+        | {(i, 2 * i, "insert", 2) for i in range(3)}
+    )
+
+
+def test_restore_without_sidecars_raises_for_cdf_stream(spark, tmp_path):
+    """The non-change_data variant: the CDF planner cannot represent
+    an in-place restore row-accurately without sidecars — it must
+    refuse (or skip) instead of emitting the whole file."""
+    t = TxTable(
+        spark, str(tmp_path / "tbl"), stat_cols=["k"], deletion_vectors=True
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, 2 * i) for i in range(6)], "k long, v long"
+        ).coalesce(1)
+    )
+    t.delete_where("k = 0")
+    t.restore(0)
+    with pytest.raises(Exception, match="change-data sidecars"):
+        _drain_cdf(spark, t.path, str(tmp_path / "ck"))
+    assert _drain_cdf(spark, t.path, str(tmp_path / "ck2"), skip=True) == {
+        (i, 2 * i, "insert", 0) for i in range(6)
+    }
