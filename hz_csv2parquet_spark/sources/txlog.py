@@ -85,6 +85,21 @@ class CommitConflictError(RuntimeError):
     snapshot and retry the transaction."""
 
 
+class TableFeatureError(RuntimeError):
+    """The log requires a reader feature this reader does not
+    implement — refusing is the CORRECT outcome (the Delta
+    minReaderVersion/readerFeatures contract): a feature-unaware
+    reader that pressed on would silently misread, e.g. resurrect
+    deletion-vector-masked rows or drop partition columns."""
+
+
+#: Reader features THIS implementation understands. A meta action's
+#: ``readerFeatures`` naming anything outside this set makes every
+#: read path (snapshot, changes, DSv2 source) raise
+#: :class:`TableFeatureError` instead of misreading the table.
+SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "hivePartitioning"})
+
+
 def _uri_to_path(uri: str) -> str:
     """``input_file_name()`` returns a percent-encoded ``file:`` URI;
     map it back to the local filesystem path (spaces and %-escapes
@@ -301,6 +316,8 @@ class TxTable:
             "adds": list(state["adds"].values()),
             "schema": state["schema"],
             "partitionColumns": state["partitionColumns"],
+            "properties": state["properties"],
+            "readerFeatures": sorted(state["readerFeatures"]),
             "txns": {app: sorted(ids) for app, ids in state["txns"].items()},
         }
         tmp = _checkpoint_file(self.path, v) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -326,6 +343,8 @@ class TxTable:
         adds: dict[str, dict] = {}
         schema: str | None = None
         pcols: list[str] = []
+        props: dict = {}
+        features: set[str] = set()
         txns: dict[str, set] = {}
         start = 0
         ckpts = [c for c in self._checkpoint_versions() if c <= hi]
@@ -335,11 +354,13 @@ class TxTable:
                 adds = {a["path"]: a for a in snap["adds"]}
                 schema = snap["schema"]
                 pcols = snap.get("partitionColumns", [])
+                props = snap.get("properties", {})
+                features = set(snap.get("readerFeatures", []))
                 txns = {app: set(ids) for app, ids in snap["txns"].items()}
                 start = snap["version"] + 1
             except (OSError, ValueError, KeyError):
                 adds, schema, pcols, start = {}, None, [], 0  # full replay
-                txns = {}
+                props, features, txns = {}, set(), {}
         for v in range(start, hi + 1):
             f = _version_file(self.path, v)
             if not os.path.exists(f):
@@ -351,17 +372,35 @@ class TxTable:
                 elif "remove" in action:
                     adds.pop(action["remove"]["path"], None)
                 elif "meta" in action:
-                    schema = action["meta"]["schema"]
-                    if "partitionColumns" in action["meta"]:
-                        pcols = action["meta"]["partitionColumns"]
+                    # meta keys are independent: a feature/property
+                    # upgrade commit carries no schema and must not
+                    # clobber the committed one
+                    m = action["meta"]
+                    if "schema" in m:
+                        schema = m["schema"]
+                    if "partitionColumns" in m:
+                        pcols = m["partitionColumns"]
+                    if "properties" in m:
+                        props.update(m["properties"])
+                    if "readerFeatures" in m:
+                        features.update(m["readerFeatures"])
                 elif "txn" in action:
                     txns.setdefault(action["txn"]["appId"], set()).add(
                         action["txn"]["batchId"]
                     )
+        unknown = features - SUPPORTED_READER_FEATURES
+        if unknown:
+            raise TableFeatureError(
+                f"table {self.path} requires reader features {sorted(unknown)} "
+                "this reader does not implement — upgrade the reader; "
+                f"supported: {sorted(SUPPORTED_READER_FEATURES)}"
+            )
         return {
             "adds": adds,
             "schema": schema,
             "partitionColumns": pcols,
+            "properties": props,
+            "readerFeatures": features,
             "txns": txns,
         }
 
@@ -487,6 +526,24 @@ class TxTable:
         meta: dict = {"schema": df.schema.json()}
         if pcols:
             meta["partitionColumns"] = pcols
+        # table properties persist IN THE LOG (advisor r10: per-
+        # instance flags meant another writer — even this repo's own
+        # CLI — silently committed rewrites without cdc sidecars);
+        # constructor kwargs are creation-time configuration only
+        meta["properties"] = {
+            "changeDataFeed": self.change_data,
+            "deletionVectors": self.deletion_vectors,
+        }
+        # required reader features (the Delta minReaderVersion /
+        # readerFeatures contract): a reader that does not understand
+        # them must refuse instead of misreading
+        features = set()
+        if pcols:
+            features.add("hivePartitioning")
+        if self.deletion_vectors:
+            features.add("deletionVectors")
+        if features:
+            meta["readerFeatures"] = sorted(features)
         actions.append({"meta": meta})
         return self._commit(actions, -1, operation="CREATE")
 
@@ -530,6 +587,31 @@ class TxTable:
     def committed_txns(self, app_id: str) -> set[int]:
         """Batch ids already committed by ``app_id`` (txn actions)."""
         return set(self._replay_state()["txns"].get(app_id, set()))
+
+    def _prop_on(self, state: dict, prop: str, default: bool) -> bool:
+        """Resolve a table property from the replayed log — the LOG
+        is the source of truth (every writer sees the same value); the
+        constructor flag is only the fallback for legacy tables whose
+        meta predates persisted properties."""
+        return bool(state.get("properties", {}).get(prop, default))
+
+    def set_properties(self, **props: bool) -> int:
+        """Commit a table-property update (``changeDataFeed=...``,
+        ``deletionVectors=...``) — the ALTER TABLE SET TBLPROPERTIES
+        shape. Enabling deletionVectors also records the required
+        reader feature in the same commit, so a feature-unaware
+        reader refuses instead of resurrecting masked rows."""
+        known = {"changeDataFeed", "deletionVectors"}
+        unknown = set(props) - known
+        if unknown:
+            raise ValueError(f"unknown table properties: {sorted(unknown)}")
+        state = self._replay_state()
+        meta: dict = {"properties": {k: bool(v) for k, v in props.items()}}
+        if props.get("deletionVectors") and "deletionVectors" not in state["readerFeatures"]:
+            meta["readerFeatures"] = sorted(
+                state["readerFeatures"] | {"deletionVectors"}
+            )
+        return self._rebase_commit([{"meta": meta}], operation="SET-PROPERTIES")
 
     def append_batch(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
         """Idempotent append for streaming ``foreachBatch`` sinks —
@@ -737,15 +819,25 @@ class TxTable:
             out = out.unionByName(df, allowMissingColumns=True)
         return out
 
-    def pruned_files(self, col: str, keys_min, keys_max, as_of: int | None = None) -> tuple[list[str], list[str]]:
+    def pruned_files(
+        self,
+        col: str,
+        keys_min,
+        keys_max,
+        as_of: int | None = None,
+        state: dict | None = None,
+    ) -> tuple[list[str], list[str]]:
         """(files whose [min,max] stats for ``col`` intersect
         [keys_min, keys_max], files that provably cannot) — the
         data-skipping primitive MERGE uses. A file without stats for
         ``col`` — or whose logged stats aren't comparable with the
         probe bounds (e.g. string stats vs numeric keys after a type
         change) — is conservatively IN: skipping is only ever an
-        optimization, never a correctness gate."""
-        state = self._replay_state(as_of)
+        optimization, never a correctness gate. ``state`` lets a
+        caller already holding the replayed snapshot skip the
+        re-replay."""
+        if state is None:
+            state = self._replay_state(as_of)
         hit, miss = [], []
         for p, add in state["adds"].items():
             st = add.get("stats", {}).get(col)
@@ -866,10 +958,17 @@ class TxTable:
             if attempt and txn is not None and txn[1] in self.committed_txns(txn[0]):
                 return None  # the winner of the lost race was our twin
             base = self.version()
-            touched, _ = self.pruned_files(prune_col, bounds.lo, bounds.hi)
+            # ONE replay per attempt feeds pruning, the rewrite read,
+            # partition layout, schema union, and the property
+            # resolution (the log, not the constructor flag, decides
+            # whether this commit stages cdc sidecars — advisor r10)
+            state = self._replay_state()
+            touched, _ = self.pruned_files(
+                prune_col, bounds.lo, bounds.hi, state=state
+            )
             actions: list[dict] = []
             if touched:
-                current = self._read_files(touched)
+                current = self._read_files(touched, state["adds"], state["schema"])
                 match_keys = updates.select(*keys).distinct()
                 keep = current.join(match_keys, keys, "left_anti")
                 if resolve is None:
@@ -881,12 +980,12 @@ class TxTable:
             else:
                 current = None
                 rewritten = updates
-            actions.extend(self._stage(rewritten, self.partition_columns()))
-            if self.change_data:
+            actions.extend(self._stage(rewritten, state["partitionColumns"]))
+            if self._prop_on(state, "changeDataFeed", self.change_data):
                 actions.extend(self._cdc_diff_actions(current, rewritten))
             for f in touched:
                 actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
-            _, old_schema = self._replay()
+            old_schema = state["schema"]
             merged_schema = self.snapshot_schema_union(old_schema, updates)
             if merged_schema != old_schema:
                 actions.append({"meta": {"schema": merged_schema}})
@@ -935,6 +1034,11 @@ class TxTable:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         base = self.version()
         state = self._replay_state()
+        # the LOG decides the delete mode and cdc staging — another
+        # writer (the CLI, a bare TxTable(path)) must honor the
+        # table's persisted properties, not its own constructor flags
+        dv_on = self._prop_on(state, "deletionVectors", self.deletion_vectors)
+        cdf_on = self._prop_on(state, "changeDataFeed", self.change_data)
         files = [os.path.join(self.path, rel) for rel in state["adds"]]
         if not files:
             return base
@@ -989,7 +1093,7 @@ class TxTable:
             # dv-aware read: only LIVE rows participate — in the
             # rewrite, in the change feed, and in vector accounting
             current = self._read_files(touched, state["adds"], state["schema"])
-            if self.deletion_vectors and not current.filter(
+            if dv_on and not current.filter(
                 pred.eqNullSafe(F.lit(True))
             ).limit(1).count():
                 # every matching row is ALREADY masked by a live
@@ -1003,10 +1107,20 @@ class TxTable:
                     return base
                 touched = []
         if touched:
-            if self.deletion_vectors:
+            if dv_on:
                 actions.extend(
                     self._stage_dv(touched, state["adds"], pred, state["schema"])
                 )
+                if "deletionVectors" not in state["readerFeatures"]:
+                    # first vector on a legacy/flag-enabled table:
+                    # record the required reader feature in the SAME
+                    # commit, so no feature-unaware reader can ever
+                    # see a vectored snapshot it would misread
+                    actions.append(
+                        {"meta": {"readerFeatures": sorted(
+                            state["readerFeatures"] | {"deletionVectors"}
+                        )}}
+                    )
             else:
                 # DELETE keeps every row where the predicate is NOT
                 # TRUE. Under three-valued logic ~pred is NULL when
@@ -1024,7 +1138,7 @@ class TxTable:
                     actions.append(
                         {"remove": {"path": os.path.relpath(f, self.path)}}
                     )
-            if self.change_data:
+            if cdf_on:
                 actions.extend(
                     self._stage_cdc(
                         current.filter(pred.eqNullSafe(F.lit(True))).withColumn(
@@ -1367,7 +1481,9 @@ class TxTable:
             actions.append({"meta": {"schema": tgt_state["schema"]}})
         if not actions:
             return base
-        if self.change_data and (re_added or dropped):
+        if self._prop_on(cur_state, "changeDataFeed", self.change_data) and (
+            re_added or dropped
+        ):
             from pyspark.sql.types import StructType
 
             schema = StructType.fromJson(json.loads(tgt_state["schema"]))

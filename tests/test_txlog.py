@@ -1399,3 +1399,119 @@ def test_compact_small_table_still_materializes_vectors(spark, tmp_path):
     assert t.snapshot().count() == 7
     # now genuinely compact and vector-free: the next pass is a no-op
     assert t.compact(target_files=1) == v
+
+
+def test_reader_feature_gate_refuses_unknown_features(spark, tmp_path):
+    """Protocol versioning (VERDICT r10 #4): a log that REQUIRES a
+    reader feature this implementation lacks must refuse every read
+    path — a feature-unaware reader pressing on would silently
+    misread (e.g. resurrect dv-masked rows)."""
+    from hz_csv2parquet_spark.sources.txlog import TableFeatureError
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(spark.createDataFrame([(1, 1)], "k long, v long"))
+    # a future writer upgrades the table with a feature we don't know
+    v = t.version() + 1
+    with open(_version_file(t.path, v), "x") as fh:
+        json.dump([{"meta": {"readerFeatures": ["columnMapping"]}}], fh)
+    with pytest.raises(TableFeatureError, match="columnMapping"):
+        t.snapshot()
+    with pytest.raises(TableFeatureError):
+        t.files()
+    # the DSv2 source replays through the same gate
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    with pytest.raises(Exception, match="columnMapping"):
+        spark.read.format("hz_txlog").load(t.path).collect()
+    # time travel BEFORE the upgrade still reads fine
+    assert t.snapshot(as_of=0).count() == 1
+
+
+def test_dv_create_records_feature_and_first_use_upgrades(spark, tmp_path):
+    """deletionVectors rides the create meta when enabled there; a
+    legacy-style table (flag only on the instance) records the
+    feature in the same commit as its FIRST vector."""
+    t = _mk_dv(spark, tmp_path)
+    assert "deletionVectors" in t._replay_state()["readerFeatures"]
+    # legacy simulation: strip properties/features from the create meta
+    p2 = str(tmp_path / "legacy")
+    t2 = TxTable(spark, p2, stat_cols=["k"], deletion_vectors=True)
+    t2.create(spark.createDataFrame([(i, i) for i in range(8)], "k long, v long").coalesce(1))
+    f0 = _version_file(p2, 0)
+    acts = json.load(open(f0))
+    for a in acts:
+        if "meta" in a:
+            a["meta"].pop("properties", None)
+            a["meta"].pop("readerFeatures", None)
+    os.remove(f0)
+    with open(f0, "x") as fh:
+        json.dump(acts, fh)
+    assert t2._replay_state()["readerFeatures"] == set()
+    v = t2.delete_where("k = 2")  # constructor-flag fallback applies
+    state = t2._replay_state()
+    assert "deletionVectors" in state["readerFeatures"]
+    assert any(a.get("dv") for a in state["adds"].values())
+    assert t2.snapshot().count() == 7
+
+
+def test_properties_persist_in_log_and_govern_other_writers(spark, tmp_path):
+    """Advisor r10 low: change_data/deletion_vectors are TABLE
+    properties, not per-instance flags — a bare TxTable(path) (the
+    CLI shape) must honor them on delete/merge, or readChangeFeed
+    consumers fail mid-feed at its commits."""
+    creator = TxTable(
+        spark,
+        str(tmp_path / "tbl"),
+        stat_cols=["k"],
+        change_data=True,
+        deletion_vectors=True,
+    )
+    creator.create(
+        spark.createDataFrame([(i, 10 * i) for i in range(10)], "k long, v long")
+        .coalesce(1)
+    )
+    # a different writer, constructed WITHOUT the flags
+    bare = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    v = bare.delete_where("k = 4")
+    acts = json.load(open(_version_file(bare.path, v)))
+    assert any("cdc" in a for a in acts)          # cdc sidecars staged
+    assert any(a.get("add", {}).get("dv") for a in acts)  # dv mode, no rewrite
+    v2 = bare.merge_upsert(
+        spark.createDataFrame([(5, -5)], "k long, v long"), "k"
+    )
+    acts2 = json.load(open(_version_file(bare.path, v2)))
+    assert any("cdc" in a for a in acts2)
+    feed = {(r.k, r._change_type) for r in creator.changes(0).collect()}
+    assert (4, "delete") in feed and (5, "insert") in feed and (5, "delete") in feed
+    # properties survive checkpointed replay
+    for j in range(12):  # cross a checkpoint boundary (interval 10)
+        bare.append(spark.createDataFrame([(100 + j, 0)], "k long, v long"))
+    late = TxTable(spark, str(tmp_path / "tbl"))
+    st = late._replay_state()
+    assert st["properties"]["changeDataFeed"] is True
+    assert st["properties"]["deletionVectors"] is True
+
+
+def test_set_properties_enables_cdf_later(spark, tmp_path):
+    """ALTER TABLE SET TBLPROPERTIES shape: enabling changeDataFeed
+    after creation governs every subsequent writer; enabling
+    deletionVectors records the reader feature."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(
+        spark.createDataFrame([(i, i) for i in range(6)], "k long, v long")
+        .coalesce(1)
+    )
+    t.set_properties(changeDataFeed=True)
+    bare = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    v = bare.delete_where("k = 1")
+    acts = json.load(open(_version_file(t.path, v)))
+    assert any("cdc" in a for a in acts)
+    t.set_properties(deletionVectors=True)
+    assert "deletionVectors" in t._replay_state()["readerFeatures"]
+    bare2 = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    bare2.delete_where("k = 2")  # now merge-on-read via the property
+    state = bare2._replay_state()
+    assert any(a.get("dv") for a in state["adds"].values())
+    with pytest.raises(ValueError, match="unknown table properties"):
+        t.set_properties(sparkles=True)
