@@ -1515,3 +1515,41 @@ def test_set_properties_enables_cdf_later(spark, tmp_path):
     assert any(a.get("dv") for a in state["adds"].values())
     with pytest.raises(ValueError, match="unknown table properties"):
         t.set_properties(sparkles=True)
+
+
+def test_high_cardinality_partitions_plan_flat(spark, tmp_path):
+    """VERDICT r10 #5: the per-partition-tuple union plan is
+    O(|partitions|); past _PV_UNION_MAX the read must collapse to one
+    scan + a broadcast partition-value join (plan size O(1)), with
+    identical results — exercised through snapshot, DELETE (detection
+    + dv write), and the change feed."""
+    import hz_csv2parquet_spark.sources.txlog as txmod
+
+    n_parts = 100
+    assert n_parts > txmod._PV_UNION_MAX
+    t = TxTable(
+        spark, str(tmp_path / "tbl"), stat_cols=["k"], deletion_vectors=True
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, i % n_parts, 10 * i) for i in range(400)],
+            "k long, p int, v long",
+        ).repartition(8),
+        partition_by=["p"],
+    )
+    snap = t.snapshot()
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # the flat pv attach
+    assert "Exchange hashpartitioning" not in plan  # still no shuffle
+    assert plan.count("Scan parquet") <= 3   # one scan, not 100 branches
+    got = {(r.k, r.p, r.v) for r in snap.collect()}
+    assert got == {(i, i % n_parts, 10 * i) for i in range(400)}
+    # partition-typed predicate resolves through the join
+    assert snap.filter("p = 7").count() == 4
+    # dv delete at high cardinality: detection + vector write flat
+    t.delete_where("p = 3 OR k = 5")
+    assert t.snapshot().count() == 400 - 4 - 1
+    assert {r.k for r in t.snapshot().filter("p = 3").collect()} == set()
+    # feed over the dv commit stays row-accurate
+    feed = {(r.k, r._change_type) for r in t.changes(0).collect()}
+    assert feed == {(k, "delete") for k in range(400) if k % n_parts == 3 or k == 5}
