@@ -501,34 +501,13 @@ def rolling_hourly_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("n_trailing_hour", F.count(F.lit(1)).over(w).cast("long"))
 
 
-@query(
-    "cube_order_stats",
-    sql="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
-             AS total_price,
-           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT)
-             AS grouping_id
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE aggregate (all 4 grouping sets of a 2-key cube) with
-    GROUPING() disambiguation of real NULLs vs subtotal rows —
-    the other hierarchical-aggregation surface next to rollup_revenue.
-    One expand + single hash agg."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            exact_sum("o_totalprice").alias("total_price"),
-            F.grouping_id().cast("long").alias("grouping_id"),
-        )
-        .select("o_orderstatus", "o_orderpriority", "n_orders", "total_price", "grouping_id")
-    )
+# RETIRED (round 11): cube_order_stats. CUBE is grouping-sets sugar
+# over the same physical operator (Expand + one hash aggregate) that
+# grouping_sets_revenue exercises in general form and rollup_revenue
+# exercises hierarchically, with the same GROUPING()/grouping_id
+# oracle shape — three driver slots for one plan shape broke the
+# 170-query verify-cadence arithmetic (tests/test_registry_order.py).
+# tests/test_extra.py keeps a pytest-level cube pin.
 
 
 @query(

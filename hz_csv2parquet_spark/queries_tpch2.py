@@ -340,8 +340,10 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     since=5,
 )
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS (the general form next to rollup_revenue
-    and cube_order_stats): per-status and per-priority totals in ONE
+    """Explicit GROUPING SETS (the general form next to
+    rollup_revenue; the CUBE variant is pinned in tests/test_extra.py
+    after its round-11 driver-catalog retirement): per-status and
+    per-priority totals in ONE
     pass — no UNION ALL of two scans, one expand + single hash agg.
     Uses the DataFrame ``groupingSets`` API (Spark 4)."""
     o = table(spark, sf_dir, "orders")

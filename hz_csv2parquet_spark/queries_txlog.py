@@ -431,3 +431,66 @@ def txlog_dv_delete_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_id"),
         )
     )
+
+
+@query(
+    "txlog_dv_cdf_partitioned_events",
+    priority=True,  # new in round 11: needs its first driver row
+    since=11,
+    sql="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, event_type, cents,
+           'delete' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM base WHERE event_id % 5 = 0
+    UNION ALL
+    SELECT event_id, event_type, cents,
+           'delete' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM base
+    WHERE event_type = 'click' AND event_id % 3 = 0 AND event_id % 5 != 0
+    """,
+)
+def txlog_dv_cdf_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E168 (VERDICT r10 #6): deletion vectors + change-data feed +
+    hive partitioning COMBINED — the shape every real GDPR-erasure
+    table runs. Create events partitioned by event_type on a
+    ``deletion_vectors=True, change_data=True`` table (v0), DELETE
+    every fifth event (v1: one position sidecar per touched file in
+    every partition, cdc sidecars in the same commit — zero data
+    files rewritten), then DELETE with a predicate ON THE PARTITION
+    COLUMN (v2: detection must resolve partition values from the
+    log, and the new vectors must UNION with v1's on shared files,
+    emitting only the not-yet-masked rows to the feed). Returns the
+    raw ``changes()`` feed; the oracle states both change sets
+    declaratively — a hash match proves the dv masking, the cdc
+    sidecar staging, and the partition-value reconstruction agree
+    row-for-row across two interacting delete generations.
+
+    Scale: deletes cost O(deleted positions) sidecar bytes; the feed
+    reads only cdc sidecars, never data files; partition values ride
+    the log (reference: this is beyond hz_csv2parquet's single-shot
+    pandas model entirely — cited for the §2 'beyond' ledger)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = TxTable(
+        spark,
+        scratch_dir("hz_txq_dvcdfp_"),
+        stat_cols=["event_id"],
+        deletion_vectors=True,
+        change_data=True,
+    )
+    t.create(
+        ev.repartitionByRange(2, "event_id").sortWithinPartitions("event_id"),
+        partition_by=["event_type"],
+    )
+    t.delete_where("event_id % 5 = 0")
+    t.delete_where("event_type = 'click' AND event_id % 3 = 0")
+    return t.changes(0)

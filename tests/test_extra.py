@@ -161,3 +161,33 @@ def test_checksum_is_sensitive_to_single_value_changes(spark, sf_dir, tmp_path):
     got = q.fn(spark, str(tmp_path / "orders_mut")).collect()[0]
     assert got.n_rows == base.n_rows
     assert got.checksum != base.checksum
+
+
+def test_cube_matches_duckdb(spark, sf_dir):
+    """CUBE stays covered at pytest level after its driver-catalog
+    retirement (round 11: grouping-sets sugar over the same Expand +
+    hash-agg plan as grouping_sets_revenue / rollup_revenue)."""
+    from hz_csv2parquet_spark.tables import table
+    from tests.oracle_utils import compare, duck_con
+
+    got = (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("grouping_id"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n_orders", "grouping_id")
+        .toPandas()
+    )
+    con = duck_con(sf_dir)
+    want = con.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS grouping_id
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """
+    ).df()
+    compare(got, want, "cube_pin")

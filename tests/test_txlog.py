@@ -1553,3 +1553,35 @@ def test_high_cardinality_partitions_plan_flat(spark, tmp_path):
     # feed over the dv commit stays row-accurate
     feed = {(r.k, r._change_type) for r in t.changes(0).collect()}
     assert feed == {(k, "delete") for k in range(400) if k % n_parts == 3 or k == 5}
+
+
+def test_vacuum_interaction_on_partitioned_dv_cdf_table(spark, tmp_path):
+    """The E168 combination under vacuum: live vectors and the cdc
+    sidecars of in-window feeds are never reclaimed; past retention
+    the cdc files die and the feed refuses with the retention error
+    instead of returning a partial feed."""
+    t = TxTable(
+        spark,
+        str(tmp_path / "tbl"),
+        stat_cols=["k"],
+        deletion_vectors=True,
+        change_data=True,
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 3, 10 * i) for i in range(30)], "k long, p int, v long"
+        ).repartition(2),
+        partition_by=["p"],
+    )
+    t.delete_where("k % 5 = 0")
+    assert t.changes(0).count() == 6
+    # default retention: nothing reclaimable (vectors live, cdc young)
+    assert t.vacuum() == 0
+    # zero retention: live vectors still protected, cdc reclaimed
+    t.vacuum(retention_seconds=0)
+    assert t.snapshot().count() == 24          # masking intact
+    import glob as _g
+
+    assert not _g.glob(os.path.join(t.path, "_change_data", "*", "*.parquet"))
+    with pytest.raises(FileNotFoundError, match="retention"):
+        t.changes(0).count()
