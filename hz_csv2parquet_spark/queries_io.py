@@ -257,29 +257,37 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s_nationkey
     """,
     since=5,
+    priority=True,  # round 11: implementation changed (selective OPTIMIZE)
 )
 def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Small-file compaction — the OPTIMIZE maintenance pass every
-    parquet lake needs (streaming ingestion leaves thousands of tiny
-    files; each costs a task + a footer read). The supplier table is
-    deliberately fragmented into 16 files, then compacted with a
-    single-file coalesce write; the returned aggregate runs on the
-    compacted copy, so the oracle (original table) proves compaction
-    is content-lossless. File-count mechanics are pinned in
-    tests/test_io.py::test_compaction_reduces_file_count.
+    """SELECTIVE small-file compaction (round 11, VERDICT r10 #3) —
+    the OPTIMIZE maintenance pass every parquet lake needs, with the
+    scale-defining refinement: only files under the size target
+    rewrite. The supplier table lands as one right-sized file (¾ of
+    rows) plus a fragmented append (¼ of rows across 4 small files);
+    ``TxTable.compact(max_file_rows=n/2)`` bin-packs ONLY the
+    fragments — the big file's add action survives untouched, so the
+    pass costs O(appended), not O(table) — and the returned aggregate
+    runs on the compacted snapshot, so the oracle (original table)
+    proves selective compaction is content-lossless. Mechanics pinned
+    in tests/test_txlog.py::test_compact_binpacks_only_small_files
+    and tests/test_io.py::test_compact_small_files_leaves_big_file.
 
-    Scale note: ``coalesce(1)`` is the fixture-sized stand-in; a real
-    compactor targets ~1 GiB files via ``repartitionByRange`` on the
-    layout key (see zorder_key_events) or Delta OPTIMIZE — the
-    read-rewrite-swap shape is the same."""
+    Scale note: max_file_rows is the fixture-sized stand-in for a
+    ~1 GiB byte target; partition scoping (``compact(where=...)``)
+    bounds the pass on partitioned tables."""
     import os
-    
+
+    from .sources.txlog import TxTable
+
     base = scratch_dir("hz_compact_")
-    frag_dir, compact_dir = os.path.join(base, "frag"), os.path.join(base, "compact")
-    table(spark, sf_dir, "supplier").repartition(16).write.mode("overwrite").parquet(frag_dir)
-    spark.read.parquet(frag_dir).coalesce(1).write.mode("overwrite").parquet(compact_dir)
-    back = spark.read.parquet(compact_dir)
-    return back.groupBy("s_nationkey").agg(
+    sup = table(spark, sf_dir, "supplier")
+    t = TxTable(spark, os.path.join(base, "tbl"), stat_cols=["s_suppkey"])
+    t.create(sup.filter(F.col("s_suppkey") % 4 != 0).coalesce(1))
+    t.append(sup.filter(F.col("s_suppkey") % 4 == 0).repartition(4))
+    n = sup.count()
+    t.compact(max_file_rows=max(2, n // 2))
+    return t.snapshot().groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.col("s_acctbal").cast("decimal(38,10)")).cast("double").alias("acctbal_sum"),
     )

@@ -157,3 +157,27 @@ def test_corrupt_parquet_files_can_be_skipped(spark, sf_dir, tmp_path):
         assert spark.read.parquet(d).count() == n_good
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+
+
+def test_compact_small_files_leaves_big_file(spark, sf_dir, tmp_path):
+    """The selectivity contract behind the compact_small_files
+    catalog query: same build (one right-sized file + a fragmented
+    append), same bin-packing pass — the original file's add entry
+    must SURVIVE the compaction commit (rewrites cost O(appended),
+    not O(table)) and no row may be lost."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+    from hz_csv2parquet_spark.tables import table
+
+    sup = table(spark, sf_dir, "supplier")
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["s_suppkey"])
+    t.create(sup.filter(F.col("s_suppkey") % 4 != 0).coalesce(1))
+    big_rel = set(t._replay_state()["adds"])
+    t.append(sup.filter(F.col("s_suppkey") % 4 == 0).repartition(4))
+    n = sup.count()
+    t.compact(max_file_rows=max(2, n // 2))
+    adds_after = set(t._replay_state()["adds"])
+    assert big_rel <= adds_after          # the big file was never rewritten
+    assert len(adds_after) <= len(big_rel) + 1  # fragments -> one file
+    assert t.snapshot().count() == n
