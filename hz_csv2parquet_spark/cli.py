@@ -137,6 +137,40 @@ def cmd_curate(args: argparse.Namespace) -> None:
     print(args.dest)
 
 
+def cmd_sql(args: argparse.Namespace) -> None:
+    """``sql`` verb (VERDICT r10 #8): ANSI-SQL front door over the
+    fixture tables and any transaction-log tables — registers them as
+    temp views and hands the statement to Catalyst. The engine is
+    otherwise DataFrame-first; this is the two-dozen-line passthrough
+    that makes it a queryable analytics engine from a shell."""
+    import logging
+
+    from .sources.txlog import TxTable
+    from .tables import TABLES, table as load_table
+
+    spark = _spark()
+    if args.sf_dir:
+        for name in TABLES:
+            if os.path.exists(os.path.join(args.sf_dir, f"{name}.parquet")):
+                load_table(spark, args.sf_dir, name).createOrReplaceTempView(name)
+    for spec in args.table or []:
+        name, sep, path = spec.partition("=")
+        if not sep:
+            raise SystemExit(f"--table takes name=path, got {spec!r}")
+        TxTable(spark, path).snapshot().createOrReplaceTempView(name)
+    df = spark.sql(args.query)
+    if args.dest:
+        write_table(df, args.dest, fmt=_fmt_of(args.dest))
+        logging.getLogger("hz_csv2parquet_spark.cli").info(
+            "wrote query result to %s", args.dest
+        )
+    else:
+        rows = df.limit(args.limit).collect()
+        print("\t".join(df.columns))
+        for r in rows:
+            print("\t".join("" if v is None else str(v) for v in r))
+
+
 def cmd_table(args: argparse.Namespace) -> None:
     """Maintenance surface for transaction-log tables
     (sources/txlog.py): create from an existing parquet/csv input,
@@ -204,8 +238,23 @@ def cmd_table(args: argparse.Namespace) -> None:
             target_files=args.target_files,
             layout_key=args.layout_key,
             zorder=args.zorder.split(",") if args.zorder else None,
+            where=args.where,
+            max_file_rows=args.max_file_rows,
         )
         log.info("compacted to %d file(s) at version %d", len(t.files()), v)
+    elif args.action == "set-properties":
+        props = {}
+        for kv in (args.properties or "").split(","):
+            if not kv:
+                continue
+            k, sep, val = kv.partition("=")
+            if not sep:
+                raise SystemExit(f"--properties takes k=v pairs, got {kv!r}")
+            props[k] = val.strip().lower() in ("1", "true", "yes")
+        if not props:
+            raise SystemExit("table set-properties requires --properties k=v[,k=v]")
+        v = t.set_properties(**props)
+        log.info("set %s at version %d", props, v)
     elif args.action == "merge":
         before = set(t.files())
         updates = read_table(spark, args.src, fmt=_fmt_of(args.src))
@@ -367,9 +416,31 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--no-quality", action="store_true", help="skip the repetition/quality gate")
     k.set_defaults(fn=cmd_curate)
 
+    q = sub.add_parser(
+        "sql",
+        help="run an ANSI SQL statement over fixture tables and txlog tables",
+    )
+    q.add_argument("query", help="SQL statement (tables resolve as temp views)")
+    q.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR"),
+        help="fixture directory whose parquet tables register as views "
+        "(default: $SPARK_GRAFT_SF_DIR)",
+    )
+    q.add_argument(
+        "--table",
+        action="append",
+        metavar="NAME=PATH",
+        help="register a transaction-log table snapshot as view NAME "
+        "(repeatable)",
+    )
+    q.add_argument("--dest", default=None, help="write the result here instead of printing")
+    q.add_argument("--limit", type=int, default=50, help="max rows printed (default 50)")
+    q.set_defaults(fn=cmd_sql)
+
     t = sub.add_parser(
         "table",
-        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/restore/describe)",
+        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/restore/describe/set-properties)",
     )
     t.add_argument(
         "action",
@@ -384,6 +455,7 @@ def build_parser() -> argparse.ArgumentParser:
             "delete",
             "restore",
             "describe",
+            "set-properties",
         ),
     )
     t.add_argument("table", help="table directory (contains _txlog/)")
@@ -396,7 +468,25 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--dest", default=None, help="output directory for export")
     t.add_argument("--as-of", type=int, default=None, help="historical version for export")
     t.add_argument("--target-files", type=int, default=1, help="compaction target file count")
-    t.add_argument("--where", default=None, help="DELETE predicate (SQL expression)")
+    t.add_argument(
+        "--max-file-rows",
+        type=int,
+        default=None,
+        help="compact: bin-pack only files smaller than this (plus any "
+        "carrying deletion vectors); right-sized files are never rewritten",
+    )
+    t.add_argument(
+        "--properties",
+        default=None,
+        help="set-properties: comma-separated k=v pairs "
+        "(changeDataFeed=true, deletionVectors=true)",
+    )
+    t.add_argument(
+        "--where",
+        default=None,
+        help="delete: row predicate (SQL expression); compact: partition "
+        "scope over the partition columns",
+    )
     t.add_argument(
         "--to-version",
         type=int,

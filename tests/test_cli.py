@@ -246,3 +246,66 @@ def test_cli_table_describe_and_history_ops(tmp_path, spark, capsys):
     out = capsys.readouterr().out
     assert "[CREATE]" in out and "[OPTIMIZE]" in out
     assert main(["table", "vacuum", tbl, "--retention-seconds", "0", "--dry-run"]) == 0
+
+
+def test_cli_sql_over_fixtures_and_txlog_view(tmp_path, spark, capsys):
+    """The sql verb: fixture tables and txlog snapshots register as
+    temp views and an ANSI statement joins across both."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    src = tmp_path / "t.csv"
+    src.write_text("k,v\n1,10\n2,20\n3,30\n")
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+    assert (
+        main(
+            [
+                "sql",
+                "SELECT r_name, (SELECT SUM(v) FROM mytbl) AS total "
+                "FROM region ORDER BY r_name LIMIT 2",
+                "--sf-dir",
+                sf_dir,
+                "--table",
+                f"mytbl={tbl}",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "60" in out and "AFRICA" in out
+    # --dest writes instead of printing
+    dest = str(tmp_path / "out.parquet")
+    assert (
+        main(["sql", "SELECT k, v FROM mytbl WHERE k > 1",
+              "--table", f"mytbl={tbl}", "--dest", dest])
+        == 0
+    )
+    assert spark.read.parquet(dest).count() == 2
+
+
+def test_cli_table_set_properties_and_selective_compact(tmp_path, spark):
+    """set-properties + compact --max-file-rows ride the CLI."""
+    import json as j
+
+    src = tmp_path / "t.csv"
+    src.write_text("k,v\n" + "\n".join(f"{i},{10*i}" for i in range(20)) + "\n")
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+    assert (
+        main(["table", "set-properties", tbl, "--properties",
+              "changeDataFeed=true,deletionVectors=true"])
+        == 0
+    )
+    # a bare CLI delete now stages cdc + vectors via the log properties
+    assert main(["table", "delete", tbl, "--where", "k = 3"]) == 0
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, tbl)
+    state = t._replay_state()
+    assert state["properties"]["deletionVectors"] is True
+    assert any(a.get("dv") for a in state["adds"].values())
+    assert t.changes(1).count() == 1
+    assert main(["table", "compact", tbl, "--max-file-rows", "1000"]) == 0
+    assert not any(a.get("dv") for a in t._replay_state()["adds"].values())
+    assert t.snapshot().count() == 19
