@@ -1585,3 +1585,83 @@ def test_vacuum_interaction_on_partitioned_dv_cdf_table(spark, tmp_path):
     assert not _g.glob(os.path.join(t.path, "_change_data", "*", "*.parquet"))
     with pytest.raises(FileNotFoundError, match="retention"):
         t.changes(0).count()
+
+
+@pytest.mark.parametrize("cdf", [True, False], ids=["cdc-sidecars", "content-diff"])
+def test_change_feed_reconstructs_every_snapshot(spark, tmp_path, cdf):
+    """The end-to-end CDF law the advisor findings keep orbiting: for
+    EVERY version v, accumulating the change feed from table start
+    (multiset inserts − deletes) must reconstruct snapshot(v)
+    exactly. One mixed lifecycle — blind append, copy-on-write MERGE
+    and DELETE, merge-on-read DELETE, a dataChange=false compaction,
+    RESTORE (in-place vector rollback), schema evolution — so any
+    feed path that over- or under-emits (whole-file replays, skipped
+    in-place diffs, maintenance leakage) breaks the equality at the
+    first bad commit. Runs twice: with cdc sidecars (the staged
+    change sets) and WITHOUT (the content-diff + in-place-vector-diff
+    recovery paths, where the r10 advisor found the restore replay)."""
+    from collections import Counter
+
+    t = TxTable(
+        spark,
+        str(tmp_path / "tbl"),
+        stat_cols=["k"],
+        deletion_vectors=True,
+        change_data=cdf,
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(12)], "k long, v long"
+        ).repartition(2)
+    )                                                   # v0
+    t.append(
+        spark.createDataFrame([(i, 10 * i) for i in range(12, 18)], "k long, v long")
+    )                                                   # v1
+    t.delete_where("k % 5 = 0")                         # v2: dv delete
+    t.merge_upsert(
+        spark.createDataFrame([(3, -3), (99, -99)], "k long, v long"), "k"
+    )                                                   # v3: CoW merge
+    t.compact(target_files=1)                           # v4: maintenance
+    t.delete_where("k = 7")                             # v5: dv on compacted file
+    t.restore(3)                                        # v6: rollback (re-adds + removes)
+    t.evolve_schema(
+        spark.createDataFrame([(200, 1, "x")], "k long, v long, tag string")
+    )                                                   # v7: widening append
+
+    head = t.version()
+    assert head == 7
+    cols = None
+    for v in range(head + 1):
+        snap = t.snapshot(as_of=v)
+        cols = sorted(set(snap.columns) | (set(cols or [])))
+        feed = t.changes(-1, v).toPandas()
+        # align both sides to the union schema (null-fill), compare
+        # as multisets of row tuples
+        def norm(pdf, colset):
+            import numpy as np
+
+            rows = []
+            for _, r in pdf.iterrows():
+                rows.append(
+                    tuple(
+                        None
+                        if c not in pdf.columns or r[c] is None
+                        or (isinstance(r[c], float) and np.isnan(r[c]))
+                        else int(r[c]) if not isinstance(r[c], str) else r[c]
+                        for c in colset
+                    )
+                )
+            return rows
+
+        snap_ms = Counter(norm(snap.toPandas(), cols))
+        acc = Counter()
+        for kind in ("insert", "delete"):
+            side = feed[feed._change_type == kind]
+            for row in norm(side, cols):
+                if kind == "insert":
+                    acc[row] += 1
+                else:
+                    acc[row] -= 1
+                    if acc[row] == 0:
+                        del acc[row]
+        assert acc == snap_ms, f"feed does not reconstruct snapshot at v{v}"
