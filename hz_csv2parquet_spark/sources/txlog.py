@@ -100,18 +100,6 @@ class TableFeatureError(RuntimeError):
 SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "hivePartitioning"})
 
 
-def _uri_to_path(uri: str) -> str:
-    """``input_file_name()`` returns a percent-encoded ``file:`` URI;
-    map it back to the local filesystem path (spaces and %-escapes
-    must round-trip, or downstream remove actions name a file that
-    does not exist and the 'deleted' rows stay live)."""
-    from urllib.parse import unquote, urlparse
-
-    if uri.startswith("file:"):
-        return unquote(urlparse(uri).path)
-    return unquote(uri)
-
-
 def _pv_from_path(rel_path: str) -> dict[str, str | None]:
     """``{col: value}`` from a hive-layout relative path's
     ``col=value`` segments — percent-decoded (Spark escapes special
@@ -164,6 +152,24 @@ def _dv_key_col():
     return F.regexp_extract(F.col("_metadata.file_path"), _DV_KEY_RE, 1)
 
 
+def _decode_uri_col(col):
+    """Decode a percent-encoded file-URI fragment back to on-disk
+    bytes, JVM-side. ``F.url_decode`` alone is WRONG here: it decodes
+    application/x-www-form-urlencoded, where a literal ``+`` means
+    space — but file URIs keep ``+`` literal (spaces are %20), so a
+    partition value like ``tag=a+b`` would silently key-mismatch the
+    log (round-11 review finding). Pre-escaping ``+`` to %2B makes
+    url_decode exact for URI semantics, matching Python's ``unquote``
+    in ``_uri_to_path``."""
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+
+def _decoded_rel_col():
+    """The table-relative on-disk path of the current row's file —
+    THE join key between scans and log metadata."""
+    return _decode_uri_col(_dv_key_col())
+
+
 #: Partition-cardinality threshold for the read planners: at or below
 #: it, one branch per distinct partition tuple (literal columns —
 #: Catalyst constant-folds partition predicates per branch, so
@@ -172,6 +178,14 @@ def _dv_key_col():
 #: reads collapse to one scan + a broadcast join against O(files)
 #: rows of log metadata.
 _PV_UNION_MAX = 32
+
+
+def _norm_action(a: dict) -> dict:
+    """An add action stripped of ``dataChange`` — provenance (append
+    vs maintenance), not content: two adds differing only by it
+    describe the same file state. THE normalization every in-place /
+    restore comparison uses (three call sites; keep them agreeing)."""
+    return {k: v for k, v in a.items() if k != "dataChange"}
 
 
 def _log_dir(table_path: str) -> str:
@@ -721,6 +735,7 @@ class TxTable:
         files: list[str],
         adds: dict[str, dict] | None = None,
         schema_json: str | None = None,
+        keep_rel: str | None = None,
     ) -> DataFrame:
         """Read data files, reattaching hive partition values and
         masking any deletion-vector positions the log attaches — THE
@@ -779,13 +794,18 @@ class TxTable:
                 groups.setdefault(key, []).append(f)
             if len(groups) > _PV_UNION_MAX:
                 pcols = sorted({c for pv in pv_of.values() for c in pv})
-                out = self._read_files_core(files, dv_of, rel_col="__hz_rel").join(
-                    self._pv_mapping(files, pv_of, pcols, types), "__hz_rel", "left"
-                ).drop("__hz_rel")
+                rel = keep_rel or "__hz_rel"
+                out = self._read_files_core(files, dv_of, rel_col=rel).join(
+                    F.broadcast(self._pv_frame(files, pv_of, pcols, types, rel)),
+                    rel,
+                    "left",
+                )
+                if keep_rel is None:
+                    out = out.drop(rel)
             else:
                 parts: list[DataFrame] = []
                 for key, fs in groups.items():
-                    df = self._read_files_core(fs, dv_of)
+                    df = self._read_files_core(fs, dv_of, rel_col=keep_rel)
                     for col, val in key:
                         dt = types.get(col)
                         lit = F.lit(pv_cast(val, dt)) if dt is not None else F.lit(val)
@@ -800,12 +820,20 @@ class TxTable:
             ordered = [fld.name for fld in schema.fields if fld.name in out.columns]
             extra = [c for c in out.columns if c not in ordered]
             return out.select(*ordered, *extra)
-        return self._read_files_core(files, dv_of)
+        return self._read_files_core(files, dv_of, rel_col=keep_rel)
 
-    def _pv_mapping(self, files: list[str], pv_of: dict, pcols: list[str], types: dict):
-        """Broadcast frame (table-relative path → typed partition
-        values), one row per file — pure log metadata, kilobytes at
-        any table size."""
+    def _pv_frame(
+        self,
+        files: list[str],
+        pv_of: dict,
+        pcols: list[str],
+        types: dict,
+        key_col: str = "__hz_rel",
+    ) -> DataFrame:
+        """Frame (table-relative path → typed partition values), one
+        row per file — pure log metadata, kilobytes at any table
+        size. Callers broadcast it for scan-side joins or filter it
+        directly for driver-side scoping."""
         from pyspark.sql.types import StringType, StructField, StructType
 
         rows = [
@@ -819,10 +847,10 @@ class TxTable:
             for f in files
         ]
         mapping_schema = StructType(
-            [StructField("__hz_rel", StringType())]
+            [StructField(key_col, StringType())]
             + [StructField(c, types[c]) for c in pcols]
         )
-        return F.broadcast(self.spark.createDataFrame(rows, mapping_schema))
+        return self.spark.createDataFrame(rows, mapping_schema)
 
     def _read_files_core(
         self, files: list[str], dv_of: dict[str, dict], rel_col: str | None = None
@@ -837,7 +865,7 @@ class TxTable:
         if plain:
             df = self.spark.read.option("mergeSchema", "true").parquet(*plain)
             if rel_col:
-                df = df.withColumn(rel_col, F.url_decode(_dv_key_col()))
+                df = df.withColumn(rel_col, _decoded_rel_col())
             parts.append(df)
         if dvd:
             scan = (
@@ -847,7 +875,7 @@ class TxTable:
                 .withColumn("__hz_pos", F.col("_metadata.row_index"))
             )
             if rel_col:
-                scan = scan.withColumn(rel_col, F.url_decode(F.col("__hz_fname")))
+                scan = scan.withColumn(rel_col, _decode_uri_col(F.col("__hz_fname")))
             dv = self.spark.read.parquet(
                 *[os.path.join(self.path, dv_of[f]["path"]) for f in dvd]
             ).select(
@@ -1075,15 +1103,18 @@ class TxTable:
           the positions, and ``compact()`` materializes. A selective
           delete on huge files costs O(deleted rows), not O(file).
 
-        Both phases are distributed: (1) one scan with
-        ``input_file_name()`` finds the touched files — Catalyst
-        pushes the predicate into the parquet scan, so row-group
-        stats bound the work; the driver receives only file names,
-        O(files). (2) the rewrite (or vector write) runs as Spark
-        jobs over only the touched scope. ``txn`` gives streaming
-        callers the same exactly-once marker as MERGE. Returns the
-        committed version, None for a replayed txn, or the current
-        version when nothing matches."""
+        Both phases are distributed: (1) ONE dv-masked, pv-attached
+        scan through ``_read_files(keep_rel=...)`` finds the touched
+        files — Catalyst pushes data-column predicates into the
+        parquet scans, partition predicates resolve against the
+        reattached values, and only LIVE rows count (a file whose
+        every matching row is already vector-masked is not touched,
+        so a no-op delete commits nothing — advisor r10 low); the
+        driver receives only file keys, O(files). (2) the rewrite (or
+        vector write) runs as Spark jobs over only the touched scope.
+        ``txn`` gives streaming callers the same exactly-once marker
+        as MERGE. Returns the committed version, None for a replayed
+        txn, or the current version when nothing matches."""
         if txn is not None and txn[1] in self.committed_txns(txn[0]):
             return None
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1097,92 +1128,21 @@ class TxTable:
         files = [os.path.join(self.path, rel) for rel in state["adds"]]
         if not files:
             return base
-        # detection scan: pv-aware (predicates on partition columns
-        # must resolve) but NOT dv-masked — input_file_name() cannot
-        # sit above the vector anti-join (multi-source), and touching
-        # a file via an already-deleted row is harmless (the rewrite
-        # reads dv-applied; the vector write unions). The file name is
-        # computed per branch, before any union.
-        def detect(fs: list[str]) -> list:
-            pv_of = {
-                os.path.join(self.path, rel): a.get("partitionValues") or {}
-                for rel, a in state["adds"].items()
-            }
-            groups: dict[tuple, list[str]] = {}
-            for f in fs:
-                groups.setdefault(tuple(sorted(pv_of.get(f, {}).items())), []).append(f)
-            types = {}
-            if any(k for k in groups):
-                from pyspark.sql.types import StructType
-
-                types = {
-                    fld.name: fld.dataType
-                    for fld in StructType.fromJson(
-                        json.loads(state["schema"])
-                    ).fields
-                }
-            if len(groups) > _PV_UNION_MAX:
-                # high partition cardinality: one scan + broadcast
-                # pv join, not an O(|partitions|)-way union plan
-                pcols = sorted({c for pv in pv_of.values() for c in pv})
-                df = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*fs)
-                    .withColumn("__hz_f", F.input_file_name())
-                    .withColumn("__hz_rel", F.url_decode(_dv_key_col()))
-                    .join(
-                        self._pv_mapping(fs, pv_of, pcols, types),
-                        "__hz_rel",
-                        "left",
-                    )
-                )
-                return (
-                    df.filter(pred)
-                    .select(F.col("__hz_f").alias("f"))
-                    .distinct()
-                    .collect()
-                )
-            branches = []
-            for key, grp in groups.items():
-                df = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*grp)
-                    .withColumn("__hz_f", F.input_file_name())
-                )
-                for col, val in key:
-                    dt = types.get(col)
-                    lit = F.lit(pv_cast(val, dt)) if dt is not None else F.lit(val)
-                    df = df.withColumn(col, lit.cast(dt) if dt is not None else lit)
-                branches.append(df.filter(pred).select(F.col("__hz_f").alias("f")))
-            out = branches[0]
-            for b in branches[1:]:
-                out = out.unionByName(b)
-            return out.distinct().collect()
-
-        touched = [r.f for r in detect(files)]
-        # input_file_name returns percent-encoded URIs; decode back to
-        # the filesystem paths we fed in (a table path with a space or
-        # %-char must still resolve to its own files)
-        touched = [_uri_to_path(f) for f in touched]
+        touched = [
+            os.path.join(self.path, r["__hz_rel"])
+            for r in self._read_files(
+                files, state["adds"], state["schema"], keep_rel="__hz_rel"
+            )
+            .filter(pred)
+            .select("__hz_rel")
+            .distinct()
+            .collect()
+        ]
         actions: list[dict] = []
         if touched:
             # dv-aware read: only LIVE rows participate — in the
             # rewrite, in the change feed, and in vector accounting
             current = self._read_files(touched, state["adds"], state["schema"])
-            if dv_on and not current.filter(
-                pred.eqNullSafe(F.lit(True))
-            ).limit(1).count():
-                # every matching row is ALREADY masked by a live
-                # vector (detection scans raw files, not dv-applied):
-                # committing re-emitted vectors for a no-op delete
-                # would churn sidecars and stamp a contentless change
-                # commit (advisor r10 low: with change_data it even
-                # committed dv adds with zero cdc files) — skip
-                # unless a txn marker still has to land
-                if txn is None:
-                    return base
-                touched = []
-        if touched:
             if dv_on:
                 actions.extend(
                     self._stage_dv(touched, state["adds"], pred, state["schema"])
@@ -1265,9 +1225,11 @@ class TxTable:
                 .parquet(*touched)
                 .withColumn("fname", _dv_key_col())
                 .withColumn("pos", F.col("_metadata.row_index"))
-                .withColumn("__hz_rel", F.url_decode(F.col("fname")))
+                .withColumn("__hz_rel", _decode_uri_col(F.col("fname")))
                 .join(
-                    self._pv_mapping(touched, pv_of, pcols, types), "__hz_rel", "left"
+                    F.broadcast(self._pv_frame(touched, pv_of, pcols, types)),
+                    "__hz_rel",
+                    "left",
                 )
                 .filter(pred.eqNullSafe(F.lit(True)))
                 .select("fname", "pos")
@@ -1366,26 +1328,13 @@ class TxTable:
 
         schema = StructType.fromJson(json.loads(state["schema"]))
         types = {f.name: f.dataType for f in schema.fields}
-        rows = [
-            tuple(
-                [rel]
-                + [
-                    pv_cast(
-                        (state["adds"][rel].get("partitionValues") or {}).get(c),
-                        types[c],
-                    )
-                    for c in pcols
-                ]
-            )
+        files = [os.path.join(self.path, rel) for rel in rels]
+        pv_of = {
+            os.path.join(self.path, rel): state["adds"][rel].get("partitionValues")
+            or {}
             for rel in rels
-        ]
-        from pyspark.sql.types import StringType, StructField
-
-        pv_schema = StructType(
-            [StructField("__hz_rel", StringType())]
-            + [StructField(c, types[c]) for c in pcols]
-        )
-        frame = self.spark.createDataFrame(rows, pv_schema)
+        }
+        frame = self._pv_frame(files, pv_of, pcols, types)
         return [r["__hz_rel"] for r in frame.filter(F.expr(where)).collect()]
 
     def compact(
@@ -1451,37 +1400,75 @@ class TxTable:
             return base
         state = self._replay_state()
         scope = self._partition_scope(state, where)
+
+        def live_rows(rel: str) -> int:
+            a = state["adds"][rel]
+            return max(
+                0,
+                int(a.get("rows", 0)) - int((a.get("dv") or {}).get("deleted", 0)),
+            )
+
+        # selection reasons about HIVE GROUPS, not the flat file list:
+        # directories can't merge, so the achievable file count — and
+        # therefore whether a pass is useful at all — is per partition
+        # value. A pass that cannot reduce any group's count (nor kill
+        # a vector) must commit NOTHING, or a maintenance loop
+        # rewrites the same fixpoint forever (round-11 review
+        # finding: two 600-row files under max_file_rows=1000, or one
+        # small file per partition, used to re-commit every tick).
+        groups: dict[tuple, list[str]] = {}
+        for rel in scope:
+            pv = state["adds"][rel].get("partitionValues") or {}
+            groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
         if max_file_rows is not None:
-            # bin-packing: under-target files + dv carriers only
-            scope = [
-                rel
-                for rel in scope
-                if int(state["adds"][rel].get("rows", 0)) < max_file_rows
-                or state["adds"][rel].get("dv")
-            ]
-        has_dv = any(state["adds"][rel].get("dv") for rel in scope)
-        if not scope or (
-            len(scope) <= (1 if max_file_rows is not None else target_files)
-            and layout_key is None
-            and zorder is None
-            and not has_dv
-        ):
+            # bin-packing: a group participates when packing can
+            # shrink it below its current file count, or a vector
+            # must materialize away
+            def group_useful(rels: list[str]) -> bool:
+                if any(state["adds"][r].get("dv") for r in rels):
+                    return True
+                packable = [
+                    r for r in rels
+                    if int(state["adds"][r].get("rows", 0)) < max_file_rows
+                ]
+                achievable = max(
+                    1, -(-sum(live_rows(r) for r in packable) // max_file_rows)
+                )
+                return len(packable) > achievable
+
+            groups = {k: v for k, v in groups.items() if group_useful(v)}
+            # within a useful group rewrite only the packable/dv'd
+            # files — right-sized vector-free files never move
+            groups = {
+                k: [
+                    r for r in v
+                    if int(state["adds"][r].get("rows", 0)) < max_file_rows
+                    or state["adds"][r].get("dv")
+                ]
+                for k, v in groups.items()
+            }
+            scope = [r for v in groups.values() for r in v]
+        else:
+            has_dv = any(state["adds"][rel].get("dv") for rel in scope)
+            if (
+                layout_key is None
+                and zorder is None
+                and not has_dv
+                and all(len(v) <= target_files for v in groups.values())
+            ):
+                scope = []
+        if not scope:
             # nothing fragmented in scope: a no-op pass commits
             # nothing (reachable from a maintenance tick after
-            # empty-batch merges — and a lone already-compact file
-            # must not be rewritten forever; only a deletion vector
-            # forces the rewrite of a small scope)
+            # empty-batch merges)
             return base
         files = [os.path.join(self.path, rel) for rel in scope]
         # dv-aware read: OPTIMIZE materializes deletion vectors —
         # the rewritten files carry no dv and the old vectors die
         df = self._read_files(files, state["adds"], state["schema"])
+        pcols = state["partitionColumns"]
         if max_file_rows is not None:
-            total = sum(
-                max(0, int(state["adds"][rel].get("rows", 0))
-                    - int((state["adds"][rel].get("dv") or {}).get("deleted", 0)))
-                for rel in scope
-            )
+            total = sum(live_rows(rel) for rel in scope)
             n_out = max(1, -(-total // max_file_rows))
         else:
             n_out = target_files
@@ -1499,11 +1486,16 @@ class TxTable:
             out = df.repartitionByRange(n_out, layout_key).sortWithinPartitions(
                 layout_key
             )
+        elif max_file_rows is not None and pcols:
+            # hash-repartition on the partition columns: every hive
+            # group lands in exactly one task ⇒ ONE packed file per
+            # group — the only count hive dirs can converge to
+            out = df.repartition(max(1, len(groups)), *pcols)
         else:
             out = df.coalesce(n_out)
         # a partitioned table keeps its layout: n_out is then per
         # partition value, not global (hive dirs can't merge)
-        actions = self._stage(out, state["partitionColumns"])
+        actions = self._stage(out, pcols)
         for a in actions:
             # the open Delta protocol's dataChange=false: this commit
             # rearranges bytes, it does not change table content —
@@ -1545,11 +1537,6 @@ class TxTable:
         tgt_state = self._replay_state(as_of=version)
         cur, tgt = cur_state["adds"], tgt_state["adds"]
 
-        def _norm(a: dict) -> dict:
-            # dataChange is provenance (append vs maintenance), not
-            # content — two adds differing only by it are the same
-            return {k: v for k, v in a.items() if k != "dataChange"}
-
         # a path present in BOTH versions but with a different add
         # action (a deletion vector grown, shrunk, or gone) is a
         # content change too: re-emitting the target's action rolls
@@ -1557,7 +1544,7 @@ class TxTable:
         re_added = [
             rel
             for rel in tgt
-            if rel not in cur or _norm(cur[rel]) != _norm(tgt[rel])
+            if rel not in cur or _norm_action(cur[rel]) != _norm_action(tgt[rel])
         ]
         dropped = [rel for rel in cur if rel not in tgt]
         actions: list[dict] = []
@@ -1663,9 +1650,6 @@ class TxTable:
             else {}
         )
 
-        def _norm(a: dict) -> dict:
-            return {k: v for k, v in a.items() if k != "dataChange"}
-
         def read_side(paths: list[str], adds: dict[str, dict]) -> DataFrame:
             # pv/dv-aware read (partition columns reattach; positions
             # already dead at this state never enter the diff), then
@@ -1687,16 +1671,15 @@ class TxTable:
                 raise FileNotFoundError(f"missing log version {v} at {self.path}")
             added, removed, cdcs = [], [], []
             added_adds: dict[str, dict] = {}
-            commit_adds: list[dict] = []
-            commit_removes: list[str] = []
+            ordered_ops: list[tuple[str, object]] = []
             for action in json.load(open(f)):
                 if "add" in action:
-                    commit_adds.append(action["add"])
+                    ordered_ops.append(("add", action["add"]))
                 elif "remove" in action:
-                    commit_removes.append(action["remove"]["path"])
+                    ordered_ops.append(("remove", action["remove"]["path"]))
                 if "add" in action and action["add"].get("dataChange", True):
                     rel = action["add"]["path"]
-                    if rel in live and _norm(live[rel]) == _norm(action["add"]):
+                    if rel in live and _norm_action(live[rel]) == _norm_action(action["add"]):
                         continue  # re-emitted unchanged: no content change
                     added.append(os.path.join(self.path, rel))
                     added_adds[rel] = action["add"]
@@ -1712,11 +1695,16 @@ class TxTable:
                 if rel in live and os.path.join(self.path, rel) not in removed
             ]
             pre_adds = dict(live)  # v-1 state for the removed side
-            # advance the live state BEFORE any early-continue
-            for a in commit_adds:
-                live[a["path"]] = a
-            for rel in commit_removes:
-                live.pop(rel, None)
+            # advance the live state BEFORE any early-continue — in
+            # FILE ORDER, exactly as _replay_state applies actions: a
+            # commit spelling "replace X" as [remove X, add X'] must
+            # leave X' live, not drop it (add-then-remove batching
+            # would misclassify every later commit touching X)
+            for kind, payload in ordered_ops:
+                if kind == "add":
+                    live[payload["path"]] = payload
+                else:
+                    live.pop(payload, None)
             if cdcs:
                 # the commit staged its own change set (change_data
                 # table): serve it directly — no content diff, no
@@ -1749,7 +1737,19 @@ class TxTable:
                 )
 
             old_side = removed + [os.path.join(self.path, rel) for rel in in_place]
-            for p in added + removed:
+            # retention check covers the dv sidecars the diff reads,
+            # not just data files: the in-place old side needs the
+            # SUPERSEDED vector, which vacuum may have reclaimed
+            needed_dvs = [
+                os.path.join(self.path, a["dv"]["path"])
+                for a in added_adds.values()
+                if a.get("dv")
+            ] + [
+                os.path.join(self.path, pre_adds[os.path.relpath(p, self.path)]["dv"]["path"])
+                for p in old_side
+                if (pre_adds.get(os.path.relpath(p, self.path)) or {}).get("dv")
+            ]
+            for p in added + removed + needed_dvs:
                 if not os.path.exists(p):
                     raise FileNotFoundError(
                         f"change feed for version {v} needs {p}, which vacuum "

@@ -258,7 +258,9 @@ def _cdf_schema(path: str, as_of: int | None = None) -> StructType:
     )
 
 
-def _split_in_place(path: str, v: int, added: list[dict]) -> tuple[list[dict], list[str]]:
+def _split_in_place(
+    path: str, v: int, added: list[dict], prev: dict | None = None
+) -> tuple[list[dict], list[str]]:
     """(genuinely new adds, paths re-added IN PLACE with a changed
     action). An add whose path was already live at v−1 is NOT an
     append: restore() rolls a deletion vector back by re-emitting the
@@ -272,16 +274,28 @@ def _split_in_place(path: str, v: int, added: list[dict]) -> tuple[list[dict], l
         return added, []
     prev = _replay_adds(path, as_of=v - 1)
 
-    def _norm(a: dict) -> dict:
-        return {k: w for k, w in a.items() if k != "dataChange"}
+    from .txlog import _norm_action
 
     new, changed = [], []
     for a in added:
         if a["path"] not in prev:
             new.append(a)
-        elif _norm(prev[a["path"]]) != _norm(a):
+        elif _norm_action(prev[a["path"]]) != _norm_action(a):
             changed.append(a["path"])
     return new, changed
+
+
+def _advance_live(live: dict, path: str, v: int) -> dict:
+    """Apply version ``v``'s add/remove actions to a live-state dict
+    IN FILE ORDER (the _replay_state contract) — the incremental step
+    that lets multi-version planners pay one replay total instead of
+    one per version."""
+    for action in json.load(open(_version_file(path, v))):
+        if "add" in action:
+            live[action["add"]["path"]] = action["add"]
+        elif "remove" in action:
+            live.pop(action["remove"]["path"], None)
+    return live
 
 
 def _cdf_version_partitions(
@@ -290,6 +304,7 @@ def _cdf_version_partitions(
     cols: tuple,
     split_rows: int,
     skip_change_commits: bool,
+    prev_adds: dict | None = None,
 ) -> list[_FilePartition]:
     """Plan ONE version of a change-feed read, from the log only:
 
@@ -335,7 +350,7 @@ def _cdf_version_partitions(
         # a commit that LOOKS like a blind append may still change
         # rows in place (restore's vector rollback re-adds the file
         # with no remove) — verify against the v-1 live state
-        added, in_place = _split_in_place(path, v, added)
+        added, in_place = _split_in_place(path, v, added, prev_adds)
     if removed or dv_commit or in_place:
         # copy-on-write rewrite, deletion-vector re-add, or in-place
         # restore: none is row-accurately representable without
@@ -499,12 +514,18 @@ class _TxLogChangesBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         cols = _schema_columns(self.schema)
         parts: list[_FilePartition] = []
+        # one replay at the feed start, then one commit file per step
+        # (round-11 review: the per-version v-1 replay made an
+        # N-version feed cost N checkpoint loads)
+        live = _replay_adds(self.path, self.start - 1) if self.start > 0 else {}
         for v in range(self.start, self.end + 1):
             parts.extend(
                 _cdf_version_partitions(
-                    self.path, v, cols, self.split_rows, skip_change_commits=False
+                    self.path, v, cols, self.split_rows,
+                    skip_change_commits=False, prev_adds=live,
                 )
             )
+            live = _advance_live(live, self.path, v)
         return parts or [_FilePartition("", cols)]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -636,15 +657,21 @@ class _TxLogStreamReader(DataSourceStreamReader):
         self._last_end = end["version"]  # rate-limit anchor for the next trigger
         cols = _schema_columns(self._schema)
         parts: list[_FilePartition] = []
+        # one replay at the batch start, advanced commit-by-commit —
+        # never one replay per version (round-11 review finding)
+        lo = start["version"]
+        live = _replay_adds(self.path, lo) if lo >= 0 else {}
         if self.read_change_feed:
-            for v in range(start["version"] + 1, end["version"] + 1):
+            for v in range(lo + 1, end["version"] + 1):
                 parts.extend(
                     _cdf_version_partitions(
-                        self.path, v, cols, self.split_rows, self.skip_change_commits
+                        self.path, v, cols, self.split_rows,
+                        self.skip_change_commits, prev_adds=live,
                     )
                 )
+                live = _advance_live(live, self.path, v)
             return parts
-        for v in range(start["version"] + 1, end["version"] + 1):
+        for v in range(lo + 1, end["version"] + 1):
             f = _version_file(self.path, v)
             if not os.path.exists(f):
                 raise FileNotFoundError(
@@ -665,7 +692,10 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 # restore's in-place vector rollback re-adds the file
                 # with NO remove action — it must not replay as a
                 # blind append of the whole file (advisor r10)
-                added, in_place = _split_in_place(self.path, v, added)
+                added, in_place = _split_in_place(self.path, v, added, live)
+            # advance live BEFORE any continue, or later versions
+            # would classify against a stale pre-state
+            live = _advance_live(live, self.path, v)
             if removed or dv_commit or in_place:
                 # copy-on-write rewrite, a deletion-vector re-add, or
                 # an in-place restore (emitting any of them would
@@ -943,6 +973,21 @@ class _StagedParquetWriteMixin:
         # log-only operations: no SparkSession needed on this path
         return TxTable(None, self.path, stat_cols=self.stat_cols)
 
+    def _create_meta(self) -> dict:
+        """Create-commit meta for sink-auto-created tables — the SAME
+        contract as TxTable.create() (round-11 review finding: the
+        sink used to omit the log-persisted properties and required
+        reader features, leaving its tables on the per-instance-flag
+        model the properties change eliminated)."""
+        meta: dict = {
+            "schema": self._schema.json(),
+            "properties": {"changeDataFeed": False, "deletionVectors": False},
+        }
+        if self.partition_cols:
+            meta["partitionColumns"] = self.partition_cols
+            meta["readerFeatures"] = ["hivePartitioning"]
+        return meta
+
     @staticmethod
     def _adds(messages) -> list[dict]:
         return [
@@ -981,10 +1026,7 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
         actions = self._adds(messages)
         new_table = t.version() < 0
         if new_table:
-            meta: dict = {"schema": self._schema.json()}
-            if self.partition_cols:
-                meta["partitionColumns"] = self.partition_cols
-            actions.append({"meta": meta})
+            actions.append({"meta": self._create_meta()})
         if self.overwrite and not new_table:
             # capture the base version FIRST and replay exactly that
             # snapshot: a commit landing between replay and commit must
@@ -1066,10 +1108,7 @@ class _TxLogStreamWriter(_StagedParquetWriteMixin, DataSourceStreamArrowWriter):
             return
         actions = self._adds(messages)
         if t.version() < 0:
-            meta: dict = {"schema": self._schema.json()}
-            if self.partition_cols:
-                meta["partitionColumns"] = self.partition_cols
-            actions.append({"meta": meta})
+            actions.append({"meta": self._create_meta()})
         actions.append({"txn": {"appId": self.app_id, "batchId": batchId}})
         # append_batch's bounded rebase with the twin check: if a
         # replayed twin of this very batch wins a version race, drop

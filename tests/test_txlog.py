@@ -1665,3 +1665,76 @@ def test_change_feed_reconstructs_every_snapshot(spark, tmp_path, cdf):
                     if acc[row] == 0:
                         del acc[row]
         assert acc == snap_ms, f"feed does not reconstruct snapshot at v{v}"
+
+
+def test_plus_sign_partition_values_survive_the_flat_join(spark, tmp_path):
+    """Round-11 review finding: F.url_decode is form-urlencoded
+    (literal '+' -> space), but file URIs keep '+' literal — a
+    partition value containing '+' silently key-mismatched the log
+    metadata join past _PV_UNION_MAX, null-filling partition columns.
+    The decoder must match Python's unquote (URI semantics)."""
+    import hz_csv2parquet_spark.sources.txlog as txmod
+
+    n = txmod._PV_UNION_MAX + 4
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], deletion_vectors=True)
+    t.create(
+        spark.createDataFrame(
+            [(i, f"a+{i % n}", i) for i in range(4 * n)], "k long, tag string, v long"
+        ).repartition(4),
+        partition_by=["tag"],
+    )
+    snap = t.snapshot()
+    got = {(r.k, r.tag) for r in snap.collect()}
+    assert got == {(i, f"a+{i % n}") for i in range(4 * n)}
+    assert snap.filter("tag IS NULL").count() == 0
+    # partition-predicate delete through the flat path
+    t.delete_where("tag = 'a+3'")
+    assert t.snapshot().filter("tag = 'a+3'").count() == 0
+    assert t.snapshot().count() == 4 * n - 4
+
+
+def test_compact_binpack_converges_at_fixpoints(spark, tmp_path):
+    """Round-11 review finding: selections that cannot be improved
+    must commit NOTHING — two files that cannot pack below two, and a
+    partitioned table already at one file per partition, used to
+    rewrite+commit on every maintenance tick forever."""
+    t = TxTable(spark, str(tmp_path / "flat"), stat_cols=["k"])
+    t.create(
+        spark.createDataFrame([(i, i) for i in range(600)], "k long, v long")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(600 + i, 0) for i in range(600)], "k long, v long")
+        .coalesce(1)
+    )
+    v = t.version()
+    # 2 x 600 rows, max 1000: no packing can go below 2 files
+    assert t.compact(max_file_rows=1000) == v
+    assert t.version() == v
+    # partitioned fixpoint: one file per partition, nothing to pack
+    tp = TxTable(spark, str(tmp_path / "part"), stat_cols=["k"])
+    tp.create(
+        spark.createDataFrame(
+            [(i, i % 3, i) for i in range(30)], "k long, p int, v long"
+        ).coalesce(1),
+        partition_by=["p"],
+    )
+    vp = tp.version()
+    assert tp.compact(max_file_rows=1000) == vp
+    # fragment ONE partition; the pass packs it to one file and the
+    # next pass is a no-op again (convergence, not oscillation)
+    tp.append(
+        spark.createDataFrame([(100 + i, 1, 0) for i in range(6)],
+                              "k long, p int, v long").repartition(3)
+    )
+    v2 = tp.compact(max_file_rows=1000)
+    assert v2 == tp.version() and v2 > vp
+    per_part = {}
+    for rel, a in tp._replay_state()["adds"].items():
+        per_part.setdefault(a["partitionValues"]["p"], []).append(rel)
+    assert all(len(v) == 1 for v in per_part.values())
+    assert tp.compact(max_file_rows=1000) == v2
+    assert tp.snapshot().count() == 36
+    # plain-mode fixpoint on a partitioned table: every group already
+    # at <= target_files -> no-op instead of eternal rewrite
+    assert tp.compact(target_files=1) == v2

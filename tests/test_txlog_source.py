@@ -897,3 +897,26 @@ def test_restore_without_sidecars_raises_for_cdf_stream(spark, tmp_path):
     assert _drain_cdf(spark, t.path, str(tmp_path / "ck2"), skip=True) == {
         (i, 2 * i, "insert", 0) for i in range(6)
     }
+
+
+def test_sink_autocreate_persists_properties_and_features(spark, tmp_path):
+    """Round-11 review finding: sink-auto-created tables must carry
+    the same log-persisted properties/readerFeatures contract as
+    TxTable.create(), so later writers resolve behavior from the log
+    and partitioned tables are feature-gated."""
+    import json as j
+    import os
+
+    p = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, p string, v long") \
+        .write.format("hz_txlog").option("partitionBy", "p").mode("append").save(p)
+    t = TxTable(spark, p)
+    state = t._replay_state()
+    assert state["properties"] == {"changeDataFeed": False, "deletionVectors": False}
+    assert "hivePartitioning" in state["readerFeatures"]
+    # enabling cdf later governs a bare writer on the sink-created table
+    t.set_properties(changeDataFeed=True)
+    bare = TxTable(spark, p)
+    v = bare.delete_where("k = 1")
+    acts = j.load(open(os.path.join(p, "_txlog", f"{v:08d}.json")))
+    assert any("cdc" in a for a in acts)
