@@ -1506,7 +1506,32 @@ class TxTable:
             actions.append(
                 {"remove": {"path": os.path.relpath(f, self.path), "dataChange": False}}
             )
-        return self._commit(actions, base, operation="OPTIMIZE")
+        # Conflict resolution (the Delta OPTIMIZE rule): a version
+        # race against a BLIND APPEND never invalidates the rewrite —
+        # the new files are disjoint from the rewritten set — so
+        # rebase and re-commit the same actions instead of failing;
+        # on a busy ingest table a compactor would otherwise lose
+        # every race forever. A concurrent commit that TOUCHED any
+        # input file (delete, merge, another compaction, a new
+        # vector) makes the staged rewrite stale: surface the
+        # conflict, the caller re-runs on a fresh snapshot.
+        import random
+
+        for attempt in range(self._REBASE_ATTEMPTS):
+            try:
+                return self._commit(actions, base, operation="OPTIMIZE")
+            except CommitConflictError:
+                head = self._replay_state()
+                stale = [
+                    rel
+                    for rel in scope
+                    if rel not in head["adds"]
+                    or _norm_action(head["adds"][rel]) != _norm_action(state["adds"][rel])
+                ]
+                if stale or attempt == self._REBASE_ATTEMPTS - 1:
+                    raise
+                base = self.version()
+                time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION: roll the table back to the

@@ -1738,3 +1738,53 @@ def test_compact_binpack_converges_at_fixpoints(spark, tmp_path):
     # plain-mode fixpoint on a partitioned table: every group already
     # at <= target_files -> no-op instead of eternal rewrite
     assert tp.compact(target_files=1) == v2
+
+
+def test_compact_rebases_past_interleaved_append(spark, tmp_path, monkeypatch):
+    """Delta's OPTIMIZE conflict rule: a blind append landing between
+    the compactor's replay and its commit is disjoint work — the
+    rewrite re-commits against the new head and the appended file
+    survives. A commit that TOUCHED a rewrite input still conflicts."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(
+        spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+        .repartition(4)
+    )
+    racer = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    real_commit = TxTable._commit
+    fired = {"n": 0}
+
+    def racing_commit(self, actions, expected_version, operation=None):
+        if operation == "OPTIMIZE" and fired["n"] == 0:
+            fired["n"] += 1
+            racer.append(
+                spark.createDataFrame([(100, -1)], "k long, v long")
+            )  # steal the version
+        return real_commit(self, actions, expected_version, operation)
+
+    monkeypatch.setattr(TxTable, "_commit", racing_commit)
+    v = t.compact(target_files=1)
+    monkeypatch.setattr(TxTable, "_commit", real_commit)
+    assert fired["n"] == 1
+    assert t.snapshot().count() == 11          # appended row survived
+    assert {r.k for r in t.snapshot().collect()} == set(range(10)) | {100}
+    # and a race that touches an input file surfaces the conflict
+    t2 = TxTable(spark, str(tmp_path / "tbl2"), stat_cols=["k"])
+    t2.create(
+        spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+        .repartition(4)
+    )
+    racer2 = TxTable(spark, str(tmp_path / "tbl2"), stat_cols=["k"])
+    fired["n"] = 0
+
+    def touching_commit(self, actions, expected_version, operation=None):
+        if operation == "OPTIMIZE" and fired["n"] == 0:
+            fired["n"] += 1
+            racer2.delete_where("k = 3")  # rewrites an input file
+        return real_commit(self, actions, expected_version, operation)
+
+    monkeypatch.setattr(TxTable, "_commit", touching_commit)
+    with pytest.raises(CommitConflictError):
+        t2.compact(target_files=1)
+    monkeypatch.setattr(TxTable, "_commit", real_commit)
+    assert t2.snapshot().count() == 9  # the delete won; nothing torn
