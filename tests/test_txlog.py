@@ -333,7 +333,10 @@ def test_checkpoint_bounds_replay_reads(spark, tmp_path):
     # checkpoint + tail must equal a full ground-up replay
     full = TxTable(spark, t.path, stat_cols=["k"])
     for c in ckpts:
-        os.remove(os.path.join(t.path, "_txlog", f"{c:08d}.ckpt.json"))
+        for ext in ("json", "parquet"):
+            f = os.path.join(t.path, "_txlog", f"{c:08d}.ckpt.{ext}")
+            if os.path.exists(f):
+                os.remove(f)
     want = full._replay_state()
     got = fresh._replay_state()  # no checkpoints left → full replay too
     assert got["adds"] == want["adds"]
@@ -1788,3 +1791,65 @@ def test_compact_rebases_past_interleaved_append(spark, tmp_path, monkeypatch):
         t2.compact(target_files=1)
     monkeypatch.setattr(TxTable, "_commit", real_commit)
     assert t2.snapshot().count() == 9  # the delete won; nothing torn
+
+
+def test_parquet_checkpoint_roundtrip_and_json_fallback(spark, tmp_path):
+    """Round-11 checkpoint format: state materializes as parquet (one
+    row per add, envelope in schema metadata) — dv, partitionValues,
+    properties, readerFeatures, and txn markers all survive the
+    roundtrip — and legacy .ckpt.json files still load."""
+    t = TxTable(
+        spark,
+        str(tmp_path / "tbl"),
+        stat_cols=["k"],
+        checkpoint_interval=2,
+        deletion_vectors=True,
+        change_data=True,
+    )
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 2, 10 * i) for i in range(20)], "k long, p int, v long"
+        ).repartition(2),
+        partition_by=["p"],
+    )
+    t.delete_where("k % 7 = 0")
+    t.append_batch(
+        spark.createDataFrame([(100, 0, 1)], "k long, p int, v long"), "app", 3
+    )
+    for j in range(4):
+        t.append(spark.createDataFrame([(200 + j, 1, 0)], "k long, p int, v long"))
+    import glob as g
+
+    pq_ckpts = g.glob(os.path.join(t.path, "_txlog", "*.ckpt.parquet"))
+    assert pq_ckpts and not g.glob(os.path.join(t.path, "_txlog", "*.ckpt.json"))
+    # a fresh reader resolves everything through the parquet checkpoint
+    fresh = TxTable(spark, t.path)
+    state = fresh._replay_state()
+    assert state["properties"] == {"changeDataFeed": True, "deletionVectors": True}
+    assert {"deletionVectors", "hivePartitioning"} <= state["readerFeatures"]
+    assert state["partitionColumns"] == ["p"]
+    assert any(a.get("dv") for a in state["adds"].values())
+    assert 3 in fresh.committed_txns("app")
+    assert fresh.snapshot().count() == 20 - 3 + 1 + 4
+    # legacy JSON checkpoint: write one by hand at the head; a reader
+    # starting from it must agree with the parquet-checkpointed state
+    head = t.version()
+    payload = {
+        "version": head,
+        "adds": list(state["adds"].values()),
+        "schema": state["schema"],
+        "partitionColumns": state["partitionColumns"],
+        "properties": state["properties"],
+        "readerFeatures": sorted(state["readerFeatures"]),
+        "txns": {app: sorted(ids) for app, ids in state["txns"].items()},
+    }
+    for f in pq_ckpts + g.glob(os.path.join(t.path, "_txlog", "*.ckpt.parquet")):
+        if os.path.exists(f):
+            os.remove(f)
+    with open(os.path.join(t.path, "_txlog", f"{head:08d}.ckpt.json"), "w") as fh:
+        json.dump(payload, fh)
+    legacy = TxTable(spark, t.path)
+    st2 = legacy._replay_state()
+    assert st2["adds"] == state["adds"]
+    assert st2["properties"] == state["properties"]
+    assert legacy.snapshot().count() == 22
