@@ -77,6 +77,12 @@ from pyspark.sql import functions as F
 DEFAULT_VACUUM_RETENTION_S = 7 * 24 * 3600
 
 _COMMIT_RE = re.compile(r"^\d{8}\.json$")
+#: add-action keys with dedicated parquet-checkpoint columns; the
+#: rest spill into the "extra" JSON column (forward compatibility)
+_CKPT_COLS = frozenset(
+    {"path", "rows", "stats", "dv", "partitionValues", "dataChange"}
+)
+
 _CKPT_RE = re.compile(r"^(\d{8})\.ckpt\.(json|parquet)$")
 
 
@@ -382,6 +388,22 @@ class TxTable:
                 "dataChange": pa.array(
                     [a.get("dataChange") for a in adds], pa.bool_()
                 ),
+                # forward-compat spill-over: action keys outside the
+                # fixed column set survive the roundtrip as JSON —
+                # otherwise a checkpoint would silently strip fields
+                # a newer writer recorded, and _norm_action
+                # comparisons (restore, in-place feed classification,
+                # OPTIMIZE staleness) would diverge between
+                # checkpoint-loaded and raw-replayed states
+                "extra": pa.array(
+                    [
+                        json.dumps(x) if (x := {
+                            k: val for k, val in a.items() if k not in _CKPT_COLS
+                        }) else None
+                        for a in adds
+                    ],
+                    pa.string(),
+                ),
             }
         )
         envelope = {
@@ -425,6 +447,8 @@ class TxTable:
                     a["partitionValues"] = json.loads(row["partitionValues"])
                 if row["dataChange"] is not None:
                     a["dataChange"] = row["dataChange"]
+                if row.get("extra") is not None:
+                    a.update(json.loads(row["extra"]))
                 adds.append(a)
             envelope["adds"] = adds
             return envelope
@@ -1436,9 +1460,12 @@ class TxTable:
           columns — a 100 TB table compacts yesterday's partition
           without touching the other 10 000.
         - ``max_file_rows`` turns on bin-packing: ONLY files smaller
-          than the target (or carrying a deletion vector — those must
-          rewrite to materialize) are selected; every right-sized
-          file keeps its add action untouched. Output is
+          than HALF the target (the Delta minFileSize hysteresis —
+          merged outputs are either ≥ half-target or a lone file, so
+          maintenance loops terminate instead of re-packing jittery
+          near-target files forever) or carrying a deletion vector
+          (those must rewrite to materialize) are selected; every
+          right-sized file keeps its add action untouched. Output is
           ``ceil(selected rows / max_file_rows)`` files. A small
           append onto a compacted table rewrites O(appended) bytes.
         - neither ⇒ the full in-scope set rewrites into
@@ -1498,20 +1525,22 @@ class TxTable:
             pv = state["adds"][rel].get("partitionValues") or {}
             groups.setdefault(tuple(sorted(pv.items())), []).append(rel)
         if max_file_rows is not None:
+            min_rows = max(1, max_file_rows // 2)  # packable threshold
+
+            def packable(rel: str) -> bool:
+                return int(state["adds"][rel].get("rows", 0)) < min_rows
+
             # bin-packing: a group participates when packing can
             # shrink it below its current file count, or a vector
             # must materialize away
             def group_useful(rels: list[str]) -> bool:
                 if any(state["adds"][r].get("dv") for r in rels):
                     return True
-                packable = [
-                    r for r in rels
-                    if int(state["adds"][r].get("rows", 0)) < max_file_rows
-                ]
+                small = [r for r in rels if packable(r)]
                 achievable = max(
-                    1, -(-sum(live_rows(r) for r in packable) // max_file_rows)
+                    1, -(-sum(live_rows(r) for r in small) // max_file_rows)
                 )
-                return len(packable) > achievable
+                return len(small) > achievable
 
             groups = {k: v for k, v in groups.items() if group_useful(v)}
             # within a useful group rewrite only the packable/dv'd
@@ -1519,8 +1548,7 @@ class TxTable:
             groups = {
                 k: [
                     r for r in v
-                    if int(state["adds"][r].get("rows", 0)) < max_file_rows
-                    or state["adds"][r].get("dv")
+                    if packable(r) or state["adds"][r].get("dv")
                 ]
                 for k, v in groups.items()
             }
@@ -1564,10 +1592,17 @@ class TxTable:
                 layout_key
             )
         elif max_file_rows is not None and pcols:
-            # hash-repartition on the partition columns: every hive
-            # group lands in exactly one task ⇒ ONE packed file per
-            # group — the only count hive dirs can converge to
-            out = df.repartition(max(1, len(groups)), *pcols)
+            # range-partition on (partition columns, row spreader):
+            # small groups land whole in one task (one packed file),
+            # while a group bigger than max_file_rows splits across
+            # proportionally many tasks — output files stay bounded
+            # by the configured target instead of collapsing each
+            # hive group into one arbitrarily large file (round-11
+            # second-pass review finding). The spreader is a
+            # deterministic hash, so retries stage identical layouts.
+            out = df.repartitionByRange(
+                max(1, n_out), *[F.col(c) for c in pcols], F.xxhash64(*df.columns)
+            )
         else:
             out = df.coalesce(n_out)
         # a partitioned table keeps its layout: n_out is then per
@@ -1598,7 +1633,14 @@ class TxTable:
             try:
                 return self._commit(actions, base, operation="OPTIMIZE")
             except CommitConflictError:
-                head = self._replay_state()
+                # capture the head version FIRST and validate exactly
+                # that snapshot: a commit landing after the staleness
+                # check must fail the NEXT _commit and be re-validated
+                # here, never slip between check and commit (TOCTOU —
+                # a delete racing in that window would have its rows
+                # resurrected by the stale rewrite)
+                head_v = self.version()
+                head = self._replay_state(as_of=head_v)
                 stale = [
                     rel
                     for rel in scope
@@ -1607,7 +1649,7 @@ class TxTable:
                 ]
                 if stale or attempt == self._REBASE_ATTEMPTS - 1:
                     raise
-                base = self.version()
+                base = head_v
                 time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
 
     def restore(self, version: int) -> int:

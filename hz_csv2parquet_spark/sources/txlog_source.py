@@ -267,12 +267,13 @@ def _split_in_place(
     add with no remove action and no dv (advisor r10 medium) — and a
     reader classifying that by ``removed == []`` replays every row of
     the file as a duplicate insert. Identical re-emits are dropped
-    outright (no content change). Costs one checkpoint-accelerated
-    replay at v−1, paid only for commits that LOOK like blind
-    appends."""
+    outright (no content change). ``prev`` is the caller's
+    incrementally-tracked v−1 live state; without it, one
+    checkpoint-accelerated replay is paid per suspicious commit."""
     if not added:
         return added, []
-    prev = _replay_adds(path, as_of=v - 1)
+    if prev is None:
+        prev = _replay_adds(path, as_of=v - 1)
 
     from .txlog import _norm_action
 

@@ -1853,3 +1853,56 @@ def test_parquet_checkpoint_roundtrip_and_json_fallback(spark, tmp_path):
     assert st2["adds"] == state["adds"]
     assert st2["properties"] == state["properties"]
     assert legacy.snapshot().count() == 22
+
+
+def test_compact_binpack_bounds_partitioned_file_sizes(spark, tmp_path):
+    """Round-11 second-pass review: a hive group holding far more
+    rows than max_file_rows must split across several bounded output
+    files, not collapse into one arbitrarily large file."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(
+        spark.createDataFrame([(0, 0, 0)], "k long, p int, v long"),
+        partition_by=["p"],
+    )
+    # 12 fragment files of 300 rows each in partition p=1 (3600 rows)
+    for j in range(12):
+        t.append(
+            spark.createDataFrame(
+                [(1000 * j + i, 1, 0) for i in range(300)], "k long, p int, v long"
+            ).coalesce(1)
+        )
+    t.compact(max_file_rows=1000)
+    state = t._replay_state()
+    p1 = [a for a in state["adds"].values()
+          if a["partitionValues"]["p"] == "1"]
+    assert 3 <= len(p1) <= 8          # ~4 bounded files, not 1 giant
+    assert max(a["rows"] for a in p1) <= 2000  # range-sampling slack, not 3600
+    assert t.snapshot().count() == 3601
+    # converged: the packed files are >= half-target, next pass no-ops
+    v = t.version()
+    assert t.compact(max_file_rows=1000) == v
+
+
+def test_parquet_checkpoint_preserves_unknown_action_keys(spark, tmp_path):
+    """Forward compat: an add-action field this reader does not know
+    (a newer writer's tags/modificationTime) must survive the parquet
+    checkpoint roundtrip, or _norm_action comparisons diverge between
+    checkpointed and raw-replayed states."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], checkpoint_interval=2)
+    t.create(spark.createDataFrame([(1, 1)], "k long, v long"))  # v0, no ckpt yet
+    # splice a future field into the head commit's add action
+    acts = json.load(open(_version_file(t.path, 0)))
+    for a in acts:
+        if "add" in a:
+            a["add"]["tags"] = {"tier": "hot"}
+    os.remove(_version_file(t.path, 0))
+    with open(_version_file(t.path, 0), "x") as fh:
+        json.dump(acts, fh)
+    t.append(spark.createDataFrame([(2, 2)], "k long, v long"))  # v1 -> ckpt@1
+    import glob as g
+
+    assert g.glob(os.path.join(t.path, "_txlog", "*.ckpt.parquet"))
+    fresh = TxTable(spark, t.path)
+    state = fresh._replay_state()
+    tagged = [a for a in state["adds"].values() if a.get("tags")]
+    assert tagged and tagged[0]["tags"] == {"tier": "hot"}
