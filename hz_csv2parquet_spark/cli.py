@@ -145,7 +145,7 @@ def cmd_sql(args: argparse.Namespace) -> None:
     that makes it a queryable analytics engine from a shell."""
     import logging
 
-    from .sources.txlog import TxTable
+    from .sources.txlog_source import register_txlog_source
     from .tables import TABLES, table as load_table
 
     spark = _spark()
@@ -153,11 +153,16 @@ def cmd_sql(args: argparse.Namespace) -> None:
         for name in TABLES:
             if os.path.exists(os.path.join(args.sf_dir, f"{name}.parquet")):
                 load_table(spark, args.sf_dir, name).createOrReplaceTempView(name)
+    if args.table:
+        # txlog views go through the DSv2 source, not snapshot(): the
+        # reader pushes filters against the log's min/max stats, so a
+        # selective WHERE prunes files before any scan is planned
+        register_txlog_source(spark)
     for spec in args.table or []:
         name, sep, path = spec.partition("=")
         if not sep:
             raise SystemExit(f"--table takes name=path, got {spec!r}")
-        TxTable(spark, path).snapshot().createOrReplaceTempView(name)
+        spark.read.format("hz_txlog").load(path).createOrReplaceTempView(name)
     df = spark.sql(args.query)
     if args.dest:
         write_table(df, args.dest, fmt=_fmt_of(args.dest))

@@ -450,3 +450,31 @@ def test_partitioned_snapshot_is_shuffle_free(spark, tmp_path):
     plan = t.snapshot()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Union" in plan
+
+
+def test_delete_detection_is_one_masked_scan(spark, tmp_path):
+    """Round-11 detection rewrite: DELETE's touched-file scan is the
+    dv-masked pv-attached read — the predicate must reach the parquet
+    scans (pushed through the union/anti-join), the vector side stays
+    a broadcast anti-join, and no cartesian appears."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], deletion_vectors=True)
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 3, 2 * i) for i in range(60)], "k long, p int, v long"
+        ).repartition(2),
+        partition_by=["p"],
+    )
+    t.delete_where("k = 1")  # plant a vector so detection composes with it
+    state = t._replay_state()
+    files = [f"{t.path}/{rel}" for rel in state["adds"]]
+    df = t._read_files(
+        files, state["adds"], state["schema"], keep_rel="__hz_rel"
+    ).filter(F.col("v") > 100).select("__hz_rel").distinct()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in plan or "GreaterThan(v,100)" in plan
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
