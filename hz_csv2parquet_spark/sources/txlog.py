@@ -27,7 +27,7 @@ directory" with "read the log".
 
 Checkpoints (VERDICT r6 item 4, the Delta ``_last_checkpoint``
 pattern): every ``checkpoint_interval`` commits the writer also
-drops ``<version>.ckpt.json`` — a snapshot of the fully-replayed
+drops ``<version>.ckpt.parquet`` — a snapshot of the fully-replayed
 state (live add actions, schema, txn markers) as of that version.
 Replay then costs O(tail): load the newest checkpoint ≤ the target
 version and apply only the commits after it. Without this a
