@@ -110,8 +110,12 @@ def query(
 #: features register their queries.
 #: ROUND 11 WINDOW. No red rows in r10 (50/50 green). Mandatory: the
 #: 22 rows whose last driver check is r7 (<= latest(10) - 3 — exactly
-#: the ledger written at round-10 planning). Fill: the 26
-#: alphabetically-first of the 49 live r8 greens. 48 named here; the
+#: the ledger written at round-10 planning). Fill: 26 slots — the 25
+#: alphabetically-first of the 49 live r8 greens plus
+#: ``top_terms_per_lang`` (implementation changed in-round: the
+#: linear single-pass tf/df rewrite must earn a driver row on the
+#: round it lands, so it displaces the 26th fill row). 48 named here;
+#: the
 #: remaining 2 window slots are reserved for ``priority=True``
 #: registrations/changed implementations landing this round — slack
 #: goes UNUSED if fewer land (count what is registered, not what is
@@ -166,10 +170,16 @@ ROTATION: set[str] = {
     "sample_stratified_documents",
     "semantic_dedup_embeddings",
     "sessionize_events",
-    "shard_assignment_documents",
-    # Round-12 plan ledger — the 23 r8 rows NOT in this window become
+    # -- changed implementation round 11 (linear single-pass tf/df
+    # rewrite) — takes the slot of the alphabetically-last r8 fill
+    # row (shard_assignment_documents, which moves to the round-12
+    # mandatory set below) so the new plan gets a driver row the
+    # round it lands --
+    "top_terms_per_lang",
+    # Round-12 plan ledger — the 24 r8 rows NOT in this window become
     # rule-mandatory at round-12 planning (last row r8 <= latest(11)
-    # - 3): similarity_ivf_embeddings, similarity_lsh_embeddings,
+    # - 3): shard_assignment_documents,
+    # similarity_ivf_embeddings, similarity_lsh_embeddings,
     # similarity_topk_embeddings, similarity_topk_pandas_udf,
     # skew_salted_event_counts, source_similarity_minhash,
     # streaming_attribution_join, streaming_attribution_outer,
@@ -180,7 +190,7 @@ ROTATION: set[str] = {
     # tokenize_regex_documents, txlog_changes_events,
     # txlog_merge_read_events, txlog_snapshot_read_orders,
     # txlog_time_travel_orders, weighted_sample_documents,
-    # zscore_outliers_events (23 slots; the balance of the round-12
+    # zscore_outliers_events (24 slots; the balance of the round-12
     # window goes to the oldest r9 greens).
 }
 

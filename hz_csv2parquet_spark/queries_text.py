@@ -16,7 +16,7 @@ expression, and the plant is what makes the checks non-vacuous.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
@@ -221,35 +221,41 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Characteristic terms per language: linear-idf-weighted term
     frequency (tf·N/df — transcendental-free on purpose: ln() is not
     bit-identical across engines, rational arithmetic is), exact
-    top-10 per lang via the two-phase salted top-k. Shuffles key on
-    high-cardinality ``token``; the final window sees ≤ k·salts rows
-    per lang."""
+    top-10 per lang via the two-phase salted top-k.
+
+    Single-pass shape: every doc carries exactly one lang, so doc
+    frequency per token is the sum over langs of per-(lang, token)
+    distinct-doc counts — both tf and df derive from ONE aggregation
+    of the exploded stream at (lang, token, doc_id) grain. The big
+    stream is shuffled once (map-side partial agg collapses
+    within-doc repeats before the exchange), df materializes as a
+    window-sum over ``token`` at vocab grain, and the whole plan is a
+    LINEAR chain — one corpus scan, no shared subtree for Catalyst to
+    recompute. Replaces the round-7 two-consumer design (checkpointed
+    token stream + a second full-stream ``distinct`` shuffle for df)
+    — at 100 TB that was an extra corpus-sized write plus an extra
+    corpus-sized exchange."""
     from .operators.topk import grouped_topk
 
-    from .tables import memo_checkpoint, spread
+    from .tables import spread
 
-    # the exploded token stream feeds BOTH the tf and doc-freq aggs —
-    # checkpoint it once (keyed: fixture dirs are immutable) so the
-    # corpus is tokenized in a single parallel pass instead of once
-    # per consumer; at 100 TB the durable form is a parquet write
-    toks = memo_checkpoint(
-        lambda: spread(table(spark, sf_dir, "documents"))
-        .select("doc_id", "lang", F.explode(T.tokens("text")).alias("token")),
-        "top_terms_toks",
-        f"top_terms|{sf_dir}",
+    toks = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("token")
     )
-    tf = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = (
-        toks.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    per_doc = toks.groupBy("lang", "token", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tf = per_doc.groupBy("lang", "token").agg(
+        F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df_part")
+    )
+    # token-partitioned window: vocab-grain rows only, one exchange
+    tf = tf.withColumn(
+        "doc_freq", F.sum("df_part").over(Window.partitionBy("token"))
     )
     # corpus size off the raw table scan (metadata-cheap, no tokenize)
     n = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n))
+        tf.crossJoin(F.broadcast(n))
         .withColumn(
             "idf_score",
             F.col("tf").cast("double")

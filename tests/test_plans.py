@@ -478,3 +478,26 @@ def test_delete_detection_is_one_masked_scan(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in plan or "GreaterThan(v,100)" in plan
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_top_terms_single_corpus_pass(spark, sf_dir):
+    """Round-11 linear rewrite: tf and doc-freq both derive from ONE
+    aggregation of the exploded token stream ((lang, token, doc_id)
+    grain), doc-freq as a token-partitioned window-sum at vocab
+    grain. Exactly one corpus-reading scan (the n_docs scan reads
+    zero columns), exactly one corpus-sized exchange (the one keyed
+    on doc_id), and no second tokenize pass."""
+    plan = plan_of(spark, sf_dir, "top_terms_per_lang")
+    # corpus text column is read by exactly one scan
+    assert plan.count("FileScan parquet [doc_id") == 1
+    # the only exchange carrying the exploded stream is the
+    # (lang, token, doc_id) partial-agg exchange
+    assert plan.count("doc_id") and plan.count("Exchange hashpartitioning(lang") >= 1
+    big = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "doc_id" in ln
+    ]
+    assert len(big) == 1
+    # window df, not a self-join of the corpus chain
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
