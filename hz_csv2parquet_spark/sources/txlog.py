@@ -1215,7 +1215,21 @@ class TxTable:
         vector write) runs as Spark jobs over only the touched scope.
         ``txn`` gives streaming callers the same exactly-once marker
         as MERGE. Returns the committed version, None for a replayed
-        txn, or the current version when nothing matches."""
+        txn, or the current version when nothing matches.
+
+        **Conflict resolution** (round 11): a version race lost to
+        pure blind appends auto-resolves — the staged actions are
+        read-set-validated against the new head (every file read must
+        be live and byte-identical, meta unmoved) and the transaction
+        is EXTENDED with a detection scan over just the interleaved
+        new files, so their matching rows are deleted too. That is
+        full serializability at O(new files) cost; Delta's default
+        WriteSerializable lets concurrently-appended matching rows
+        survive a racing DELETE. Any interleaved commit that touched
+        a file this delete read (merge/compact/another delete/a new
+        vector) or moved schema/properties/features still surfaces
+        :class:`CommitConflictError` — that rewrite is genuinely
+        stale, and the caller owns the retry policy."""
         if txn is not None and txn[1] in self.committed_txns(txn[0]):
             return None
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -1229,7 +1243,84 @@ class TxTable:
         files = [os.path.join(self.path, rel) for rel in state["adds"]]
         if not files:
             return base
-        touched = [
+        touched = self._detect_matches(files, state, pred)
+        actions: list[dict] = []
+        if touched:
+            actions.extend(
+                self._delete_actions(touched, state, pred, dv_on, cdf_on)
+            )
+        elif txn is None:
+            return base  # nothing matched, nothing to record
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
+        # Conflict resolution. A version race against commits that
+        # touched ANY file we read (delete, merge, compact, a new
+        # vector) or moved the table meta makes the staged rewrite
+        # stale — surface it, the caller re-runs on a fresh snapshot.
+        # But a race lost to pure BLIND APPENDS is resolvable here:
+        # the staged remove/add/dv/cdc actions still describe exactly
+        # the files they were computed from (read-set validation, the
+        # same rule OPTIMIZE uses), and the transaction is EXTENDED
+        # with a detection scan over just the interleaved new files —
+        # full serializability (the delete lands "after" the appends,
+        # and deletes their matching rows too) at O(new files) cost,
+        # one notch stronger than Delta's WriteSerializable default,
+        # which lets concurrently-appended matching rows survive.
+        import random
+
+        for attempt in range(self._REBASE_ATTEMPTS):
+            try:
+                return self._commit(actions, base, operation="DELETE")
+            except CommitConflictError:
+                head_v = self.version()
+                head = self._replay_state(as_of=head_v)
+                if txn is not None and txn[1] in head["txns"].get(txn[0], set()):
+                    return None  # a twin replay of this batch won
+                stale = [
+                    rel
+                    for rel in state["adds"]
+                    if rel not in head["adds"]
+                    or _norm_action(head["adds"][rel])
+                    != _norm_action(state["adds"][rel])
+                ]
+                if (
+                    stale
+                    or head["schema"] != state["schema"]
+                    or head["partitionColumns"] != state["partitionColumns"]
+                    or head.get("properties") != state.get("properties")
+                    or head["readerFeatures"] != state["readerFeatures"]
+                    or attempt == self._REBASE_ATTEMPTS - 1
+                ):
+                    raise
+                new_rels = [r for r in head["adds"] if r not in state["adds"]]
+                if new_rels:
+                    new_touched = self._detect_matches(
+                        [os.path.join(self.path, r) for r in new_rels],
+                        head,
+                        pred,
+                    )
+                    if new_touched:
+                        ext = self._delete_actions(
+                            new_touched, head, pred, dv_on, cdf_on
+                        )
+                        if any("meta" in a for a in actions):
+                            # the readerFeatures meta is already
+                            # staged once in this commit
+                            ext = [a for a in ext if "meta" not in a]
+                        marker = [a for a in actions if "txn" in a]
+                        actions = [a for a in actions if "txn" not in a]
+                        actions.extend(ext)
+                        actions.extend(marker)
+                state, base = head, head_v
+                time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
+
+    def _detect_matches(self, files: list[str], state: dict, pred) -> list[str]:
+        """The DELETE detection scan: which of ``files`` hold LIVE
+        rows matching ``pred``. One distributed dv-masked,
+        pv-attached read — Catalyst pushes data-column predicates
+        into the parquet scans — and the driver receives only file
+        keys, O(files)."""
+        return [
             os.path.join(self.path, r["__hz_rel"])
             for r in self._read_files(
                 files, state["adds"], state["schema"], keep_rel="__hz_rel"
@@ -1239,55 +1330,60 @@ class TxTable:
             .distinct()
             .collect()
         ]
+
+    def _delete_actions(
+        self, touched: list[str], state: dict, pred, dv_on: bool, cdf_on: bool
+    ) -> list[dict]:
+        """The remove/add/dv/cdc action set that deletes
+        ``pred``-matching rows from ``touched`` files, computed
+        against ``state``. Factored out of :meth:`delete_where` so
+        its conflict-resolution loop can extend a staged DELETE with
+        interleaved-append files without re-running the full-table
+        detection scan."""
         actions: list[dict] = []
-        if touched:
-            # dv-aware read: only LIVE rows participate — in the
-            # rewrite, in the change feed, and in vector accounting
-            current = self._read_files(touched, state["adds"], state["schema"])
-            if dv_on:
-                actions.extend(
-                    self._stage_dv(touched, state["adds"], pred, state["schema"])
+        # dv-aware read: only LIVE rows participate — in the
+        # rewrite, in the change feed, and in vector accounting
+        current = self._read_files(touched, state["adds"], state["schema"])
+        if dv_on:
+            actions.extend(
+                self._stage_dv(touched, state["adds"], pred, state["schema"])
+            )
+            if "deletionVectors" not in state["readerFeatures"]:
+                # first vector on a legacy/flag-enabled table:
+                # record the required reader feature in the SAME
+                # commit, so no feature-unaware reader can ever
+                # see a vectored snapshot it would misread
+                actions.append(
+                    {"meta": {"readerFeatures": sorted(
+                        state["readerFeatures"] | {"deletionVectors"}
+                    )}}
                 )
-                if "deletionVectors" not in state["readerFeatures"]:
-                    # first vector on a legacy/flag-enabled table:
-                    # record the required reader feature in the SAME
-                    # commit, so no feature-unaware reader can ever
-                    # see a vectored snapshot it would misread
-                    actions.append(
-                        {"meta": {"readerFeatures": sorted(
-                            state["readerFeatures"] | {"deletionVectors"}
-                        )}}
-                    )
-            else:
-                # DELETE keeps every row where the predicate is NOT
-                # TRUE. Under three-valued logic ~pred is NULL when
-                # pred is NULL, so filter(~pred) would silently DROP
-                # NULL-key rows that merely share a file with matching
-                # rows — eqNullSafe maps NULL → keep, matching Delta's
-                # DELETE semantics.
-                actions.extend(
-                    self._stage(
-                        current.filter(~pred.eqNullSafe(F.lit(True))),
-                        state["partitionColumns"],
-                    )
+        else:
+            # DELETE keeps every row where the predicate is NOT
+            # TRUE. Under three-valued logic ~pred is NULL when
+            # pred is NULL, so filter(~pred) would silently DROP
+            # NULL-key rows that merely share a file with matching
+            # rows — eqNullSafe maps NULL → keep, matching Delta's
+            # DELETE semantics.
+            actions.extend(
+                self._stage(
+                    current.filter(~pred.eqNullSafe(F.lit(True))),
+                    state["partitionColumns"],
                 )
-                for f in touched:
-                    actions.append(
-                        {"remove": {"path": os.path.relpath(f, self.path)}}
-                    )
-            if cdf_on:
-                actions.extend(
-                    self._stage_cdc(
-                        current.filter(pred.eqNullSafe(F.lit(True))).withColumn(
-                            "_change_type", F.lit("delete")
-                        )
+            )
+            for f in touched:
+                actions.append(
+                    {"remove": {"path": os.path.relpath(f, self.path)}}
+                )
+        if cdf_on:
+            actions.extend(
+                self._stage_cdc(
+                    current.filter(pred.eqNullSafe(F.lit(True))).withColumn(
+                        "_change_type", F.lit("delete")
                     )
                 )
-        elif txn is None:
-            return base  # nothing matched, nothing to record
-        if txn is not None:
-            actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
-        return self._commit(actions, base, operation="DELETE")
+            )
+        return actions
 
     def _stage_dv(
         self, touched: list[str], adds: dict, pred, schema_json: str | None = None

@@ -1906,3 +1906,110 @@ def test_parquet_checkpoint_preserves_unknown_action_keys(spark, tmp_path):
     state = fresh._replay_state()
     tagged = [a for a in state["adds"].values() if a.get("tags")]
     assert tagged and tagged[0]["tags"] == {"tier": "hot"}
+
+
+def test_delete_rebases_past_blind_append_and_deletes_its_rows(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 DELETE conflict resolution: a delete that loses the
+    version race to a pure blind append must NOT fail — its staged
+    actions read-set-validate against the head, the transaction
+    extends with a detection scan over just the interleaved files,
+    and the appended matching rows are deleted too (full
+    serializability; Delta WriteSerializable would let them
+    survive)."""
+    t = _mk(spark, tmp_path, n=10, files=2)  # k in 0..9, v = 2k
+    other = TxTable(spark, t.path, stat_cols=["k"])
+    competing = spark.createDataFrame(
+        [(3, -1), (200, -2)], "k long, v long"
+    )  # one matching, one surviving row
+    real_commit = TxTable._commit
+    state = {"injected": False}
+
+    def racing_commit(self, actions, expected_version, operation=None):
+        if not state["injected"] and self is t and operation == "DELETE":
+            state["injected"] = True
+            real_commit(other, other._stage(competing), expected_version)
+        return real_commit(self, actions, expected_version, operation=operation)
+
+    monkeypatch.setattr(TxTable, "_commit", racing_commit)
+    v = t.delete_where("k = 3 OR k = 5")
+    assert v == t.version() == 2  # create + injected append + delete
+    got = {r.k for r in t.snapshot().collect()}
+    # both the original k=3/k=5 AND the concurrently-appended k=3 die
+    assert 3 not in got and 5 not in got
+    assert 200 in got  # non-matching appended row survives
+    assert len(got) == 9  # 10 - {3,5} + {200}
+
+
+def test_delete_conflict_with_touching_writer_raises(
+    spark, tmp_path, monkeypatch
+):
+    """Read-set validation: a racing commit that REMOVED a file the
+    delete's detection scan read makes the staged rewrite stale — the
+    conflict must surface, never silently resurrect or double-delete
+    rows."""
+    t = _mk(spark, tmp_path, n=10, files=2)
+    other = TxTable(spark, t.path, stat_cols=["k"])
+    real_commit = TxTable._commit
+    state = {"injected": False}
+
+    def racing_commit(self, actions, expected_version, operation=None):
+        if not state["injected"] and self is t and operation == "DELETE":
+            state["injected"] = True
+            victim = os.path.relpath(other.files()[0], other.path)
+            real_commit(
+                other, [{"remove": {"path": victim}}], expected_version
+            )
+        return real_commit(self, actions, expected_version, operation=operation)
+
+    monkeypatch.setattr(TxTable, "_commit", racing_commit)
+    with pytest.raises(CommitConflictError):
+        t.delete_where("k >= 0")
+
+
+def test_delete_rebase_extends_cdc_and_dv_for_interleaved_files(
+    spark, tmp_path, monkeypatch
+):
+    """The rebase extension composes with merge-on-read + CDF: on a
+    deletionVectors+changeDataFeed table, the interleaved file's
+    matching row gets a vector (no rewrite) and a delete row in the
+    change feed, and the readerFeatures meta is staged exactly
+    once."""
+    t = TxTable(
+        spark,
+        str(tmp_path / "tbl"),
+        stat_cols=["k"],
+        deletion_vectors=True,
+        change_data=True,
+    )
+    t.create(
+        spark.range(10)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(2)
+    )
+    other = TxTable(spark, t.path, stat_cols=["k"])
+    competing = spark.createDataFrame([(5, -1), (300, -3)], "k long, v long")
+    real_commit = TxTable._commit
+    state = {"injected": False}
+
+    def racing_commit(self, actions, expected_version, operation=None):
+        if not state["injected"] and self is t and operation == "DELETE":
+            state["injected"] = True
+            real_commit(other, other._stage(competing), expected_version)
+        return real_commit(self, actions, expected_version, operation=operation)
+
+    monkeypatch.setattr(TxTable, "_commit", racing_commit)
+    v = t.delete_where("k = 5")
+    assert v == 2
+    got = {r.k for r in t.snapshot().collect()}
+    assert 5 not in got and 300 in got and len(got) == 10  # 10-1+2-1
+    # the feed sees BOTH k=5 deletes (original file + interleaved);
+    # changes(from, to) is from-EXCLUSIVE
+    feed = t.changes(v - 1, v).filter("_change_type = 'delete'").collect()
+    assert sorted(r.k for r in feed) == [5, 5]
+    # exactly one readerFeatures meta action landed in the commit
+    commit_file = os.path.join(t.path, "_txlog", f"{v:08d}.json")
+    actions = json.load(open(commit_file))
+    metas = [a for a in actions if "meta" in a]
+    assert len(metas) <= 1
