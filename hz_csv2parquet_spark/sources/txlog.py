@@ -1180,8 +1180,82 @@ class TxTable:
             except CommitConflictError:
                 if txn is not None and txn[1] in self.committed_txns(txn[0]):
                     return None  # a twin replay of this very batch won
+                # Stats-validated rebase (round 11): if every
+                # interleaved commit was a pure blind append whose
+                # files' logged ``prune_col`` ranges are DISJOINT
+                # from the update batch's key bounds, the staged
+                # rewrite is still exactly right — the new files
+                # provably contain no matching keys, and nothing the
+                # merge read moved. Re-commit the same actions on the
+                # head instead of re-running (or failing) the whole
+                # transaction. Overlapping or stats-less new files,
+                # or any touched read file, still mean a genuine
+                # re-merge.
+                v = self._rebase_if_disjoint_appends(
+                    actions, state, prune_col, bounds.lo, bounds.hi, "MERGE"
+                )
+                if v is not None:
+                    return v
                 if attempt == retries:
                     raise  # genuine conflict: caller must re-merge on a fresh snapshot
+
+    def _read_set_intact(self, state: dict, head: dict) -> bool:
+        """True iff every file live at ``state`` is live and
+        byte-identical at ``head`` and no table meta moved — i.e. the
+        only interleaved commits were pure blind appends, the one
+        conflict-matrix cell a staged rewrite survives."""
+        if (
+            head["schema"] != state["schema"]
+            or head["partitionColumns"] != state["partitionColumns"]
+            or head.get("properties") != state.get("properties")
+            or head["readerFeatures"] != state["readerFeatures"]
+        ):
+            return False
+        return all(
+            rel in head["adds"]
+            and _norm_action(head["adds"][rel]) == _norm_action(state["adds"][rel])
+            for rel in state["adds"]
+        )
+
+    def _rebase_if_disjoint_appends(
+        self,
+        actions: list[dict],
+        state: dict,
+        prune_col: str,
+        lo,
+        hi,
+        operation: str,
+    ) -> int | None:
+        """Commit ``actions`` against the moving head iff the read
+        set stayed intact and every interleaved new file's logged
+        ``prune_col`` stats range is disjoint from ``[lo, hi]`` (a
+        file without stats is conservatively overlapping). Returns
+        the committed version, or None when the conflict is genuine
+        and the caller must re-run."""
+        import random
+
+        for attempt in range(self._REBASE_ATTEMPTS):
+            head_v = self.version()
+            head = self._replay_state(as_of=head_v)
+            if not self._read_set_intact(state, head):
+                return None
+            for rel in head["adds"]:
+                if rel in state["adds"]:
+                    continue
+                stats = (head["adds"][rel].get("stats") or {}).get(prune_col)
+                if (
+                    stats is None
+                    or stats[0] is None
+                    or stats[1] is None
+                    or not (hi < stats[0] or lo > stats[1])
+                ):
+                    return None  # possible matching keys in the new file
+            try:
+                return self._commit(actions, head_v, operation=operation)
+            except CommitConflictError:
+                if attempt == self._REBASE_ATTEMPTS - 1:
+                    return None
+                time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
 
     def delete_where(
         self,
@@ -1276,19 +1350,8 @@ class TxTable:
                 head = self._replay_state(as_of=head_v)
                 if txn is not None and txn[1] in head["txns"].get(txn[0], set()):
                     return None  # a twin replay of this batch won
-                stale = [
-                    rel
-                    for rel in state["adds"]
-                    if rel not in head["adds"]
-                    or _norm_action(head["adds"][rel])
-                    != _norm_action(state["adds"][rel])
-                ]
                 if (
-                    stale
-                    or head["schema"] != state["schema"]
-                    or head["partitionColumns"] != state["partitionColumns"]
-                    or head.get("properties") != state.get("properties")
-                    or head["readerFeatures"] != state["readerFeatures"]
+                    not self._read_set_intact(state, head)
                     or attempt == self._REBASE_ATTEMPTS - 1
                 ):
                     raise

@@ -656,14 +656,19 @@ def test_append_rebases_lost_version_race(spark, tmp_path):
 
 
 def test_merge_retry_rebases_on_genuine_conflict(spark, tmp_path, monkeypatch):
-    """A merge that loses the version race to an UNRELATED writer is
-    stale (its rewrite was computed against a superseded snapshot).
-    With retries=0 the conflict surfaces; with retries=1 the whole
+    """A merge that loses the version race to a writer whose append
+    OVERLAPS its key bounds is stale (the new file may hold matching
+    keys, so the staged rewrite would duplicate them — round 11: a
+    provably-disjoint append now rebases instead, see
+    test_merge_rebases_past_disjoint_append_without_rerun). With
+    retries=0 the conflict surfaces; with retries=1 the whole
     transaction re-runs on the fresh snapshot — the concurrent
-    append's rows survive AND the merge's update applies."""
+    append's rows survive AND the merge's update applies to both
+    copies of the contested key."""
     t = _mk(spark, tmp_path, n=10, files=1)
     other = TxTable(spark, t.path, stat_cols=["k"])
-    competing = spark.createDataFrame([(50, 999)], "k long, v long")
+    # stats range [5, 50] overlaps the update bounds [5, 5]
+    competing = spark.createDataFrame([(5, 999), (50, 999)], "k long, v long")
     real_commit = TxTable._commit
     ups = spark.createDataFrame([(5, -5)], "k long, v long")
 
@@ -681,8 +686,9 @@ def test_merge_retry_rebases_on_genuine_conflict(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(TxTable, "_commit", make_racer())
     with pytest.raises(CommitConflictError):
         t.merge_upsert(ups, "k")  # default retries=0: caller owns policy
-    # the failed attempt changed nothing (its staged files are orphans)
-    assert {r.k: r.v for r in t.snapshot().collect()}[5] == 10
+    # the failed attempt changed nothing (its staged files are
+    # orphans): the original row AND the raced-in copy both stand
+    assert {r.v for r in t.snapshot().filter("k = 5").collect()} == {10, 999}
 
     monkeypatch.setattr(TxTable, "_commit", make_racer())
     v = t.merge_upsert(ups, "k", retries=1)
@@ -2013,3 +2019,74 @@ def test_delete_rebase_extends_cdc_and_dv_for_interleaved_files(
     actions = json.load(open(commit_file))
     metas = [a for a in actions if "meta" in a]
     assert len(metas) <= 1
+
+
+def test_merge_rebases_past_disjoint_append_without_rerun(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 stats-validated MERGE rebase: a merge losing the
+    version race to a blind append whose file stats are DISJOINT
+    from the update batch's key bounds re-commits its staged actions
+    on the head — no re-run, no error, even at retries=0. The
+    recompute counter: _commit is called exactly twice for the merge
+    (lost race + rebase), never a third time from a fresh
+    transaction."""
+    t = _mk(spark, tmp_path, n=10, files=1)  # k in 0..9
+    other = TxTable(spark, t.path, stat_cols=["k"])
+    # appended keys 500..509: provably outside the update bounds [5, 5]
+    competing = spark.range(500, 510).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    real_commit = TxTable._commit
+    state = {"injected": False, "merge_commits": 0}
+
+    def racing_commit(self, actions, expected_version, operation=None):
+        if operation == "MERGE":
+            state["merge_commits"] += 1
+        if not state["injected"] and self is t and operation == "MERGE":
+            state["injected"] = True
+            real_commit(other, other._stage(competing), expected_version)
+        return real_commit(self, actions, expected_version, operation=operation)
+
+    monkeypatch.setattr(TxTable, "_commit", racing_commit)
+    ups = spark.createDataFrame([(5, -5)], "k long, v long")
+    v = t.merge_upsert(ups, "k")  # retries=0: rebase, not retry
+    assert v == t.version() == 2
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[5] == -5  # merge applied
+    assert got[500] == -1 and len(got) == 20  # 10 + 10 appended
+    assert state["merge_commits"] == 2
+
+
+def test_merge_race_with_overlapping_append_still_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """A racing append whose stats range CONTAINS the update keys may
+    hold matching rows — the staged rewrite would leave two rows per
+    key. retries=0 must surface the conflict; retries=1 re-runs and
+    upserts BOTH copies away."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    other = TxTable(spark, t.path, stat_cols=["k"])
+    competing = spark.createDataFrame([(5, 777)], "k long, v long")
+    real_commit = TxTable._commit
+    ups = spark.createDataFrame([(5, -5)], "k long, v long")
+
+    def make_racer():
+        state = {"injected": False}
+
+        def racing_commit(self, actions, expected_version, operation=None):
+            if not state["injected"] and self is t and operation == "MERGE":
+                state["injected"] = True
+                real_commit(other, other._stage(competing), expected_version)
+            return real_commit(self, actions, expected_version, operation=operation)
+
+        return racing_commit
+
+    monkeypatch.setattr(TxTable, "_commit", make_racer())
+    with pytest.raises(CommitConflictError):
+        t.merge_upsert(ups, "k")
+    monkeypatch.setattr(TxTable, "_commit", make_racer())
+    v = t.merge_upsert(ups, "k", retries=1)
+    assert v == t.version()
+    rows = t.snapshot().filter("k = 5").collect()
+    assert [(r.k, r.v) for r in rows] == [(5, -5)]  # exactly one row
