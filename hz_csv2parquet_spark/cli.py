@@ -215,7 +215,9 @@ def cmd_table(args: argparse.Namespace) -> None:
 
     log = logging.getLogger("hz_csv2parquet_spark.cli")
     spark = _spark()
-    t = TxTable(spark, args.table, stat_cols=args.stat_cols.split(",") if args.stat_cols else [])
+    # no --stat-cols = auto (first-32-columns footer stats; [] would
+    # mean explicitly none — the TxTable contract)
+    t = TxTable(spark, args.table, stat_cols=args.stat_cols.split(",") if args.stat_cols else None)
     if args.action == "create":
         df = read_table(spark, args.src, fmt=_fmt_of(args.src))
         v = t.create(

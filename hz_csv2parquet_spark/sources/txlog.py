@@ -211,14 +211,30 @@ def _checkpoint_parquet(table_path: str, v: int) -> str:
     return os.path.join(_log_dir(table_path), f"{v:08d}.ckpt.parquet")
 
 
-def _file_stats(path: str, stat_cols: list[str]) -> tuple[int, dict]:
-    """(row count, {col: [min, max]}) from the parquet footer only."""
+#: Auto-stats column cap (the Delta default: stats on the first 32
+#: columns). Bounds the per-add JSON in the log on wide tables.
+_AUTO_STAT_COLS = 32
+
+
+def _file_stats(path: str, stat_cols: list[str] | None) -> tuple[int, dict]:
+    """(row count, {col: [min, max]}) from the parquet footer only.
+
+    ``stat_cols=None`` means AUTO (round 11, the Delta
+    dataSkippingNumIndexedCols shape): collect stats for the first
+    ``_AUTO_STAT_COLS`` file columns — every JSON-expressible
+    min/max the footer already carries is free pruning for MERGE/
+    DELETE, the DSv2 pushdown, and the disjoint-append rebase check.
+    Columns whose stats are absent, binary, or non-JSON (timestamps)
+    are skipped by the guards below either way; an explicit ``[]``
+    still means "no stats"."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     rows = pf.metadata.num_rows
     stats: dict[str, list] = {}
     idx = {pf.schema_arrow.field(i).name: i for i in range(len(pf.schema_arrow.names))}
+    if stat_cols is None:
+        stat_cols = list(pf.schema_arrow.names)[:_AUTO_STAT_COLS]
     for c in stat_cols:
         if c not in idx:
             continue
@@ -265,7 +281,10 @@ class TxTable:
     ):
         self.spark = spark
         self.path = path
-        self.stat_cols = list(stat_cols or [])
+        #: None = AUTO stats (first _AUTO_STAT_COLS columns, the
+        #: Delta default); [] = explicitly no stats; a list = exactly
+        #: those columns. See _file_stats.
+        self.stat_cols = list(stat_cols) if stat_cols is not None else None
         self.checkpoint_interval = max(1, int(checkpoint_interval))
         #: Change Data Feed: with ``change_data=True`` every verb that
         #: rewrites rows (MERGE, DELETE, RESTORE) also stages the

@@ -896,7 +896,14 @@ class _StagedParquetWriteMixin:
         rel = os.path.join(rel_dir, f"part-{_uuid.uuid4().hex}.parquet")
         pq.write_table(table, os.path.join(self.path, rel))
         stats = {}
-        for c in self.stat_cols:
+        # None = auto (first 32 columns, the TxTable/_file_stats
+        # contract); the JSON guard below drops binary/timestamp mins
+        cols = (
+            self.stat_cols
+            if self.stat_cols is not None
+            else list(table.column_names)[:32]
+        )
+        for c in cols:
             if c not in table.column_names:
                 continue
             col = table.column(c)
@@ -1013,7 +1020,11 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
         self._schema = schema
         self.overwrite = overwrite
         opts = {k.lower(): v for k, v in options.items()}
-        self.stat_cols = [c for c in str(opts.get("statcols", "")).split(",") if c]
+        self.stat_cols = (
+            [c for c in str(opts["statcols"]).split(",") if c]
+            if "statcols" in opts
+            else None  # auto-stats
+        )
         self.overwrite_schema = (
             str(opts.get("overwriteschema", "false")).lower() == "true"
         )
@@ -1088,9 +1099,11 @@ class _TxLogStreamWriter(_StagedParquetWriteMixin, DataSourceStreamArrowWriter):
         self._schema = schema
         opts = {k.lower(): v for k, v in options.items()}
         self.app_id = opts.get("appid", "hz_txlog_sink")
-        self.stat_cols = [
-            c for c in str(opts.get("statcols", "")).split(",") if c
-        ]
+        self.stat_cols = (
+            [c for c in str(opts["statcols"]).split(",") if c]
+            if "statcols" in opts
+            else None  # auto-stats
+        )
         self.partition_cols = self._resolve_partition_cols(opts)
         bad = [c for c in self.partition_cols if c not in schema.fieldNames()]
         if bad:
