@@ -322,7 +322,7 @@ def cmd_table(args: argparse.Namespace) -> None:
             st = StructType.fromJson(jsonmod.loads(state["schema"]))
             print("schema: " + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields))
     elif args.action == "export":
-        snap = t.snapshot(as_of=args.as_of)
+        snap = t.snapshot(as_of=args.as_of, as_of_timestamp=args.as_of_timestamp)
         write_table(snap, args.dest, fmt="parquet")
         log.info("exported version %s to %s", args.as_of if args.as_of is not None else t.version(), args.dest)
     elif args.action == "changes":
@@ -474,6 +474,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     t.add_argument("--dest", default=None, help="output directory for export")
     t.add_argument("--as-of", type=int, default=None, help="historical version for export")
+    t.add_argument(
+        "--as-of-timestamp",
+        default=None,
+        help="export: time travel to the latest version committed at or "
+        "before this epoch-seconds or ISO timestamp (Delta timestampAsOf)",
+    )
     t.add_argument("--target-files", type=int, default=1, help="compaction target file count")
     t.add_argument(
         "--max-file-rows",

@@ -834,11 +834,53 @@ class TxTable:
             return []
         return self._replay_state(as_of)["partitionColumns"]
 
-    def snapshot(self, as_of: int | None = None) -> DataFrame:
+    def version_at(self, timestamp: float | str) -> int:
+        """Latest committed version whose ``commitInfo`` wall-clock
+        is <= ``timestamp`` (epoch seconds or an ISO datetime) — the
+        Delta batch ``timestampAsOf`` resolution, vs the streaming
+        ``startingTimestamp`` rule which picks the FIRST version at
+        or after. Commits without commitInfo (bare internal commits)
+        are skipped. Raises when every timestamped commit is later.
+        Pure driver-side log metadata, O(versions)."""
+        if isinstance(timestamp, str):
+            try:
+                ts = float(timestamp)
+            except ValueError:
+                import datetime
+
+                ts = datetime.datetime.fromisoformat(timestamp).timestamp()
+        else:
+            ts = float(timestamp)
+        best = None
+        for v in range(self.version() + 1):
+            f = _version_file(self.path, v)
+            if not os.path.exists(f):
+                continue  # vacuumed log head
+            for action in json.load(open(f)):
+                if "commitInfo" in action:
+                    if float(action["commitInfo"].get("timestamp", 0)) <= ts:
+                        best = v
+                    break
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp} in {self.path}"
+            )
+        return best
+
+    def snapshot(
+        self,
+        as_of: int | None = None,
+        as_of_timestamp: float | str | None = None,
+    ) -> DataFrame:
         """DataFrame over exactly the log's live files (time travel
-        via ``as_of``). mergeSchema covers evolved generations —
-        every file's columns surface, missing ones null-fill;
-        deletion-vector positions are masked out."""
+        via ``as_of`` — a version — or ``as_of_timestamp``, resolved
+        through :meth:`version_at`). mergeSchema covers evolved
+        generations — every file's columns surface, missing ones
+        null-fill; deletion-vector positions are masked out."""
+        if as_of is not None and as_of_timestamp is not None:
+            raise ValueError("pass as_of OR as_of_timestamp, not both")
+        if as_of_timestamp is not None:
+            as_of = self.version_at(as_of_timestamp)
         state = self._replay_state(as_of)
         files = [os.path.join(self.path, p) for p in state["adds"]]
         if not files:

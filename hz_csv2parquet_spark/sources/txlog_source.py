@@ -759,15 +759,28 @@ class TxLogDataSource(DataSource):
     def _cdf(self) -> bool:
         return str(self.options.get("readchangefeed", "false")).lower() == "true"
 
-    def schema(self):
+    def _as_of(self) -> int | None:
+        """Batch time-travel version from ``asOf`` (a version) or
+        ``timestampAsOf`` (Delta's batch option — latest commit at or
+        before the timestamp, resolved via TxTable.version_at)."""
         as_of = self.options.get("asof")
+        ts = self.options.get("timestampasof")
+        if as_of is not None and ts is not None:
+            raise ValueError("pass asOf OR timestampAsOf, not both")
+        if ts is not None:
+            from .txlog import TxTable
+
+            return TxTable(None, self._path()).version_at(ts)
+        return int(as_of) if as_of is not None else None
+
+    def schema(self):
         if self._cdf():
             ev = self.options.get("endingversion")
             return _cdf_schema(self._path(), int(ev) if ev is not None else None)
-        return _schema_from_log(self._path(), int(as_of) if as_of is not None else None)
+        return _schema_from_log(self._path(), self._as_of())
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        as_of = self.options.get("asof")
+        as_of = self._as_of()
         split = self.options.get("splitrows")
         if self._cdf():
             sv = self.options.get("startingversion")

@@ -2120,3 +2120,49 @@ def test_auto_stats_default_records_footer_minmax(spark, tmp_path):
     assert all(
         a["stats"] == {} for a in none._replay_state()["adds"].values()
     )
+
+
+def test_timestamp_time_travel_resolves_latest_at_or_before(
+    spark, tmp_path, monkeypatch
+):
+    """Batch timestampAsOf (round 11): version_at picks the LATEST
+    commit at or before the timestamp (Delta's batch rule — the
+    streaming startingTimestamp picks the first at-or-after);
+    snapshot(as_of_timestamp=...) reads that version; earlier than
+    every commit raises; asOf + timestampAsOf together raise."""
+    import time as _time
+
+    from hz_csv2parquet_spark.sources import txlog as _mod
+
+    # pin commit wall-clocks: create@1000, append@2000, append@3000
+    clock = {"t": 1000.0}
+    monkeypatch.setattr(_mod.time, "time", lambda: clock["t"])
+    t = _mk(spark, tmp_path, n=10, files=1)
+    clock["t"] = 2000.0
+    t.append(spark.range(10, 20).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v")))
+    clock["t"] = 3000.0
+    t.append(spark.range(20, 30).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v")))
+
+    assert t.version_at(1000) == 0
+    assert t.version_at(2500.5) == 1  # between commits: latest before
+    assert t.version_at(9999) == 2
+    assert t.snapshot(as_of_timestamp=2500.5).count() == 20
+    # ISO datetime form parses too
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(2500.5).isoformat()
+    assert t.version_at(iso) == 1
+    with pytest.raises(ValueError):
+        t.version_at(999)  # earlier than the first commit
+    with pytest.raises(ValueError):
+        t.snapshot(as_of=1, as_of_timestamp=2500.5)
+    # DSv2 batch read honors the same option
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    df = (
+        spark.read.format("hz_txlog")
+        .option("timestampAsOf", "2500.5")
+        .load(t.path)
+    )
+    assert df.count() == 20
