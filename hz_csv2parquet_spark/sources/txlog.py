@@ -1701,19 +1701,20 @@ class TxTable:
         selective and ``pruned_files``/MERGE skip files after
         compaction instead of degrading to scan-everything.
 
-        ``zorder=[a, b]`` is the two-dimensional form (OPTIMIZE
-        ZORDER BY): the rewrite clusters on a TRANSIENT Morton
-        interleave of the two integer columns (operators/zorder.py)
-        and drops the key from the output — every file gets a
-        quad-tree-cell footprint, so stats prune on EITHER dimension
-        without storing a layout column in the table. Plain
+        ``zorder=[a, b, ...]`` is the multi-dimensional form
+        (OPTIMIZE ZORDER BY, any number of integer columns ≥ 2): the
+        rewrite clusters on a TRANSIENT k-ary Morton interleave
+        (operators/zorder.py ``morton_key_n``) and drops the key
+        from the output — every file gets a hyper-quadtree-cell
+        footprint, so stats prune on ANY of the dimensions without
+        storing a layout column in the table. Plain
         ``coalesce`` otherwise (no shuffle). Layout rewrites
         legitimately touch every in-scope file (re-sorting IS the
         point), so ``max_file_rows`` does not combine with them."""
         if zorder is not None and layout_key is not None:
             raise ValueError("pass layout_key or zorder, not both")
-        if zorder is not None and len(zorder) != 2:
-            raise ValueError("zorder takes exactly two integer columns")
+        if zorder is not None and len(zorder) < 2:
+            raise ValueError("zorder takes at least two integer columns")
         if max_file_rows is not None and (layout_key or zorder):
             raise ValueError(
                 "max_file_rows bin-packing does not combine with layout "
@@ -1798,11 +1799,11 @@ class TxTable:
         else:
             n_out = target_files
         if zorder is not None:
-            from ..operators.zorder import morton_key
+            from ..operators.zorder import morton_key_n
 
             zcol = "__hz_zorder"
             out = (
-                df.withColumn(zcol, morton_key(F.col(zorder[0]), F.col(zorder[1])))
+                df.withColumn(zcol, morton_key_n([F.col(c) for c in zorder]))
                 .repartitionByRange(n_out, zcol)
                 .sortWithinPartitions(zcol)
                 .drop(zcol)

@@ -2166,3 +2166,47 @@ def test_timestamp_time_travel_resolves_latest_at_or_before(
         .load(t.path)
     )
     assert df.count() == 20
+
+
+def test_compact_zorder_three_columns_prunes_every_dimension(spark, tmp_path):
+    """Round-11 k-ary ZORDER: compact(zorder=[a, b, c]) clusters on
+    a 3-way Morton interleave — footer stats prune narrow bands on
+    ANY of the three dimensions, from a hash-fragmented start that
+    prunes none. morton_key_n(k=2) stays bit-identical to the 2-col
+    morton_key the DuckDB oracle mirrors."""
+    from hz_csv2parquet_spark.operators.zorder import morton_key, morton_key_n
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    # full 16x16x16 grid, one row per cell, hash-fragmented on load
+    df = (
+        spark.range(4096)
+        .selectExpr(
+            "id",
+            "CAST(id % 16 AS BIGINT) AS a",
+            "CAST((id DIV 16) % 16 AS BIGINT) AS b",
+            "CAST(id DIV 256 AS BIGINT) AS c",
+        )
+        .repartition(8)
+    )
+    t.create(df)
+    for col in ("a", "b", "c"):
+        assert len(t.pruned_files(col, 0, 1)[1]) == 0  # hash layout: nothing skips
+    t.compact(target_files=16, zorder=["a", "b", "c"])
+    assert len(t.files()) == 16
+    for col in ("a", "b", "c"):
+        hit, miss = t.pruned_files(col, 0, 1)
+        assert len(miss) >= 6, (col, len(hit), len(miss))
+    assert t.snapshot().count() == 4096
+    assert "__hz_zorder" not in t.snapshot().columns  # transient key
+    # k=2 equivalence pin: same bit layout as the oracled morton_key
+    eq = (
+        spark.range(256)
+        .selectExpr("CAST(id % 16 AS BIGINT) AS x", "CAST(id DIV 16 AS BIGINT) AS y")
+        .select(
+            (morton_key(F.col("x"), F.col("y"), bits=4)
+             == morton_key_n([F.col("x"), F.col("y")], bits=4)).alias("same")
+        )
+        .agg(F.min("same"))
+        .collect()[0][0]
+    )
+    assert eq is True
