@@ -261,6 +261,114 @@ def _file_stats(path: str, stat_cols: list[str] | None) -> tuple[int, dict]:
     return rows, stats
 
 
+def _can_match_stats(node, stats: dict, pv: dict) -> bool:
+    """Conservative data-skipping: may ANY row of a file with logged
+    ``stats`` ({col: [min, max]}) and hive ``pv`` values satisfy the
+    parsed Catalyst predicate ``node``? Returns False only on PROOF
+    of no match (the Delta/Parquet can-match rewrite: ``c = v`` →
+    ``min <= v <= hi``, AND/OR recurse, everything unrecognized —
+    functions, NOT, IS NULL, non-literal sides — is True). Works on
+    the UNRESOLVED expression tree (py4j), driver-side, O(1) per
+    file; any walk/compare error means True. Nulls are sound by
+    construction: parquet min/max ignore nulls, and a comparison on
+    a null value is never TRUE, so bounds-excluded files cannot hide
+    a matching null row."""
+
+    def attr_bounds(name: str):
+        st = stats.get(name)
+        if st is not None and st[0] is not None and st[1] is not None:
+            return st[0], st[1]
+        v = pv.get(name)
+        if v is not None:
+            return v, v  # exact hive partition value
+        return None
+
+    def lit_value(n):
+        v = n.value()
+        if v is None:
+            return None, False
+        dt = n.dataType().simpleString()
+        if dt in ("int", "bigint", "smallint", "tinyint"):
+            return int(str(v)), True
+        if dt in ("double", "float") or dt.startswith("decimal"):
+            return float(str(v)), True
+        if dt == "string":
+            return str(v), True
+        return None, False  # date/timestamp/binary literal: no skip
+
+    def coerce(bound, v):
+        # logged stats and the literal must compare as the same kind;
+        # a numeric literal probes stringified pv/string stats as float
+        if isinstance(v, (int, float)) and isinstance(bound, str):
+            return float(bound)
+        return bound
+
+    def cmp_ok(name: str, op: str, v) -> bool:
+        b = attr_bounds(name)
+        if b is None:
+            return True
+        try:
+            lo, hi = coerce(b[0], v), coerce(b[1], v)
+            if op == "=":
+                return lo <= v <= hi
+            if op == "<":
+                return lo < v
+            if op == "<=":
+                return lo <= v
+            if op == ">":
+                return hi > v
+            if op == ">=":
+                return hi >= v
+        except (TypeError, ValueError):
+            return True
+        return True
+
+    _MIRROR = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+
+    def walk(n) -> bool:
+        cls = n.getClass().getSimpleName()
+        ch = n.children()
+        kids = [ch.apply(i) for i in range(ch.size())]
+        if cls == "And":
+            return walk(kids[0]) and walk(kids[1])
+        if cls == "Or":
+            return walk(kids[0]) or walk(kids[1])
+        ops = {
+            "EqualTo": "=",
+            "EqualNullSafe": "=",
+            "LessThan": "<",
+            "LessThanOrEqual": "<=",
+            "GreaterThan": ">",
+            "GreaterThanOrEqual": ">=",
+        }
+        if cls in ops and len(kids) == 2:
+            lc, rc = kids[0].getClass().getSimpleName(), kids[1].getClass().getSimpleName()
+            if lc == "UnresolvedAttribute" and rc == "Literal":
+                v, ok = lit_value(kids[1])
+                return cmp_ok(kids[0].name(), ops[cls], v) if ok else True
+            if lc == "Literal" and rc == "UnresolvedAttribute":
+                v, ok = lit_value(kids[0])
+                return (
+                    cmp_ok(kids[1].name(), _MIRROR[ops[cls]], v) if ok else True
+                )
+            return True
+        if cls == "In" and kids and kids[0].getClass().getSimpleName() == "UnresolvedAttribute":
+            name = kids[0].name()
+            for k in kids[1:]:
+                if k.getClass().getSimpleName() != "Literal":
+                    return True
+                v, ok = lit_value(k)
+                if not ok or cmp_ok(name, "=", v):
+                    return True
+            return False
+        return True  # NOT / IS NULL / functions / anything else
+
+    try:
+        return walk(node)
+    except Exception:  # py4j surprises: skipping is only an optimization
+        return True
+
+
 class TxTable:
     """A parquet table governed by the transaction log.
 
@@ -1378,7 +1486,8 @@ class TxTable:
         files = [os.path.join(self.path, rel) for rel in state["adds"]]
         if not files:
             return base
-        touched = self._detect_matches(files, state, pred)
+        pred_sql = predicate if isinstance(predicate, str) else None
+        touched = self._detect_matches(files, state, pred, pred_sql)
         actions: list[dict] = []
         if touched:
             actions.extend(
@@ -1422,6 +1531,7 @@ class TxTable:
                         [os.path.join(self.path, r) for r in new_rels],
                         head,
                         pred,
+                        pred_sql,
                     )
                     if new_touched:
                         ext = self._delete_actions(
@@ -1438,12 +1548,41 @@ class TxTable:
                 state, base = head, head_v
                 time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
 
-    def _detect_matches(self, files: list[str], state: dict, pred) -> list[str]:
+    def _detect_matches(
+        self, files: list[str], state: dict, pred, pred_sql: str | None = None
+    ) -> list[str]:
         """The DELETE detection scan: which of ``files`` hold LIVE
-        rows matching ``pred``. One distributed dv-masked,
-        pv-attached read — Catalyst pushes data-column predicates
-        into the parquet scans — and the driver receives only file
-        keys, O(files)."""
+        rows matching ``pred``. With a SQL-string predicate the log
+        stats pre-prune the candidate set DRIVER-SIDE first
+        (``_can_match_stats`` — the Delta data-skipping step: a
+        selective delete on a 100k-file table schedules zero scan
+        tasks for provably-unmatchable files); then one distributed
+        dv-masked, pv-attached read over the survivors — Catalyst
+        pushes data-column predicates into the parquet scans — and
+        the driver receives only file keys, O(files)."""
+        if pred_sql is not None and self.spark is not None:
+            node = None
+            try:
+                node = (
+                    self.spark._jsparkSession.sessionState()
+                    .sqlParser()
+                    .parseExpression(pred_sql)
+                )
+            except Exception:
+                pass  # unparseable via py4j: scan everything
+            if node is not None:
+                files = [
+                    f
+                    for f in files
+                    if _can_match_stats(
+                        node,
+                        (a := state["adds"].get(os.path.relpath(f, self.path), {})).get("stats")
+                        or {},
+                        a.get("partitionValues") or {},
+                    )
+                ]
+        if not files:
+            return []
         return [
             os.path.join(self.path, r["__hz_rel"])
             for r in self._read_files(

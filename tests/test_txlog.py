@@ -2210,3 +2210,69 @@ def test_compact_zorder_three_columns_prunes_every_dimension(spark, tmp_path):
         .collect()[0][0]
     )
     assert eq is True
+
+
+def test_delete_stats_skipping_prunes_detection_candidates(spark, tmp_path):
+    """Round-11 DELETE data skipping: with a SQL-string predicate the
+    log stats pre-prune the detection scan's candidate files
+    DRIVER-SIDE (the Delta data-skipping step). On a range-clustered
+    table, `k = <v>` hands the distributed scan exactly the one file
+    whose [min, max] covers v — and the delete result is unchanged."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.range(400)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    state = t._replay_state()
+    files = [os.path.join(t.path, rel) for rel in state["adds"]]
+    captured = {}
+    real = TxTable._read_files
+
+    def spy(self, fs, *a, **kw):
+        if kw.get("keep_rel"):
+            captured["files"] = list(fs)
+        return real(self, fs, *a, **kw)
+
+    TxTable._read_files = spy
+    try:
+        t.delete_where("k = 250")
+    finally:
+        TxTable._read_files = real
+    assert len(captured["files"]) == 1  # 3 of 4 files never scanned
+    assert t.snapshot().count() == 399
+    assert t.snapshot().filter("k = 250").count() == 0
+
+
+def test_stats_can_match_is_conservative_and_sound(spark, tmp_path):
+    """The can-match rewrite returns False only on proof: bounds
+    exclusion for =/</>/IN and conjunctions; True for NOT, IS NULL,
+    functions, incomparable types, absent stats, and hive partition
+    values count as exact stats."""
+    from hz_csv2parquet_spark.sources.txlog import _can_match_stats
+
+    parse = spark._jsparkSession.sessionState().sqlParser().parseExpression
+    st = {"k": [10, 20], "name": ["b", "f"]}
+    pv = {"p": "3"}
+
+    def can(sql, stats=st, p=pv):
+        return _can_match_stats(parse(sql), stats, p)
+
+    assert not can("k = 5") and can("k = 15") and not can("k = 25")
+    assert not can("k < 10") and can("k < 11")
+    assert not can("k > 20") and can("k >= 20")
+    assert not can("k = 5 OR k = 25") and can("k = 5 OR k = 12")
+    assert not can("k = 15 AND name = 'a'")
+    assert can("k = 15 AND name = 'c'")
+    assert not can("k IN (1, 2, 30)") and can("k IN (1, 15)")
+    # hive partition value is an exact [v, v] stat, numeric-coerced
+    assert can("p = 3") and not can("p = 4")
+    # conservative: negation, null checks, functions, no stats
+    assert can("NOT (k = 15)") and can("NOT (k = 5)")
+    assert can("k = 5 OR k IS NULL")
+    assert can("length(name) > 3")
+    assert can("unknown_col = 7")
+    assert can("k = 15", stats={})
+    # incomparable literal/stat kinds stay conservative
+    assert can("name = 5") and can("k = 'x'")
