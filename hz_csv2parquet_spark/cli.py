@@ -208,6 +208,8 @@ def cmd_table(args: argparse.Namespace) -> None:
         raise SystemExit("table changes requires --from-version")
     if args.action == "delete" and not args.where:
         raise SystemExit("table delete requires --where")
+    if args.action == "update" and not (args.where and args.set):
+        raise SystemExit("table update requires --where and --set")
     if args.action == "restore" and args.to_version is None:
         raise SystemExit("table restore requires --to-version")
     if args.retention_seconds is None:
@@ -286,6 +288,20 @@ def cmd_table(args: argparse.Namespace) -> None:
             v,
             len(before - after),
             len(before & after),
+        )
+    elif args.action == "update":
+        assigns = {}
+        for s in args.set:
+            col, _, expr = s.partition("=")
+            if not _:
+                raise SystemExit(f"--set needs col=expr, got {s!r}")
+            assigns[col.strip()] = expr.strip()
+        v = t.update_where(args.where, assigns)
+        log.info(
+            "updated rows matching %r with %s at version %s",
+            args.where,
+            assigns,
+            v,
         )
     elif args.action == "restore":
         v = t.restore(args.to_version)
@@ -460,6 +476,7 @@ def build_parser() -> argparse.ArgumentParser:
             "export",
             "changes",
             "delete",
+            "update",
             "restore",
             "describe",
             "set-properties",
@@ -497,8 +514,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--where",
         default=None,
-        help="delete: row predicate (SQL expression); compact: partition "
-        "scope over the partition columns",
+        help="delete/update: row predicate (SQL expression); compact: "
+        "partition scope over the partition columns",
+    )
+    t.add_argument(
+        "--set",
+        action="append",
+        default=None,
+        help="update: col=SQL-expression assignment (repeatable; the "
+        "expression sees the pre-update row)",
     )
     t.add_argument(
         "--to-version",

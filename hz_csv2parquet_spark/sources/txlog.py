@@ -1497,24 +1497,48 @@ class TxTable:
             return base  # nothing matched, nothing to record
         if txn is not None:
             actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
-        # Conflict resolution. A version race against commits that
-        # touched ANY file we read (delete, merge, compact, a new
-        # vector) or moved the table meta makes the staged rewrite
-        # stale — surface it, the caller re-runs on a fresh snapshot.
-        # But a race lost to pure BLIND APPENDS is resolvable here:
-        # the staged remove/add/dv/cdc actions still describe exactly
-        # the files they were computed from (read-set validation, the
-        # same rule OPTIMIZE uses), and the transaction is EXTENDED
-        # with a detection scan over just the interleaved new files —
-        # full serializability (the delete lands "after" the appends,
-        # and deletes their matching rows too) at O(new files) cost,
-        # one notch stronger than Delta's WriteSerializable default,
-        # which lets concurrently-appended matching rows survive.
+        return self._commit_dml_with_rebase(
+            actions,
+            state,
+            base,
+            txn,
+            pred,
+            pred_sql,
+            lambda tf, hs: self._delete_actions(tf, hs, pred, dv_on, cdf_on),
+            "DELETE",
+        )
+
+    def _commit_dml_with_rebase(
+        self,
+        actions: list[dict],
+        state: dict,
+        base: int,
+        txn: tuple[str, int] | None,
+        pred,
+        pred_sql: str | None,
+        build_actions,
+        operation: str,
+    ) -> int | None:
+        """Shared DELETE/UPDATE conflict resolution. A version race
+        against commits that touched ANY file we read (delete, merge,
+        compact, a new vector) or moved the table meta makes the
+        staged rewrite stale — surface it, the caller re-runs on a
+        fresh snapshot. But a race lost to pure BLIND APPENDS is
+        resolvable here: the staged remove/add/dv/cdc actions still
+        describe exactly the files they were computed from (read-set
+        validation, the same rule OPTIMIZE uses), and the transaction
+        is EXTENDED with a detection scan over just the interleaved
+        new files — ``build_actions(new_touched, head_state)``
+        supplies their action set, so the DML lands "after" the
+        appends and applies to their matching rows too: full
+        serializability at O(new files) cost, one notch stronger than
+        Delta's WriteSerializable default, which lets
+        concurrently-appended matching rows escape."""
         import random
 
         for attempt in range(self._REBASE_ATTEMPTS):
             try:
-                return self._commit(actions, base, operation="DELETE")
+                return self._commit(actions, base, operation=operation)
             except CommitConflictError:
                 head_v = self.version()
                 head = self._replay_state(as_of=head_v)
@@ -1534,9 +1558,7 @@ class TxTable:
                         pred_sql,
                     )
                     if new_touched:
-                        ext = self._delete_actions(
-                            new_touched, head, pred, dv_on, cdf_on
-                        )
+                        ext = build_actions(new_touched, head)
                         if any("meta" in a for a in actions):
                             # the readerFeatures meta is already
                             # staged once in this commit
@@ -1643,6 +1665,151 @@ class TxTable:
                 self._stage_cdc(
                     current.filter(pred.eqNullSafe(F.lit(True))).withColumn(
                         "_change_type", F.lit("delete")
+                    )
+                )
+            )
+        return actions
+
+    def update_where(
+        self,
+        predicate,
+        assignments: dict,
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
+        """``UPDATE ... SET ... WHERE``: rewrite every row matching
+        ``predicate`` with ``assignments`` ({column: SQL expression
+        or Column} — expressions see the OLD row, the UPDATE SET
+        contract), touching only files that contain matching rows.
+        The third Delta DML verb beside MERGE and DELETE.
+
+        Shares DELETE's whole machinery: the stats pre-prune for
+        SQL-string predicates (driver-side file skipping), the
+        dv-masked detection scan, both write modes — copy-on-write
+        (touched files rewritten with matched rows transformed) and
+        merge-on-read under ``deletionVectors`` (old positions get a
+        vector, transformed rows append as NEW files: O(updated
+        rows) written, nothing rewritten) — plus the blind-append
+        conflict extension (interleaved files' matching rows update
+        too) and the ``txn`` exactly-once marker. On a
+        ``changeDataFeed`` table the commit stages Delta's
+        ``update_preimage``/``update_postimage`` cdc rows.
+        Assignments cast to the column's committed type, so the
+        schema cannot drift; unknown columns raise. NULL predicate
+        rows are untouched (the same eqNullSafe three-valued rule as
+        DELETE). Returns like :meth:`delete_where`."""
+        from pyspark.sql.types import StructType
+
+        if txn is not None and txn[1] in self.committed_txns(txn[0]):
+            return None
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        base = self.version()
+        state = self._replay_state()
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        unknown = set(assignments) - {f.name for f in schema.fields}
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+        dv_on = self._prop_on(state, "deletionVectors", self.deletion_vectors)
+        cdf_on = self._prop_on(state, "changeDataFeed", self.change_data)
+        files = [os.path.join(self.path, rel) for rel in state["adds"]]
+        if not files:
+            return base
+        pred_sql = predicate if isinstance(predicate, str) else None
+        touched = self._detect_matches(files, state, pred, pred_sql)
+        actions: list[dict] = []
+        if touched:
+            actions.extend(
+                self._update_actions(
+                    touched, state, pred, assignments, dv_on, cdf_on
+                )
+            )
+        elif txn is None:
+            return base  # nothing matched, nothing to record
+        if txn is not None:
+            actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
+        return self._commit_dml_with_rebase(
+            actions,
+            state,
+            base,
+            txn,
+            pred,
+            pred_sql,
+            lambda tf, hs: self._update_actions(
+                tf, hs, pred, assignments, dv_on, cdf_on
+            ),
+            "UPDATE",
+        )
+
+    def _update_actions(
+        self,
+        touched: list[str],
+        state: dict,
+        pred,
+        assignments: dict,
+        dv_on: bool,
+        cdf_on: bool,
+    ) -> list[dict]:
+        """The action set applying ``assignments`` to
+        ``pred``-matching rows of ``touched`` files against
+        ``state`` — :meth:`_delete_actions`' sibling, same factoring
+        for the conflict-extension path."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        current = self._read_files(touched, state["adds"], state["schema"])
+        is_match = pred.eqNullSafe(F.lit(True))
+        matched = current.filter(is_match)
+        # every assignment sees the PRE-update row; casting to the
+        # committed type pins the schema. A pre-evolution touched
+        # file may lack later columns — null-fill them (the same
+        # alignment every mergeSchema read performs).
+        def out_col(f):
+            if f.name in assignments:
+                a = assignments[f.name]
+                return (
+                    (F.expr(a) if isinstance(a, str) else a)
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+            if f.name in matched.columns:
+                return F.col(f.name)
+            return F.lit(None).cast(f.dataType).alias(f.name)
+
+        updated = matched.select(*[out_col(f) for f in schema.fields])
+        actions: list[dict] = []
+        if dv_on:
+            # merge-on-read: mask the old positions, append the
+            # transformed rows as fresh files — O(updated rows)
+            actions.extend(
+                self._stage_dv(touched, state["adds"], pred, state["schema"])
+            )
+            if "deletionVectors" not in state["readerFeatures"]:
+                actions.append(
+                    {"meta": {"readerFeatures": sorted(
+                        state["readerFeatures"] | {"deletionVectors"}
+                    )}}
+                )
+            actions.extend(self._stage(updated, state["partitionColumns"]))
+        else:
+            rewritten = current.filter(~is_match).unionByName(
+                updated, allowMissingColumns=True
+            )
+            actions.extend(
+                self._stage(rewritten, state["partitionColumns"])
+            )
+            for f in touched:
+                actions.append(
+                    {"remove": {"path": os.path.relpath(f, self.path)}}
+                )
+        if cdf_on:
+            actions.extend(
+                self._stage_cdc(
+                    matched.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ).unionByName(
+                        updated.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        ),
+                        allowMissingColumns=True,
                     )
                 )
             )
@@ -2099,8 +2266,10 @@ class TxTable:
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Row-level change feed for commits in ``(from_version,
         to_version]`` — the lakehouse CDF shape: each returned row is
-        a table row plus ``_change_type`` (``insert``/``delete``; an
-        update surfaces as delete(old) + insert(new)) and
+        a table row plus ``_change_type`` (``insert``/``delete``;
+        :meth:`update_where` on a change_data table stages Delta's
+        ``update_preimage``/``update_postimage``; an update recovered
+        by content diff surfaces as delete(old) + insert(new)) and
         ``_commit_version``. The incremental-consumption primitive: a
         downstream job reads only what each commit changed, never the
         table.

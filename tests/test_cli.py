@@ -309,3 +309,30 @@ def test_cli_table_set_properties_and_selective_compact(tmp_path, spark):
     assert main(["table", "compact", tbl, "--max-file-rows", "1000"]) == 0
     assert not any(a.get("dv") for a in t._replay_state()["adds"].values())
     assert t.snapshot().count() == 19
+
+
+def test_cli_table_update(tmp_path, spark):
+    """table update --where --set: the UPDATE DML verb end-to-end
+    through the CLI (repeatable --set, expressions see the old row)."""
+    from hz_csv2parquet_spark.cli import main
+
+    src = tmp_path / "src"
+    spark.range(10).selectExpr(
+        "id AS k", "CAST(id * 2 AS BIGINT) AS v"
+    ).write.parquet(str(src))
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src)]) == 0
+    assert (
+        main(
+            ["table", "update", tbl, "--where", "k >= 8", "--set", "v=v+100"]
+        )
+        == 0
+    )
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    got = {r.k: r.v for r in TxTable(spark, tbl).snapshot().collect()}
+    assert got[8] == 116 and got[9] == 118 and got[0] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["table", "update", tbl, "--where", "k = 1"])  # no --set

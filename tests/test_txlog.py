@@ -1636,9 +1636,10 @@ def test_change_feed_reconstructs_every_snapshot(spark, tmp_path, cdf):
     t.evolve_schema(
         spark.createDataFrame([(200, 1, "x")], "k long, v long, tag string")
     )                                                   # v7: widening append
+    t.update_where("k = 4", {"v": "v + 1"})             # v8: dv UPDATE (pre/postimage)
 
     head = t.version()
-    assert head == 7
+    assert head == 8
     cols = None
     for v in range(head + 1):
         snap = t.snapshot(as_of=v)
@@ -1664,10 +1665,12 @@ def test_change_feed_reconstructs_every_snapshot(spark, tmp_path, cdf):
 
         snap_ms = Counter(norm(snap.toPandas(), cols))
         acc = Counter()
-        for kind in ("insert", "delete"):
+        # UPDATE feeds as update_preimage (−) / update_postimage (+),
+        # the Delta CDF vocabulary — same multiset algebra
+        for kind in ("insert", "update_postimage", "delete", "update_preimage"):
             side = feed[feed._change_type == kind]
             for row in norm(side, cols):
-                if kind == "insert":
+                if kind in ("insert", "update_postimage"):
                     acc[row] += 1
                 else:
                     acc[row] -= 1
@@ -2276,3 +2279,99 @@ def test_stats_can_match_is_conservative_and_sound(spark, tmp_path):
     assert can("k = 15", stats={})
     # incomparable literal/stat kinds stay conservative
     assert can("name = 5") and can("k = 'x'")
+
+
+def test_update_where_copy_on_write(spark, tmp_path):
+    """UPDATE ... SET (round 11, the third Delta DML verb):
+    copy-on-write mode rewrites only the touched files, assignments
+    see the PRE-update row and cast to the committed column type,
+    NULL-predicate rows are untouched (eqNullSafe), and unknown
+    assignment columns raise."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.createDataFrame(
+            [(i, 10 * i) for i in range(8)] + [(None, -1)],
+            "k long, v long",
+        ).repartitionByRange(3, "k")
+    )
+    files_before = set(t.files())
+    v = t.update_where("k >= 6", {"v": "v + k"})  # sees the old row
+    assert v == 1
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[6] == 66 and got[7] == 77  # 10k + k
+    assert got[5] == 50 and got[None] == -1  # untouched + NULL row safe
+    assert t.snapshot().count() == 9
+    # only the file(s) holding k>=6 moved
+    assert len(files_before & set(t.files())) >= 1
+    with pytest.raises(ValueError):
+        t.update_where("k = 1", {"nope": "1"})
+    # float expression casts back to the committed long type
+    t.update_where("k = 1", {"v": "v / 2"})
+    [r] = t.snapshot().filter("k = 1").collect()
+    assert r.v == 5 and t.snapshot().schema["v"].dataType.simpleString() == "bigint"
+
+
+def test_update_where_deletion_vectors_appends_transformed(spark, tmp_path):
+    """Merge-on-read UPDATE: old positions get a vector (no rewrite),
+    transformed rows append as NEW files — O(updated rows) written.
+    The original data files all stay live."""
+    t = TxTable(spark, str(tmp_path / "tbl"), deletion_vectors=True)
+    t.create(
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(2)
+    )
+    before = {os.path.relpath(f, t.path) for f in t.files()}
+    t.update_where("k < 10", {"v": "-k"})
+    state = t._replay_state()
+    after = set(state["adds"])
+    assert before <= after  # nothing rewritten away
+    assert any(state["adds"][rel].get("dv") for rel in before)  # masked
+    assert len(after - before) >= 1  # transformed rows landed as new adds
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[3] == -3 and got[50] == 100 and len(got) == 100
+
+
+def test_update_where_change_feed_pre_and_postimage(spark, tmp_path):
+    """On a changeDataFeed table UPDATE stages Delta's
+    update_preimage/update_postimage cdc rows — the feed shows the
+    old and new value of every touched row, nothing else."""
+    t = TxTable(spark, str(tmp_path / "tbl"), change_data=True)
+    t.create(
+        spark.createDataFrame([(i, 10 * i) for i in range(6)], "k long, v long")
+    )
+    v = t.update_where("k IN (2, 4)", {"v": "0"})
+    feed = t.changes(v - 1, v).collect()
+    pre = sorted((r.k, r.v) for r in feed if r._change_type == "update_preimage")
+    post = sorted((r.k, r.v) for r in feed if r._change_type == "update_postimage")
+    assert pre == [(2, 20), (4, 40)]
+    assert post == [(2, 0), (4, 0)]
+    assert all(
+        r._change_type in ("update_preimage", "update_postimage") for r in feed
+    )
+
+
+def test_update_rebases_past_blind_append_and_updates_its_rows(
+    spark, tmp_path, monkeypatch
+):
+    """UPDATE shares DELETE's conflict resolution: a race lost to a
+    blind append extends the transaction over the interleaved file,
+    so its matching rows are updated too."""
+    t = _mk(spark, tmp_path, n=10, files=1)  # k 0..9, v = 2k
+    other = TxTable(spark, t.path, stat_cols=["k"])
+    competing = spark.createDataFrame([(5, 1000), (300, -3)], "k long, v long")
+    real_commit = TxTable._commit
+    state = {"injected": False}
+
+    def racing_commit(self, actions, expected_version, operation=None):
+        if not state["injected"] and self is t and operation == "UPDATE":
+            state["injected"] = True
+            real_commit(other, other._stage(competing), expected_version)
+        return real_commit(self, actions, expected_version, operation=operation)
+
+    monkeypatch.setattr(TxTable, "_commit", racing_commit)
+    v = t.update_where("k = 5", {"v": "v + 1"})
+    assert v == t.version() == 2
+    vals = sorted(r.v for r in t.snapshot().filter("k = 5").collect())
+    assert vals == [11, 1001]  # both copies updated (+1 each)
+    assert t.snapshot().filter("k = 300").count() == 1
