@@ -2375,3 +2375,32 @@ def test_update_rebases_past_blind_append_and_updates_its_rows(
     vals = sorted(r.v for r in t.snapshot().filter("k = 5").collect())
     assert vals == [11, 1001]  # both copies updated (+1 each)
     assert t.snapshot().filter("k = 300").count() == 1
+
+
+def test_update_where_can_move_rows_across_partitions(spark, tmp_path):
+    """An UPDATE assigning a hive partition column relocates the
+    matched rows into their new partition directory (the staged
+    rewrite re-derives partitionValues); pruning through the
+    partition gate sees them at the new value and the old partition
+    keeps only its unmatched rows."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.createDataFrame(
+            [(i, i % 2, 10 * i) for i in range(10)], "k long, p int, v long"
+        ),
+        partition_by=["p"],
+    )
+    t.update_where("k IN (1, 3)", {"p": "2"})  # move two rows p=1 -> p=2
+    snap = t.snapshot()
+    assert {r.k for r in snap.filter("p = 2").collect()} == {1, 3}
+    assert {r.k for r in snap.filter("p = 1").collect()} == {5, 7, 9}
+    assert snap.count() == 10
+    # the new files' logged partitionValues say p=2
+    state = t._replay_state()
+    pvs = {
+        a.get("partitionValues", {}).get("p")
+        for a in state["adds"].values()
+    }
+    assert "2" in pvs
+    hit, miss = t.pruned_files("p", 2, 2)
+    assert hit and all("p=2" in f for f in hit)
