@@ -289,6 +289,14 @@ def cmd_table(args: argparse.Namespace) -> None:
             len(before - after),
             len(before & after),
         )
+    elif args.action == "convert":
+        v = t.convert_in_place()
+        log.info(
+            "converted %s in place at version %s (%d file(s) adopted, zero rewritten)",
+            args.table,
+            v,
+            len(t.files()),
+        )
     elif args.action == "update":
         assigns = {}
         for s in args.set:
@@ -480,6 +488,7 @@ def build_parser() -> argparse.ArgumentParser:
             "restore",
             "describe",
             "set-properties",
+            "convert",
         ),
     )
     t.add_argument("table", help="table directory (contains _txlog/)")

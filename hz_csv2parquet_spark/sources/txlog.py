@@ -799,6 +799,106 @@ class TxTable:
         actions.append({"meta": meta})
         return self._commit(actions, -1, operation="CREATE")
 
+    def convert_in_place(self) -> int:
+        """CONVERT TO DELTA shape: adopt an EXISTING plain-parquet
+        directory (flat or hive-partitioned) under transaction-log
+        governance without rewriting a byte. Version 0 is pure log
+        metadata: one add action per discovered file (footer stats
+        via the same concurrent driver-side reads as ``_stage``,
+        partitionValues parsed from ``col=value`` path segments),
+        plus the schema/partitionColumns/properties meta — after
+        which every TxTable verb (snapshot, time travel, MERGE,
+        DELETE, UPDATE, OPTIMIZE, vacuum, the DSv2 source) works on
+        the adopted files. The migration primitive a 100 TB estate
+        needs: adoption costs O(files) metadata, not O(table) I/O.
+
+        Files are RENAMED (a same-filesystem metadata operation —
+        data bytes are never read or copied) into one
+        ``data-convert*/`` staging directory, hive segments
+        preserved: the engine's table-relative file key is defined as
+        the last ``data-*/`` path suffix (see ``_DV_KEY_RE`` — that
+        contract keeps keys unique across hive dirs and relocation-
+        proof), so adopted files must live in the same layout every
+        other writer produces."""
+        if self.version() >= 0:
+            raise FileExistsError(f"table already exists at {self.path}")
+        found = sorted(
+            f
+            for f in glob.glob(
+                os.path.join(self.path, "**", "*.parquet"), recursive=True
+            )
+            if not os.path.relpath(f, self.path).startswith(("_", "."))
+            and not os.path.relpath(f, self.path).startswith("data-")
+        )
+        if not found:
+            raise FileNotFoundError(f"no parquet files to convert at {self.path}")
+        # hive partition columns derive from the path layout and must
+        # be consistent across every file
+        pv_found = {f: _pv_from_path(os.path.relpath(f, self.path)) for f in found}
+        key_sets = {tuple(pv) for pv in pv_found.values()}
+        if len(key_sets) > 1:
+            raise ValueError(
+                f"inconsistent hive partition layouts under {self.path}: "
+                f"{sorted(key_sets)}"
+            )
+        pcols = list(next(iter(key_sets)))
+        # rename into the staging layout (keys derive from the last
+        # data-*/ suffix); hive segments keep their place so pv
+        # parsing and partition pruning see the same paths
+        stage = f"data-convert{uuid.uuid4().hex[:12]}"
+        files, pv_of = [], {}
+        for f in found:
+            rel = os.path.relpath(f, self.path)
+            dst = os.path.join(self.path, stage, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(f, dst)
+            files.append(dst)
+            pv_of[dst] = pv_found[f]
+        # empty hive dirs left by the renames are cosmetic; sweep them
+        for seg in {os.path.dirname(f) for f in found}:
+            try:
+                if seg != self.path:
+                    os.removedirs(seg)
+            except OSError:
+                pass  # non-empty or root: leave it
+        # ONE spark read infers the schema (hive partition columns
+        # included and typed); the file contents are never touched
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(self.path, stage)
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+            footer = list(ex.map(lambda f: _file_stats(f, self.stat_cols), files))
+        actions: list[dict] = []
+        for f, (rows, stats) in zip(files, footer):
+            if rows == 0:
+                continue  # empty part file: not worth a log entry
+            add = {
+                "path": os.path.relpath(f, self.path),
+                "rows": rows,
+                "stats": stats,
+            }
+            if pcols:
+                add["partitionValues"] = pv_of[f]
+            actions.append({"add": add})
+        meta: dict = {"schema": df.schema.json()}
+        if pcols:
+            meta["partitionColumns"] = pcols
+        meta["properties"] = {
+            "changeDataFeed": self.change_data,
+            "deletionVectors": self.deletion_vectors,
+        }
+        features = set()
+        if pcols:
+            features.add("hivePartitioning")
+        if self.deletion_vectors:
+            features.add("deletionVectors")
+        if features:
+            meta["readerFeatures"] = sorted(features)
+        actions.append({"meta": meta})
+        return self._commit(actions, -1, operation="CONVERT")
+
     def append(self, df: DataFrame) -> int:
         """Blind append — add actions only, no reads rewritten.
 

@@ -336,3 +336,14 @@ def test_cli_table_update(tmp_path, spark):
 
     with _pytest.raises(SystemExit):
         main(["table", "update", tbl, "--where", "k = 1"])  # no --set
+
+
+def test_cli_table_convert(tmp_path, spark):
+    """table convert: in-place adoption of a plain parquet directory."""
+    from hz_csv2parquet_spark.cli import main
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    tbl = str(tmp_path / "plain")
+    spark.range(20).selectExpr("id AS k").write.parquet(tbl)
+    assert main(["table", "convert", tbl]) == 0
+    assert TxTable(spark, tbl).snapshot().count() == 20

@@ -2404,3 +2404,53 @@ def test_update_where_can_move_rows_across_partitions(spark, tmp_path):
     assert "2" in pvs
     hit, miss = t.pruned_files("p", 2, 2)
     assert hit and all("p=2" in f for f in hit)
+
+
+def test_convert_in_place_adopts_existing_parquet(spark, tmp_path):
+    """CONVERT TO DELTA shape (round 11): a plain parquet directory —
+    flat or hive-partitioned — comes under log governance with ZERO
+    data rewritten: version 0 is pure metadata (footer stats, parsed
+    partitionValues, inferred schema), and every verb works on the
+    adopted files afterwards."""
+    flat = str(tmp_path / "flat")
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").repartition(
+        3
+    ).write.parquet(flat)
+    before = {
+        os.path.basename(f): os.path.getsize(f)
+        for f in glob.glob(os.path.join(flat, "*.parquet"))
+    }
+    t = TxTable(spark, flat)
+    assert t.convert_in_place() == 0
+    # files were RENAMED into the staging layout, bytes untouched
+    after = {
+        os.path.basename(f): os.path.getsize(f)
+        for f in glob.glob(os.path.join(flat, "data-convert*", "*.parquet"))
+    }
+    assert after == before
+    assert t.snapshot().count() == 100
+    assert {r.k for r in t.snapshot().collect()} == set(range(100))
+    # auto-stats landed at adoption: pruning works immediately
+    state = t._replay_state()
+    assert all("k" in a["stats"] for a in state["adds"].values())
+    # and the table is live for DML
+    t.delete_where("k < 10")
+    assert t.snapshot().count() == 90
+    with pytest.raises(FileExistsError):
+        t.convert_in_place()
+
+    part = str(tmp_path / "part")
+    spark.createDataFrame(
+        [(i, i % 3, 10 * i) for i in range(30)], "k long, p int, v long"
+    ).write.partitionBy("p").parquet(part)
+    tp = TxTable(spark, part)
+    tp.convert_in_place()
+    assert tp.partition_columns() == ["p"]
+    assert "hivePartitioning" in tp._replay_state()["readerFeatures"]
+    snap = tp.snapshot()
+    assert snap.count() == 30 and "p" in snap.columns
+    assert snap.filter("p = 1").count() == 10
+    hit, miss = tp.pruned_files("p", 2, 2)
+    assert hit and miss  # partition values prune through the stats gate
+    tp.update_where("p = 2 AND k < 10", {"v": "-1"})
+    assert tp.snapshot().filter("v = -1").count() > 0
