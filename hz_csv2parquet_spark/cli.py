@@ -346,9 +346,14 @@ def cmd_table(args: argparse.Namespace) -> None:
             st = StructType.fromJson(jsonmod.loads(state["schema"]))
             print("schema: " + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in st.fields))
     elif args.action == "export":
-        snap = t.snapshot(as_of=args.as_of, as_of_timestamp=args.as_of_timestamp)
+        as_of = args.as_of
+        if args.as_of_timestamp is not None:
+            if as_of is not None:
+                raise SystemExit("pass --as-of OR --as-of-timestamp, not both")
+            as_of = t.version_at(args.as_of_timestamp)  # log the RESOLVED version
+        snap = t.snapshot(as_of=as_of)
         write_table(snap, args.dest, fmt="parquet")
-        log.info("exported version %s to %s", args.as_of if args.as_of is not None else t.version(), args.dest)
+        log.info("exported version %s to %s", as_of if as_of is not None else t.version(), args.dest)
     elif args.action == "changes":
         feed = t.changes(args.from_version, args.as_of)
         if args.dest:

@@ -216,6 +216,22 @@ def _checkpoint_parquet(table_path: str, v: int) -> str:
 _AUTO_STAT_COLS = 32
 
 
+def _parse_ts(raw) -> float:
+    """Epoch seconds from a float/int or an ISO datetime string —
+    THE timestamp-option parse, shared by batch ``timestampAsOf``
+    (:meth:`TxTable.version_at`) and the streaming
+    ``startingTimestamp`` (txlog_source), so the two surfaces can
+    never drift in how they read the same user string."""
+    if isinstance(raw, (int, float)):
+        return float(raw)
+    try:
+        return float(raw)
+    except ValueError:
+        import datetime
+
+        return datetime.datetime.fromisoformat(raw).timestamp()
+
+
 def _file_stats(path: str, stat_cols: list[str] | None) -> tuple[int, dict]:
     """(row count, {col: [min, max]}) from the parquet footer only.
 
@@ -261,27 +277,67 @@ def _file_stats(path: str, stat_cols: list[str] | None) -> tuple[int, dict]:
     return rows, stats
 
 
-def _can_match_stats(node, stats: dict, pv: dict) -> bool:
-    """Conservative data-skipping: may ANY row of a file with logged
-    ``stats`` ({col: [min, max]}) and hive ``pv`` values satisfy the
-    parsed Catalyst predicate ``node``? Returns False only on PROOF
-    of no match (the Delta/Parquet can-match rewrite: ``c = v`` →
-    ``min <= v <= hi``, AND/OR recurse, everything unrecognized —
-    functions, NOT, IS NULL, non-literal sides — is True). Works on
-    the UNRESOLVED expression tree (py4j), driver-side, O(1) per
-    file; any walk/compare error means True. Nulls are sound by
-    construction: parquet min/max ignore nulls, and a comparison on
-    a null value is never TRUE, so bounds-excluded files cannot hide
-    a matching null row."""
+_CMP_MIRROR = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
 
-    def attr_bounds(name: str):
-        st = stats.get(name)
-        if st is not None and st[0] is not None and st[1] is not None:
-            return st[0], st[1]
-        v = pv.get(name)
-        if v is not None:
-            return v, v  # exact hive partition value
-        return None
+_CMP_OPS = {
+    "EqualTo": "=",
+    "EqualNullSafe": "=",
+    "LessThan": "<",
+    "LessThanOrEqual": "<=",
+    "GreaterThan": ">",
+    "GreaterThanOrEqual": ">=",
+}
+
+
+def _cmp_bounds(bounds, op: str, v, exact: bool) -> bool:
+    """May any value in ``bounds = (lo, hi)`` satisfy ``value <op>
+    v``? Soundness rule for mixed kinds: lexicographic STRING
+    min/max do NOT bound the numeric casts of the values (file
+    ["100", "9"] has lo="100", hi="9" but numerically spans 9..100 —
+    skipping on float(lo/hi) would silently miss matching rows), so
+    a numeric literal against string RANGE stats never skips. An
+    ``exact`` bound (a hive partition value: lo == hi == the exact
+    stringified value) IS safely numeric-coercible. Any remaining
+    type mismatch is conservatively no-skip."""
+    lo, hi = bounds
+    if isinstance(v, (int, float)) and isinstance(lo, str):
+        if not exact:
+            return True
+        try:
+            lo = hi = float(lo)
+        except ValueError:
+            return True
+    if isinstance(v, str) and not isinstance(lo, str):
+        return True  # string literal vs numeric stats: no proof
+    try:
+        if op == "=":
+            return lo <= v <= hi
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+    except TypeError:
+        return True
+    return True
+
+
+def _compile_can_match(node):
+    """Compile the parsed (unresolved) Catalyst predicate ``node``
+    into a pure-Python ``can_match(stats, pv) -> bool`` — the
+    conservative Delta/Parquet data-skipping rewrite (``c = v`` →
+    ``min <= v <= max``, AND/OR recurse; everything unrecognized —
+    functions, NOT, IS NULL, non-literal sides — compiles to
+    always-True). The py4j tree is walked ONCE here; per-file
+    evaluation touches no JVM state, so skipping a 100k-file table
+    costs 100k Python calls, not millions of py4j round-trips.
+    Returns False only on PROOF of no match; nulls are sound by
+    construction (parquet min/max ignore nulls and a comparison on
+    null is never TRUE). Raises on py4j surprises — callers treat
+    that as "cannot skip"."""
 
     def lit_value(n):
         v = n.value()
@@ -296,75 +352,69 @@ def _can_match_stats(node, stats: dict, pv: dict) -> bool:
             return str(v), True
         return None, False  # date/timestamp/binary literal: no skip
 
-    def coerce(bound, v):
-        # logged stats and the literal must compare as the same kind;
-        # a numeric literal probes stringified pv/string stats as float
-        if isinstance(v, (int, float)) and isinstance(bound, str):
-            return float(bound)
-        return bound
+    TRUE = lambda stats, pv: True  # noqa: E731
 
-    def cmp_ok(name: str, op: str, v) -> bool:
-        b = attr_bounds(name)
-        if b is None:
-            return True
-        try:
-            lo, hi = coerce(b[0], v), coerce(b[1], v)
-            if op == "=":
-                return lo <= v <= hi
-            if op == "<":
-                return lo < v
-            if op == "<=":
-                return lo <= v
-            if op == ">":
-                return hi > v
-            if op == ">=":
-                return hi >= v
-        except (TypeError, ValueError):
-            return True
-        return True
+    def bounds_of(name: str, stats: dict, pv: dict):
+        st = stats.get(name)
+        if st is not None and st[0] is not None and st[1] is not None:
+            return (st[0], st[1]), False
+        v = pv.get(name)
+        if v is not None:
+            return (v, v), True  # exact hive partition value
+        return None, False
 
-    _MIRROR = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
+    def cmp_fn(name: str, op: str, v):
+        def f(stats, pv):
+            b, exact = bounds_of(name, stats, pv)
+            return True if b is None else _cmp_bounds(b, op, v, exact)
 
-    def walk(n) -> bool:
+        return f
+
+    def walk(n):
         cls = n.getClass().getSimpleName()
         ch = n.children()
         kids = [ch.apply(i) for i in range(ch.size())]
         if cls == "And":
-            return walk(kids[0]) and walk(kids[1])
+            l, r = walk(kids[0]), walk(kids[1])
+            return lambda stats, pv: l(stats, pv) and r(stats, pv)
         if cls == "Or":
-            return walk(kids[0]) or walk(kids[1])
-        ops = {
-            "EqualTo": "=",
-            "EqualNullSafe": "=",
-            "LessThan": "<",
-            "LessThanOrEqual": "<=",
-            "GreaterThan": ">",
-            "GreaterThanOrEqual": ">=",
-        }
-        if cls in ops and len(kids) == 2:
-            lc, rc = kids[0].getClass().getSimpleName(), kids[1].getClass().getSimpleName()
+            l, r = walk(kids[0]), walk(kids[1])
+            return lambda stats, pv: l(stats, pv) or r(stats, pv)
+        if cls in _CMP_OPS and len(kids) == 2:
+            lc = kids[0].getClass().getSimpleName()
+            rc = kids[1].getClass().getSimpleName()
             if lc == "UnresolvedAttribute" and rc == "Literal":
                 v, ok = lit_value(kids[1])
-                return cmp_ok(kids[0].name(), ops[cls], v) if ok else True
+                return cmp_fn(kids[0].name(), _CMP_OPS[cls], v) if ok else TRUE
             if lc == "Literal" and rc == "UnresolvedAttribute":
                 v, ok = lit_value(kids[0])
                 return (
-                    cmp_ok(kids[1].name(), _MIRROR[ops[cls]], v) if ok else True
+                    cmp_fn(kids[1].name(), _CMP_MIRROR[_CMP_OPS[cls]], v)
+                    if ok
+                    else TRUE
                 )
-            return True
+            return TRUE
         if cls == "In" and kids and kids[0].getClass().getSimpleName() == "UnresolvedAttribute":
             name = kids[0].name()
+            alts = []
             for k in kids[1:]:
                 if k.getClass().getSimpleName() != "Literal":
-                    return True
+                    return TRUE
                 v, ok = lit_value(k)
-                if not ok or cmp_ok(name, "=", v):
-                    return True
-            return False
-        return True  # NOT / IS NULL / functions / anything else
+                if not ok:
+                    return TRUE
+                alts.append(cmp_fn(name, "=", v))
+            return lambda stats, pv: any(a(stats, pv) for a in alts)
+        return TRUE  # NOT / IS NULL / functions / anything else
 
+    return walk(node)
+
+
+def _can_match_stats(node, stats: dict, pv: dict) -> bool:
+    """One-shot form of :func:`_compile_can_match` (tests use it);
+    hot paths compile once and evaluate per file."""
     try:
-        return walk(node)
+        return _compile_can_match(node)(stats, pv)
     except Exception:  # py4j surprises: skipping is only an optimization
         return True
 
@@ -822,50 +872,88 @@ class TxTable:
         other writer produces."""
         if self.version() >= 0:
             raise FileExistsError(f"table already exists at {self.path}")
-        found = sorted(
+        everything = sorted(
             f
             for f in glob.glob(
                 os.path.join(self.path, "**", "*.parquet"), recursive=True
             )
             if not os.path.relpath(f, self.path).startswith(("_", "."))
-            and not os.path.relpath(f, self.path).startswith("data-")
         )
-        if not found:
+        bare = [
+            f
+            for f in everything
+            if not os.path.relpath(f, self.path).startswith("data-")
+        ]
+        # files a previous, crashed/raced convert already staged: a
+        # re-run RESUMES them instead of raising "nothing to convert"
+        # (review finding — renames must never strand the directory)
+        staged = [
+            f
+            for f in everything
+            if os.path.relpath(f, self.path).startswith("data-convert")
+        ]
+        if not bare and not staged:
             raise FileNotFoundError(f"no parquet files to convert at {self.path}")
         # hive partition columns derive from the path layout and must
-        # be consistent across every file
-        pv_found = {f: _pv_from_path(os.path.relpath(f, self.path)) for f in found}
-        key_sets = {tuple(pv) for pv in pv_found.values()}
+        # be consistent across every file (the data-convert*/ staging
+        # segment carries no '=', so pv parsing sees through it)
+        pv_of = {
+            f: _pv_from_path(os.path.relpath(f, self.path))
+            for f in bare + staged
+        }
+        key_sets = {tuple(pv) for pv in pv_of.values()}
         if len(key_sets) > 1:
             raise ValueError(
                 f"inconsistent hive partition layouts under {self.path}: "
                 f"{sorted(key_sets)}"
             )
         pcols = list(next(iter(key_sets)))
-        # rename into the staging layout (keys derive from the last
-        # data-*/ suffix); hive segments keep their place so pv
-        # parsing and partition pruning see the same paths
+        # schema validation BEFORE any rename: incompatible
+        # generations or corrupt footers fail with the directory
+        # untouched. Each read roots at a pure-hive layout so Spark
+        # types the partition columns.
+        schema_json: str | None = None
+        stage_roots = sorted(
+            {
+                os.path.join(
+                    self.path,
+                    os.path.relpath(f, self.path).split(os.sep)[0],
+                )
+                for f in staged
+            }
+        )
+        # basePath pins partition discovery to each pure-hive root, so
+        # a mixed (resumed) directory never trips Spark's conflicting-
+        # directory-structure check
+        reads = ([(self.path, bare)] if bare else []) + [
+            (root, [root]) for root in stage_roots
+        ]
+        for base, paths in reads:
+            part = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", base)
+                .parquet(*paths)
+            )
+            schema_json = self.snapshot_schema_union(schema_json, part)
+        # rename bare files into the staging layout (keys derive from
+        # the last data-*/ suffix); hive segments keep their place so
+        # pv parsing and partition pruning see the same paths
         stage = f"data-convert{uuid.uuid4().hex[:12]}"
-        files, pv_of = [], {}
-        for f in found:
+        files = list(staged)
+        for f in bare:
             rel = os.path.relpath(f, self.path)
             dst = os.path.join(self.path, stage, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(f, dst)
             files.append(dst)
-            pv_of[dst] = pv_found[f]
+            pv_of[dst] = pv_of.pop(f)
         # empty hive dirs left by the renames are cosmetic; sweep them
-        for seg in {os.path.dirname(f) for f in found}:
+        for seg in {os.path.dirname(f) for f in bare}:
             try:
                 if seg != self.path:
                     os.removedirs(seg)
             except OSError:
                 pass  # non-empty or root: leave it
-        # ONE spark read infers the schema (hive partition columns
-        # included and typed); the file contents are never touched
-        df = self.spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(self.path, stage)
-        )
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
@@ -882,7 +970,7 @@ class TxTable:
             if pcols:
                 add["partitionValues"] = pv_of[f]
             actions.append({"add": add})
-        meta: dict = {"schema": df.schema.json()}
+        meta: dict = {"schema": schema_json}
         if pcols:
             meta["partitionColumns"] = pcols
         meta["properties"] = {
@@ -1050,15 +1138,7 @@ class TxTable:
         or after. Commits without commitInfo (bare internal commits)
         are skipped. Raises when every timestamped commit is later.
         Pure driver-side log metadata, O(versions)."""
-        if isinstance(timestamp, str):
-            try:
-                ts = float(timestamp)
-            except ValueError:
-                import datetime
-
-                ts = datetime.datetime.fromisoformat(timestamp).timestamp()
-        else:
-            ts = float(timestamp)
+        ts = _parse_ts(timestamp)
         best = None
         for v in range(self.version() + 1):
             f = _version_file(self.path, v)
@@ -1512,12 +1592,19 @@ class TxTable:
                 if rel in state["adds"]:
                     continue
                 stats = (head["adds"][rel].get("stats") or {}).get(prune_col)
-                if (
-                    stats is None
-                    or stats[0] is None
-                    or stats[1] is None
-                    or not (hi < stats[0] or lo > stats[1])
-                ):
+                try:
+                    disjoint = (
+                        stats is not None
+                        and stats[0] is not None
+                        and stats[1] is not None
+                        and (hi < stats[0] or lo > stats[1])
+                    )
+                except TypeError:
+                    # incomparable stat kinds (e.g. string stats vs a
+                    # numeric key after a type change): conservatively
+                    # overlapping — same rule as pruned_files
+                    disjoint = False
+                if not disjoint:
                     return None  # possible matching keys in the new file
             try:
                 return self._commit(actions, head_v, operation=operation)
@@ -1683,26 +1770,30 @@ class TxTable:
         pushes data-column predicates into the parquet scans — and
         the driver receives only file keys, O(files)."""
         if pred_sql is not None and self.spark is not None:
-            node = None
+            can_match = None
             try:
-                node = (
+                # compile the py4j tree ONCE; per-file checks below
+                # are pure Python (no JVM round-trips in the loop)
+                can_match = _compile_can_match(
                     self.spark._jsparkSession.sessionState()
                     .sqlParser()
                     .parseExpression(pred_sql)
                 )
             except Exception:
-                pass  # unparseable via py4j: scan everything
-            if node is not None:
-                files = [
-                    f
-                    for f in files
-                    if _can_match_stats(
-                        node,
-                        (a := state["adds"].get(os.path.relpath(f, self.path), {})).get("stats")
-                        or {},
-                        a.get("partitionValues") or {},
-                    )
-                ]
+                pass  # unparseable/walk surprise: scan everything
+            if can_match is not None:
+                kept = []
+                for f in files:
+                    a = state["adds"].get(os.path.relpath(f, self.path), {})
+                    try:
+                        ok = can_match(
+                            a.get("stats") or {}, a.get("partitionValues") or {}
+                        )
+                    except Exception:
+                        ok = True  # skipping is only an optimization
+                    if ok:
+                        kept.append(f)
+                files = kept
         if not files:
             return []
         return [

@@ -536,13 +536,11 @@ class _TxLogChangesBatchReader(DataSourceReader):
 
 
 def _ts_option(raw: str) -> float:
-    """startingTimestamp accepts epoch seconds or an ISO datetime."""
-    try:
-        return float(raw)
-    except ValueError:
-        import datetime
+    """startingTimestamp accepts epoch seconds or an ISO datetime —
+    one parse shared with batch timestampAsOf (txlog._parse_ts)."""
+    from .txlog import _parse_ts
 
-        return datetime.datetime.fromisoformat(raw).timestamp()
+    return _parse_ts(raw)
 
 
 def _version_at_or_after(path: str, ts: float) -> int:
@@ -909,12 +907,14 @@ class _StagedParquetWriteMixin:
         rel = os.path.join(rel_dir, f"part-{_uuid.uuid4().hex}.parquet")
         pq.write_table(table, os.path.join(self.path, rel))
         stats = {}
-        # None = auto (first 32 columns, the TxTable/_file_stats
-        # contract); the JSON guard below drops binary/timestamp mins
+        # None = auto (the TxTable/_file_stats contract); the JSON
+        # guard below drops binary/timestamp mins
+        from .txlog import _AUTO_STAT_COLS
+
         cols = (
             self.stat_cols
             if self.stat_cols is not None
-            else list(table.column_names)[:32]
+            else list(table.column_names)[:_AUTO_STAT_COLS]
         )
         for c in cols:
             if c not in table.column_names:

@@ -2279,6 +2279,16 @@ def test_stats_can_match_is_conservative_and_sound(spark, tmp_path):
     assert can("k = 15", stats={})
     # incomparable literal/stat kinds stay conservative
     assert can("name = 5") and can("k = 'x'")
+    # SOUNDNESS (review finding): lexicographic string RANGE stats do
+    # not bound numeric casts — file ["100", "9"] has lo="100",
+    # hi="9" but numerically spans 9..100; a numeric literal must
+    # never skip on string range stats
+    num_str = {"name": ["100", "9"]}
+    assert can("name = 50", stats=num_str, p={})
+    assert can("name < 10", stats=num_str, p={})
+    assert can("name IN (50)", stats=num_str, p={})
+    # hive pv is an EXACT value, so numeric coercion stays safe there
+    assert not can("p = 4") and can("p = 3")
 
 
 def test_update_where_copy_on_write(spark, tmp_path):
@@ -2454,3 +2464,25 @@ def test_convert_in_place_adopts_existing_parquet(spark, tmp_path):
     assert hit and miss  # partition values prune through the stats gate
     tp.update_where("p = 2 AND k < 10", {"v": "-1"})
     assert tp.snapshot().filter("v = -1").count() > 0
+
+
+def test_convert_in_place_resumes_after_partial_failure(spark, tmp_path):
+    """Review finding: convert renames files before committing; a
+    crash/race between rename and commit must not strand the
+    directory. A re-run ADOPTS already-staged data-convert*/ files —
+    including the mixed case where some files are still bare."""
+    part = str(tmp_path / "p")
+    spark.createDataFrame(
+        [(i, i % 2, 10 * i) for i in range(20)], "k long, p int, v long"
+    ).write.partitionBy("p").parquet(part)
+    t = TxTable(spark, part)
+    # simulate a convert that crashed after renaming ONE partition
+    stage = os.path.join(part, "data-convertdeadbeef0000")
+    os.makedirs(os.path.join(stage, "p=0"), exist_ok=True)
+    for f in glob.glob(os.path.join(part, "p=0", "*.parquet")):
+        os.rename(f, os.path.join(stage, "p=0", os.path.basename(f)))
+    assert t.convert_in_place() == 0  # resumes: staged + bare together
+    snap = t.snapshot()
+    assert snap.count() == 20
+    assert snap.filter("p = 0").count() == 10
+    assert snap.filter("p = 1").count() == 10
