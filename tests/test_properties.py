@@ -921,6 +921,7 @@ def test_exact_sum_is_partitioning_invariant(spark, vals, parts):
             st.tuples(st.just("append"), st.integers(0, 3)),
             st.tuples(st.just("merge"), st.integers(0, 3)),
             st.tuples(st.just("delete"), st.integers(0, 3)),
+            st.tuples(st.just("update"), st.integers(0, 3)),
             st.tuples(st.just("restore"), st.just(0)),
             st.tuples(st.just("compact"), st.just(0)),
         ),
@@ -929,13 +930,15 @@ def test_exact_sum_is_partitioning_invariant(spark, vals, parts):
     )
 )
 def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, ops):
-    """The round-10 feature stack composed: a HIVE-PARTITIONED table
-    with DELETION VECTORS and CHANGE-DATA sidecars under arbitrary
-    append / merge / merge-on-read delete / RESTORE / compaction
-    interleavings must equal the per-key dict replay — including time
-    travel to every version and feed-reconstructs-snapshot over cdc
-    sidecars (updates as delete+insert, dv deletes as exact rows,
-    restores as the inverse of what they undo, compaction silent)."""
+    """The round-10/11 feature stack composed: a HIVE-PARTITIONED
+    table with DELETION VECTORS and CHANGE-DATA sidecars under
+    arbitrary append / merge / merge-on-read delete / merge-on-read
+    UPDATE / RESTORE / compaction interleavings must equal the
+    per-key dict replay — including time travel to every version and
+    feed-reconstructs-snapshot over cdc sidecars (merges as
+    delete+insert, UPDATEs as update_preimage/update_postimage, dv
+    deletes as exact rows, restores as the inverse of what they undo,
+    compaction silent)."""
     from collections import Counter
 
     from hz_csv2parquet_spark.sources.txlog import TxTable
@@ -989,6 +992,17 @@ def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, 
                 continue  # no-match delete commits no version
             for k in victims:
                 del mirror[k]
+        elif op == "update":
+            lo = 10 * arg
+            hits = [k for k in mirror if lo <= k < lo + 5]
+            before = t.version()
+            t.update_where(
+                f"k >= {lo} AND k < {lo + 5}", {"v": str(500 + serial)}
+            )
+            if t.version() == before:
+                continue  # no-match update commits no version
+            for k in hits:
+                mirror[k] = (mirror[k][0], 500 + serial)
         elif op == "restore":
             tgt_v, tgt_state = history[len(history) // 2]
             before = t.version()
@@ -1007,8 +1021,16 @@ def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, 
     for (v0, _), (v1, _) in zip(history, history[1:]):
         feed = t.changes(v0, v1).collect()
         prev = Counter((r.k, r.p, r.v) for r in t.snapshot(as_of=v0).collect())
-        ins = Counter((r.k, r.p, r.v) for r in feed if r._change_type == "insert")
-        dels = Counter((r.k, r.p, r.v) for r in feed if r._change_type == "delete")
+        ins = Counter(
+            (r.k, r.p, r.v)
+            for r in feed
+            if r._change_type in ("insert", "update_postimage")
+        )
+        dels = Counter(
+            (r.k, r.p, r.v)
+            for r in feed
+            if r._change_type in ("delete", "update_preimage")
+        )
         assert dels <= prev, f"version {v1}: delete of a row not in prior snapshot"
         assert prev - dels + ins == Counter(
             (r.k, r.p, r.v) for r in t.snapshot(as_of=v1).collect()
