@@ -289,6 +289,22 @@ def cmd_table(args: argparse.Namespace) -> None:
             len(before - after),
             len(before & after),
         )
+    elif args.action in ("add-constraint", "drop-constraint"):
+        if not args.name:
+            raise SystemExit(f"table {args.action} requires --name")
+        if args.action == "add-constraint":
+            if not args.check:
+                raise SystemExit("table add-constraint requires --check")
+            v = t.add_constraint(args.name, args.check)
+            log.info(
+                "added constraint %s CHECK (%s) at version %s",
+                args.name,
+                args.check,
+                v,
+            )
+        else:
+            v = t.drop_constraint(args.name)
+            log.info("dropped constraint %s at version %s", args.name, v)
     elif args.action == "convert":
         v = t.convert_in_place()
         log.info(
@@ -336,6 +352,8 @@ def cmd_table(args: argparse.Namespace) -> None:
         print(f"stat columns: {', '.join(stat_cols) if stat_cols else '(none)'}")
         pcols = state.get("partitionColumns") or []
         print(f"partition columns: {', '.join(pcols) if pcols else '(none)'}")
+        for cname, cexpr in sorted((state.get("constraints") or {}).items()):
+            print(f"constraint {cname}: CHECK ({cexpr})")
         n_dv = sum(1 for a in state["adds"].values() if a.get("dv"))
         if n_dv:
             dead = sum(a["dv"].get("deleted", 0) for a in state["adds"].values() if a.get("dv"))
@@ -494,6 +512,8 @@ def build_parser() -> argparse.ArgumentParser:
             "describe",
             "set-properties",
             "convert",
+            "add-constraint",
+            "drop-constraint",
         ),
     )
     t.add_argument("table", help="table directory (contains _txlog/)")
@@ -537,6 +557,17 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="update: col=SQL-expression assignment (repeatable; the "
         "expression sees the pre-update row)",
+    )
+    t.add_argument(
+        "--name",
+        default=None,
+        help="add-constraint/drop-constraint: the constraint name",
+    )
+    t.add_argument(
+        "--check",
+        default=None,
+        help="add-constraint: the CHECK expression (SQL; existing data "
+        "is validated before the constraint commits)",
     )
     t.add_argument(
         "--to-version",

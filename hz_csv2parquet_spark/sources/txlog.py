@@ -216,6 +216,27 @@ def _checkpoint_parquet(table_path: str, v: int) -> str:
 _AUTO_STAT_COLS = 32
 
 
+def _expr_attr_names(spark, expr: str) -> set[str]:
+    """Column names referenced by a SQL expression (unresolved-parse
+    walk) — empty set on any parse/walk surprise, which callers treat
+    as 'reference everything'."""
+    try:
+        node = spark._jsparkSession.sessionState().sqlParser().parseExpression(expr)
+        out: set[str] = set()
+
+        def walk(n):
+            if n.getClass().getSimpleName() == "UnresolvedAttribute":
+                out.add(n.name())
+            ch = n.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+
+        walk(node)
+        return out
+    except Exception:
+        return set()
+
+
 def _parse_ts(raw) -> float:
     """Epoch seconds from a float/int or an ISO datetime string —
     THE timestamp-option parse, shared by batch ``timestampAsOf``
@@ -588,6 +609,7 @@ class TxTable:
             "schema": state["schema"],
             "partitionColumns": state["partitionColumns"],
             "properties": state["properties"],
+            "constraints": state.get("constraints", {}),
             "readerFeatures": sorted(state["readerFeatures"]),
             "txns": {app: sorted(ids) for app, ids in state["txns"].items()},
         }
@@ -646,6 +668,7 @@ class TxTable:
         schema: str | None = None
         pcols: list[str] = []
         props: dict = {}
+        constraints: dict = {}
         features: set[str] = set()
         txns: dict[str, set] = {}
         start = 0
@@ -657,12 +680,13 @@ class TxTable:
                 schema = snap["schema"]
                 pcols = snap.get("partitionColumns", [])
                 props = snap.get("properties", {})
+                constraints = snap.get("constraints", {})
                 features = set(snap.get("readerFeatures", []))
                 txns = {app: set(ids) for app, ids in snap["txns"].items()}
                 start = snap["version"] + 1
             except (OSError, ValueError, KeyError):
                 adds, schema, pcols, start = {}, None, [], 0  # full replay
-                props, features, txns = {}, set(), {}
+                props, constraints, features, txns = {}, {}, set(), {}
         for v in range(start, hi + 1):
             f = _version_file(self.path, v)
             if not os.path.exists(f):
@@ -684,6 +708,13 @@ class TxTable:
                         pcols = m["partitionColumns"]
                     if "properties" in m:
                         props.update(m["properties"])
+                    if "constraints" in m:
+                        # None value = DROP CONSTRAINT
+                        for cname, expr in m["constraints"].items():
+                            if expr is None:
+                                constraints.pop(cname, None)
+                            else:
+                                constraints[cname] = expr
                     if "readerFeatures" in m:
                         features.update(m["readerFeatures"])
                 elif "txn" in action:
@@ -702,6 +733,7 @@ class TxTable:
             "schema": schema,
             "partitionColumns": pcols,
             "properties": props,
+            "constraints": constraints,
             "readerFeatures": features,
             "txns": txns,
         }
@@ -1006,7 +1038,9 @@ class TxTable:
         committed) but an unbounded hot loop lets one caller starve
         indefinitely under sustained contention; past the cap the
         conflict surfaces and the caller owns the policy."""
-        adds = self._stage(df, self.partition_columns())
+        state = self._replay_state()
+        self._enforce_constraints(df, state)
+        adds = self._stage(df, state["partitionColumns"])
         return self._rebase_commit(adds, operation="APPEND")
 
     _REBASE_ATTEMPTS = 64
@@ -1053,6 +1087,69 @@ class TxTable:
             )
         return self._rebase_commit([{"meta": meta}], operation="SET-PROPERTIES")
 
+    def constraints(self) -> dict:
+        """{name: SQL expression} of the table's CHECK constraints."""
+        return dict(self._replay_state().get("constraints", {}))
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): existing data
+        is validated FIRST (one distributed scan — a constraint the
+        table already violates raises and commits nothing, the Delta
+        contract), then the constraint persists in the log meta and
+        every subsequent write (create/append/append_batch/MERGE/
+        UPDATE) enforces it. SQL three-valued semantics: a row
+        violates only when the expression is FALSE — NULL/unknown
+        passes, like standard CHECK."""
+        state = self._replay_state()
+        if name in state.get("constraints", {}):
+            raise ValueError(f"constraint {name!r} already exists")
+        F.expr(expr)  # parse now: a bad expression must not commit
+        files = [os.path.join(self.path, rel) for rel in state["adds"]]
+        if files:
+            current = self._read_files(files, state["adds"], state["schema"])
+            bad = current.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1)
+            if bad.count():
+                raise ValueError(
+                    f"cannot add constraint {name!r}: existing rows violate "
+                    f"CHECK ({expr})"
+                )
+        return self._rebase_commit(
+            [{"meta": {"constraints": {name: expr}}}],
+            operation="ADD-CONSTRAINT",
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT (None value in the meta action
+        removes it on replay)."""
+        if name not in self._replay_state().get("constraints", {}):
+            raise ValueError(f"no such constraint: {name!r}")
+        return self._rebase_commit(
+            [{"meta": {"constraints": {name: None}}}],
+            operation="DROP-CONSTRAINT",
+        )
+
+    def _enforce_constraints(self, df: DataFrame, state: dict) -> None:
+        """Raise if any incoming row violates a CHECK constraint —
+        called by every verb that introduces new row content, BEFORE
+        staging. One filter scan per constraint over only the new
+        frame (the Delta write-path invariant check)."""
+        for name, expr in (state.get("constraints") or {}).items():
+            cond = F.expr(expr)
+            missing = [
+                c
+                for c in _expr_attr_names(self.spark, expr)
+                if c not in df.columns
+            ]
+            if missing:
+                # a widening batch without the constrained column:
+                # the column null-fills, NULL passes CHECK
+                continue
+            if df.filter(cond.eqNullSafe(F.lit(False))).limit(1).count():
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated by the "
+                    "incoming batch"
+                )
+
     def append_batch(self, df: DataFrame, app_id: str, batch_id: int) -> int | None:
         """Idempotent append for streaming ``foreachBatch`` sinks —
         the exactly-once protocol every lakehouse sink uses over an
@@ -1067,6 +1164,7 @@ class TxTable:
         for a skipped duplicate."""
         if batch_id in self.committed_txns(app_id):
             return None
+        self._enforce_constraints(df, self._replay_state())
         actions = self._stage(df)
         actions.append({"txn": {"appId": app_id, "batchId": batch_id}})
         import random
@@ -1509,10 +1607,17 @@ class TxTable:
                 else:
                     matched = current.join(match_keys, keys, "left_semi")
                     resolved = resolve(matched, updates)
+                if attempt == 0:
+                    # kept rows passed CHECK when written (and
+                    # add_constraint validated history); only the new
+                    # content needs the scan — once, not per retry
+                    self._enforce_constraints(resolved, state)
                 rewritten = keep.unionByName(resolved, allowMissingColumns=True)
             else:
                 current = None
                 rewritten = updates
+                if attempt == 0:
+                    self._enforce_constraints(updates, state)
             actions.extend(self._stage(rewritten, state["partitionColumns"]))
             if self._prop_on(state, "changeDataFeed", self.change_data):
                 actions.extend(self._cdc_diff_actions(current, rewritten))
@@ -1557,6 +1662,7 @@ class TxTable:
             head["schema"] != state["schema"]
             or head["partitionColumns"] != state["partitionColumns"]
             or head.get("properties") != state.get("properties")
+            or head.get("constraints") != state.get("constraints")
             or head["readerFeatures"] != state["readerFeatures"]
         ):
             return False
@@ -1966,6 +2072,7 @@ class TxTable:
             return F.lit(None).cast(f.dataType).alias(f.name)
 
         updated = matched.select(*[out_col(f) for f in schema.fields])
+        self._enforce_constraints(updated, state)
         actions: list[dict] = []
         if dv_on:
             # merge-on-read: mask the old positions, append the

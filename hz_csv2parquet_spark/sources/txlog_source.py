@@ -897,10 +897,68 @@ class _StagedParquetWriteMixin:
             return "true" if v else "false"
         return v.isoformat() if hasattr(v, "isoformat") else str(v)
 
+    def _resolve_constraints(self) -> dict:
+        """The table's CHECK constraints at writer-construction time
+        (driver-side, session-less log replay) — serialized onto the
+        writer so the EXECUTOR batch path can enforce them."""
+        from .txlog import TxTable
+
+        t = TxTable(None, self.path)
+        if t.version() < 0:
+            return {}
+        return dict(t._replay_state().get("constraints") or {})
+
+    def _check_arrow(self, table, pv: dict | None) -> None:
+        """Executor-side CHECK enforcement on one staged Arrow batch
+        — the sink path has no SparkSession, so the expression runs
+        through DuckDB over the Arrow table (same ANSI comparison /
+        boolean semantics for the expressions CHECK uses;
+        ``COALESCE(expr, TRUE)`` gives SQL's NULL-passes rule).
+        Partition values rejoin as constants so constraints on
+        partition columns validate too. A constraint DuckDB cannot
+        evaluate fails CLOSED — silently unenforced invariants are
+        worse than a refused write."""
+        cons = getattr(self, "constraints", None)
+        if not cons:
+            return
+        import duckdb
+        import pyarrow as pa
+
+        batch = table
+        for col, val in (pv or {}).items():
+            if col not in batch.column_names:
+                batch = batch.append_column(
+                    col, pa.array([val] * len(batch))
+                )
+        con = duckdb.connect()
+        try:
+            con.register("staged_batch", batch)
+            for name, expr in cons.items():
+                try:
+                    n = con.execute(
+                        "SELECT count(*) FROM staged_batch "
+                        f"WHERE NOT COALESCE(({expr}), TRUE)"
+                    ).fetchone()[0]
+                except Exception as e:  # noqa: BLE001
+                    raise ValueError(
+                        f"cannot validate CHECK constraint {name!r} "
+                        f"({expr}) on the sink path: {e}; write via "
+                        "TxTable instead"
+                    ) from e
+                if n:
+                    raise ValueError(
+                        f"CHECK constraint {name!r} ({expr}) violated by "
+                        f"{n} row(s) in the incoming batch"
+                    )
+        finally:
+            con.close()
+
     def _stage_one(self, table, rel_dir: str, pv: dict | None):
         import uuid as _uuid
 
         import pyarrow.compute as pc
+
+        self._check_arrow(table, pv)
         import pyarrow.parquet as pq
 
         os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
@@ -1042,6 +1100,7 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
             str(opts.get("overwriteschema", "false")).lower() == "true"
         )
         self.partition_cols = self._resolve_partition_cols(opts)
+        self.constraints = self._resolve_constraints()
         bad = [c for c in self.partition_cols if c not in schema.fieldNames()]
         if bad:
             raise ValueError(f"partition columns not in the written schema: {bad}")
@@ -1118,6 +1177,7 @@ class _TxLogStreamWriter(_StagedParquetWriteMixin, DataSourceStreamArrowWriter):
             else None  # auto-stats
         )
         self.partition_cols = self._resolve_partition_cols(opts)
+        self.constraints = self._resolve_constraints()
         bad = [c for c in self.partition_cols if c not in schema.fieldNames()]
         if bad:
             raise ValueError(f"partition columns not in the streamed schema: {bad}")

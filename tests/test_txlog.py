@@ -2486,3 +2486,75 @@ def test_convert_in_place_resumes_after_partial_failure(spark, tmp_path):
     assert snap.count() == 20
     assert snap.filter("p = 0").count() == 10
     assert snap.filter("p = 1").count() == 10
+
+
+def test_check_constraints_enforced_on_every_write_verb(spark, tmp_path):
+    """CHECK constraints (round 11, the Delta invariant contract):
+    add_constraint validates EXISTING data first and commits nothing
+    on violation; once added, append / merge / update enforce it on
+    incoming rows (SQL three-valued semantics — NULL passes, only
+    FALSE violates); drop_constraint lifts it; the constraint
+    survives checkpointed replay."""
+    t = TxTable(spark, str(tmp_path / "tbl"), checkpoint_interval=2)
+    t.create(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, None)], "k long, v long"
+        )
+    )
+    # existing data violates -> refuse, nothing committed
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("v_big", "v > 15")
+    assert t.version() == 0 and t.constraints() == {}
+    # NULL passes CHECK (three-valued), so v > 0 is addable
+    v = t.add_constraint("v_pos", "v > 0")
+    assert v == 1 and t.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint("v_pos", "v > 1")
+    # append: violating batch refused, valid batch (incl. NULL) lands
+    with pytest.raises(ValueError, match="v_pos"):
+        t.append(spark.createDataFrame([(9, -1)], "k long, v long"))
+    t.append(spark.createDataFrame([(9, None), (10, 5)], "k long, v long"))
+    assert t.snapshot().count() == 5
+    # merge: a violating update batch is refused before any rewrite
+    with pytest.raises(ValueError, match="v_pos"):
+        t.merge_upsert(
+            spark.createDataFrame([(1, -5)], "k long, v long"), "k"
+        )
+    assert {r.v for r in t.snapshot().filter("k = 1").collect()} == {10}
+    # update: a violating assignment is refused
+    with pytest.raises(ValueError, match="v_pos"):
+        t.update_where("k = 2", {"v": "-v"})
+    t.update_where("k = 2", {"v": "v + 1"})
+    assert t.snapshot().filter("k = 2").collect()[0].v == 21
+    # cross a checkpoint boundary, then a FRESH handle still enforces
+    t.append(spark.createDataFrame([(11, 1)], "k long, v long"))
+    t2 = TxTable(spark, t.path)
+    assert t2.constraints() == {"v_pos": "v > 0"}
+    with pytest.raises(ValueError, match="v_pos"):
+        t2.append(spark.createDataFrame([(12, 0)], "k long, v long"))
+    # drop lifts enforcement
+    t2.drop_constraint("v_pos")
+    t2.append(spark.createDataFrame([(12, -9)], "k long, v long"))
+    assert t2.snapshot().filter("v = -9").count() == 1
+    with pytest.raises(ValueError, match="no such constraint"):
+        t2.drop_constraint("v_pos")
+
+
+def test_check_constraints_gate_the_dsv2_sink(spark, tmp_path):
+    """The hz_txlog batch writer enforces CHECK constraints at driver
+    commit time (one read of just the staged files) — a violating
+    DataFrame write raises and commits nothing."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.createDataFrame([(1, 10)], "k long, v long"))
+    t.add_constraint("v_pos", "v > 0")
+    bad = spark.createDataFrame([(2, -1)], "k long, v long")
+    with pytest.raises(Exception, match="v_pos"):
+        bad.write.format("hz_txlog").mode("append").save(t.path)
+    assert t.snapshot().count() == 1  # nothing committed
+    spark.createDataFrame([(2, 7)], "k long, v long").write.format(
+        "hz_txlog"
+    ).mode("append").save(t.path)
+    assert {r.v for r in t.snapshot().collect()} == {10, 7}
