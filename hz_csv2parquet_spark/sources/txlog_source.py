@@ -927,9 +927,19 @@ class _StagedParquetWriteMixin:
         batch = table
         for col, val in (pv or {}).items():
             if col not in batch.column_names:
-                batch = batch.append_column(
-                    col, pa.array([val] * len(batch))
-                )
+                arr = pa.array([val] * len(batch))
+                # hive values are stringified — cast back to the
+                # write schema's type so the CHECK compares typed
+                # values (DuckDB refuses VARCHAR-vs-integer)
+                schema = getattr(self, "_schema", None)
+                if schema is not None and col in schema.fieldNames():
+                    from pyspark.sql.pandas.types import to_arrow_type
+
+                    try:
+                        arr = arr.cast(to_arrow_type(schema[col].dataType))
+                    except Exception:  # noqa: BLE001
+                        pass  # keep string; unevaluable fails closed below
+                batch = batch.append_column(col, arr)
         con = duckdb.connect()
         try:
             con.register("staged_batch", batch)

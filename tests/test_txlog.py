@@ -2558,3 +2558,53 @@ def test_check_constraints_gate_the_dsv2_sink(spark, tmp_path):
         "hz_txlog"
     ).mode("append").save(t.path)
     assert {r.v for r in t.snapshot().collect()} == {10, 7}
+
+
+def test_sink_constraint_validates_partition_columns(spark, tmp_path):
+    """The executor-side sink gate rejoins hive partition values as
+    constants before running the CHECK through DuckDB — a constraint
+    on a PARTITION column enforces on the partitioned sink path."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.createDataFrame([(1, 1, 10)], "k long, p int, v long"),
+        partition_by=["p"],
+    )
+    t.add_constraint("p_small", "p < 5")
+    bad = spark.createDataFrame([(2, 9, 20)], "k long, p int, v long")
+    with pytest.raises(Exception, match="p_small"):
+        bad.write.format("hz_txlog").mode("append").save(t.path)
+    assert t.snapshot().count() == 1
+    spark.createDataFrame([(2, 3, 20)], "k long, p int, v long").write.format(
+        "hz_txlog"
+    ).mode("append").save(t.path)
+    assert t.snapshot().count() == 2
+
+
+def test_interleaved_constraint_conflicts_a_dml_rebase(
+    spark, tmp_path, monkeypatch
+):
+    """A constraint committed BETWEEN a DML's staging and its commit
+    makes the staged rows unvalidated — read-set validation must
+    surface the conflict instead of rebasing past it."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    other = TxTable(spark, t.path, stat_cols=["k"])
+    real_commit = TxTable._commit
+    state = {"injected": False}
+
+    def racing_commit(self, actions, expected_version, operation=None):
+        if not state["injected"] and self is t and operation == "UPDATE":
+            state["injected"] = True
+            real_commit(
+                other,
+                [{"meta": {"constraints": {"v_cap": "v < 1000"}}}],
+                expected_version,
+                operation="ADD-CONSTRAINT",
+            )
+        return real_commit(self, actions, expected_version, operation=operation)
+
+    monkeypatch.setattr(TxTable, "_commit", racing_commit)
+    with pytest.raises(CommitConflictError):
+        t.update_where("k = 5", {"v": "v + 1"})
