@@ -103,7 +103,9 @@ class TableFeatureError(RuntimeError):
 #: ``readerFeatures`` naming anything outside this set makes every
 #: read path (snapshot, changes, DSv2 source) raise
 #: :class:`TableFeatureError` instead of misreading the table.
-SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "hivePartitioning"})
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "hivePartitioning", "columnMapping"}
+)
 
 
 def _pv_from_path(rel_path: str) -> dict[str, str | None]:
@@ -141,6 +143,78 @@ def pv_cast(value: str | None, data_type):
 
         return datetime.date.fromisoformat(value)
     return value
+
+
+# ---------------- column mapping (metadata-only rename/drop) -------
+#
+# The Delta columnMapping contract (reference: Delta protocol's
+# name-mode mapping): everything under the table's data directory —
+# parquet column names, hive partition dirs, the ``partitionValues``
+# and ``stats`` keys on add actions — stores PHYSICAL names that
+# never change after a column is created; the committed ``schema``
+# meta, constraints, and every user-facing predicate speak LOGICAL
+# names. A ``columnMapping`` meta action holds the logical→physical
+# map, so RENAME and DROP COLUMN are one O(1) metadata commit — at
+# 100 TB the alternative is rewriting every data file. Before the
+# first rename/drop the mapping is absent and physical == logical.
+
+
+def _cm_map(mapping: dict | None) -> dict[str, str]:
+    """logical→physical name map ({} = mapping off / identity)."""
+    return dict((mapping or {}).get("physical") or {})
+
+
+def _cm_rev(mapping: dict | None) -> dict[str, str]:
+    """physical→logical (inverse of :func:`_cm_map`)."""
+    return {p: l for l, p in _cm_map(mapping).items()} if mapping else {}
+
+
+def _rename_df(df: DataFrame, names: dict[str, str]) -> DataFrame:
+    """Rename columns in ONE projection (atomic — immune to the
+    chained-rename ambiguity of sequential ``withColumnRenamed``
+    when an old name equals another rename's new name). Columns
+    outside ``names`` pass through, order preserved."""
+    if not any(c in names and names[c] != c for c in df.columns):
+        return df
+    return df.select(*[F.col(c).alias(names.get(c, c)) for c in df.columns])
+
+
+def _to_physical_df(df: DataFrame, mapping: dict | None) -> DataFrame:
+    return _rename_df(df, _cm_map(mapping)) if mapping else df
+
+
+def _to_logical_df(df: DataFrame, mapping: dict | None) -> DataFrame:
+    return _rename_df(df, _cm_rev(mapping)) if mapping else df
+
+
+def _rekey_logical(d: dict | None, mapping: dict | None) -> dict:
+    """Re-key a physical-keyed per-file dict (stats/partitionValues)
+    to logical names so pruning compares against user predicates."""
+    if not d or not mapping:
+        return d or {}
+    rev = _cm_rev(mapping)
+    return {rev.get(k, k): v for k, v in d.items()}
+
+
+def _scan_to_logical(
+    df: DataFrame, mapping: dict | None, keep_extra: tuple = ()
+) -> DataFrame:
+    """physical→logical for a raw file scan. Orphan physicals
+    (dropped-column residue in old files) are pruned BEFORE the
+    rename — a later re-added column may reuse the dropped logical
+    name, and renaming first would collide two columns. ``__hz_*``
+    internals and ``keep_extra`` columns pass through."""
+    if not mapping:
+        return df
+    rev = _cm_rev(mapping)
+    keep = [
+        c
+        for c in df.columns
+        if c in rev or c in keep_extra or c.startswith("__hz_")
+    ]
+    if len(keep) < len(df.columns):
+        df = df.select(*keep)
+    return _rename_df(df, rev)
 
 
 #: SQL expression extracting a file's table-relative key from
@@ -611,6 +685,7 @@ class TxTable:
             "properties": state["properties"],
             "constraints": state.get("constraints", {}),
             "readerFeatures": sorted(state["readerFeatures"]),
+            "columnMapping": state.get("columnMapping"),
             "txns": {app: sorted(ids) for app, ids in state["txns"].items()},
         }
         table = table.replace_schema_metadata(
@@ -671,6 +746,7 @@ class TxTable:
         constraints: dict = {}
         features: set[str] = set()
         txns: dict[str, set] = {}
+        mapping: dict | None = None
         start = 0
         ckpts = [c for c in self._checkpoint_versions() if c <= hi]
         if ckpts:
@@ -682,11 +758,13 @@ class TxTable:
                 props = snap.get("properties", {})
                 constraints = snap.get("constraints", {})
                 features = set(snap.get("readerFeatures", []))
+                mapping = snap.get("columnMapping")
                 txns = {app: set(ids) for app, ids in snap["txns"].items()}
                 start = snap["version"] + 1
             except (OSError, ValueError, KeyError):
                 adds, schema, pcols, start = {}, None, [], 0  # full replay
                 props, constraints, features, txns = {}, {}, set(), {}
+                mapping = None
         for v in range(start, hi + 1):
             f = _version_file(self.path, v)
             if not os.path.exists(f):
@@ -717,6 +795,10 @@ class TxTable:
                                 constraints[cname] = expr
                     if "readerFeatures" in m:
                         features.update(m["readerFeatures"])
+                    if "columnMapping" in m:
+                        # whole-value replace (RESTORE commits None
+                        # to roll an upgrade back)
+                        mapping = m["columnMapping"]
                 elif "txn" in action:
                     txns.setdefault(action["txn"]["appId"], set()).add(
                         action["txn"]["batchId"]
@@ -735,6 +817,7 @@ class TxTable:
             "properties": props,
             "constraints": constraints,
             "readerFeatures": features,
+            "columnMapping": mapping,
             "txns": txns,
         }
 
@@ -745,14 +828,32 @@ class TxTable:
 
     # ---------------- write path ----------------
 
-    def _stage(self, df: DataFrame, partition_by: list[str] | None = None) -> list[dict]:
+    def _stage(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        mapping: dict | None = None,
+    ) -> list[dict]:
         """Write ``df``'s partitions as parquet into a fresh staging
         subdir and return their add actions (footer stats only). With
         ``partition_by`` the write is hive-layout (``partitionBy``)
         and each add action records its ``partitionValues`` — exact
         per-file values the readers reattach as literal columns and
         the planners prune on (the Delta add-action shape; partition
-        columns are NOT stored in the data files)."""
+        columns are NOT stored in the data files).
+
+        ``mapping`` is the caller's replayed ``columnMapping``:
+        ``df`` arrives in LOGICAL names and everything written —
+        parquet columns, hive dirs, hence partitionValues and stats
+        keys — is PHYSICAL, so a later RENAME never touches data."""
+        stat_cols = self.stat_cols
+        if mapping:
+            phys = _cm_map(mapping)
+            df = _to_physical_df(df, mapping)
+            if partition_by:
+                partition_by = [phys.get(c, c) for c in partition_by]
+            if stat_cols:
+                stat_cols = [phys.get(c, c) for c in stat_cols]
         stage = os.path.join(self.path, f"data-{uuid.uuid4().hex[:12]}")
         w = df.write.mode("errorifexists")
         if partition_by:
@@ -772,7 +873,7 @@ class TxTable:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-            footer = list(ex.map(lambda f: _file_stats(f, self.stat_cols), files))
+            footer = list(ex.map(lambda f: _file_stats(f, stat_cols), files))
         adds = []
         for f, (rows, stats) in zip(files, footer):
             if rows == 0:
@@ -788,12 +889,16 @@ class TxTable:
             adds.append(add)
         return adds
 
-    def _stage_cdc(self, feed: DataFrame) -> list[dict]:
+    def _stage_cdc(self, feed: DataFrame, mapping: dict | None = None) -> list[dict]:
         """Write a change feed (table columns + ``_change_type``) as
         parquet sidecars under ``_change_data/`` and return their
         ``cdc`` actions. cdc files are NOT part of the snapshot —
         replay ignores them; they exist so change consumers never
-        re-derive row-level diffs from data files."""
+        re-derive row-level diffs from data files. Sidecars store
+        PHYSICAL column names (``mapping``), same as data files, so
+        :meth:`changes` can serve feeds spanning a RENAME under one
+        (current-logical) schema."""
+        feed = _to_physical_df(feed, mapping)
         stage = os.path.join(
             self.path, "_change_data", f"cdc-{uuid.uuid4().hex[:12]}"
         )
@@ -822,7 +927,12 @@ class TxTable:
             ]
         )
 
-    def _cdc_diff_actions(self, old: DataFrame | None, new: DataFrame) -> list[dict]:
+    def _cdc_diff_actions(
+        self,
+        old: DataFrame | None,
+        new: DataFrame,
+        mapping: dict | None = None,
+    ) -> list[dict]:
         """Stage the row-level change set of a copy-on-write rewrite:
         inserts = new ∖ old, deletes = old ∖ new (multiset EXCEPT ALL,
         so rows a rewrite merely relocated cancel — identical to the
@@ -840,7 +950,7 @@ class TxTable:
                     old_a.exceptAll(new).withColumn("_change_type", F.lit("delete"))
                 )
             )
-        return self._stage_cdc(feed)
+        return self._stage_cdc(feed, mapping=mapping)
 
     def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Version 0: data files + schema meta in one commit. With
@@ -1040,7 +1150,9 @@ class TxTable:
         conflict surfaces and the caller owns the policy."""
         state = self._replay_state()
         self._enforce_constraints(df, state)
-        adds = self._stage(df, state["partitionColumns"])
+        adds = self._stage(
+            df, state["partitionColumns"], mapping=state.get("columnMapping")
+        )
         return self._rebase_commit(adds, operation="APPEND")
 
     _REBASE_ATTEMPTS = 64
@@ -1106,7 +1218,12 @@ class TxTable:
         F.expr(expr)  # parse now: a bad expression must not commit
         files = [os.path.join(self.path, rel) for rel in state["adds"]]
         if files:
-            current = self._read_files(files, state["adds"], state["schema"])
+            current = self._read_files(
+                files,
+                state["adds"],
+                state["schema"],
+                mapping=state.get("columnMapping"),
+            )
             bad = current.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1)
             if bad.count():
                 raise ValueError(
@@ -1164,8 +1281,9 @@ class TxTable:
         for a skipped duplicate."""
         if batch_id in self.committed_txns(app_id):
             return None
-        self._enforce_constraints(df, self._replay_state())
-        actions = self._stage(df)
+        state = self._replay_state()
+        self._enforce_constraints(df, state)
+        actions = self._stage(df, mapping=state.get("columnMapping"))
         actions.append({"txn": {"appId": app_id, "batchId": batch_id}})
         import random
 
@@ -1192,13 +1310,147 @@ class TxTable:
     def evolve_schema(self, df: DataFrame) -> int:
         """Append a batch whose schema is a SUPERSET (or subset) of
         the table's: the commit records the UNION schema in a meta
-        action; readers null-fill missing columns (mergeSchema)."""
+        action; readers null-fill missing columns (mergeSchema).
+        Under column mapping, brand-new columns get FRESH physical
+        names (``col-<id>``) so a previously dropped column's residue
+        in old files can never resurrect under a reused logical
+        name."""
         base = self.version()
-        actions = self._stage(df, self.partition_columns())
-        _, old_schema = self._replay()
-        merged = self.snapshot_schema_union(old_schema, df)
-        actions.append({"meta": {"schema": merged}})
+        state = self._replay_state()
+        mapping = state.get("columnMapping")
+        merged = self.snapshot_schema_union(state["schema"], df)
+        meta: dict = {"schema": merged}
+        if mapping:
+            mapping = self._extend_mapping(mapping, merged)
+            meta["columnMapping"] = mapping
+        actions = self._stage(df, state["partitionColumns"], mapping=mapping)
+        actions.append({"meta": meta})
         return self._commit(actions, base, operation="EVOLVE-SCHEMA")
+
+    @staticmethod
+    def _extend_mapping(mapping: dict, schema_json: str) -> dict:
+        """``mapping`` extended to cover every field of
+        ``schema_json`` — brand-new logical columns get fresh
+        ``col-<id>`` physical names (never a reused one, so a dropped
+        column's residue cannot resurrect; ids skip past user columns
+        literally named ``col-<n>``)."""
+        from pyspark.sql.types import StructType
+
+        phys = _cm_map(mapping)
+        max_id = int(mapping.get("maxId", 0))
+        taken = set(phys.values())
+        for fld in StructType.fromJson(json.loads(schema_json)).fields:
+            if fld.name not in phys:
+                max_id += 1
+                while f"col-{max_id}" in taken:
+                    max_id += 1
+                phys[fld.name] = f"col-{max_id}"
+                taken.add(f"col-{max_id}")
+        return {"mode": "name", "physical": phys, "maxId": max_id}
+
+    def _mapping_for_ddl(self, state: dict) -> dict:
+        """The table's columnMapping, upgrading on first use: absent
+        mapping → identity map over the committed schema (every
+        existing column's physical name is its current name — exactly
+        the Delta upgrade rule, so data already written stays
+        readable without rewrites)."""
+        from pyspark.sql.types import StructType
+
+        mapping = state.get("columnMapping")
+        if mapping:
+            return {
+                "mode": "name",
+                "physical": _cm_map(mapping),
+                "maxId": int(mapping.get("maxId", 0)),
+            }
+        names = [
+            f.name for f in StructType.fromJson(json.loads(state["schema"])).fields
+        ]
+        return {"mode": "name", "physical": {n: n for n in names}, "maxId": 0}
+
+    def _refuse_constrained_column(self, state: dict, col: str, verb: str) -> None:
+        for cname, cexpr in (state.get("constraints") or {}).items():
+            if col in _expr_attr_names(self.spark, cexpr):
+                raise ValueError(
+                    f"cannot {verb} column {col!r}: CHECK constraint "
+                    f"{cname!r} references it — drop the constraint first"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — one metadata-only commit, no
+        data file touched (the Delta columnMapping name-mode rename:
+        the logical schema changes, the column keeps its physical
+        name forever). First use upgrades the table: the mapping meta
+        lands and ``columnMapping`` joins the required reader
+        features, so a mapping-unaware reader fails closed instead of
+        serving stale names. Renaming a partition column is legal —
+        hive dirs and partitionValues keys are physical and stay
+        put; only the ``partitionColumns`` meta moves."""
+        from pyspark.sql.types import StructField, StructType
+
+        base = self.version()
+        state = self._replay_state()
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._refuse_constrained_column(state, old, "rename")
+        mapping = self._mapping_for_ddl(state)
+        phys = mapping["physical"]
+        phys[new] = phys.pop(old)
+        fields = [
+            StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+        meta = {
+            "schema": StructType(fields).json(),
+            "columnMapping": mapping,
+            "readerFeatures": sorted(
+                set(state["readerFeatures"]) | {"columnMapping"}
+            ),
+        }
+        if old in state["partitionColumns"]:
+            meta["partitionColumns"] = [
+                new if c == old else c for c in state["partitionColumns"]
+            ]
+        return self._commit([{"meta": meta}], base, operation="RENAME-COLUMN")
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only, O(1): the column
+        leaves the logical schema and the mapping; its bytes linger
+        in existing files but no read path can surface them (readers
+        prune physicals the mapping no longer names). Dropping a
+        partition column is refused — partition pruning and hive
+        layout would silently diverge."""
+        from pyspark.sql.types import StructType
+
+        base = self.version()
+        state = self._replay_state()
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name!r}")
+        if name in state["partitionColumns"]:
+            raise ValueError(f"cannot drop partition column {name!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's last column")
+        self._refuse_constrained_column(state, name, "drop")
+        mapping = self._mapping_for_ddl(state)
+        mapping["physical"].pop(name, None)
+        meta = {
+            "schema": StructType(
+                [f for f in schema.fields if f.name != name]
+            ).json(),
+            "columnMapping": mapping,
+            "readerFeatures": sorted(
+                set(state["readerFeatures"]) | {"columnMapping"}
+            ),
+        }
+        return self._commit([{"meta": meta}], base, operation="DROP-COLUMN")
 
     @staticmethod
     def snapshot_schema_union(old_json: str | None, df: DataFrame) -> str:
@@ -1276,7 +1528,12 @@ class TxTable:
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(state["schema"]))
             )
-        return self._read_files(files, state["adds"], state["schema"])
+        return self._read_files(
+            files,
+            state["adds"],
+            state["schema"],
+            mapping=state.get("columnMapping"),
+        )
 
     def _read_files(
         self,
@@ -1284,6 +1541,7 @@ class TxTable:
         adds: dict[str, dict] | None = None,
         schema_json: str | None = None,
         keep_rel: str | None = None,
+        mapping: dict | None = None,
     ) -> DataFrame:
         """Read data files, reattaching hive partition values and
         masking any deletion-vector positions the log attaches — THE
@@ -1314,18 +1572,35 @@ class TxTable:
         ``schema_json`` is the CALLER's replayed schema (time travel
         must reattach partition values with the historical types and
         column order, not the head's — and threading it avoids a
-        redundant full replay per read)."""
+        redundant full replay per read). ``mapping`` is the caller's
+        replayed ``columnMapping``: files store PHYSICAL names, the
+        returned frame is LOGICAL — renamed in one projection, with
+        physical columns the mapping no longer names (DROP COLUMN
+        residue in old files) pruned so dropped data never
+        resurrects."""
         if adds is None:
             state = self._replay_state()
             adds = state["adds"]
             schema_json = schema_json or state["schema"]
+            mapping = state.get("columnMapping")
+
+        def to_logical(df: DataFrame) -> DataFrame:
+            return _scan_to_logical(
+                df, mapping, keep_extra=(keep_rel,) if keep_rel else ()
+            )
+
         dv_of = {
             os.path.join(self.path, rel): a["dv"]
             for rel, a in adds.items()
             if a.get("dv")
         }
         pv_of = {
-            os.path.join(self.path, rel): a["partitionValues"]
+            # partitionValues keys are physical (hive dirs) — re-key
+            # to logical so pv columns attach under the names the
+            # caller's schema speaks
+            os.path.join(self.path, rel): _rekey_logical(
+                a["partitionValues"], mapping
+            )
             for rel, a in adds.items()
             if a.get("partitionValues")
         }
@@ -1343,7 +1618,9 @@ class TxTable:
             if len(groups) > _PV_UNION_MAX:
                 pcols = sorted({c for pv in pv_of.values() for c in pv})
                 rel = keep_rel or "__hz_rel"
-                out = self._read_files_core(files, dv_of, rel_col=rel).join(
+                out = to_logical(
+                    self._read_files_core(files, dv_of, rel_col=rel)
+                ).join(
                     F.broadcast(self._pv_frame(files, pv_of, pcols, types, rel)),
                     rel,
                     "left",
@@ -1353,7 +1630,9 @@ class TxTable:
             else:
                 parts: list[DataFrame] = []
                 for key, fs in groups.items():
-                    df = self._read_files_core(fs, dv_of, rel_col=keep_rel)
+                    df = to_logical(
+                        self._read_files_core(fs, dv_of, rel_col=keep_rel)
+                    )
                     for col, val in key:
                         dt = types.get(col)
                         lit = F.lit(pv_cast(val, dt)) if dt is not None else F.lit(val)
@@ -1368,7 +1647,7 @@ class TxTable:
             ordered = [fld.name for fld in schema.fields if fld.name in out.columns]
             extra = [c for c in out.columns if c not in ordered]
             return out.select(*ordered, *extra)
-        return self._read_files_core(files, dv_of, rel_col=keep_rel)
+        return to_logical(self._read_files_core(files, dv_of, rel_col=keep_rel))
 
     def _pv_frame(
         self,
@@ -1469,6 +1748,8 @@ class TxTable:
         re-replay."""
         if state is None:
             state = self._replay_state(as_of)
+        # log stats/pv are keyed physical; ``col`` is logical
+        col = _cm_map(state.get("columnMapping")).get(col, col)
         hit, miss = [], []
         for p, add in state["adds"].items():
             st = add.get("stats", {}).get(col)
@@ -1598,8 +1879,20 @@ class TxTable:
                 prune_col, bounds.lo, bounds.hi, state=state
             )
             actions: list[dict] = []
+            mapping = state.get("columnMapping")
+            old_schema = state["schema"]
+            merged_schema = self.snapshot_schema_union(old_schema, updates)
+            if mapping and merged_schema != old_schema:
+                # a widening batch needs fresh physical ids BEFORE the
+                # stage writes the new columns
+                mapping = self._extend_mapping(mapping, merged_schema)
             if touched:
-                current = self._read_files(touched, state["adds"], state["schema"])
+                current = self._read_files(
+                    touched,
+                    state["adds"],
+                    state["schema"],
+                    mapping=state.get("columnMapping"),
+                )
                 match_keys = updates.select(*keys).distinct()
                 keep = current.join(match_keys, keys, "left_anti")
                 if resolve is None:
@@ -1618,15 +1911,20 @@ class TxTable:
                 rewritten = updates
                 if attempt == 0:
                     self._enforce_constraints(updates, state)
-            actions.extend(self._stage(rewritten, state["partitionColumns"]))
+            actions.extend(
+                self._stage(rewritten, state["partitionColumns"], mapping=mapping)
+            )
             if self._prop_on(state, "changeDataFeed", self.change_data):
-                actions.extend(self._cdc_diff_actions(current, rewritten))
+                actions.extend(
+                    self._cdc_diff_actions(current, rewritten, mapping=mapping)
+                )
             for f in touched:
                 actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
-            old_schema = state["schema"]
-            merged_schema = self.snapshot_schema_union(old_schema, updates)
             if merged_schema != old_schema:
-                actions.append({"meta": {"schema": merged_schema}})
+                meta = {"schema": merged_schema}
+                if mapping is not state.get("columnMapping"):
+                    meta["columnMapping"] = mapping
+                actions.append({"meta": meta})
             if txn is not None:
                 actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
             try:
@@ -1664,6 +1962,7 @@ class TxTable:
             or head.get("properties") != state.get("properties")
             or head.get("constraints") != state.get("constraints")
             or head["readerFeatures"] != state["readerFeatures"]
+            or head.get("columnMapping") != state.get("columnMapping")
         ):
             return False
         return all(
@@ -1694,10 +1993,13 @@ class TxTable:
             head = self._replay_state(as_of=head_v)
             if not self._read_set_intact(state, head):
                 return None
+            # stats keys are physical; read_set_intact guarantees the
+            # head mapping matches the staged state's
+            phys_col = _cm_map(state.get("columnMapping")).get(prune_col, prune_col)
             for rel in head["adds"]:
                 if rel in state["adds"]:
                     continue
-                stats = (head["adds"][rel].get("stats") or {}).get(prune_col)
+                stats = (head["adds"][rel].get("stats") or {}).get(phys_col)
                 try:
                     disjoint = (
                         stats is not None
@@ -1888,12 +2190,16 @@ class TxTable:
             except Exception:
                 pass  # unparseable/walk surprise: scan everything
             if can_match is not None:
+                mapping = state.get("columnMapping")
                 kept = []
                 for f in files:
                     a = state["adds"].get(os.path.relpath(f, self.path), {})
                     try:
+                        # stats/pv keys are physical — re-key to the
+                        # logical names the predicate speaks
                         ok = can_match(
-                            a.get("stats") or {}, a.get("partitionValues") or {}
+                            _rekey_logical(a.get("stats"), mapping),
+                            _rekey_logical(a.get("partitionValues"), mapping),
                         )
                     except Exception:
                         ok = True  # skipping is only an optimization
@@ -1905,7 +2211,11 @@ class TxTable:
         return [
             os.path.join(self.path, r["__hz_rel"])
             for r in self._read_files(
-                files, state["adds"], state["schema"], keep_rel="__hz_rel"
+                files,
+                state["adds"],
+                state["schema"],
+                keep_rel="__hz_rel",
+                mapping=state.get("columnMapping"),
             )
             .filter(pred)
             .select("__hz_rel")
@@ -1923,12 +2233,17 @@ class TxTable:
         interleaved-append files without re-running the full-table
         detection scan."""
         actions: list[dict] = []
+        mapping = state.get("columnMapping")
         # dv-aware read: only LIVE rows participate — in the
         # rewrite, in the change feed, and in vector accounting
-        current = self._read_files(touched, state["adds"], state["schema"])
+        current = self._read_files(
+            touched, state["adds"], state["schema"], mapping=mapping
+        )
         if dv_on:
             actions.extend(
-                self._stage_dv(touched, state["adds"], pred, state["schema"])
+                self._stage_dv(
+                    touched, state["adds"], pred, state["schema"], mapping=mapping
+                )
             )
             if "deletionVectors" not in state["readerFeatures"]:
                 # first vector on a legacy/flag-enabled table:
@@ -1951,6 +2266,7 @@ class TxTable:
                 self._stage(
                     current.filter(~pred.eqNullSafe(F.lit(True))),
                     state["partitionColumns"],
+                    mapping=mapping,
                 )
             )
             for f in touched:
@@ -1962,7 +2278,8 @@ class TxTable:
                 self._stage_cdc(
                     current.filter(pred.eqNullSafe(F.lit(True))).withColumn(
                         "_change_type", F.lit("delete")
-                    )
+                    ),
+                    mapping=mapping,
                 )
             )
         return actions
@@ -2052,7 +2369,10 @@ class TxTable:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(state["schema"]))
-        current = self._read_files(touched, state["adds"], state["schema"])
+        mapping = state.get("columnMapping")
+        current = self._read_files(
+            touched, state["adds"], state["schema"], mapping=mapping
+        )
         is_match = pred.eqNullSafe(F.lit(True))
         matched = current.filter(is_match)
         # every assignment sees the PRE-update row; casting to the
@@ -2078,7 +2398,9 @@ class TxTable:
             # merge-on-read: mask the old positions, append the
             # transformed rows as fresh files — O(updated rows)
             actions.extend(
-                self._stage_dv(touched, state["adds"], pred, state["schema"])
+                self._stage_dv(
+                    touched, state["adds"], pred, state["schema"], mapping=mapping
+                )
             )
             if "deletionVectors" not in state["readerFeatures"]:
                 actions.append(
@@ -2086,13 +2408,15 @@ class TxTable:
                         state["readerFeatures"] | {"deletionVectors"}
                     )}}
                 )
-            actions.extend(self._stage(updated, state["partitionColumns"]))
+            actions.extend(
+                self._stage(updated, state["partitionColumns"], mapping=mapping)
+            )
         else:
             rewritten = current.filter(~is_match).unionByName(
                 updated, allowMissingColumns=True
             )
             actions.extend(
-                self._stage(rewritten, state["partitionColumns"])
+                self._stage(rewritten, state["partitionColumns"], mapping=mapping)
             )
             for f in touched:
                 actions.append(
@@ -2108,13 +2432,19 @@ class TxTable:
                             "_change_type", F.lit("update_postimage")
                         ),
                         allowMissingColumns=True,
-                    )
+                    ),
+                    mapping=mapping,
                 )
             )
         return actions
 
     def _stage_dv(
-        self, touched: list[str], adds: dict, pred, schema_json: str | None = None
+        self,
+        touched: list[str],
+        adds: dict,
+        pred,
+        schema_json: str | None = None,
+        mapping: dict | None = None,
     ) -> list[dict]:
         """Merge-on-read DELETE: write one position sidecar per
         touched file and return the re-emitted add actions carrying
@@ -2124,10 +2454,14 @@ class TxTable:
         sidecar becomes vacuum-able). The vector write itself is
         distributed — one ``applyInPandas`` group per file — and the
         driver receives O(touched files) rows, never positions."""
+        def scan_logical(df: DataFrame) -> DataFrame:
+            # files store physical names; ``pred`` speaks logical
+            return _scan_to_logical(df, mapping, keep_extra=("fname", "pos"))
+
         pv_groups: dict[tuple, list[str]] = {}
         for f in touched:
             rel = os.path.relpath(f, self.path)
-            pv = adds[rel].get("partitionValues") or {}
+            pv = _rekey_logical(adds[rel].get("partitionValues"), mapping)
             pv_groups.setdefault(tuple(sorted(pv.items())), []).append(f)
         types = {}
         if any(key for key in pv_groups):
@@ -2141,16 +2475,21 @@ class TxTable:
             }
         if len(pv_groups) > _PV_UNION_MAX:
             pv_of = {
-                f: adds[os.path.relpath(f, self.path)].get("partitionValues") or {}
+                f: _rekey_logical(
+                    adds[os.path.relpath(f, self.path)].get("partitionValues"),
+                    mapping,
+                )
                 for f in touched
             }
             pcols = sorted({c for pv in pv_of.values() for c in pv})
             hits = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*touched)
-                .withColumn("fname", _dv_key_col())
-                .withColumn("pos", F.col("_metadata.row_index"))
-                .withColumn("__hz_rel", _decode_uri_col(F.col("fname")))
+                scan_logical(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*touched)
+                    .withColumn("fname", _dv_key_col())
+                    .withColumn("pos", F.col("_metadata.row_index"))
+                    .withColumn("__hz_rel", _decode_uri_col(F.col("fname")))
+                )
                 .join(
                     F.broadcast(self._pv_frame(touched, pv_of, pcols, types)),
                     "__hz_rel",
@@ -2162,7 +2501,7 @@ class TxTable:
         else:
             branches = []
             for key, fs in pv_groups.items():
-                raw = (
+                raw = scan_logical(
                     self.spark.read.option("mergeSchema", "true")
                     .parquet(*fs)
                     .withColumn("fname", _dv_key_col())
@@ -2255,8 +2594,10 @@ class TxTable:
         types = {f.name: f.dataType for f in schema.fields}
         files = [os.path.join(self.path, rel) for rel in rels]
         pv_of = {
-            os.path.join(self.path, rel): state["adds"][rel].get("partitionValues")
-            or {}
+            os.path.join(self.path, rel): _rekey_logical(
+                state["adds"][rel].get("partitionValues"),
+                state.get("columnMapping"),
+            )
             for rel in rels
         }
         frame = self._pv_frame(files, pv_of, pcols, types)
@@ -2395,7 +2736,12 @@ class TxTable:
         files = [os.path.join(self.path, rel) for rel in scope]
         # dv-aware read: OPTIMIZE materializes deletion vectors —
         # the rewritten files carry no dv and the old vectors die
-        df = self._read_files(files, state["adds"], state["schema"])
+        df = self._read_files(
+            files,
+            state["adds"],
+            state["schema"],
+            mapping=state.get("columnMapping"),
+        )
         pcols = state["partitionColumns"]
         if max_file_rows is not None:
             total = sum(live_rows(rel) for rel in scope)
@@ -2432,7 +2778,7 @@ class TxTable:
             out = df.coalesce(n_out)
         # a partitioned table keeps its layout: n_out is then per
         # partition value, not global (hive dirs can't merge)
-        actions = self._stage(out, pcols)
+        actions = self._stage(out, pcols, mapping=state.get("columnMapping"))
         for a in actions:
             # the open Delta protocol's dataChange=false: this commit
             # rearranges bytes, it does not change table content —
@@ -2528,8 +2874,17 @@ class TxTable:
             actions.append({"add": add})
         for rel in dropped:
             actions.append({"remove": {"path": rel}})
+        meta_rollback: dict = {}
         if tgt_state["schema"] != cur_state["schema"]:
-            actions.append({"meta": {"schema": tgt_state["schema"]}})
+            meta_rollback["schema"] = tgt_state["schema"]
+        if tgt_state.get("columnMapping") != cur_state.get("columnMapping"):
+            # roll the logical names back with the schema (None value
+            # restores a pre-upgrade table; the reader FEATURE stays —
+            # features only ever grow, and an identity/absent mapping
+            # is harmless to a mapping-aware reader)
+            meta_rollback["columnMapping"] = tgt_state.get("columnMapping")
+        if meta_rollback:
+            actions.append({"meta": meta_rollback})
         if not actions:
             return base
         if self._prop_on(cur_state, "changeDataFeed", self.change_data) and (
@@ -2543,8 +2898,17 @@ class TxTable:
             def side(rels: list[str], adds: dict, schema_json: str) -> DataFrame:
                 if not rels:
                     return like
+                # BOTH sides read under the TARGET mapping: physical
+                # names are version-invariant, so the target's
+                # logical names apply to current files too — which is
+                # what makes the two sides diffable after a rename
+                # rolled back (current-logical columns would null out
+                # under _align_columns otherwise)
                 df = self._read_files(
-                    [os.path.join(self.path, r) for r in rels], adds, schema_json
+                    [os.path.join(self.path, r) for r in rels],
+                    adds,
+                    schema_json,
+                    mapping=tgt_state.get("columnMapping"),
                 )
                 return self._align_columns(df, like)
 
@@ -2553,10 +2917,19 @@ class TxTable:
             # under the target's — the diff emits exactly the rows the
             # rollback resurrects or re-deletes
             changed = [rel for rel in re_added if rel in cur]
+            # when the mappings differ the cur side's pv values re-key
+            # to TARGET-logical names — type them from the target
+            # schema, not the current one
+            cur_schema_for_pv = (
+                cur_state["schema"]
+                if tgt_state.get("columnMapping") == cur_state.get("columnMapping")
+                else tgt_state["schema"]
+            )
             actions.extend(
                 self._cdc_diff_actions(
-                    side(dropped + changed, cur, cur_state["schema"]),
+                    side(dropped + changed, cur, cur_schema_for_pv),
                     side(re_added, tgt, tgt_state["schema"]),
+                    mapping=tgt_state.get("columnMapping"),
                 )
             )
         return self._commit(actions, base, operation="RESTORE")
@@ -2626,8 +2999,12 @@ class TxTable:
             # already dead at this state never enter the diff), then
             # align every generation to the as-of schema (null-fill
             # columns a pre-evolution file lacks) so the content diff
-            # compares identical shapes
-            df = self._read_files(paths, adds, state["schema"])
+            # compares identical shapes. The RANGE-HEAD mapping names
+            # every generation: physical names never change, so the
+            # head's logical names apply to pre-rename files too.
+            df = self._read_files(
+                paths, adds, state["schema"], mapping=state.get("columnMapping")
+            )
             return df.select(
                 *[
                     F.col(c) if c in df.columns else F.lit(None).cast(schema[c].dataType).alias(c)
@@ -2687,7 +3064,11 @@ class TxTable:
                             "which vacuum has reclaimed — consume feeds inside "
                             "the retention window"
                         )
-                cdf = self.spark.read.option("mergeSchema", "true").parquet(*cdcs)
+                cdf = _scan_to_logical(
+                    self.spark.read.option("mergeSchema", "true").parquet(*cdcs),
+                    state.get("columnMapping"),
+                    keep_extra=("_change_type",),
+                )
                 feeds.append(
                     cdf.select(
                         *[

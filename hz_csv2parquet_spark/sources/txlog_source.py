@@ -139,10 +139,25 @@ def _file_partitions(
 
 def _log_state(path: str, as_of: int | None = None) -> dict:
     """Replayed log state without a SparkSession — rides TxTable's
-    checkpoint-accelerated replay (O(tail), not O(versions))."""
-    from .txlog import TxTable
+    checkpoint-accelerated replay (O(tail), not O(versions)).
 
-    return TxTable(None, path)._replay_state(as_of=as_of)
+    Column-mapped tables fail CLOSED here: this DSv2 source plans
+    scans/writes straight from physical parquet names, so serving a
+    renamed table would surface stale logical names (and a sink
+    write would corrupt the physical namespace). Use TxTable until
+    the source grows mapping support — the same contract an old
+    reader gets from readerFeatures, enforced even though this
+    build's TxTable itself understands the feature."""
+    from .txlog import TableFeatureError, TxTable
+
+    state = TxTable(None, path)._replay_state(as_of=as_of)
+    if state.get("columnMapping"):
+        raise TableFeatureError(
+            f"table {path} uses columnMapping; the hz_txlog DSv2 source "
+            "does not support mapped tables yet — read/write it through "
+            "TxTable instead"
+        )
+    return state
 
 
 def _schema_from_log(path: str, as_of: int | None = None) -> StructType:
@@ -906,7 +921,18 @@ class _StagedParquetWriteMixin:
         t = TxTable(None, self.path)
         if t.version() < 0:
             return {}
-        return dict(t._replay_state().get("constraints") or {})
+        state = t._replay_state()
+        if state.get("columnMapping"):
+            from .txlog import TableFeatureError
+
+            # fail CLOSED at writer construction: this sink stages
+            # parquet under the frame's logical names, which no longer
+            # match a mapped table's physical namespace
+            raise TableFeatureError(
+                f"table {self.path} uses columnMapping; the hz_txlog sink "
+                "does not support mapped tables yet — write through TxTable"
+            )
+        return dict(state.get("constraints") or {})
 
     def _check_arrow(self, table, pv: dict | None) -> None:
         """Executor-side CHECK enforcement on one staged Arrow batch

@@ -1420,10 +1420,12 @@ def test_reader_feature_gate_refuses_unknown_features(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
     t.create(spark.createDataFrame([(1, 1)], "k long, v long"))
     # a future writer upgrades the table with a feature we don't know
+    # (columnMapping graduated to supported in round 11 — rowTracking
+    # stands in as the next unknown)
     v = t.version() + 1
     with open(_version_file(t.path, v), "x") as fh:
-        json.dump([{"meta": {"readerFeatures": ["columnMapping"]}}], fh)
-    with pytest.raises(TableFeatureError, match="columnMapping"):
+        json.dump([{"meta": {"readerFeatures": ["rowTracking"]}}], fh)
+    with pytest.raises(TableFeatureError, match="rowTracking"):
         t.snapshot()
     with pytest.raises(TableFeatureError):
         t.files()
@@ -1431,7 +1433,7 @@ def test_reader_feature_gate_refuses_unknown_features(spark, tmp_path):
     from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
 
     register_txlog_source(spark)
-    with pytest.raises(Exception, match="columnMapping"):
+    with pytest.raises(Exception, match="rowTracking"):
         spark.read.format("hz_txlog").load(t.path).collect()
     # time travel BEFORE the upgrade still reads fine
     assert t.snapshot(as_of=0).count() == 1
