@@ -212,6 +212,10 @@ def cmd_table(args: argparse.Namespace) -> None:
         raise SystemExit("table update requires --where and --set")
     if args.action == "restore" and args.to_version is None:
         raise SystemExit("table restore requires --to-version")
+    if args.action == "rename-column" and not (args.column and args.to_name):
+        raise SystemExit("table rename-column requires --column and --to")
+    if args.action == "drop-column" and not args.column:
+        raise SystemExit("table drop-column requires --column")
     if args.retention_seconds is None:
         args.retention_seconds = DEFAULT_VACUUM_RETENTION_S
 
@@ -305,6 +309,20 @@ def cmd_table(args: argparse.Namespace) -> None:
         else:
             v = t.drop_constraint(args.name)
             log.info("dropped constraint %s at version %s", args.name, v)
+    elif args.action == "rename-column":
+        v = t.rename_column(args.column, args.to_name)
+        log.info(
+            "renamed column %s to %s at version %s (metadata-only, zero "
+            "data files rewritten)",
+            args.column,
+            args.to_name,
+            v,
+        )
+    elif args.action == "drop-column":
+        v = t.drop_column(args.column)
+        log.info(
+            "dropped column %s at version %s (metadata-only)", args.column, v
+        )
     elif args.action == "convert":
         v = t.convert_in_place()
         log.info(
@@ -354,6 +372,20 @@ def cmd_table(args: argparse.Namespace) -> None:
         print(f"partition columns: {', '.join(pcols) if pcols else '(none)'}")
         for cname, cexpr in sorted((state.get("constraints") or {}).items()):
             print(f"constraint {cname}: CHECK ({cexpr})")
+        cm = state.get("columnMapping")
+        if cm:
+            moved = {
+                l: p for l, p in (cm.get("physical") or {}).items() if l != p
+            }
+            print(
+                "column mapping: name mode"
+                + (
+                    ", renamed "
+                    + ", ".join(f"{p}->{l}" for l, p in sorted(moved.items()))
+                    if moved
+                    else ""
+                )
+            )
         n_dv = sum(1 for a in state["adds"].values() if a.get("dv"))
         if n_dv:
             dead = sum(a["dv"].get("deleted", 0) for a in state["adds"].values() if a.get("dv"))
@@ -514,6 +546,8 @@ def build_parser() -> argparse.ArgumentParser:
             "convert",
             "add-constraint",
             "drop-constraint",
+            "rename-column",
+            "drop-column",
         ),
     )
     t.add_argument("table", help="table directory (contains _txlog/)")
@@ -568,6 +602,17 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="add-constraint: the CHECK expression (SQL; existing data "
         "is validated before the constraint commits)",
+    )
+    t.add_argument(
+        "--column",
+        default=None,
+        help="rename-column/drop-column: the (logical) column to alter",
+    )
+    t.add_argument(
+        "--to",
+        dest="to_name",
+        default=None,
+        help="rename-column: the new column name",
     )
     t.add_argument(
         "--to-version",

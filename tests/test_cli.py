@@ -347,3 +347,32 @@ def test_cli_table_convert(tmp_path, spark):
     spark.range(20).selectExpr("id AS k").write.parquet(tbl)
     assert main(["table", "convert", tbl]) == 0
     assert TxTable(spark, tbl).snapshot().count() == 20
+
+
+def test_cli_table_rename_and_drop_column(tmp_path, spark, capsys):
+    """table rename-column/drop-column: metadata-only DDL through the
+    CLI, surfaced by describe."""
+    from hz_csv2parquet_spark.cli import main
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    src = tmp_path / "src"
+    spark.range(10).selectExpr(
+        "id AS k", "CAST(id * 2 AS BIGINT) AS v", "CAST(id AS STRING) AS tag"
+    ).write.parquet(str(src))
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src)]) == 0
+    assert (
+        main(["table", "rename-column", tbl, "--column", "v", "--to", "value"])
+        == 0
+    )
+    assert main(["table", "drop-column", tbl, "--column", "tag"]) == 0
+    snap = TxTable(spark, tbl).snapshot()
+    assert set(snap.columns) == {"k", "value"}
+    assert snap.filter("value = 18").count() == 1
+    assert main(["table", "describe", tbl]) == 0
+    out = capsys.readouterr().out
+    assert "column mapping: name mode, renamed v->value" in out
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["table", "rename-column", tbl, "--column", "k"])  # no --to
