@@ -94,6 +94,11 @@ class _FilePartition(InputPartition):
     #: no deleted positions); the executor masks the vector's row
     #: positions out of the Arrow batches it yields
     dv: str | None = None
+    #: ((logical, physical), ...) column-mapping pairs (non-identity
+    #: only): the file stores the physical name, the schema speaks
+    #: the logical one — the executor selects by physical and serves
+    #: logical (renamed tables read with zero data movement)
+    physical: tuple = ()
 
 
 #: default split threshold: files whose logged row count exceeds this
@@ -109,6 +114,7 @@ def _file_partitions(
     split_rows: int,
     constants: tuple = (),
     dv: str | None = None,
+    physical: tuple = (),
 ):
     """One partition per file, UNLESS the log says the file is big:
     then open its footer (driver-side metadata read, same cost the
@@ -116,7 +122,7 @@ def _file_partitions(
     ``split_rows`` rows each — a 10 GB file fans out across the
     cluster instead of serializing through one Python task."""
     if rows <= split_rows:
-        return [_FilePartition(abs_path, cols, None, constants, dv)]
+        return [_FilePartition(abs_path, cols, None, constants, dv, physical)]
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
@@ -131,33 +137,37 @@ def _file_partitions(
     if cur:
         chunks.append(cur)
     if len(chunks) <= 1:  # one huge row group: nothing to split on
-        return [_FilePartition(abs_path, cols, None, constants, dv)]
+        return [_FilePartition(abs_path, cols, None, constants, dv, physical)]
     return [
-        _FilePartition(abs_path, cols, tuple(c), constants, dv) for c in chunks
+        _FilePartition(abs_path, cols, tuple(c), constants, dv, physical)
+        for c in chunks
     ]
 
 
 def _log_state(path: str, as_of: int | None = None) -> dict:
     """Replayed log state without a SparkSession — rides TxTable's
-    checkpoint-accelerated replay (O(tail), not O(versions)).
+    checkpoint-accelerated replay (O(tail), not O(versions))."""
+    from .txlog import TxTable
 
-    Column-mapped tables fail CLOSED here: this DSv2 source plans
-    scans/writes straight from physical parquet names, so serving a
-    renamed table would surface stale logical names (and a sink
-    write would corrupt the physical namespace). Use TxTable until
-    the source grows mapping support — the same contract an old
-    reader gets from readerFeatures, enforced even though this
-    build's TxTable itself understands the feature."""
-    from .txlog import TableFeatureError, TxTable
+    return TxTable(None, path)._replay_state(as_of=as_of)
 
-    state = TxTable(None, path)._replay_state(as_of=as_of)
-    if state.get("columnMapping"):
-        raise TableFeatureError(
-            f"table {path} uses columnMapping; the hz_txlog DSv2 source "
-            "does not support mapped tables yet — read/write it through "
-            "TxTable instead"
-        )
-    return state
+
+def _mapping_pairs(state: dict, schema: StructType) -> tuple:
+    """((logical, physical), ...) for ``schema``'s columns whose
+    physical parquet name differs — the columnMapping resolution a
+    partition spec carries to executors. Physical names are
+    VERSION-INVARIANT (the columnMapping contract), so pairs anchored
+    once stay valid for every file generation a read or a long-lived
+    stream will ever plan, renames and drops included."""
+    mapping = state.get("columnMapping")
+    if not mapping:
+        return ()
+    phys = dict(mapping.get("physical") or {})
+    return tuple(
+        (f.name, phys[f.name])
+        for f in schema.fields
+        if phys.get(f.name, f.name) != f.name
+    )
 
 
 def _schema_from_log(path: str, as_of: int | None = None) -> StructType:
@@ -222,12 +232,17 @@ def _read_file_as_arrow(part: _FilePartition):
         keep = ~np.isin(global_idx, pos)
         table = table.filter(pa.array(keep))
     const = dict(part.constants or ())
+    phys = dict(part.physical or ())
     cols = []
     for name, typ in fields:
+        # columnMapping: the file stores the physical name; the
+        # alignment is a positive select by target schema, so a
+        # dropped column's orphan bytes are never touched
+        src = phys.get(name, name)
         if name in const:
             cols.append(pa.array([const[name]] * table.num_rows, type=typ))
-        elif name in table.column_names:
-            cols.append(table.column(name).cast(typ))
+        elif src in table.column_names:
+            cols.append(table.column(src).cast(typ))
         else:
             cols.append(pa.nulls(table.num_rows, type=typ))
     aligned = pa.table(cols, schema=target)
@@ -238,10 +253,12 @@ def _schema_columns(schema: StructType) -> tuple:
     return tuple((f.name, f.dataType.json()) for f in schema.fields)
 
 
-def _pv_constants(add: dict, cols: tuple) -> tuple:
+def _pv_constants(add: dict, cols: tuple, physical: tuple = ()) -> tuple:
     """Typed (name, value) constants for an add action's hive
     partition values — partition columns aren't in the data files, so
-    they ride the partition spec and materialize executor-side."""
+    they ride the partition spec and materialize executor-side.
+    partitionValues keys are PHYSICAL (hive dirs); ``physical``
+    re-keys them to the logical names the schema speaks."""
     pv = add.get("partitionValues")
     if not pv:
         return ()
@@ -249,11 +266,12 @@ def _pv_constants(add: dict, cols: tuple) -> tuple:
 
     from .txlog import pv_cast
 
+    rev = {p: l for l, p in (physical or ())}
     types = dict(cols)
     return tuple(
-        (c, pv_cast(v, _parse_datatype_json_string(types[c])))
+        (rev.get(c, c), pv_cast(v, _parse_datatype_json_string(types[rev.get(c, c)])))
         for c, v in pv.items()
-        if c in types
+        if rev.get(c, c) in types
     )
 
 
@@ -321,6 +339,7 @@ def _cdf_version_partitions(
     split_rows: int,
     skip_change_commits: bool,
     prev_adds: dict | None = None,
+    physical: tuple = (),
 ) -> list[_FilePartition]:
     """Plan ONE version of a change-feed read, from the log only:
 
@@ -357,7 +376,8 @@ def _cdf_version_partitions(
         for p, rows in cdcs:
             parts.extend(
                 _file_partitions(
-                    os.path.join(path, p), rows, cols, split_rows, ver_const
+                    os.path.join(path, p), rows, cols, split_rows, ver_const,
+                    physical=physical,
                 )
             )
         return parts
@@ -387,7 +407,8 @@ def _cdf_version_partitions(
                 int(add.get("rows", 0)),
                 cols,
                 split_rows,
-                const + _pv_constants(add, cols),
+                const + _pv_constants(add, cols, physical),
+                physical=physical,
             )
         )
     return parts
@@ -398,7 +419,9 @@ class _TxLogBatchReader(DataSourceReader):
         self.path = path
         self.as_of = as_of
         self.split_rows = split_rows
-        self.schema = _schema_from_log(path, as_of)
+        state = _log_state(path, as_of)
+        self.schema = StructType.fromJson(json.loads(state["schema"]))
+        self._pairs = _mapping_pairs(state, self.schema)
         self._pruning = []  # range filters usable for file skipping
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -407,9 +430,10 @@ class _TxLogBatchReader(DataSourceReader):
         # per surviving file (Spark schedules them across executors)
         state = _replay_adds(self.path, self.as_of)
         cols = _schema_columns(self.schema)
+        phys = dict(self._pairs)
         parts: list[_FilePartition] = []
         for p, add in state.items():
-            if not all(_stats_admit(add, f) for f in self._pruning):
+            if not all(_stats_admit(add, f, phys) for f in self._pruning):
                 continue
             dv = add.get("dv")
             parts.extend(
@@ -418,8 +442,9 @@ class _TxLogBatchReader(DataSourceReader):
                     int(add.get("rows", 0)),
                     cols,
                     self.split_rows,
-                    constants=_pv_constants(add, cols),
+                    constants=_pv_constants(add, cols, self._pairs),
                     dv=os.path.join(self.path, dv["path"]) if dv else None,
+                    physical=self._pairs,
                 )
             )
         return parts or [_FilePartition("", cols)]
@@ -463,14 +488,17 @@ def _replay_adds(path: str, as_of: int | None = None) -> dict[str, dict]:
     return _log_state(path, as_of)["adds"]
 
 
-def _stats_admit(add: dict, flt) -> bool:
+def _stats_admit(add: dict, flt, phys: dict | None = None) -> bool:
     """True unless the file's [min, max] stats — or its exact hive
     partition value, an implicit [v, v] stat — PROVE the filter can
     match no row: the conservative data-skipping predicate, now doing
     PARTITION PRUNING through the same gate. A file without stats for
     the column (or with stats incomparable to the literal) always
-    admits."""
+    admits. Stats/pv keys are PHYSICAL; ``phys`` translates the
+    filter's logical attribute under column mapping."""
     col = flt.attribute[0]
+    if phys:
+        col = phys.get(col, col)
     st = add.get("stats", {}).get(col)
     if st is None:
         pv = add.get("partitionValues", {}).get(col)
@@ -526,6 +554,10 @@ class _TxLogChangesBatchReader(DataSourceReader):
         self.end = top if end is None else min(end, top)
         self.split_rows = split_rows
         self.schema = _cdf_schema(path, self.end)
+        # RANGE-HEAD mapping (the TxTable.changes contract): physical
+        # names are version-invariant, so the head's logical names
+        # apply to every generation in the range
+        self._pairs = _mapping_pairs(_log_state(path, self.end), self.schema)
 
     def partitions(self) -> Sequence[InputPartition]:
         cols = _schema_columns(self.schema)
@@ -539,6 +571,7 @@ class _TxLogChangesBatchReader(DataSourceReader):
                 _cdf_version_partitions(
                     self.path, v, cols, self.split_rows,
                     skip_change_commits=False, prev_adds=live,
+                    physical=self._pairs,
                 )
             )
             live = _advance_live(live, self.path, v)
@@ -597,6 +630,15 @@ class _TxLogStreamReader(DataSourceStreamReader):
     def __init__(self, path: str, schema: StructType, options: dict):
         self.path = path
         self._schema = schema
+        # columnMapping pairs anchored ONCE at query start: physical
+        # names are version-invariant, so the anchor stays valid for
+        # every file any future micro-batch plans — a mid-stream
+        # RENAME changes only logical names, and the stream keeps
+        # serving its query-start schema (the Delta stream contract)
+        try:
+            self._pairs = _mapping_pairs(_log_state(path), schema)
+        except FileNotFoundError:
+            self._pairs = ()  # table not created yet: no mapping either
         opts = {k.lower(): v for k, v in options.items()}  # option names are case-insensitive
         self.skip_change_commits = (
             str(opts.get("skipchangecommits", "false")).lower() == "true"
@@ -681,6 +723,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
                     _cdf_version_partitions(
                         self.path, v, cols, self.split_rows,
                         self.skip_change_commits, prev_adds=live,
+                        physical=self._pairs,
                     )
                 )
                 live = _advance_live(live, self.path, v)
@@ -730,7 +773,8 @@ class _TxLogStreamReader(DataSourceStreamReader):
                         int(add.get("rows", 0)),
                         cols,
                         self.split_rows,
-                        _pv_constants(add, cols),
+                        _pv_constants(add, cols, self._pairs),
+                        physical=self._pairs,
                     )
                 )
         return parts

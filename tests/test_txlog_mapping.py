@@ -294,21 +294,85 @@ def test_old_reader_fails_closed_on_mapped_tables(spark, tmp_path):
         txmod.SUPPORTED_READER_FEATURES = old
 
 
-def test_dsv2_source_gates_mapped_tables(spark, tmp_path):
-    """The hz_txlog DSv2 source plans from physical parquet names —
-    until it learns the mapping it must fail closed on BOTH paths."""
+def test_dsv2_source_reads_mapped_tables_and_sink_fails_closed(spark, tmp_path):
+    """The hz_txlog DSv2 READ path resolves the mapping (executors
+    select by physical name, serve logical); the SINK — which would
+    stage parquet under logical names and corrupt the physical
+    namespace — fails closed at writer construction."""
     from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
 
     register_txlog_source(spark)
     t = _mk(spark, tmp_path, n=10, files=1)
     t.rename_column("v", "val")
-    with pytest.raises(Exception, match="columnMapping"):
-        spark.read.format("hz_txlog").load(t.path).collect()
+    df = spark.read.format("hz_txlog").load(t.path)
+    assert df.columns == ["k", "val"]
+    assert {(r.k, r.val) for r in df.collect()} == {(i, 2 * i) for i in range(10)}
+    # time travel reads the historical logical names
+    old = spark.read.format("hz_txlog").option("asOf", "0").load(t.path)
+    assert old.columns == ["k", "v"]
     with pytest.raises(Exception, match="columnMapping"):
         spark.createDataFrame([(1, 1)], "k long, val long").write.format(
             "hz_txlog"
         ).mode("append").save(t.path)
     assert t.snapshot().count() == 10  # nothing landed
+
+
+def test_dsv2_pushdown_and_partitions_after_rename(spark, tmp_path):
+    """Filter pushdown translates logical predicates to physical
+    stats keys; partition constants re-key from physical hive values
+    to logical columns."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "k long, p string, v long",
+        ),
+        partition_by=["p"],
+    )
+    t.rename_column("p", "part")
+    t.rename_column("v", "val")
+    df = spark.read.format("hz_txlog").load(t.path)
+    assert set(df.columns) == {"k", "part", "val"}
+    got = {(r.k, r.part, r.val) for r in df.filter("part = 'a'").collect()}
+    assert got == {(1, "a", 10), (3, "a", 30)}
+
+
+def test_dsv2_cdf_stream_across_rename(spark, tmp_path):
+    """readChangeFeed serves pre- and post-rename sidecars under ONE
+    logical schema (physical names are version-invariant)."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "tbl"), change_data=True, stat_cols=["k"])
+    t.create(
+        spark.range(6).selectExpr("id AS k", "id*2 AS v").coalesce(1)
+    )
+    t.delete_where("k = 1")  # sidecar pre-rename
+    t.rename_column("v", "val")
+    t.delete_where("k = 2")  # sidecar post-rename
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("hz_txlog")
+        .option("readChangeFeed", "true")
+        .option("skipChangeCommits", "false")
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"k", "val", "_change_type", "_commit_version"}
+    dels = {
+        (r.k, r.val, r._commit_version)
+        for r in got.filter("_change_type = 'delete'").collect()
+    }
+    assert dels == {(1, 2, 1), (2, 4, 3)}
 
 
 def test_rename_conflicts_racing_dml(spark, tmp_path, monkeypatch):
