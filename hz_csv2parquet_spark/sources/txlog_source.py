@@ -926,6 +926,9 @@ class _StagedParquetWriteMixin:
     path: str
     stat_cols: list
     partition_cols: list
+    #: ((logical, physical), ...) columnMapping pairs for the written
+    #: schema (set by _resolve_constraints; () = unmapped table)
+    mapping: tuple = ()
 
     def _resolve_partition_cols(self, opts: dict) -> list:
         """The effective hive-partition columns for this write: the
@@ -957,24 +960,40 @@ class _StagedParquetWriteMixin:
         return v.isoformat() if hasattr(v, "isoformat") else str(v)
 
     def _resolve_constraints(self) -> dict:
-        """The table's CHECK constraints at writer-construction time
-        (driver-side, session-less log replay) — serialized onto the
-        writer so the EXECUTOR batch path can enforce them."""
+        """The table's CHECK constraints and columnMapping pairs at
+        writer-construction time (driver-side, session-less log
+        replay) — serialized onto the writer so the EXECUTOR batch
+        path can enforce/translate them. Returns the constraints and
+        sets ``self.mapping`` as a side effect (one replay covers
+        both). A mapped table accepts only columns the mapping
+        already names: assigning fresh physical ids is a metadata
+        commit the sink protocol has no slot for, so
+        evolve-through-sink fails CLOSED at construction."""
         from .txlog import TxTable
 
+        self.mapping = ()
         t = TxTable(None, self.path)
         if t.version() < 0:
             return {}
         state = t._replay_state()
-        if state.get("columnMapping"):
+        mapping = state.get("columnMapping")
+        if mapping:
             from .txlog import TableFeatureError
 
-            # fail CLOSED at writer construction: this sink stages
-            # parquet under the frame's logical names, which no longer
-            # match a mapped table's physical namespace
-            raise TableFeatureError(
-                f"table {self.path} uses columnMapping; the hz_txlog sink "
-                "does not support mapped tables yet — write through TxTable"
+            phys = dict(mapping.get("physical") or {})
+            unmapped = [
+                f for f in self._schema.fieldNames() if f not in phys
+            ]
+            if unmapped:
+                raise TableFeatureError(
+                    f"columns {unmapped} are not in {self.path}'s column "
+                    "mapping; the sink cannot assign physical names — add "
+                    "them through TxTable.evolve_schema first"
+                )
+            self.mapping = tuple(
+                (f, phys[f])
+                for f in self._schema.fieldNames()
+                if phys[f] != f
             )
         return dict(state.get("constraints") or {})
 
@@ -1038,7 +1057,17 @@ class _StagedParquetWriteMixin:
 
         import pyarrow.compute as pc
 
+        # the CHECK gate runs on LOGICAL names (constraints speak
+        # them); the parquet bytes, stats keys, and partitionValues
+        # below are PHYSICAL — the columnMapping write contract
         self._check_arrow(table, pv)
+        phys = dict(getattr(self, "mapping", ()) or ())
+        if phys:
+            table = table.rename_columns(
+                [phys.get(c, c) for c in table.column_names]
+            )
+            if pv:
+                pv = {phys.get(c, c): v for c, v in pv.items()}
         import pyarrow.parquet as pq
 
         os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
@@ -1050,7 +1079,7 @@ class _StagedParquetWriteMixin:
         from .txlog import _AUTO_STAT_COLS
 
         cols = (
-            self.stat_cols
+            [phys.get(c, c) for c in self.stat_cols]
             if self.stat_cols is not None
             else list(table.column_names)[:_AUTO_STAT_COLS]
         )
@@ -1099,8 +1128,10 @@ class _StagedParquetWriteMixin:
                 )
                 mask = cond if mask is None else pc.and_(mask, cond)
             sub = table.filter(mask).drop_columns(list(self.partition_cols))
+            phys = dict(getattr(self, "mapping", ()) or ())
             segs = [
-                f"{c}=" + (
+                # hive dirs carry PHYSICAL names (rename-proof layout)
+                f"{phys.get(c, c)}=" + (
                     "__HIVE_DEFAULT_PARTITION__"
                     if vals[c] is None
                     else quote(self._hive_value(vals[c]), safe="")

@@ -294,11 +294,11 @@ def test_old_reader_fails_closed_on_mapped_tables(spark, tmp_path):
         txmod.SUPPORTED_READER_FEATURES = old
 
 
-def test_dsv2_source_reads_mapped_tables_and_sink_fails_closed(spark, tmp_path):
+def test_dsv2_source_reads_and_writes_mapped_tables(spark, tmp_path):
     """The hz_txlog DSv2 READ path resolves the mapping (executors
-    select by physical name, serve logical); the SINK — which would
-    stage parquet under logical names and corrupt the physical
-    namespace — fails closed at writer construction."""
+    select by physical name, serve logical); the SINK stages parquet
+    under PHYSICAL names; evolve-through-sink (columns the mapping
+    does not name) fails closed at writer construction."""
     from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
 
     register_txlog_source(spark)
@@ -310,11 +310,52 @@ def test_dsv2_source_reads_mapped_tables_and_sink_fails_closed(spark, tmp_path):
     # time travel reads the historical logical names
     old = spark.read.format("hz_txlog").option("asOf", "0").load(t.path)
     assert old.columns == ["k", "v"]
-    with pytest.raises(Exception, match="columnMapping"):
-        spark.createDataFrame([(1, 1)], "k long, val long").write.format(
-            "hz_txlog"
-        ).mode("append").save(t.path)
-    assert t.snapshot().count() == 10  # nothing landed
+    # the sink writes the mapped table under physical names
+    spark.createDataFrame([(100, 200)], "k long, val long").write.format(
+        "hz_txlog"
+    ).mode("append").save(t.path)
+    snap = t.snapshot()
+    assert snap.count() == 11
+    assert snap.filter("val = 200").collect()[0].k == 100
+    import pyarrow.parquet as pq
+
+    newest = max(t.files(), key=os.path.getmtime)
+    assert "v" in pq.read_schema(newest).names  # physical on disk
+    # a column outside the mapping cannot get a physical id here
+    with pytest.raises(Exception, match="evolve_schema"):
+        spark.createDataFrame(
+            [(1, 1, "x")], "k long, val long, tag string"
+        ).write.format("hz_txlog").mode("append").save(t.path)
+    assert t.snapshot().count() == 11  # nothing landed
+
+
+def test_dsv2_sink_partitioned_write_after_partition_rename(spark, tmp_path):
+    """Partitioned sink writes land under PHYSICAL hive dirs with
+    physical partitionValues keys — pruning and reads stay coherent
+    across the rename."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.createDataFrame([(1, "a", 10)], "k long, p string, v long"),
+        partition_by=["p"],
+    )
+    t.rename_column("p", "part")
+    spark.createDataFrame([(2, "b", 20)], "k long, part string, v long").write.format(
+        "hz_txlog"
+    ).mode("append").save(t.path)
+    assert any("p=b" in f for f in t.files())  # physical dir name
+    snap = t.snapshot()
+    assert {(r.k, r.part) for r in snap.collect()} == {(1, "a"), (2, "b")}
+    assert snap.filter("part = 'b'").count() == 1
+    # constraints on the renamed partition column enforce sink-side
+    t.add_constraint("part_small", "part < 'z'")
+    with pytest.raises(Exception, match="part_small"):
+        spark.createDataFrame(
+            [(3, "zz", 30)], "k long, part string, v long"
+        ).write.format("hz_txlog").mode("append").save(t.path)
+    assert t.snapshot().count() == 2
 
 
 def test_dsv2_pushdown_and_partitions_after_rename(spark, tmp_path):
