@@ -924,6 +924,7 @@ def test_exact_sum_is_partitioning_invariant(spark, vals, parts):
             st.tuples(st.just("update"), st.integers(0, 3)),
             st.tuples(st.just("restore"), st.just(0)),
             st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("rename"), st.just(0)),
         ),
         min_size=1,
         max_size=4,
@@ -933,12 +934,14 @@ def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, 
     """The round-10/11 feature stack composed: a HIVE-PARTITIONED
     table with DELETION VECTORS and CHANGE-DATA sidecars under
     arbitrary append / merge / merge-on-read delete / merge-on-read
-    UPDATE / RESTORE / compaction interleavings must equal the
-    per-key dict replay — including time travel to every version and
+    UPDATE / RESTORE / compaction / RENAME-COLUMN interleavings must
+    equal the per-key dict replay — including time travel to every
+    version (under that version's logical names) and
     feed-reconstructs-snapshot over cdc sidecars (merges as
     delete+insert, UPDATEs as update_preimage/update_postimage, dv
     deletes as exact rows, restores as the inverse of what they undo,
-    compaction silent)."""
+    compaction silent, renames metadata-only: the value column
+    toggles v<->w and every verb keeps working through the map)."""
     from collections import Counter
 
     from hz_csv2parquet_spark.sources.txlog import TxTable
@@ -959,7 +962,8 @@ def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, 
         partition_by=["p"],
     )
     mirror = {k: (k % 3, -1) for k in range(20)}
-    history = [(0, dict(mirror))]
+    vname = "v"  # current logical name of the value column
+    history = [(0, dict(mirror), vname)]
     serial = 0
     for op, arg in ops:
         serial += 1
@@ -968,7 +972,7 @@ def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, 
             t.append(
                 spark.range(base, base + 5).selectExpr(
                     "id AS k", "CAST(id % 3 AS INT) AS p",
-                    f"CAST({serial} AS BIGINT) AS v",
+                    f"CAST({serial} AS BIGINT) AS {vname}",
                 )
             )
             for k in range(base, base + 5):
@@ -978,7 +982,7 @@ def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, 
             t.merge_upsert(
                 spark.range(lo, lo + 10).selectExpr(
                     "id AS k", "CAST(id % 3 AS INT) AS p",
-                    f"CAST({100 + serial} AS BIGINT) AS v",
+                    f"CAST({100 + serial} AS BIGINT) AS {vname}",
                 ),
                 "k",
             )
@@ -997,41 +1001,53 @@ def test_txlog_full_featured_table_matches_dict_mirror(spark, tmp_path_factory, 
             hits = [k for k in mirror if lo <= k < lo + 5]
             before = t.version()
             t.update_where(
-                f"k >= {lo} AND k < {lo + 5}", {"v": str(500 + serial)}
+                f"k >= {lo} AND k < {lo + 5}", {vname: str(500 + serial)}
             )
             if t.version() == before:
                 continue  # no-match update commits no version
             for k in hits:
                 mirror[k] = (mirror[k][0], 500 + serial)
         elif op == "restore":
-            tgt_v, tgt_state = history[len(history) // 2]
+            tgt_v, tgt_state, tgt_name = history[len(history) // 2]
             before = t.version()
             t.restore(tgt_v)
             if t.version() == before:
                 continue  # restoring the identical state commits nothing
             mirror = dict(tgt_state)
+            vname = tgt_name  # the rollback restores the logical names too
+        elif op == "rename":
+            new = "w" if vname == "v" else "v"
+            t.rename_column(vname, new)
+            vname = new  # metadata-only: mirror values unchanged
         else:
             t.compact(target_files=2, layout_key="k")
-        history.append((t.version(), dict(mirror)))
-    got = {r.k: (r.p, r.v) for r in t.snapshot().collect()}
-    assert got == mirror
-    for v, want in history:
-        got_v = {r.k: (r.p, r.v) for r in t.snapshot(as_of=v).collect()}
-        assert got_v == want, f"version {v}"
-    for (v0, _), (v1, _) in zip(history, history[1:]):
+        history.append((t.version(), dict(mirror), vname))
+
+    def rows(df, name):
+        return {r.k: (r.p, getattr(r, name)) for r in df.collect()}
+
+    assert rows(t.snapshot(), vname) == mirror
+    for v, want, name in history:
+        assert rows(t.snapshot(as_of=v), name) == want, f"version {v}"
+    for (v0, _, n0), (v1, _, n1) in zip(history, history[1:]):
+        # the feed presents the RANGE HEAD's logical names (n1)
         feed = t.changes(v0, v1).collect()
-        prev = Counter((r.k, r.p, r.v) for r in t.snapshot(as_of=v0).collect())
+        prev = Counter(
+            (r.k, r.p, getattr(r, n1))
+            for r in t.snapshot(as_of=v0).withColumnsRenamed({n0: n1}).collect()
+        )
         ins = Counter(
-            (r.k, r.p, r.v)
+            (r.k, r.p, getattr(r, n1))
             for r in feed
             if r._change_type in ("insert", "update_postimage")
         )
         dels = Counter(
-            (r.k, r.p, r.v)
+            (r.k, r.p, getattr(r, n1))
             for r in feed
             if r._change_type in ("delete", "update_preimage")
         )
         assert dels <= prev, f"version {v1}: delete of a row not in prior snapshot"
         assert prev - dels + ins == Counter(
-            (r.k, r.p, r.v) for r in t.snapshot(as_of=v1).collect()
+            (r.k, r.p, getattr(r, n1))
+            for r in t.snapshot(as_of=v1).collect()
         ), f"version {v1}: feed does not reconstruct snapshot"
