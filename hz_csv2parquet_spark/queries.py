@@ -120,78 +120,94 @@ def query(
 #: registrations/changed implementations landing this round — slack
 #: goes UNUSED if fewer land (count what is registered, not what is
 #: planned).
+#: ROUND 12 WINDOW. No red rows in r11 (50/50 green). Mandatory: the
+#: 24 rows whose last driver check is r8 (<= latest(11) - 3 — exactly
+#: the ledger written at round-11 planning; 10 of them are real
+#: streaming runs, the window's slowest rows). Fill: strictly
+#: oldest-first, no discretionary picks (the r11 forward-feasibility
+#: simulator demanded it): the 24 alphabetically-first of the 46 live
+#: r9 greens (48 r9 greens minus ann_recall_eval and
+#: minhash_banding_eval, retired this round — see below). 48 named
+#: here; the remaining 2 window slots are reserved for
+#: ``priority=True`` round-12 registrations — slack goes UNUSED if
+#: fewer land (count what is registered, not what is planned).
+#: Catalog note: round 12 retired three redundant eval-harness rows
+#: whose arithmetic is carried by driver-gated siblings —
+#: ann_recall_eval (recall reduction lives on in ivf_recall_eval; the
+#: LSH bucketing under test is gated by similarity_lsh_embeddings),
+#: minhash_banding_eval (candidate generator gated by
+#: dedup_minhash_documents, exact-Jaccard truth by
+#: ngram_jaccard_pairs), and centroid_classifier_eval (centroid
+#: arithmetic gated by embedding_centroids_by_label, broadcast-argmin
+#: assignment by semantic_dedup_embeddings) — buying the slack the
+#: r11 verdict demanded before any round-12 feature registers a row
+#: (167 + new regs must stay ≤ 0.85 × 50 × 4 = 170, target ≤ 168).
 ROTATION: set[str] = {
-    # -- rule-mandatory: last green r7 (22) --
-    "locf_carry_forward_events",
-    "orc_roundtrip_agg",
-    "percentiles_by_segment_scalable",
-    "q1_pricing_summary",
-    "quantile_normalize_events",
-    "revenue_share_of_region",
-    "rolling_7d_active_users",
-    "rollup_revenue",
-    "scd2_snapshot_join_orders",
-    "schema_evolution_merge",
-    "semi_anti_customers",
-    "set_except_nations",
-    "skew_report_lineitem",
-    "skyline_orders",
-    "streaming_cdc_merge_events",
-    "tfidf_doc_similarity_pairs",
-    "top_k_orders",
-    "train_val_test_split_documents",
-    "trimmed_mean_by_type",
-    "udaf_grouped_agg_chars",
-    "window_rank_per_group",
-    "zorder_key_events",
-    # -- oldest (r8) greens, alphabetical prefix (26) --
-    "approx_percentiles_by_segment",
-    "asof_last_click",
-    "bm25_topk_documents",
-    "bucketed_join_revenue",
-    "contamination_check_documents",
-    "csv_roundtrip_agg",
-    "gap_fill_hourly_events",
-    "geo_aggregate_lineitem",
-    "global_shuffle_documents",
-    "inverted_index_documents",
-    "mixture_resample_documents",
-    "multimodal_byte_features",
-    "multimodal_decode_shapes",
-    "multimodal_frame_index",
-    "ngram_jaccard_pairs",
-    "ntile_customer_quartiles",
-    "pack_sequences_documents",
-    "promo_revenue_by_brand",
-    "q3_shipping_priority",
-    "quantize_embeddings_int8",
-    "range_join_event_pairs",
-    "rolling_hourly_user_counts",
-    "sample_stratified_documents",
-    "semantic_dedup_embeddings",
-    "sessionize_events",
-    # -- changed implementation round 11 (linear single-pass tf/df
-    # rewrite) — takes the slot of the alphabetically-last r8 fill
-    # row (shard_assignment_documents, which moves to the round-12
-    # mandatory set below) so the new plan gets a driver row the
-    # round it lands --
-    "top_terms_per_lang",
-    # Round-12 plan ledger — the 24 r8 rows NOT in this window become
-    # rule-mandatory at round-12 planning (last row r8 <= latest(11)
-    # - 3): shard_assignment_documents,
-    # similarity_ivf_embeddings, similarity_lsh_embeddings,
-    # similarity_topk_embeddings, similarity_topk_pandas_udf,
-    # skew_salted_event_counts, source_similarity_minhash,
-    # streaming_attribution_join, streaming_attribution_outer,
-    # streaming_convert_roundtrip, streaming_dedup_events,
-    # streaming_enrich_events, streaming_funnel_user_state,
-    # streaming_session_windows, streaming_sliding_counts,
-    # streaming_stateful_user_stats, streaming_tumbling_counts,
-    # tokenize_regex_documents, txlog_changes_events,
-    # txlog_merge_read_events, txlog_snapshot_read_orders,
-    # txlog_time_travel_orders, weighted_sample_documents,
-    # zscore_outliers_events (24 slots; the balance of the round-12
-    # window goes to the oldest r9 greens).
+    # -- rule-mandatory: last green r8 (24) --
+    "shard_assignment_documents",
+    "similarity_ivf_embeddings",
+    "similarity_lsh_embeddings",
+    "similarity_topk_embeddings",
+    "similarity_topk_pandas_udf",
+    "skew_salted_event_counts",
+    "source_similarity_minhash",
+    "streaming_attribution_join",
+    "streaming_attribution_outer",
+    "streaming_convert_roundtrip",
+    "streaming_dedup_events",
+    "streaming_enrich_events",
+    "streaming_funnel_user_state",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_stateful_user_stats",
+    "streaming_tumbling_counts",
+    "tokenize_regex_documents",
+    "txlog_changes_events",
+    "txlog_merge_read_events",
+    "txlog_snapshot_read_orders",
+    "txlog_time_travel_orders",
+    "weighted_sample_documents",
+    "zscore_outliers_events",
+    # -- oldest (r9) greens, alphabetical prefix (24) --
+    "approx_distinct_users_per_type",
+    "binned_agg_mean_1d",
+    "binned_agg_median_2d",
+    "boilerplate_ngram_stats",
+    "chunk_documents_overlap",
+    "collocations_by_lift",
+    "corpus_diff_documents",
+    "correlation_matrix_lineitem",
+    "debounce_events",
+    "dedup_canonical_documents",
+    "dedup_cluster_documents",
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "dedup_paragraph_documents",
+    "dedup_simhash_documents",
+    "dedup_substring_spans",
+    "embedding_centroids_by_label",
+    "embedding_near_pairs",
+    "event_path_trigrams",
+    "full_outer_nation_presence",
+    "funnel_conversion_events",
+    "grouped_lang_stats_pandas",
+    "hard_negatives_embeddings",
+    "hierarchy_depths_documents",
+    # Round-13 plan ledger — the 22 r9 rows NOT in this window become
+    # rule-mandatory at round-13 planning (last row r9 <= latest(12)
+    # - 3): intersect_active_nations,
+    # ivf_recall_eval, jsonl_roundtrip_agg,
+    # length_histogram_documents, levenshtein_near_pairs,
+    # lm_bigram_score_documents, mad_outliers_events,
+    # mmr_rerank_embeddings, multimodal_audio_energy,
+    # multimodal_phash_dedup, multimodal_resize_thumbnails,
+    # pivot_event_counts, q17_small_quantity_revenue,
+    # q5_local_supplier_volume, quality_percentile_filter_documents,
+    # retention_cohorts_events, rfm_segmentation_customers,
+    # running_total_orders, scan_prune_filter,
+    # seasonal_anomaly_events, trend_slope_by_type,
+    # vocab_oov_rate_documents (22 slots; the balance of the
+    # round-13 window goes to the oldest r10 greens).
 }
 
 

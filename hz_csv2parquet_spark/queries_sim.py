@@ -678,38 +678,13 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_frame(brute, ivf)
 
 
-_SQL_LSH_PAIRS = f"""
-    SELECT query_id, neighbor_id FROM (
-      WITH b AS (SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bkt FROM embeddings),
-      lq AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id < 5)
-      SELECT lq.query_id, c.vec_id AS neighbor_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY lq.query_id
-               ORDER BY {_sql_cosine("lq.qv", "c.embedding")} DESC, c.vec_id
-             ) AS rn
-      FROM b c JOIN lq ON c.bkt = lq.bkt
-      WHERE c.vec_id != lq.query_id
-    ) WHERE rn <= 10
-"""
-
-
-@query("ann_recall_eval", sql=_recall_select(_SQL_LSH_PAIRS), since=5)
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@10 of the sign-LSH index (4 planes) against brute-force
-    ground truth, per query — the measurement loop every production
-    ANN deployment runs before trading exactness for speed. Shares
-    the ground-truth CTE and overlap reduction with ivf_recall_eval,
-    so the two indexes read as one accuracy dashboard. At 100 TB the
-    exact side runs on the fixed 5-vector eval sample, bounded while
-    the index side scales with the corpus."""
-    from .operators.similarity import brute_force_topk, lsh_topk
-    from .tables import spread
-
-    emb = spread(table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < 5)
-    brute = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
-    lsh = lsh_topk(emb, q, k=10, planes=4).select("query_id", "neighbor_id")
-    return _recall_frame(brute, lsh)
+# E122 (ann_recall_eval, recall@10 of the sign-LSH index against the
+# brute-force truth) was retired in round 12: the LSH bucketing under
+# test is driver-gated by similarity_lsh_embeddings (whose oracle
+# replays the bucketing), and the recall reduction it shared —
+# _recall_select / _recall_frame down to the same brute ground-truth
+# CTE — stays driver-gated through ivf_recall_eval, so the LSH copy
+# of the harness added no independent evidence.
 
 
 # ---- E150: MMR diversity re-ranking ---------------------------------
@@ -837,97 +812,10 @@ def mmr_rerank_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- E156: nearest-centroid classifier eval -------------------------
-
-
-@query(
-    "centroid_classifier_eval",
-    sql="""
-    WITH vals AS (
-      SELECT label, i AS pos,
-             CAST(round(CAST(embedding[i] AS DOUBLE) * 100000000.0) AS BIGINT) AS y
-      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-    ),
-    cent AS (
-      SELECT label, pos,
-             CAST(CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE) / 100000000.0 AS c
-      FROM vals GROUP BY 1, 2
-    ),
-    cv AS (SELECT label AS clabel, list(c ORDER BY pos) AS v FROM cent GROUP BY label),
-    scored AS (
-      SELECT e.vec_id, e.label AS true_label, cv.clabel AS pred_label,
-             list_reduce(list_prepend(0.0, list_transform(
-               generate_series(1, len(e.embedding)),
-               i -> (CAST(e.embedding[i] AS DOUBLE) - cv.v[i])
-                    * (CAST(e.embedding[i] AS DOUBLE) - cv.v[i]))),
-               (a, b) -> a + b) AS dist
-      FROM embeddings e CROSS JOIN cv
-    ),
-    pred AS (
-      SELECT vec_id, true_label, pred_label FROM (
-        SELECT vec_id, true_label, pred_label,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, pred_label) AS rn
-        FROM scored
-      ) WHERE rn = 1
-    )
-    SELECT CAST(true_label AS BIGINT) AS true_label,
-           CAST(pred_label AS BIGINT) AS pred_label,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM pred GROUP BY 1, 2
-    """,
-    since=5,
-)
-def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-centroid (Rocchio) classifier confusion matrix — the
-    simplest embedding-space classifier, evaluated in-database: exact
-    per-label centroids (the E97 scaled-integer sums, bit-stable under
-    any partitioning), every vector assigned to its closest centroid
-    by strict-left-fold squared distance, confusion counts per
-    (true, predicted) pair. The diagonal over the total is the
-    linear-probe-style signal an embedding pipeline tracks across
-    model versions.
-
-    100 TB shape: centroids reduce map-side to |labels|·dim rows and
-    broadcast back as |labels| vectors; the assignment is a narrow
-    projection + an 8-row-per-vector argmin window partitioned on
-    high-cardinality vec_id; the confusion agg keys on |labels|²."""
-    emb = table(spark, sf_dir, "embeddings")
-    vals = emb.select(
-        "label",
-        F.posexplode("embedding").alias("pos0", "x"),
-    ).select(
-        "label",
-        (F.col("pos0") + 1).alias("pos"),
-        F.round(F.col("x").cast("double") * 100000000.0).cast("long").alias("y"),
-    )
-    cent = vals.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("y").cast("decimal(38,0)")).cast("double")
-            / F.count(F.lit(1)).cast("double")
-            / F.lit(100000000.0)
-        ).alias("c")
-    )
-    cv = cent.groupBy(F.col("label").alias("clabel")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("v")
-    )
-    e = emb.select("vec_id", F.col("label").alias("true_label"), "embedding")
-    diff2 = F.zip_with(
-        "embedding", "v", lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-    )
-    scored = e.crossJoin(F.broadcast(cv)).select(
-        "vec_id",
-        "true_label",
-        F.col("clabel").alias("pred_label"),
-        F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "pred_label")
-    pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "true_label", "pred_label")
-    )
-    return pred.groupBy("true_label", "pred_label").agg(
-        F.count(F.lit(1)).alias("n")
-    )
+# (centroid_classifier_eval was retired in round 12: its exact
+# scaled-integer per-label centroid arithmetic is driver-gated by
+# embedding_centroids_by_label — the same E97 decimal(38,0) sums —
+# and the broadcast-centroid / fold-distance / per-vector-argmin
+# assignment shape is driver-gated by semantic_dedup_embeddings,
+# whose oracle replays the identical assignment; the confusion-count
+# finish is a plain two-key groupBy already exercised catalog-wide.)
