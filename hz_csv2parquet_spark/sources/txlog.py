@@ -630,6 +630,18 @@ class TxTable:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        try:
+            self._write_checkpoint_inner(v, pa, pq)
+        except Exception:
+            # genuinely best-effort: the version file is already
+            # durable, so NO checkpoint failure may surface as a
+            # failed commit — and pa.table/json.dumps/pq.write_table
+            # can raise ArrowInvalid/TypeError, not just OSError.
+            # _write_checkpoint_inner removes its own tmp file on the
+            # write path; construction failures never create one.
+            pass
+
+    def _write_checkpoint_inner(self, v: int, pa, pq) -> None:
         state = self._replay_state(as_of=v)
         adds = list(state["adds"].values())
         table = pa.table(
@@ -688,6 +700,15 @@ class TxTable:
             "columnMapping": state.get("columnMapping"),
             "txns": {app: sorted(ids) for app, ids in state["txns"].items()},
         }
+        # (version -> commitInfo wall-clock) index so timestampAsOf
+        # resolution scans only the post-checkpoint tail instead of
+        # O(versions) JSON opens. Persisted ONLY when complete: a
+        # replay seeded from a pre-round-12 checkpoint carries a
+        # tail-only index that must not be re-persisted as truth.
+        if state.get("commitTsComplete", False):
+            envelope["commitTimestamps"] = {
+                str(cv): t for cv, t in state.get("commitTs", {}).items()
+            }
         table = table.replace_schema_metadata(
             {b"hz_txlog.envelope": json.dumps(envelope).encode()}
         )
@@ -695,7 +716,9 @@ class TxTable:
         try:
             pq.write_table(table, tmp)
             os.replace(tmp, _checkpoint_parquet(self.path, v))
-        except OSError:
+        except Exception:
+            # remove the tmp in ALL failure cases (ArrowException as
+            # well as OSError) so nothing leaks until vacuum
             if os.path.exists(tmp):
                 os.remove(tmp)
 
@@ -747,6 +770,8 @@ class TxTable:
         features: set[str] = set()
         txns: dict[str, set] = {}
         mapping: dict | None = None
+        cts: dict[int, float] = {}
+        cts_complete = True
         start = 0
         ckpts = [c for c in self._checkpoint_versions() if c <= hi]
         if ckpts:
@@ -761,10 +786,22 @@ class TxTable:
                 mapping = snap.get("columnMapping")
                 txns = {app: set(ids) for app, ids in snap["txns"].items()}
                 start = snap["version"] + 1
+                # (version -> commitInfo wall-clock) index: absent on
+                # checkpoints written before round 12 — the index is
+                # then PARTIAL (covers only the tail) and must not be
+                # re-persisted as if complete
+                if "commitTimestamps" in snap:
+                    cts = {
+                        int(k): float(t)
+                        for k, t in snap["commitTimestamps"].items()
+                    }
+                else:
+                    cts_complete = False
             except (OSError, ValueError, KeyError):
                 adds, schema, pcols, start = {}, None, [], 0  # full replay
                 props, constraints, features, txns = {}, {}, set(), {}
                 mapping = None
+                cts, cts_complete = {}, True
         for v in range(start, hi + 1):
             f = _version_file(self.path, v)
             if not os.path.exists(f):
@@ -803,6 +840,8 @@ class TxTable:
                     txns.setdefault(action["txn"]["appId"], set()).add(
                         action["txn"]["batchId"]
                     )
+                elif "commitInfo" in action:
+                    cts[v] = float(action["commitInfo"].get("timestamp", 0))
         unknown = features - SUPPORTED_READER_FEATURES
         if unknown:
             raise TableFeatureError(
@@ -819,6 +858,8 @@ class TxTable:
             "readerFeatures": features,
             "columnMapping": mapping,
             "txns": txns,
+            "commitTs": cts,
+            "commitTsComplete": cts_complete,
         }
 
     def _replay(self, as_of: int | None = None) -> tuple[list[str], str | None]:
@@ -1212,10 +1253,25 @@ class TxTable:
         UPDATE) enforces it. SQL three-valued semantics: a row
         violates only when the expression is FALSE — NULL/unknown
         passes, like standard CHECK."""
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
         state = self._replay_state()
         if name in state.get("constraints", {}):
             raise ValueError(f"constraint {name!r} already exists")
         F.expr(expr)  # parse now: a bad expression must not commit
+        # analyzer-check against the table schema (even when the table
+        # is empty): an expression that can't resolve here would be
+        # permanently skipped by _enforce_constraints' widening-batch
+        # rule — refuse it at add time with a named error instead
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        try:
+            self.spark.createDataFrame([], schema).filter(F.expr(expr))
+        except AnalysisException as exc:
+            raise ValueError(
+                f"cannot add constraint {name!r}: CHECK ({expr}) does not "
+                f"resolve against the table schema — {exc}"
+            ) from None
         files = [os.path.join(self.path, rel) for rel in state["adds"]]
         if files:
             current = self._read_files(
@@ -1249,19 +1305,30 @@ class TxTable:
         """Raise if any incoming row violates a CHECK constraint —
         called by every verb that introduces new row content, BEFORE
         staging. One filter scan per constraint over only the new
-        frame (the Delta write-path invariant check)."""
+        frame (the Delta write-path invariant check).
+
+        Whether the constraint applies to THIS frame is decided by
+        Spark's own analyzer (try the filter, catch the resolution
+        failure), not by string-matching parsed attribute names: the
+        analyzer resolves case-insensitively under the default
+        ``spark.sql.caseSensitive=false`` and handles qualified /
+        nested references, so a constraint spelled ``CHECK (V > 0)``
+        over a ``v`` column is enforced, never silently skipped. A
+        genuine resolution failure means a widening batch without the
+        constrained column — the column null-fills on read and NULL
+        passes CHECK — which is the only unresolvable case
+        :meth:`add_constraint` lets into the log (it analyzer-checks
+        the expression against the full table schema at add time)."""
+        from pyspark.errors import AnalysisException
+
         for name, expr in (state.get("constraints") or {}).items():
-            cond = F.expr(expr)
-            missing = [
-                c
-                for c in _expr_attr_names(self.spark, expr)
-                if c not in df.columns
-            ]
-            if missing:
-                # a widening batch without the constrained column:
+            try:
+                bad = df.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1)
+            except AnalysisException:
+                # widening batch without the constrained column:
                 # the column null-fills, NULL passes CHECK
                 continue
-            if df.filter(cond.eqNullSafe(F.lit(False))).limit(1).count():
+            if bad.count():
                 raise ValueError(
                     f"CHECK constraint {name!r} ({expr}) violated by the "
                     "incoming batch"
@@ -1369,8 +1436,24 @@ class TxTable:
         return {"mode": "name", "physical": {n: n for n in names}, "maxId": 0}
 
     def _refuse_constrained_column(self, state: dict, col: str, verb: str) -> None:
+        """Refuse a rename/drop of a column any CHECK constraint
+        references. Names compare the way Spark's analyzer resolves
+        them — case-insensitively under the default
+        ``spark.sql.caseSensitive=false``, and a qualified/nested
+        reference counts via its root name part — so a constraint
+        spelled ``CHECK (V > 0)`` still pins a ``v`` column (an exact
+        string compare would let the rename through and permanently
+        orphan the constraint)."""
+        case_sensitive = (
+            str(self.spark.conf.get("spark.sql.caseSensitive", "false")).lower()
+            == "true"
+        )
+        key = col if case_sensitive else col.lower()
         for cname, cexpr in (state.get("constraints") or {}).items():
-            if col in _expr_attr_names(self.spark, cexpr):
+            roots = {a.split(".")[0] for a in _expr_attr_names(self.spark, cexpr)}
+            if not case_sensitive:
+                roots = {r.lower() for r in roots}
+            if key in roots:
                 raise ValueError(
                     f"cannot {verb} column {col!r}: CHECK constraint "
                     f"{cname!r} references it — drop the constraint first"
@@ -1487,18 +1570,37 @@ class TxTable:
         ``startingTimestamp`` rule which picks the FIRST version at
         or after. Commits without commitInfo (bare internal commits)
         are skipped. Raises when every timestamped commit is later.
-        Pure driver-side log metadata, O(versions)."""
+        Pure driver-side log metadata — O(tail): the newest parquet
+        checkpoint carries a complete (version -> timestamp) index in
+        its envelope, so only commits AFTER it are opened (a
+        pre-round-12 checkpoint without the index falls back to the
+        full scan, never a partial answer)."""
         ts = _parse_ts(timestamp)
-        best = None
-        for v in range(self.version() + 1):
+        top = self.version()
+        cts: dict[int, float] = {}
+        start = 0
+        ckpts = [c for c in self._checkpoint_versions() if c <= top]
+        if ckpts:
+            try:
+                snap = self._load_checkpoint(ckpts[-1])
+                if "commitTimestamps" in snap:
+                    cts = {
+                        int(k): float(t)
+                        for k, t in snap["commitTimestamps"].items()
+                    }
+                    start = snap["version"] + 1
+            except (OSError, ValueError, KeyError):
+                cts, start = {}, 0  # unreadable checkpoint: full scan
+        for v in range(start, top + 1):
             f = _version_file(self.path, v)
             if not os.path.exists(f):
                 continue  # vacuumed log head
+            self.log_reads += 1
             for action in json.load(open(f)):
                 if "commitInfo" in action:
-                    if float(action["commitInfo"].get("timestamp", 0)) <= ts:
-                        best = v
+                    cts[v] = float(action["commitInfo"].get("timestamp", 0))
                     break
+        best = max((v for v, t in cts.items() if t <= ts), default=None)
         if best is None:
             raise ValueError(
                 f"no commit at or before timestamp {timestamp} in {self.path}"

@@ -2610,3 +2610,113 @@ def test_interleaved_constraint_conflicts_a_dml_rebase(
     monkeypatch.setattr(TxTable, "_commit", racing_commit)
     with pytest.raises(CommitConflictError):
         t.update_where("k = 5", {"v": "v + 1"})
+
+def test_constraints_enforce_case_insensitively(spark, tmp_path):
+    """Round-12 advisory fix: constraint applicability is decided by
+    Spark's analyzer (case-insensitive under the default
+    spark.sql.caseSensitive=false), not an exact-string attribute
+    match — CHECK (V > 0) on a ``v`` column must be ENFORCED on every
+    write verb, not silently skipped; and rename/drop of a
+    case-differently-spelled constrained column must refuse instead
+    of orphaning the constraint."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    t.add_constraint("v_pos", "V > 0")  # upper-case spelling
+    with pytest.raises(ValueError, match="v_pos"):
+        t.append(spark.createDataFrame([(3, -1)], "k long, v long"))
+    with pytest.raises(ValueError, match="v_pos"):
+        t.merge_upsert(spark.createDataFrame([(1, -5)], "k long, v long"), "k")
+    with pytest.raises(ValueError, match="v_pos"):
+        t.update_where("k = 2", {"v": "-v"})
+    # rename/drop of the constrained column refuses across case
+    with pytest.raises(ValueError, match="references it"):
+        t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="references it"):
+        t.drop_column("v")
+    # a widening batch WITHOUT the constrained column still passes
+    # (null-fill, NULL passes CHECK) — the only legal skip
+    t.evolve_schema(spark.createDataFrame([(9, "x")], "k long, note string"))
+    assert t.snapshot().filter("k = 9").count() == 1
+
+
+def test_add_constraint_refuses_unresolvable_expression(spark, tmp_path):
+    """An expression that cannot resolve against the table schema is
+    refused at add time with a named error — even on an EMPTY table
+    (no data scan to catch it) — because _enforce_constraints would
+    otherwise permanently skip it as a widening batch."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.createDataFrame([], "k long, v long"))
+    with pytest.raises(ValueError, match="does not resolve"):
+        t.add_constraint("bad", "no_such_col > 0")
+    assert t.constraints() == {}
+    # case-different spelling of a REAL column is fine (analyzer rules)
+    t.add_constraint("ok", "V >= 0")
+    assert t.constraints() == {"ok": "V >= 0"}
+
+
+def test_checkpoint_write_is_genuinely_best_effort(spark, tmp_path, monkeypatch):
+    """Round-12 advisory fix: a checkpoint failure of ANY exception
+    type (Arrow/typing, not just OSError) must never surface from a
+    commit whose version file is already durable, and the staged
+    .tmp file must not leak."""
+    t = TxTable(spark, str(tmp_path / "tbl"), checkpoint_interval=2)
+    t.create(spark.createDataFrame([(1, 1)], "k long, v long"))
+
+    def boom(self, v, pa, pq):
+        raise TypeError("not JSON serializable")
+
+    monkeypatch.setattr(TxTable, "_write_checkpoint_inner", boom)
+    # version 1 crosses the interval-2 checkpoint boundary
+    v = t.append(spark.createDataFrame([(2, 2)], "k long, v long"))
+    assert v == 1 and t.snapshot().count() == 2
+    monkeypatch.undo()
+
+    # and a mid-write failure cleans its tmp file up
+    import pyarrow.parquet as pq_mod
+
+    def boom_write(table, path, *a, **kw):
+        with open(path, "w") as fh:
+            fh.write("partial")
+        raise RuntimeError("disk went away")
+
+    monkeypatch.setattr(pq_mod, "write_table", boom_write)
+    v = t.append(spark.createDataFrame([(3, 3)], "k long, v long"))
+    monkeypatch.undo()
+    assert v == 2
+    leftovers = glob.glob(os.path.join(t.path, "_txlog", "*.tmp-*"))
+    assert leftovers == []
+    # the NEXT boundary (healthy again) checkpoints fine
+    t.append(spark.createDataFrame([(4, 4)], "k long, v long"))
+    assert TxTable(spark, t.path).snapshot().count() == 4
+
+
+def test_version_at_scans_only_the_post_checkpoint_tail(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12: the parquet checkpoint envelope carries a complete
+    (version -> commitInfo timestamp) index, so timestampAsOf
+    resolution on a 120-commit table opens only the tail commits
+    after the newest checkpoint — not O(versions) JSON files."""
+    from hz_csv2parquet_spark.sources import txlog as _mod
+
+    clock = {"t": 1000.0}
+    monkeypatch.setattr(_mod.time, "time", lambda: clock["t"])
+    t = TxTable(spark, str(tmp_path / "tbl"), checkpoint_interval=20)
+    t.create(spark.createDataFrame([(1, 1)], "k long, v long"))
+    # 119 metadata-only commits at 1s apart: pure-python, no Spark
+    for i in range(1, 120):
+        clock["t"] = 1000.0 + i
+        t._rebase_commit([], operation="TEST-TICK")
+    assert t.version() == 119
+    fresh = TxTable(spark, t.path)
+    fresh.log_reads = 0
+    # resolves THROUGH the index for a timestamp deep before the
+    # newest checkpoint...
+    assert fresh.version_at(1005.0) == 5
+    # ...opening only the post-checkpoint tail (ckpt at 119: interval
+    # 20 fires when (v+1) % 20 == 0). Tail = 0 commits; allow slack 1.
+    assert fresh.log_reads <= 1, fresh.log_reads
+    # correctness unchanged at the edges
+    assert fresh.version_at(9999) == 119
+    with pytest.raises(ValueError):
+        fresh.version_at(999)
