@@ -299,7 +299,9 @@ def cmd_table(args: argparse.Namespace) -> None:
         if args.action == "add-constraint":
             if not args.check:
                 raise SystemExit("table add-constraint requires --check")
-            v = t.add_constraint(args.name, args.check)
+            v = t.add_constraint(
+                args.name, args.check, sink_enforceable=not args.spark_only
+            )
             log.info(
                 "added constraint %s CHECK (%s) at version %s",
                 args.name,
@@ -602,6 +604,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="add-constraint: the CHECK expression (SQL; existing data "
         "is validated before the constraint commits)",
+    )
+    t.add_argument(
+        "--spark-only",
+        action="store_true",
+        help="add-constraint: accept full Spark SQL outside the "
+        "sink-compatible CHECK subset (the hz_txlog DSv2 sink then "
+        "refuses writes to this table; TxTable writes still enforce)",
     )
     t.add_argument(
         "--column",

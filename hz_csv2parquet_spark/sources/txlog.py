@@ -311,6 +311,90 @@ def _expr_attr_names(spark, expr: str) -> set[str]:
         return set()
 
 
+#: scalar functions blessed for sink-enforceable CHECK constraints —
+#: every name here is executed through BOTH engines on the same data
+#: by tests/test_txlog.py's compatibility matrix
+_SINK_COMPAT_FUNCS = {"abs", "length", "upper", "lower", "coalesce"}
+
+#: operator/punctuation tokens of the sink-compatible grammar.
+#: Deliberately excluded: ``/`` and ``%`` (ANSI Spark raises on a
+#: zero divisor where DuckDB yields NULL, so a row the TxTable path
+#: refuses could pass the sink), ``||`` / regex operators
+#: (dialect-specific), and statement punctuation (``;``, comments).
+_SINK_COMPAT_OPS = {"=", "!=", "<>", "<", "<=", ">", ">=", "+", "-", "*", "(", ")", ","}
+
+_SINK_TOKEN_RE = None  # compiled lazily
+
+
+#: bare-word keywords of the sink-compatible grammar — any OTHER bare
+#: identifier must name a table column, which catches word-shaped
+#: dialect operators (RLIKE, ILIKE, SIMILAR, DIV, ...) that a pure
+#: token-class whitelist would wave through as "column references"
+_SINK_COMPAT_KEYWORDS = {
+    "and", "or", "not", "in", "is", "null", "between", "true", "false", "like",
+}
+
+
+def sink_compatible_reason(expr: str, columns: set[str] | None = None) -> str | None:
+    """``None`` when ``expr`` stays inside the CHECK-expression
+    subset the DSv2 sink's session-less DuckDB gate is pinned to
+    evaluate identically to Spark's write path (column refs,
+    literals, comparisons, AND/OR/NOT, IS [NOT] NULL, IN, BETWEEN,
+    LIKE, ``+ - *``, and the :data:`_SINK_COMPAT_FUNCS` scalar
+    functions — tests/test_txlog.py executes every form through BOTH
+    engines on the same rows, including the NULL-passes rule);
+    otherwise a short reason naming the first offending token. Pure
+    Python (no SparkSession), so the sink writer can re-derive the
+    verdict at construction time from the log alone.
+
+    ``columns`` (the table's logical column names) makes the check
+    strict: a bare identifier that is neither a grammar keyword nor a
+    column (by its root name part, case-insensitively) is rejected —
+    closing the word-shaped-operator hole."""
+    import re as _re
+
+    global _SINK_TOKEN_RE
+    if _SINK_TOKEN_RE is None:
+        _SINK_TOKEN_RE = _re.compile(
+            r"""\s+                                   # whitespace
+              | '(?:[^']|'')*'                        # string literal
+              | [A-Za-z_][A-Za-z0-9_.]*               # identifier/keyword
+              | \d+(?:\.\d+)?(?:[eE][+-]?\d+)?        # number
+              | <>|!=|<=|>=                           # two-char operators
+              | .                                     # single char
+            """,
+            _re.VERBOSE,
+        )
+    cols_lower = {c.lower() for c in columns} if columns is not None else None
+    tokens = [m.group(0) for m in _SINK_TOKEN_RE.finditer(expr)]
+    for i, tok in enumerate(tokens):
+        if tok.isspace() or (tok.startswith("'") and tok.endswith("'") and len(tok) >= 2):
+            continue
+        low = tok.lower()
+        if tok[0].isalpha() or tok[0] == "_":
+            if low in _SINK_COMPAT_KEYWORDS:
+                continue  # NOT ( / IN ( are keyword-paren, not calls
+            nxt = next(
+                (t for t in tokens[i + 1:] if not t.isspace()), ""
+            )
+            if nxt == "(":
+                if low not in _SINK_COMPAT_FUNCS:
+                    return f"function {tok!r} is outside the sink-compatible subset"
+                continue
+            if cols_lower is not None and low.split(".")[0] not in cols_lower:
+                return (
+                    f"identifier {tok!r} is neither a column nor part of "
+                    "the sink-compatible grammar"
+                )
+            continue
+        if tok[0].isdigit():
+            continue
+        if tok in _SINK_COMPAT_OPS:
+            continue
+        return f"operator {tok!r} is outside the sink-compatible subset"
+    return None
+
+
 def _parse_ts(raw) -> float:
     """Epoch seconds from a float/int or an ISO datetime string —
     THE timestamp-option parse, shared by batch ``timestampAsOf``
@@ -1244,7 +1328,9 @@ class TxTable:
         """{name: SQL expression} of the table's CHECK constraints."""
         return dict(self._replay_state().get("constraints", {}))
 
-    def add_constraint(self, name: str, expr: str) -> int:
+    def add_constraint(
+        self, name: str, expr: str, sink_enforceable: bool = True
+    ) -> int:
         """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): existing data
         is validated FIRST (one distributed scan — a constraint the
         table already violates raises and commits nothing, the Delta
@@ -1252,7 +1338,16 @@ class TxTable:
         every subsequent write (create/append/append_batch/MERGE/
         UPDATE) enforces it. SQL three-valued semantics: a row
         violates only when the expression is FALSE — NULL/unknown
-        passes, like standard CHECK."""
+        passes, like standard CHECK.
+
+        By default the expression must also stay inside the
+        sink-compatible subset (:func:`sink_compatible_reason`) so
+        the session-less DSv2 sink can enforce it with pinned-
+        identical semantics; syntax outside the subset is refused
+        HERE with a named error instead of at first sink write. Pass
+        ``sink_enforceable=False`` to accept full Spark SQL — the
+        DSv2 sink then refuses writes to this table at writer
+        construction (fail closed, never evaluate-differently)."""
         from pyspark.errors import AnalysisException
         from pyspark.sql.types import StructType
 
@@ -1272,6 +1367,18 @@ class TxTable:
                 f"cannot add constraint {name!r}: CHECK ({expr}) does not "
                 f"resolve against the table schema — {exc}"
             ) from None
+        if sink_enforceable:
+            reason = sink_compatible_reason(
+                expr, columns={f.name for f in schema.fields}
+            )
+            if reason:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {reason}; the DSv2 "
+                    "sink could not enforce CHECK "
+                    f"({expr}) with Spark-identical semantics — rewrite the "
+                    "expression, or pass sink_enforceable=False to accept "
+                    "it (sink writes to this table will then refuse)"
+                )
         files = [os.path.join(self.path, rel) for rel in state["adds"]]
         if files:
             current = self._read_files(

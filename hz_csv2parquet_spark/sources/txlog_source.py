@@ -995,7 +995,34 @@ class _StagedParquetWriteMixin:
                 for f in self._schema.fieldNames()
                 if phys[f] != f
             )
-        return dict(state.get("constraints") or {})
+        cons = dict(state.get("constraints") or {})
+        # refuse HERE (driver-side, named error) any constraint whose
+        # syntax is outside the pinned sink-compatible subset — the
+        # DuckDB gate must never evaluate a CHECK differently from
+        # Spark's write path, and an opaque first-batch failure is
+        # the wrong place to find out. add_constraint only lets such
+        # expressions into the log under sink_enforceable=False,
+        # whose documented contract is exactly this refusal.
+        from .txlog import sink_compatible_reason
+
+        cols: set | None = None
+        if state.get("schema"):
+            import json as _json
+
+            from pyspark.sql.types import StructType as _St
+
+            cols = {
+                f.name for f in _St.fromJson(_json.loads(state["schema"])).fields
+            }
+        for cname, cexpr in cons.items():
+            reason = sink_compatible_reason(cexpr, columns=cols)
+            if reason:
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) on {self.path}: "
+                    f"{reason} — the sink cannot enforce it with "
+                    "Spark-identical semantics; write via TxTable instead"
+                )
+        return cons
 
     def _check_arrow(self, table, pv: dict | None) -> None:
         """Executor-side CHECK enforcement on one staged Arrow batch

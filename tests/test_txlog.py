@@ -2720,3 +2720,83 @@ def test_version_at_scans_only_the_post_checkpoint_tail(
     assert fresh.version_at(9999) == 119
     with pytest.raises(ValueError):
         fresh.version_at(999)
+
+#: (expression, passing row, violating row) — the pinned sink-
+#: compatibility matrix: every blessed CHECK form executes through
+#: BOTH engines (Spark's TxTable write path and the DSv2 sink's
+#: DuckDB gate) on the same rows and must agree on accept/refuse.
+_SINK_MATRIX = [
+    ("v > 0", (5, "a"), (-1, "a")),
+    ("v >= 0 AND v <= 100", (0, "a"), (101, "a")),
+    ("NOT (v < 0)", (3, "a"), (-3, "a")),
+    ("v <> 13", (12, "a"), (13, "a")),
+    ("v IN (1, 2, 3)", (2, "a"), (5, "a")),
+    ("v BETWEEN 0 AND 100", (50, "a"), (200, "a")),
+    ("v IS NOT NULL", (1, "a"), (None, "a")),
+    ("s LIKE 'a%'", (1, "ab"), (1, "zb")),
+    ("length(s) > 1", (1, "ab"), (1, "z")),
+    ("upper(s) <> 'BAD'", (1, "ok"), (1, "bad")),
+    ("abs(v) < 1000", (-5, "a"), (-5000, "a")),
+    ("coalesce(v, 1) > 0", (None, "a"), (0, "a")),
+    ("v + 1 > 0 AND v * 2 <= 200 AND v - 1 >= -1", (1, "a"), (101, "a")),
+]
+
+
+@pytest.mark.parametrize("expr,ok,bad", _SINK_MATRIX)
+def test_sink_constraint_compatibility_matrix(spark, tmp_path, expr, ok, bad):
+    """Round-12 dialect-boundary hardening: every expression form the
+    docs bless for sink-enforceable CHECK constraints is executed
+    through BOTH write paths on the same data — the TxTable (Spark)
+    path and the DSv2 sink (DuckDB) gate must both land the passing
+    row and both refuse the violating row. Expressions outside this
+    subset never reach the gate: add_constraint refuses them up
+    front (see test_add_constraint_rejects_sink_incompatible)."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.createDataFrame([ok], "v long, s string"))
+    t.add_constraint("c", expr)  # sink-enforceable by default
+    # Spark path: violating refused, passing lands
+    with pytest.raises(Exception, match="c"):
+        t.append(spark.createDataFrame([bad], "v long, s string"))
+    t.append(spark.createDataFrame([ok], "v long, s string"))
+    # sink path: violating refused, passing lands
+    with pytest.raises(Exception, match="'c'"):
+        spark.createDataFrame([bad], "v long, s string").write.format(
+            "hz_txlog"
+        ).mode("append").save(t.path)
+    spark.createDataFrame([ok], "v long, s string").write.format(
+        "hz_txlog"
+    ).mode("append").save(t.path)
+    assert t.snapshot().count() == 3
+
+
+def test_add_constraint_rejects_sink_incompatible(spark, tmp_path):
+    """Syntax outside the sink-compatible subset is refused at
+    add_constraint time with a named error (not at first sink
+    write): '/' and '%' (ANSI Spark raises on zero divisors where
+    DuckDB yields NULL), word-shaped dialect operators (RLIKE), and
+    unknown functions. sink_enforceable=False is the documented
+    escape hatch — full Spark SQL in the table path, but the DSv2
+    sink then refuses writes at construction, fail closed."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.createDataFrame([(4, "ab")], "v long, s string"))
+    for expr in ["v / 2 > 0", "v % 2 = 0", "s RLIKE 'a.*'", "sqrt(v) < 10"]:
+        with pytest.raises(ValueError, match="sink"):
+            t.add_constraint("c", expr)
+    assert t.constraints() == {}
+    # escape hatch: accepted, enforced on the TxTable path...
+    t.add_constraint("even", "v % 2 = 0", sink_enforceable=False)
+    with pytest.raises(ValueError, match="even"):
+        t.append(spark.createDataFrame([(3, "x")], "v long, s string"))
+    t.append(spark.createDataFrame([(8, "x")], "v long, s string"))
+    # ...while the sink refuses writer construction outright
+    with pytest.raises(Exception, match="write via TxTable"):
+        spark.createDataFrame([(2, "y")], "v long, s string").write.format(
+            "hz_txlog"
+        ).mode("append").save(t.path)
+    assert t.snapshot().count() == 2
