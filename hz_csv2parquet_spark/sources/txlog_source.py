@@ -170,6 +170,29 @@ def _mapping_pairs(state: dict, schema: StructType) -> tuple:
     )
 
 
+def _stream_anchor(state: dict, schema: StructType) -> dict:
+    """The query-start facts a version-offset stream's correctness
+    rests on, for the columns it SERVES (query schema ∩ table
+    schema): each column's physical name (identity when unmapped)
+    and type, plus whether the table was mapped. The micro-batch
+    planner checks every later meta commit against this anchor — see
+    :meth:`_TxLogStreamReader._refuse_non_additive_meta`."""
+    table_fields: dict = {}
+    if state.get("schema"):
+        table_fields = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(state["schema"])).fields
+        }
+    mapping = state.get("columnMapping")
+    phys = dict((mapping or {}).get("physical") or {})
+    cols = [f.name for f in schema.fields if f.name in table_fields]
+    return {
+        "phys": {c: phys.get(c, c) for c in cols},
+        "types": {c: table_fields[c] for c in cols},
+        "mapped": bool(mapping),
+    }
+
+
 def _schema_from_log(path: str, as_of: int | None = None) -> StructType:
     """Committed schema (last meta action ≤ as_of) without Spark."""
     schema_json = _log_state(path, as_of)["schema"]
@@ -636,9 +659,12 @@ class _TxLogStreamReader(DataSourceStreamReader):
         # RENAME changes only logical names, and the stream keeps
         # serving its query-start schema (the Delta stream contract)
         try:
-            self._pairs = _mapping_pairs(_log_state(path), schema)
+            qstate = _log_state(path)
+            self._pairs = _mapping_pairs(qstate, schema)
+            self._anchor = _stream_anchor(qstate, schema)
         except FileNotFoundError:
             self._pairs = ()  # table not created yet: no mapping either
+            self._anchor = None
         opts = {k.lower(): v for k, v in options.items()}  # option names are case-insensitive
         self.skip_change_commits = (
             str(opts.get("skipchangecommits", "false")).lower() == "true"
@@ -691,6 +717,70 @@ class _TxLogStreamReader(DataSourceStreamReader):
             self.path, "_txlog", f".stream-anchor-{self.stream_id}.json"
         )
 
+    def _refuse_non_additive_meta(self, v: int, actions: list) -> None:
+        """Fail the stream on a mid-stream NON-ADDITIVE schema /
+        columnMapping change (Delta's stream contract): a DROP of a
+        served column — including drop + re-add of the same logical
+        name under a fresh physical id — or a served column's type
+        change invalidates the query-start anchor, and later appends
+        would silently serve NULL (or mistyped values) for that
+        column from new files. ADDITIVE changes pass: new columns,
+        and renames (a rename keeps the physical name, so the anchor
+        stays valid and the stream keeps serving its query-start
+        schema). skipChangeCommits does NOT bypass this — a meta
+        change is not a data-change commit, and planning appends
+        under a stale mapping is a correctness hole, not noise."""
+        if not self._anchor:
+            return
+        for action in actions:
+            m = action.get("meta") or {}
+            if "columnMapping" in m:
+                mp = m["columnMapping"]
+                if mp is None:
+                    if self._anchor["mapped"]:
+                        raise ValueError(
+                            f"version {v} of {self.path} rolls the column "
+                            "mapping back; the stream's query-start anchor "
+                            "is invalid — restart the stream"
+                        )
+                    continue
+                values = set((mp.get("physical") or {}).values())
+                gone = sorted(
+                    c
+                    for c, p in self._anchor["phys"].items()
+                    if p not in values
+                )
+                if gone:
+                    raise ValueError(
+                        f"version {v} of {self.path} drops served column(s) "
+                        f"{gone} (or re-adds them under fresh physical "
+                        "ids); this non-additive schema change invalidates "
+                        "the stream's query-start anchor — restart the "
+                        "stream to pick up the new schema"
+                    )
+            elif "schema" in m and not self._anchor["mapped"]:
+                new = {
+                    f.name: f.dataType.simpleString()
+                    for f in StructType.fromJson(
+                        json.loads(m["schema"])
+                    ).fields
+                }
+                missing = sorted(
+                    c for c in self._anchor["phys"] if c not in new
+                )
+                changed = sorted(
+                    c
+                    for c, tp in self._anchor["types"].items()
+                    if c in new and new[c] != tp
+                )
+                if missing or changed:
+                    raise ValueError(
+                        f"version {v} of {self.path} drops or retypes "
+                        f"served column(s) {missing + changed}; this "
+                        "non-additive schema change invalidates the "
+                        "stream's query-start anchor — restart the stream"
+                    )
+
     def initialOffset(self) -> dict:
         return {"version": self.starting_version}
 
@@ -719,6 +809,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
         live = _replay_adds(self.path, lo) if lo >= 0 else {}
         if self.read_change_feed:
             for v in range(lo + 1, end["version"] + 1):
+                vf = _version_file(self.path, v)
+                if os.path.exists(vf):
+                    self._refuse_non_additive_meta(v, json.load(open(vf)))
                 parts.extend(
                     _cdf_version_partitions(
                         self.path, v, cols, self.split_rows,
@@ -737,7 +830,9 @@ class _TxLogStreamReader(DataSourceStreamReader):
                 )
             added, removed = [], []
             dv_commit = False
-            for action in json.load(open(f)):
+            actions = json.load(open(f))
+            self._refuse_non_additive_meta(v, actions)
+            for action in actions:
                 if "add" in action and action["add"].get("dataChange", True):
                     if action["add"].get("dv"):
                         dv_commit = True
@@ -964,19 +1059,50 @@ class _StagedParquetWriteMixin:
         writer-construction time (driver-side, session-less log
         replay) — serialized onto the writer so the EXECUTOR batch
         path can enforce/translate them. Returns the constraints and
-        sets ``self.mapping`` as a side effect (one replay covers
-        both). A mapped table accepts only columns the mapping
-        already names: assigning fresh physical ids is a metadata
-        commit the sink protocol has no slot for, so
-        evolve-through-sink fails CLOSED at construction."""
+        sets ``self.mapping`` / ``self.evolve_meta`` as side effects
+        (one replay covers both).
+
+        Schema evolution through the sink is OPT-IN via
+        ``.option("mergeSchema", "true")`` (the Delta sink contract):
+        written columns the table doesn't know get the
+        evolve_schema-equivalent meta action folded into the SAME
+        data commit — for a mapped table, fresh physical ids are
+        assigned here (construction time) so executors stage parquet
+        under them, and commit() revalidates the assignment against
+        the then-current log before committing. Without the option a
+        widening write fails CLOSED at construction."""
         from .txlog import TxTable
 
         self.mapping = ()
+        self.evolve_meta = None
+        self._evolve_base = None
+        merge = bool(getattr(self, "merge_schema", False))
+        is_overwrite = bool(getattr(self, "overwrite", False))
+        if merge and is_overwrite:
+            raise ValueError(
+                "mergeSchema applies to append writes; an overwrite that "
+                'changes the schema uses .option("overwriteSchema", "true")'
+            )
         t = TxTable(None, self.path)
         if t.version() < 0:
             return {}
         state = t._replay_state()
         mapping = state.get("columnMapping")
+        committed = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state.get("schema")
+            else None
+        )
+        new_fields = (
+            [
+                f
+                for f in self._schema.fields
+                if committed is not None
+                and f.name not in {cf.name for cf in committed.fields}
+            ]
+            if committed is not None
+            else []
+        )
         if mapping:
             from .txlog import TableFeatureError
 
@@ -984,17 +1110,51 @@ class _StagedParquetWriteMixin:
             unmapped = [
                 f for f in self._schema.fieldNames() if f not in phys
             ]
-            if unmapped:
+            if unmapped and not merge:
                 raise TableFeatureError(
                     f"columns {unmapped} are not in {self.path}'s column "
-                    "mapping; the sink cannot assign physical names — add "
-                    "them through TxTable.evolve_schema first"
+                    "mapping; the sink cannot assign physical names — set "
+                    '.option("mergeSchema", "true") to evolve the table in '
+                    "this write, or add them through TxTable.evolve_schema "
+                    "first"
                 )
+            if unmapped:
+                merged = StructType(
+                    list(committed.fields) + new_fields
+                ).json()
+                extended = TxTable._extend_mapping(mapping, merged)
+                ext_phys = dict(extended["physical"])
+                self.evolve_meta = {
+                    "schema": merged,
+                    "columnMapping": extended,
+                }
+                self._evolve_base = {
+                    "maxId": int(mapping.get("maxId", 0)),
+                    "schema": state.get("schema"),
+                }
+                phys = ext_phys
             self.mapping = tuple(
                 (f, phys[f])
                 for f in self._schema.fieldNames()
                 if phys[f] != f
             )
+        elif new_fields and not is_overwrite:
+            # (overwrite handles shape changes via its own
+            # overwriteSchema gate at commit time)
+            if not merge:
+                raise ValueError(
+                    f"write adds columns {[f.name for f in new_fields]} the "
+                    f"table at {self.path} does not have; set "
+                    '.option("mergeSchema", "true") to evolve the schema in '
+                    "this write (reads resolve the committed schema, so the "
+                    "new columns would otherwise be silently hidden)"
+                )
+            self.evolve_meta = {
+                "schema": StructType(
+                    list(committed.fields) + new_fields
+                ).json()
+            }
+            self._evolve_base = {"maxId": None, "schema": state.get("schema")}
         cons = dict(state.get("constraints") or {})
         # refuse HERE (driver-side, named error) any constraint whose
         # syntax is outside the pinned sink-compatible subset — the
@@ -1007,12 +1167,9 @@ class _StagedParquetWriteMixin:
 
         cols: set | None = None
         if state.get("schema"):
-            import json as _json
-
-            from pyspark.sql.types import StructType as _St
-
             cols = {
-                f.name for f in _St.fromJson(_json.loads(state["schema"])).fields
+                f.name
+                for f in StructType.fromJson(json.loads(state["schema"])).fields
             }
         for cname, cexpr in cons.items():
             reason = sink_compatible_reason(cexpr, columns=cols)
@@ -1237,11 +1394,41 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
         self.overwrite_schema = (
             str(opts.get("overwriteschema", "false")).lower() == "true"
         )
+        self.merge_schema = (
+            str(opts.get("mergeschema", "false")).lower() == "true"
+        )
         self.partition_cols = self._resolve_partition_cols(opts)
         self.constraints = self._resolve_constraints()
         bad = [c for c in self.partition_cols if c not in schema.fieldNames()]
         if bad:
             raise ValueError(f"partition columns not in the written schema: {bad}")
+
+    def _evolution_actions(self, t) -> list[dict]:
+        """The evolve_schema-equivalent meta action for a mergeSchema
+        write, REVALIDATED against the now-current log: construction
+        time chose the union schema (and, for a mapped table, fresh
+        physical ids the executors staged parquet under) — if a
+        racing commit moved the schema or the mapping since, those
+        choices may collide, so surface a conflict instead of
+        committing a stale evolution."""
+        if self.evolve_meta is None:
+            return []
+        from .txlog import CommitConflictError
+
+        state = t._replay_state()
+        if state.get("schema") != self._evolve_base["schema"]:
+            raise CommitConflictError(
+                f"schema of {self.path} changed during a mergeSchema write"
+            )
+        base_max = self._evolve_base["maxId"]
+        if base_max is not None:
+            cur = state.get("columnMapping") or {}
+            if int(cur.get("maxId", 0)) != base_max:
+                raise CommitConflictError(
+                    f"column mapping of {self.path} changed during a "
+                    "mergeSchema write"
+                )
+        return [{"meta": self.evolve_meta}]
 
     def commit(self, messages) -> None:
         t = self._table()
@@ -1249,6 +1436,26 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
         new_table = t.version() < 0
         if new_table:
             actions.append({"meta": self._create_meta()})
+        elif not self.overwrite:
+            # mergeSchema evolution folds into the SAME append commit;
+            # revalidation makes blind rebase unsafe, so run the
+            # bounded explicit loop below instead of _rebase_commit
+            evo = self._evolution_actions(t)
+            if evo:
+                from .txlog import CommitConflictError
+
+                actions += evo
+                for attempt in range(t._REBASE_ATTEMPTS):
+                    base = t.version()
+                    try:
+                        t._commit(actions, base, operation="WRITE-APPEND")
+                        return
+                    except CommitConflictError:
+                        if attempt == t._REBASE_ATTEMPTS - 1:
+                            raise
+                        # re-run the staleness checks against the
+                        # racing commit before retrying
+                        actions = actions[:-1] + self._evolution_actions(t)
         if self.overwrite and not new_table:
             # capture the base version FIRST and replay exactly that
             # snapshot: a commit landing between replay and commit must

@@ -920,3 +920,184 @@ def test_sink_autocreate_persists_properties_and_features(spark, tmp_path):
     v = bare.delete_where("k = 1")
     acts = j.load(open(os.path.join(p, "_txlog", f"{v:08d}.json")))
     assert any("cdc" in a for a in acts)
+
+def test_sink_merge_schema_evolves_mapped_table_in_one_commit(spark, tmp_path):
+    """Round-12 (r11 verdict item 7): evolve-through-sink behind an
+    explicit mergeSchema option. A batch write naming a column the
+    mapping doesn't know stages its files under a FRESH physical id
+    and folds the evolve_schema-equivalent meta action (union schema
+    + extended columnMapping) into the SAME commit; without the
+    option the write still fails closed at writer construction; old
+    readers stay feature-gated on columnMapping."""
+    import json as _json
+    import os
+
+    from hz_csv2parquet_spark.sources.txlog import (
+        TableFeatureError,
+        _version_file,
+    )
+
+    t = _mk(spark, tmp_path, n=5, files=1)
+    t.rename_column("v", "val")  # upgrades the table to column mapping
+    wide = spark.createDataFrame([(100, 200, "x")], "k long, val long, note string")
+    # gated by default
+    with pytest.raises(Exception, match="mergeSchema"):
+        wide.write.format("hz_txlog").mode("append").save(t.path)
+    v_before = t.version()
+    wide.write.format("hz_txlog").mode("append").option(
+        "mergeSchema", "true"
+    ).save(t.path)
+    # ONE commit carrying both the add and the meta action
+    assert t.version() == v_before + 1
+    actions = _json.load(open(_version_file(t.path, t.version())))
+    kinds = {k for a in actions for k in a}
+    assert "add" in kinds and "meta" in kinds
+    # the new column got a fresh physical id in the mapping
+    state = t._replay_state()
+    phys = dict(state["columnMapping"]["physical"])
+    assert phys["note"].startswith("col-")
+    assert "columnMapping" in state["readerFeatures"]  # old readers gated
+    # reads resolve: old rows null-fill, new row carries its value
+    snap = t.snapshot()
+    assert set(snap.columns) == {"k", "val", "note"}
+    assert snap.filter("note = 'x'").count() == 1
+    assert snap.filter("note IS NULL").count() == 5
+    # and the DSv2 read path resolves the same through the mapping
+    got = spark.read.format("hz_txlog").load(t.path)
+    assert got.filter("note = 'x'").count() == 1
+
+
+def test_sink_merge_schema_evolves_unmapped_table(spark, tmp_path):
+    """On an unmapped table a widening append is refused without
+    mergeSchema (the new columns would be silently hidden by the
+    committed schema) and with it commits the union schema in the
+    same commit. mergeSchema+overwrite is refused — overwrite's
+    schema gate is overwriteSchema."""
+    t = _mk(spark, tmp_path, n=4, files=1)
+    wide = spark.createDataFrame([(50, 60, 7.5)], "k long, v long, score double")
+    with pytest.raises(Exception, match="mergeSchema"):
+        wide.write.format("hz_txlog").mode("append").save(t.path)
+    wide.write.format("hz_txlog").mode("append").option(
+        "mergeSchema", "true"
+    ).save(t.path)
+    snap = t.snapshot()
+    assert set(snap.columns) == {"k", "v", "score"}
+    assert snap.filter("score IS NULL").count() == 4
+    assert snap.filter("score = 7.5").count() == 1
+    with pytest.raises(Exception, match="overwriteSchema"):
+        wide.write.format("hz_txlog").mode("overwrite").option(
+            "mergeSchema", "true"
+        ).save(t.path)
+
+
+def test_sink_merge_schema_never_resurrects_dropped_column(spark, tmp_path):
+    """A drop + sink-re-add of the same logical name must mint a
+    FRESH physical id — the old files' residue under the previous
+    physical name stays invisible (the evolve_schema rule, now
+    honored by the sink path too)."""
+    t = _mk(spark, tmp_path, n=3, files=1)
+    t.rename_column("k", "key")  # upgrade to mapping
+    old_phys = dict(t._replay_state()["columnMapping"]["physical"])["v"]
+    t.drop_column("v")
+    readd = spark.createDataFrame([(99, 123)], "key long, v long")
+    readd.write.format("hz_txlog").mode("append").option(
+        "mergeSchema", "true"
+    ).save(t.path)
+    state = t._replay_state()
+    new_phys = dict(state["columnMapping"]["physical"])["v"]
+    assert new_phys != old_phys
+    snap = t.snapshot()
+    # the three original rows' old v values are residue, NOT served
+    assert {r.v for r in snap.collect()} == {123, None}
+
+def _drain_rows(spark, t, ckpt, skip=False):
+    """Like _drain but schema-agnostic: collects whole rows as
+    tuples (the guard tests rename/evolve mid-stream, so the served
+    column set varies between runs)."""
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend(tuple(r) for r in batch_df.collect())
+
+    reader = spark.readStream.format("hz_txlog")
+    if skip:
+        reader = reader.option("skipChangeCommits", "true")
+    q = (
+        reader.load(t.path)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return set(rows)
+
+
+def test_stream_fails_on_non_additive_schema_change(spark, tmp_path):
+    """Round-12 advisory fix: a mid-stream DROP COLUMN — and the
+    nastier drop + re-add of the same logical name under a fresh
+    physical id — must FAIL the stream (the Delta non-additive
+    contract) instead of silently serving NULL for that column from
+    newly appended files under the stale query-start anchor. Renames
+    and added columns stay additive: the stream keeps serving its
+    query-start schema."""
+    t = _mk(spark, tmp_path, n=3, files=1)
+    ckpt = str(tmp_path / "ckpt")
+    assert len(_drain_rows(spark, t, ckpt)) == 3
+    # additive: rename (physical names invariant) — stream continues
+    t.rename_column("k", "key")
+    t.append(spark.createDataFrame([(50, 100)], "key long, v long"))
+    assert _drain_rows(spark, t, ckpt) == {(50, 100)}
+    # non-additive: drop the served column v, re-add the same logical
+    # name through the evolving sink (fresh physical id)
+    t.drop_column("v")
+    spark.createDataFrame([(60, 999)], "key long, v long").write.format(
+        "hz_txlog"
+    ).mode("append").option("mergeSchema", "true").save(t.path)
+    with pytest.raises(Exception) as exc_info:
+        _drain_rows(spark, t, ckpt)
+    assert "restart the stream" in str(exc_info.value)
+    # skipChangeCommits does NOT bypass a meta-change failure
+    with pytest.raises(Exception) as exc2:
+        _drain_rows(spark, t, ckpt, skip=True)
+    assert "restart the stream" in str(exc2.value)
+
+
+def test_stream_fails_on_unmapped_column_drop(spark, tmp_path):
+    """The same guard on an UNMAPPED table, at the planner level (a
+    restarted query re-anchors, so the long-lived case — the anchor
+    predating the meta commit inside one query run — is driven by
+    constructing the reader directly): a schema meta action that
+    drops or retypes a served column fails the batch; additive
+    widening passes."""
+    from hz_csv2parquet_spark.sources.txlog_source import (
+        _TxLogStreamReader,
+        _schema_from_log,
+    )
+
+    t = _mk(spark, tmp_path, n=2, files=1)
+    reader = _TxLogStreamReader(t.path, _schema_from_log(t.path), {})
+    v0 = t.version()
+    # additive widening mid-stream: plans fine
+    t.evolve_schema(
+        spark.createDataFrame([(10, 20, "x")], "k long, v long, extra string")
+    )
+    assert reader.partitions({"version": v0}, {"version": t.version()})
+    v1 = t.version()
+    # non-additive: narrow the schema away from served column v via a
+    # raw meta commit (simulates an external writer / future verb)
+    narrow = (
+        '{"type":"struct","fields":['
+        '{"name":"k","type":"long","nullable":true,"metadata":{}}]}'
+    )
+    t._rebase_commit([{"meta": {"schema": narrow}}], operation="NARROW")
+    with pytest.raises(ValueError, match="restart the stream"):
+        reader.partitions({"version": v1}, {"version": t.version()})
+    # ...and a served column TYPE change is equally non-additive
+    t2 = _mk(spark, tmp_path / "t2", n=2, files=1)
+    reader2 = _TxLogStreamReader(t2.path, _schema_from_log(t2.path), {})
+    v2 = t2.version()
+    retyped = t2._replay_state()["schema"].replace('"type":"long"', '"type":"double"', 1)
+    t2._rebase_commit([{"meta": {"schema": retyped}}], operation="RETYPE")
+    with pytest.raises(ValueError, match="restart the stream"):
+        reader2.partitions({"version": v2}, {"version": t2.version()})
