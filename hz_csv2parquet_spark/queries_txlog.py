@@ -435,7 +435,7 @@ def txlog_dv_delete_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_dv_cdf_partitioned_events",
-    priority=True,  # new in round 11: needs its first driver row
+    priority=False,  # r11-verified (E168 green); rotated out of round 12
     since=11,
     sql="""
     WITH base AS (
@@ -493,4 +493,73 @@ def txlog_dv_cdf_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFra
     )
     t.delete_where("event_id % 5 = 0")
     t.delete_where("event_type = 'click' AND event_id % 3 = 0")
+    return t.changes(0)
+
+
+@query(
+    "txlog_update_rename_cdf_events",
+    priority=True,  # new in round 12: needs its first driver row
+    since=12,
+    sql="""
+    WITH upd AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS amount_cents
+      FROM events
+      WHERE event_type = 'click'
+        AND CAST(round(value * 100) AS BIGINT) > 5000
+    )
+    SELECT event_id, event_type, amount_cents,
+           'update_preimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM upd
+    UNION ALL
+    SELECT event_id, event_type, amount_cents + 1 AS amount_cents,
+           'update_postimage' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM upd
+    """,
+)
+def txlog_update_rename_cdf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E174 (VERDICT r11 #3): UPDATE + RENAME COLUMN + change-data
+    feed on a PARTITIONED table combined — the lifecycle a real
+    GDPR/compliance table runs: rename a column (metadata-only
+    mapping upgrade, v1), then UPDATE WHERE through the NEW logical
+    names with the feed on (v2), then read the feed. Create events
+    partitioned by event_type on a ``change_data=True`` table (v0),
+    ``RENAME COLUMN cents TO amount_cents`` (upgrades the table to
+    column mapping — physical parquet names never change), then
+    ``UPDATE ... SET amount_cents = amount_cents + 1 WHERE
+    event_type = 'click' AND amount_cents > 5000`` — the predicate
+    prunes on the partition column AND filters through the renamed
+    logical name. Returns the raw ``changes()`` feed; the oracle
+    states the pre/post images declaratively. A hash match proves
+    rename-then-DML resolves assignments, predicates, cdc sidecar
+    staging, and partition values through the mapping — and that the
+    feed surfaces LOGICAL names.
+
+    Scale: the rename is one metadata commit (zero data I/O); the
+    update touches only files in the 'click' partition that the
+    stats say contain matching rows; the feed reads cdc sidecars
+    only. (Reference: beyond hz_csv2parquet's single-shot pandas
+    model entirely — cited for the §2 'beyond' ledger.)"""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = TxTable(
+        spark,
+        scratch_dir("hz_txq_uprencdf_"),
+        stat_cols=["event_id"],
+        change_data=True,
+    )
+    t.create(
+        ev.repartitionByRange(2, "event_id").sortWithinPartitions("event_id"),
+        partition_by=["event_type"],
+    )
+    t.rename_column("cents", "amount_cents")
+    t.update_where(
+        "event_type = 'click' AND amount_cents > 5000",
+        {"amount_cents": "amount_cents + 1"},
+    )
     return t.changes(0)
