@@ -374,3 +374,48 @@ def geo_radius_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("rev").alias("revenue"),
         )
     )
+
+
+@query(
+    "avro_roundtrip_agg",
+    priority=True,  # new in round 12: needs its first driver row
+    since=12,
+    sql="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           CAST(SUM(CAST(concat('0x', substring(md5(text), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS content_checksum
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → Avro OCF sink → Avro scan → per-(lang, source)
+    aggregate with the same order-insensitive md5-u32 content checksum
+    as the JSONL/ORC round-trips (E68/E148) — closing the last named
+    interchange format (SURVEY §2.1 S5/S10 dispatch now covers
+    csv/parquet/jsonl/orc/avro). This environment has neither the
+    spark-avro jar nor a Python avro library, so sources/avro.py
+    hand-rolls the Object Container File wire format: the sink
+    encodes each partition in ONE executor-side mapInArrow task
+    (tmp+rename atomic files), the scan decodes binaryFile content
+    executor-side, and the driver touches exactly one file HEADER
+    for the schema. Oracle runs on the original parquet table, so a
+    hash match proves the OCF encode/decode — zigzag varints, union
+    null branches, utf-8 strings, block sync markers — is
+    byte-lossless. Checksum-mirror oracle (DuckDB has no avro
+    extension here), like jsonl_roundtrip_agg."""
+    out = os.path.join(scratch_dir("hz_avro_rt_"), "documents_avro")
+    src = table(spark, sf_dir, "documents")
+    write_table(src, out, fmt="avro")
+    back = read_table(spark, out, fmt="avro")
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long"))
+        .cast("long")
+        .alias("content_checksum"),
+    )

@@ -1,0 +1,439 @@
+"""Pure-Python Avro Object Container File (OCF) source/sink.
+
+Extends the S5/S10 format dispatch (SURVEY §2.1; reference
+csv2parquet.py's format-by-extension behavior) to Avro — the last
+named row-oriented interchange format — WITHOUT the spark-avro module
+jar or any Python avro library, neither of which exists in this
+environment: the OCF layout (Avro spec, "Object Container Files") is
+simple enough to encode/decode directly, and the point is the Spark
+plumbing around it:
+
+- **write_avro** streams each partition's Arrow batches through ONE
+  ``mapInPandas`` task into one ``part-*.avro`` file (tmp+rename
+  atomic), so the write is fully distributed and the driver only ever
+  sees O(partitions) summary rows — never data.
+- **read_avro** plans over Spark's built-in ``binaryFile`` source
+  (one task per file) and decodes executor-side in ``mapInPandas``;
+  the driver reads exactly ONE file *header* to learn the schema.
+  The per-file read grain is the documented tradeoff vs sync-marker
+  block splitting (Avro's intra-file split design); size files at
+  write time (one per partition) to keep tasks balanced at scale.
+
+Supported value types: boolean, int, long, float, double, string,
+bytes, and timestamp-micros (the standard logicalType on long), each
+nullable via the ``["null", T]`` union — the shape every fixture
+table except array-typed embeddings uses. Unsupported Avro features
+(other codecs, arrays, maps, nested records, enums) fail with named
+errors, never silent misreads. Only the "null" codec is written.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import json
+import os
+import struct
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+_MAGIC = b"Obj\x01"
+
+#: Spark type <-> Avro schema (json-able) pairs
+_SPARK_TO_AVRO = [
+    (BooleanType, "boolean"),
+    (IntegerType, "int"),
+    (LongType, "long"),
+    (FloatType, "float"),
+    (DoubleType, "double"),
+    (StringType, "string"),
+    (BinaryType, "bytes"),
+    (TimestampType, {"type": "long", "logicalType": "timestamp-micros"}),
+    (
+        TimestampNTZType,
+        {"type": "long", "logicalType": "local-timestamp-micros"},
+    ),
+]
+
+
+# ---------------------------------------------------------------- varints
+
+
+def _write_long(out: _io.BytesIO, n: int) -> None:
+    """Zigzag varint (Avro's int/long wire format)."""
+    n = (n << 1) ^ (n >> 63)
+    while n & ~0x7F:
+        out.write(bytes((0x80 | (n & 0x7F),)))
+        n >>= 7
+    out.write(bytes((n,)))
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+# ---------------------------------------------------------------- schema
+
+
+def _avro_schema_json(schema: StructType) -> str:
+    fields = []
+    for f in schema.fields:
+        avro_t = None
+        for spark_cls, a in _SPARK_TO_AVRO:
+            if isinstance(f.dataType, spark_cls):
+                avro_t = a
+                break
+        if avro_t is None:
+            raise ValueError(
+                f"avro sink does not support column {f.name!r} of type "
+                f"{f.dataType.simpleString()} (supported: boolean, int, "
+                "long, float, double, string, binary, timestamp)"
+            )
+        fields.append({"name": f.name, "type": ["null", avro_t]})
+    return json.dumps({"type": "record", "name": "row", "fields": fields})
+
+
+def _spark_type_from_avro(t) -> object:
+    """Inverse of the table above; unions ["null", T] unwrap."""
+    if isinstance(t, list):
+        inner = [x for x in t if x != "null"]
+        if len(inner) != 1:
+            raise ValueError(f"unsupported avro union {t!r}")
+        return _spark_type_from_avro(inner[0])
+    if isinstance(t, dict):
+        if t.get("logicalType") == "timestamp-micros" and t.get("type") == "long":
+            return TimestampType()
+        if (
+            t.get("logicalType") == "local-timestamp-micros"
+            and t.get("type") == "long"
+        ):
+            return TimestampNTZType()
+        raise ValueError(f"unsupported avro type {t!r}")
+    simple = {
+        "boolean": BooleanType(),
+        "int": IntegerType(),
+        "long": LongType(),
+        "float": FloatType(),
+        "double": DoubleType(),
+        "string": StringType(),
+        "bytes": BinaryType(),
+    }
+    if t not in simple:
+        raise ValueError(
+            f"unsupported avro type {t!r} (arrays/maps/nested records are "
+            "outside this reader's scalar profile)"
+        )
+    return simple[t]
+
+
+def _spark_schema_from_avro(avro_json: str) -> StructType:
+    rec = json.loads(avro_json)
+    if rec.get("type") != "record":
+        raise ValueError(f"expected a record schema, got {rec.get('type')!r}")
+    return StructType(
+        [
+            StructField(f["name"], _spark_type_from_avro(f["type"]), True)
+            for f in rec["fields"]
+        ]
+    )
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _encoders(schema: StructType):
+    """One (value -> bytes-writer) closure per column, applied after
+    the null-union branch (index 1 already written)."""
+    encs = []
+    for f in schema.fields:
+        t = f.dataType
+        if isinstance(t, BooleanType):
+            encs.append(lambda out, v: out.write(b"\x01" if v else b"\x00"))
+        elif isinstance(t, (IntegerType, LongType)):
+            encs.append(lambda out, v: _write_long(out, int(v)))
+        elif isinstance(t, FloatType):
+            encs.append(lambda out, v: out.write(struct.pack("<f", float(v))))
+        elif isinstance(t, DoubleType):
+            encs.append(lambda out, v: out.write(struct.pack("<d", float(v))))
+        elif isinstance(t, StringType):
+
+            def _enc_str(out, v):
+                b = str(v).encode("utf-8")
+                _write_long(out, len(b))
+                out.write(b)
+
+            encs.append(_enc_str)
+        elif isinstance(t, BinaryType):
+
+            def _enc_bytes(out, v):
+                b = bytes(v)
+                _write_long(out, len(b))
+                out.write(b)
+
+            encs.append(_enc_bytes)
+        elif isinstance(t, (TimestampType, TimestampNTZType)):
+            # pandas Timestamp carries ns; Avro logical micros
+            encs.append(
+                lambda out, v: _write_long(out, int(pd.Timestamp(v).value // 1000))
+            )
+        else:  # pragma: no cover - _avro_schema_json already refused
+            raise ValueError(f"unsupported type {t}")
+    return encs
+
+
+def _encode_file(batches, schema: StructType) -> tuple[bytes, int]:
+    """One complete OCF from an iterator of Arrow RecordBatches:
+    header + one data block per batch (Arrow grain keeps block sizes
+    bounded). Arrow — not pandas — at the boundary, so a null double
+    and a NaN double stay distinct values (``to_pylist`` yields None
+    vs nan). Returns (payload, row count)."""
+    sync = uuid.uuid4().bytes
+    out = _io.BytesIO()
+    out.write(_MAGIC)
+    meta = {
+        "avro.schema": _avro_schema_json(schema).encode(),
+        "avro.codec": b"null",
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out.write(kb)
+        _write_long(out, len(v))
+        out.write(v)
+    _write_long(out, 0)  # end of metadata map
+    out.write(sync)
+    encs = _encoders(schema)
+    names = [f.name for f in schema.fields]
+    total = 0
+    for batch in batches:
+        if not batch.num_rows:
+            continue
+        block = _io.BytesIO()
+        cols = [batch.column(batch.schema.get_field_index(n)).to_pylist() for n in names]
+        for row in zip(*cols):
+            for enc, v in zip(encs, row):
+                if v is None:
+                    _write_long(block, 0)  # union branch: null
+                else:
+                    _write_long(block, 1)
+                    enc(block, v)
+        payload = block.getvalue()
+        _write_long(out, batch.num_rows)
+        _write_long(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+        total += batch.num_rows
+    return out.getvalue(), total
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _read_header(buf: bytes) -> tuple[dict, bytes, int]:
+    if buf[:4] != _MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # negative block count: abs count + byte size
+            n = -n
+            _, pos = _read_long(buf, pos)
+        for _ in range(n):
+            klen, pos = _read_long(buf, pos)
+            k = buf[pos : pos + klen].decode()
+            pos += klen
+            vlen, pos = _read_long(buf, pos)
+            meta[k] = buf[pos : pos + vlen]
+            pos += vlen
+    sync = buf[pos : pos + 16]
+    pos += 16
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec != "null":
+        raise ValueError(
+            f"avro codec {codec!r} not supported by this reader (only "
+            "'null'); re-encode without compression"
+        )
+    return meta, sync, pos
+
+
+def _decoders(schema: StructType):
+    decs = []
+    for f in schema.fields:
+        t = f.dataType
+        if isinstance(t, BooleanType):
+            decs.append(lambda buf, pos: (buf[pos] == 1, pos + 1))
+        elif isinstance(t, (IntegerType, LongType)):
+            decs.append(_read_long)
+        elif isinstance(t, FloatType):
+            decs.append(
+                lambda buf, pos: (struct.unpack_from("<f", buf, pos)[0], pos + 4)
+            )
+        elif isinstance(t, DoubleType):
+            decs.append(
+                lambda buf, pos: (struct.unpack_from("<d", buf, pos)[0], pos + 8)
+            )
+        elif isinstance(t, StringType):
+
+            def _dec_str(buf, pos):
+                n, pos = _read_long(buf, pos)
+                return buf[pos : pos + n].decode("utf-8"), pos + n
+
+            decs.append(_dec_str)
+        elif isinstance(t, BinaryType):
+
+            def _dec_bytes(buf, pos):
+                n, pos = _read_long(buf, pos)
+                return bytes(buf[pos : pos + n]), pos + n
+
+            decs.append(_dec_bytes)
+        elif isinstance(t, (TimestampType, TimestampNTZType)):
+            # epoch micros as plain ints — pa.array(type=timestamp)
+            # interprets them directly, no pandas in the loop
+            decs.append(_read_long)
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported type {t}")
+    return decs
+
+
+def _decode_file(buf: bytes, schema: StructType) -> list[list]:
+    meta, sync, pos = _read_header(buf)
+    file_schema = _spark_schema_from_avro(meta["avro.schema"].decode())
+    if [f.name for f in file_schema.fields] != [f.name for f in schema.fields]:
+        raise ValueError(
+            f"avro file schema {file_schema.fieldNames()} does not match "
+            f"the planned schema {schema.fieldNames()}"
+        )
+    decs = _decoders(schema)
+    names = [f.name for f in schema.fields]
+    cols: list[list] = [[] for _ in names]
+    while pos < len(buf):
+        n_rows, pos = _read_long(buf, pos)
+        _size, pos = _read_long(buf, pos)
+        for _ in range(n_rows):
+            for i, dec in enumerate(decs):
+                branch, pos = _read_long(buf, pos)
+                if branch == 0:
+                    cols[i].append(None)
+                else:
+                    v, pos = dec(buf, pos)
+                    cols[i].append(v)
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("avro block sync marker mismatch (corrupt file)")
+        pos += 16
+    return cols
+
+
+# ---------------------------------------------------------------- API
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+    """Distributed Avro OCF sink: one file per input partition,
+    written executor-side (tmp+rename), driver collects only
+    O(partitions) summary rows. Returns the row count written."""
+    if os.path.exists(path):
+        if mode == "overwrite":
+            import shutil
+
+            shutil.rmtree(path)
+        elif mode == "errorifexists":
+            raise FileExistsError(path)
+    os.makedirs(path, exist_ok=True)
+    schema = df.schema
+    _avro_schema_json(schema)  # refuse unsupported types BEFORE launching
+
+    def task(batches):
+        import pyarrow as pa
+
+        payload, n_rows = _encode_file(batches, schema)
+        # header-only payloads come from empty partitions: skip them,
+        # the driver writes one empty file if nothing landed at all
+        if n_rows == 0:
+            return
+        rel = f"part-{uuid.uuid4().hex}.avro"
+        tmp = os.path.join(path, f".{rel}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, os.path.join(path, rel))
+        yield pa.RecordBatch.from_pydict({"path": [rel], "rows": [n_rows]})
+
+    written = df.mapInArrow(task, "path string, rows long").collect()
+    total = sum(r.rows for r in written)
+    if not written:
+        # empty frame: one header-only file keeps the directory readable
+        with open(os.path.join(path, "part-empty.avro"), "wb") as fh:
+            fh.write(_encode_file([], schema)[0])
+    return total
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Avro OCF scan: ``binaryFile`` plans one task per
+    file; decoding happens executor-side in mapInPandas. The driver
+    reads ONE header for the schema (O(1) metadata I/O)."""
+    first = None
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".avro"):
+                first = os.path.join(path, name)
+                break
+    elif path.endswith(".avro"):
+        first = path
+    if first is None:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    with open(first, "rb") as fh:
+        head = fh.read(1 << 20)  # headers are tiny; 1 MiB covers any schema
+    meta, _, _ = _read_header(head)
+    schema = _spark_schema_from_avro(meta["avro.schema"].decode())
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+
+    def decode(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        for batch in batches:
+            for buf in batch.column(0).to_pylist():
+                cols = _decode_file(bytes(buf), schema)
+                if cols and cols[0]:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(c, type=arrow_schema.field(i).type)
+                            for i, c in enumerate(cols)
+                        ],
+                        schema=arrow_schema,
+                    )
+
+    return binary.mapInArrow(decode, schema)

@@ -33,6 +33,7 @@ _CSV_EXTS = {".csv"}
 _PARQUET_EXTS = {".parquet", ".pq"}
 _JSON_EXTS = {".json", ".jsonl", ".ndjson"}
 _ORC_EXTS = {".orc"}
+_AVRO_EXTS = {".avro"}
 
 
 def _infer_format(path: str) -> str:
@@ -45,6 +46,8 @@ def _infer_format(path: str) -> str:
         return "json"
     if ext in _ORC_EXTS:
         return "orc"
+    if ext in _AVRO_EXTS:
+        return "avro"
     raise ValueError(f"cannot infer format from {path!r}; pass fmt=")
 
 
@@ -110,6 +113,18 @@ def read_table(
         if recursive:
             reader = reader.option("recursiveFileLookup", True)
         df = reader.orc(*paths)
+    elif fmt == "avro":
+        # Avro OCF — the row-oriented interchange format; this
+        # environment ships neither spark-avro nor a Python avro
+        # lib, so sources/avro.py decodes OCF in executor-side
+        # mapInArrow tasks over the binaryFile source. Column
+        # pruning happens post-decode (no pushdown) — the documented
+        # tradeoff of the hand-rolled scalar-profile codec.
+        from .avro import read_avro
+
+        if len(paths) != 1:
+            raise ValueError("avro read takes exactly one directory/file path")
+        df = read_avro(spark, paths[0])
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 
@@ -143,6 +158,12 @@ def write_table(
         writer.json(path)
     elif fmt == "orc":
         writer.orc(path)
+    elif fmt == "avro":
+        if partition_by:
+            raise ValueError("avro sink does not support partitionBy")
+        from .avro import write_avro
+
+        write_avro(df, path, mode=mode)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

