@@ -1677,12 +1677,27 @@ class TxTable:
         ``startingTimestamp`` rule which picks the FIRST version at
         or after. Commits without commitInfo (bare internal commits)
         are skipped. Raises when every timestamped commit is later.
-        Pure driver-side log metadata — O(tail): the newest parquet
-        checkpoint carries a complete (version -> timestamp) index in
-        its envelope, so only commits AFTER it are opened (a
-        pre-round-12 checkpoint without the index falls back to the
-        full scan, never a partial answer)."""
+        Pure driver-side log metadata — O(tail) via
+        :meth:`commit_timestamps`."""
         ts = _parse_ts(timestamp)
+        cts = self.commit_timestamps()
+        best = max((v for v, t in cts.items() if t <= ts), default=None)
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp} in {self.path}"
+            )
+        return best
+
+    def commit_timestamps(self) -> dict[int, float]:
+        """(version -> commitInfo wall-clock) for every timestamped
+        commit — resolved from the newest parquet checkpoint's
+        COMPLETE index plus only the post-checkpoint tail (O(tail),
+        not O(versions) JSON opens); a pre-round-12 checkpoint
+        without the index falls back to the full scan, never a
+        partial answer. Shared by batch ``timestampAsOf``
+        (:meth:`version_at`) and the streaming ``startingTimestamp``
+        resolution (txlog_source), so the two surfaces read the same
+        index."""
         top = self.version()
         cts: dict[int, float] = {}
         start = 0
@@ -1707,12 +1722,7 @@ class TxTable:
                 if "commitInfo" in action:
                     cts[v] = float(action["commitInfo"].get("timestamp", 0))
                     break
-        best = max((v for v, t in cts.items() if t <= ts), default=None)
-        if best is None:
-            raise ValueError(
-                f"no commit at or before timestamp {timestamp} in {self.path}"
-            )
-        return best
+        return cts
 
     def snapshot(
         self,

@@ -618,18 +618,14 @@ def _version_at_or_after(path: str, ts: float) -> int:
     """First version whose commitInfo wall-clock is >= ``ts`` (the
     Delta startingTimestamp resolution); top+1 when every commit
     predates it — the caller starts at the log head. Pure driver-side
-    log metadata, O(versions)."""
-    top = _top_version(path)
-    for v in range(top + 1):
-        f = _version_file(path, v)
-        if not os.path.exists(f):
-            continue  # vacuumed head of the log: cannot predate ts anyway
-        for action in json.load(open(f)):
-            if "commitInfo" in action and float(
-                action["commitInfo"].get("timestamp", 0)
-            ) >= ts:
-                return v
-    return top + 1
+    log metadata, O(tail) via the checkpoint timestamp index
+    (TxTable.commit_timestamps — the same index batch timestampAsOf
+    reads, so the two surfaces can never drift)."""
+    from .txlog import TxTable
+
+    cts = TxTable(None, path).commit_timestamps()
+    first = min((v for v, t in cts.items() if t >= ts), default=None)
+    return first if first is not None else _top_version(path) + 1
 
 
 def _top_version(path: str) -> int:

@@ -2800,3 +2800,31 @@ def test_add_constraint_rejects_sink_incompatible(spark, tmp_path):
             "hz_txlog"
         ).mode("append").save(t.path)
     assert t.snapshot().count() == 2
+
+
+def test_starting_timestamp_rides_the_same_index(spark, tmp_path, monkeypatch):
+    """The streaming startingTimestamp resolution reads the SAME
+    checkpoint timestamp index as batch timestampAsOf
+    (TxTable.commit_timestamps) — first-at-or-after semantics
+    preserved, O(tail) log opens."""
+    from hz_csv2parquet_spark.sources import txlog as _mod
+    from hz_csv2parquet_spark.sources.txlog_source import _version_at_or_after
+
+    clock = {"t": 1000.0}
+    monkeypatch.setattr(_mod.time, "time", lambda: clock["t"])
+    t = TxTable(spark, str(tmp_path / "tbl"), checkpoint_interval=10)
+    t.create(spark.createDataFrame([(1, 1)], "k long, v long"))
+    for i in range(1, 60):
+        clock["t"] = 1000.0 + i
+        t._rebase_commit([], operation="TEST-TICK")
+    # first at-or-after: between commits rounds UP (Delta's rule)
+    assert _version_at_or_after(t.path, 1004.5) == 5
+    assert _version_at_or_after(t.path, 1000.0) == 0
+    # later than every commit: head + 1
+    assert _version_at_or_after(t.path, 9999.0) == 60
+    # O(tail): a fresh handle resolves pre-checkpoint versions without
+    # reopening the whole log (ckpt at 59; tail = 0, slack 1)
+    fresh = TxTable(spark, t.path)
+    fresh.log_reads = 0
+    assert fresh.version_at(1004.5) == 4
+    assert fresh.log_reads <= 1
