@@ -9,15 +9,14 @@ simple enough to encode/decode directly, and the point is the Spark
 plumbing around it:
 
 - **write_avro** streams each partition's Arrow batches through ONE
-  ``mapInPandas`` task into one ``part-*.avro`` file (tmp+rename
+  ``mapInArrow`` task into one ``part-*.avro`` file (tmp+rename
   atomic), so the write is fully distributed and the driver only ever
   sees O(partitions) summary rows — never data.
-- **read_avro** plans over Spark's built-in ``binaryFile`` source
-  (one task per file) and decodes executor-side in ``mapInPandas``;
-  the driver reads exactly ONE file *header* to learn the schema.
-  The per-file read grain is the documented tradeoff vs sync-marker
-  block splitting (Avro's intra-file split design); size files at
-  write time (one per partition) to keep tasks balanced at scale.
+- **read_avro** plans sync-marker BYTE-RANGE SPLITS (Avro's
+  intra-file split design, the Hadoop input-split contract) — a
+  10 GB external file fans out to ~80 parallel tasks, each decoding
+  with O(block) memory; the driver does O(files) metadata work (one
+  header read for the schema + a stat per file).
 
 Supported value types: boolean, int, long, float, double, string,
 bytes, and timestamp-micros (the standard logicalType on long), each
@@ -323,32 +322,74 @@ def _decoders(schema: StructType):
     return decs
 
 
-def _decode_file(buf: bytes, schema: StructType) -> list[list]:
-    meta, sync, pos = _read_header(buf)
-    file_schema = _spark_schema_from_avro(meta["avro.schema"].decode())
-    if [f.name for f in file_schema.fields] != [f.name for f in schema.fields]:
-        raise ValueError(
-            f"avro file schema {file_schema.fieldNames()} does not match "
-            f"the planned schema {schema.fieldNames()}"
-        )
+def _decode_block(buf: bytes, schema: StructType, cols: list[list]) -> None:
+    """Decode ONE block payload (rows only, no framing) into cols."""
     decs = _decoders(schema)
-    names = [f.name for f in schema.fields]
-    cols: list[list] = [[] for _ in names]
+    pos = 0
     while pos < len(buf):
-        n_rows, pos = _read_long(buf, pos)
-        _size, pos = _read_long(buf, pos)
-        for _ in range(n_rows):
-            for i, dec in enumerate(decs):
-                branch, pos = _read_long(buf, pos)
-                if branch == 0:
-                    cols[i].append(None)
-                else:
-                    v, pos = dec(buf, pos)
-                    cols[i].append(v)
-        if buf[pos : pos + 16] != sync:
-            raise ValueError("avro block sync marker mismatch (corrupt file)")
-        pos += 16
-    return cols
+        for i, dec in enumerate(decs):
+            branch, pos = _read_long(buf, pos)
+            if branch == 0:
+                cols[i].append(None)
+            else:
+                v, pos = dec(buf, pos)
+                cols[i].append(v)
+
+
+def _decode_split(fpath: str, start: int, end: int, schema: StructType) -> list[list]:
+    """Decode the blocks OWNED by byte range [start, end) of one OCF
+    — the Hadoop input-split contract: a block belongs to the split
+    containing the START of its preceding sync marker (the header's
+    trailing sync anchors the first block), and an owned block is
+    decoded to completion even when its payload crosses ``end``.
+    Every split re-reads only the tiny header (schema + sync), then
+    scans forward at most one chunk past ``start`` to find its first
+    sync — memory stays O(block), never O(file)."""
+    with open(fpath, "rb") as fh:
+        head = fh.read(1 << 20)
+        meta, sync, h_end = _read_header(head)
+        file_schema = _spark_schema_from_avro(meta["avro.schema"].decode())
+        if [f.name for f in file_schema.fields] != [
+            f.name for f in schema.fields
+        ]:
+            raise ValueError(
+                f"avro file schema {file_schema.fieldNames()} does not "
+                f"match the planned schema {schema.fieldNames()}"
+            )
+        names = [f.name for f in schema.fields]
+        cols: list[list] = [[] for _ in names]
+        # find the first sync whose start q satisfies q >= lo
+        lo = max(start, h_end - 16)
+        fh.seek(lo)
+        q = None
+        window = b""
+        base = lo
+        while q is None:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                return cols  # ran off the file: no sync in range
+            window += chunk
+            idx = window.find(sync)
+            if idx != -1:
+                q = base + idx
+            else:
+                base += len(window) - 15
+                window = window[-15:]  # marker may straddle chunks
+            if q is None and base >= end + 16:
+                return cols  # no owned sync in [start, end)
+        while q is not None and q < end:
+            # block after the sync at q: [count][size][payload]
+            fh.seek(q + 16)
+            frame = fh.read(20)  # two varints are <= 10 bytes each
+            if len(frame) == 0:
+                break  # file ends exactly at a trailing sync
+            _n_rows, p = _read_long(frame, 0)
+            size, p = _read_long(frame, p)
+            fh.seek(q + 16 + p)
+            payload = fh.read(size)
+            _decode_block(payload, schema, cols)
+            q = q + 16 + p + size  # the next sync trails this payload
+        return cols
 
 
 # ---------------------------------------------------------------- API
@@ -393,31 +434,54 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     return total
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed Avro OCF scan: ``binaryFile`` plans one task per
-    file; decoding happens executor-side in mapInPandas. The driver
-    reads ONE header for the schema (O(1) metadata I/O)."""
-    first = None
+#: split size for avro scans — matches Spark's own
+#: spark.sql.files.maxPartitionBytes default
+DEFAULT_AVRO_SPLIT_BYTES = 128 << 20
+
+
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    split_bytes: int = DEFAULT_AVRO_SPLIT_BYTES,
+) -> DataFrame:
+    """Distributed SPLITTABLE Avro OCF scan. The driver does O(files)
+    metadata work only — one header read for the schema plus a stat
+    per file — and plans byte-range splits of ``split_bytes`` (the
+    point of Avro's sync-marker design: a 10 GB external file fans
+    out to ~80 parallel tasks instead of one). Executors open their
+    range, resync to the first block boundary, and decode with
+    O(block) memory — never O(file), the weakness of a
+    binaryFile-based reader. Files must be reachable from executors
+    (shared storage — the same contract the txlog layer's direct
+    file reads assume)."""
+    files: list[str] = []
     if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            if name.endswith(".avro"):
-                first = os.path.join(path, name)
-                break
-    elif path.endswith(".avro"):
-        first = path
-    if first is None:
+        files = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".avro")
+        )
+    elif path.endswith(".avro") and os.path.exists(path):
+        files = [path]
+    if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
-    with open(first, "rb") as fh:
+    with open(files[0], "rb") as fh:
         head = fh.read(1 << 20)  # headers are tiny; 1 MiB covers any schema
     meta, _, _ = _read_header(head)
     schema = _spark_schema_from_avro(meta["avro.schema"].decode())
 
-    binary = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.avro")
-        .load(path)
-        .select("content")
-    )
+    specs: list[tuple[str, int, int]] = []
+    for f in files:
+        size = os.stat(f).st_size
+        lo = 0
+        while lo < size or lo == 0:
+            specs.append((f, lo, min(lo + split_bytes, size)))
+            lo += split_bytes
+            if lo >= size:
+                break
+    spec_df = spark.createDataFrame(
+        specs, "fpath string, start long, end long"
+    ).repartition(len(specs))
 
     def decode(batches):
         import pyarrow as pa
@@ -425,8 +489,12 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 
         arrow_schema = to_arrow_schema(schema)
         for batch in batches:
-            for buf in batch.column(0).to_pylist():
-                cols = _decode_file(bytes(buf), schema)
+            for fpath, start, end in zip(
+                batch.column(0).to_pylist(),
+                batch.column(1).to_pylist(),
+                batch.column(2).to_pylist(),
+            ):
+                cols = _decode_split(fpath, start, end, schema)
                 if cols and cols[0]:
                     yield pa.RecordBatch.from_arrays(
                         [
@@ -436,4 +504,4 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                         schema=arrow_schema,
                     )
 
-    return binary.mapInArrow(decode, schema)
+    return spec_df.mapInArrow(decode, schema)

@@ -229,3 +229,25 @@ def test_avro_preserves_null_vs_nan_and_types(spark, tmp_path):
     emb = spark.createDataFrame([(1, [0.5, 0.25])], "id long, v array<double>")
     with _pytest.raises(ValueError, match="does not support column 'v'"):
         write_avro(emb, str(tmp_path / "emb_avro"))
+
+
+def test_avro_reads_are_splittable(spark, tmp_path):
+    """Sync-marker byte-range splits (the point of Avro's OCF
+    design): a file fans out to multiple tasks, each task owns the
+    blocks whose preceding sync STARTS inside its range, and rows
+    are globally exactly-once at ANY split granularity — even splits
+    smaller than one block."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.sources.avro import read_avro, write_avro
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("text-"), F.col("id")).alias("s"),
+    )
+    out = str(tmp_path / "split_avro")
+    write_avro(df.repartition(2), out)
+    expected = {(r.k, r.s) for r in df.collect()}
+    for split in (10_000, 1_000, None):
+        back = read_avro(spark, out, **({"split_bytes": split} if split else {}))
+        assert {(r.k, r.s) for r in back.collect()} == expected, f"split={split}"
