@@ -22,8 +22,10 @@ Supported value types: boolean, int, long, float, double, string,
 bytes, and timestamp-micros (the standard logicalType on long), each
 nullable via the ``["null", T]`` union — the shape every fixture
 table except array-typed embeddings uses. Unsupported Avro features
-(other codecs, arrays, maps, nested records, enums) fail with named
-errors, never silent misreads. Only the "null" codec is written.
+(arrays, maps, nested records, enums, codecs beyond null/deflate)
+fail with named errors, never silent misreads. Codecs: "null" and
+"deflate" (raw RFC-1951 via stdlib zlib, per-block so byte-range
+splits stay independent) both read and write.
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ import json
 import os
 import struct
 import uuid
+import zlib
 
 import pandas as pd
 
@@ -204,18 +207,24 @@ def _encoders(schema: StructType):
     return encs
 
 
-def _encode_file(batches, schema: StructType) -> tuple[bytes, int]:
+def _encode_file(
+    batches, schema: StructType, codec: str = "null"
+) -> tuple[bytes, int]:
     """One complete OCF from an iterator of Arrow RecordBatches:
     header + one data block per batch (Arrow grain keeps block sizes
     bounded). Arrow — not pandas — at the boundary, so a null double
     and a NaN double stay distinct values (``to_pylist`` yields None
-    vs nan). Returns (payload, row count)."""
+    vs nan). ``codec``: "null" or "deflate" (raw RFC-1951 per the
+    Avro spec — stdlib zlib, applied per block so splits stay
+    independent). Returns (payload, row count)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro write codec {codec!r}")
     sync = uuid.uuid4().bytes
     out = _io.BytesIO()
     out.write(_MAGIC)
     meta = {
         "avro.schema": _avro_schema_json(schema).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     _write_long(out, len(meta))
     for k, v in meta.items():
@@ -242,6 +251,9 @@ def _encode_file(batches, schema: StructType) -> tuple[bytes, int]:
                     _write_long(block, 1)
                     enc(block, v)
         payload = block.getvalue()
+        if codec == "deflate":
+            co = zlib.compressobj(wbits=-15)
+            payload = co.compress(payload) + co.flush()
         _write_long(out, batch.num_rows)
         _write_long(out, len(payload))
         out.write(payload)
@@ -275,10 +287,10 @@ def _read_header(buf: bytes) -> tuple[dict, bytes, int]:
     sync = buf[pos : pos + 16]
     pos += 16
     codec = meta.get("avro.codec", b"null").decode()
-    if codec != "null":
+    if codec not in ("null", "deflate"):
         raise ValueError(
             f"avro codec {codec!r} not supported by this reader (only "
-            "'null'); re-encode without compression"
+            "'null' and 'deflate'); re-encode accordingly"
         )
     return meta, sync, pos
 
@@ -348,6 +360,7 @@ def _decode_split(fpath: str, start: int, end: int, schema: StructType) -> list[
     with open(fpath, "rb") as fh:
         head = fh.read(1 << 20)
         meta, sync, h_end = _read_header(head)
+        codec = meta.get("avro.codec", b"null").decode()
         file_schema = _spark_schema_from_avro(meta["avro.schema"].decode())
         if [f.name for f in file_schema.fields] != [
             f.name for f in schema.fields
@@ -387,6 +400,8 @@ def _decode_split(fpath: str, start: int, end: int, schema: StructType) -> list[
             size, p = _read_long(frame, p)
             fh.seek(q + 16 + p)
             payload = fh.read(size)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
             _decode_block(payload, schema, cols)
             q = q + 16 + p + size  # the next sync trails this payload
         return cols
@@ -395,10 +410,14 @@ def _decode_split(fpath: str, start: int, end: int, schema: StructType) -> list[
 # ---------------------------------------------------------------- API
 
 
-def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+def write_avro(
+    df: DataFrame, path: str, mode: str = "overwrite", codec: str = "null"
+) -> int:
     """Distributed Avro OCF sink: one file per input partition,
     written executor-side (tmp+rename), driver collects only
-    O(partitions) summary rows. Returns the row count written."""
+    O(partitions) summary rows. ``codec="deflate"`` compresses each
+    block (raw RFC-1951; splits stay independent). Returns the row
+    count written."""
     if os.path.exists(path):
         if mode == "overwrite":
             import shutil
@@ -409,11 +428,13 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     os.makedirs(path, exist_ok=True)
     schema = df.schema
     _avro_schema_json(schema)  # refuse unsupported types BEFORE launching
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro write codec {codec!r}")
 
     def task(batches):
         import pyarrow as pa
 
-        payload, n_rows = _encode_file(batches, schema)
+        payload, n_rows = _encode_file(batches, schema, codec)
         # header-only payloads come from empty partitions: skip them,
         # the driver writes one empty file if nothing landed at all
         if n_rows == 0:
@@ -430,7 +451,7 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> int:
     if not written:
         # empty frame: one header-only file keeps the directory readable
         with open(os.path.join(path, "part-empty.avro"), "wb") as fh:
-            fh.write(_encode_file([], schema)[0])
+            fh.write(_encode_file([], schema, codec)[0])
     return total
 
 

@@ -251,3 +251,35 @@ def test_avro_reads_are_splittable(spark, tmp_path):
     for split in (10_000, 1_000, None):
         back = read_avro(spark, out, **({"split_bytes": split} if split else {}))
         assert {(r.k, r.s) for r in back.collect()} == expected, f"split={split}"
+
+
+def test_avro_deflate_codec_roundtrip(spark, tmp_path):
+    """The deflate codec (raw RFC-1951, the Avro spec's standard
+    compression) roundtrips value-exact — compressed per block, so
+    byte-range splits decode independently; unknown codecs still
+    refuse with a named error."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.sources.avro import read_avro, write_avro
+
+    df = spark.range(1500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("compressible text "), F.col("id") % 7).alias("s"),
+    )
+    out = str(tmp_path / "deflate_avro")
+    write_avro(df.repartition(2), out, codec="deflate")
+    expected = {(r.k, r.s) for r in df.collect()}
+    assert {(r.k, r.s) for r in read_avro(spark, out).collect()} == expected
+    # tiny splits still decode exactly-once (compression is per block)
+    got = read_avro(spark, out, split_bytes=2_000)
+    assert {(r.k, r.s) for r in got.collect()} == expected
+    import glob as _glob
+    import os as _os
+
+    deflated = sum(_os.stat(f).st_size for f in _glob.glob(out + "/*.avro"))
+    out_null = str(tmp_path / "null_avro")
+    write_avro(df.repartition(2), out_null)
+    plain = sum(_os.stat(f).st_size for f in _glob.glob(out_null + "/*.avro"))
+    assert deflated < plain  # it actually compressed
+    with pytest.raises(ValueError, match="codec"):
+        write_avro(df, str(tmp_path / "bad"), codec="snappy")
