@@ -334,9 +334,8 @@ def _decoders(schema: StructType):
     return decs
 
 
-def _decode_block(buf: bytes, schema: StructType, cols: list[list]) -> None:
+def _decode_block(buf: bytes, decs: list, cols: list[list]) -> None:
     """Decode ONE block payload (rows only, no framing) into cols."""
-    decs = _decoders(schema)
     pos = 0
     while pos < len(buf):
         for i, dec in enumerate(decs):
@@ -362,13 +361,19 @@ def _decode_split(fpath: str, start: int, end: int, schema: StructType) -> list[
         meta, sync, h_end = _read_header(head)
         codec = meta.get("avro.codec", b"null").decode()
         file_schema = _spark_schema_from_avro(meta["avro.schema"].decode())
-        if [f.name for f in file_schema.fields] != [
-            f.name for f in schema.fields
+        # names AND types must match the planned schema — a dir mixing
+        # same-named differently-typed files would otherwise misalign
+        # the byte stream and yield garbage, not a named refusal
+        if [(f.name, f.dataType) for f in file_schema.fields] != [
+            (f.name, f.dataType) for f in schema.fields
         ]:
             raise ValueError(
-                f"avro file schema {file_schema.fieldNames()} does not "
-                f"match the planned schema {schema.fieldNames()}"
+                f"avro file schema {file_schema.simpleString()} of "
+                f"{fpath} does not match the planned schema "
+                f"{schema.simpleString()} (all files under one read "
+                "must agree)"
             )
+        decs = _decoders(schema)  # built once per split, not per block
         names = [f.name for f in schema.fields]
         cols: list[list] = [[] for _ in names]
         # find the first sync whose start q satisfies q >= lo
@@ -400,9 +405,24 @@ def _decode_split(fpath: str, start: int, end: int, schema: StructType) -> list[
             size, p = _read_long(frame, p)
             fh.seek(q + 16 + p)
             payload = fh.read(size)
+            if len(payload) != size:
+                raise ValueError(
+                    f"avro block at offset {q + 16} of {fpath} is "
+                    "truncated (corrupt file)"
+                )
+            # the 16 bytes after the payload must be the next sync (or
+            # EOF) — same corruption tripwire the whole-file decoder
+            # had, so a coincidental in-data sync match can never
+            # silently misparse the rest of the split
+            trailer = fh.read(16)
+            if trailer != sync:  # every block trails a sync (spec)
+                raise ValueError(
+                    f"avro block sync marker mismatch after offset "
+                    f"{q + 16 + p + size} of {fpath} (corrupt file)"
+                )
             if codec == "deflate":
                 payload = zlib.decompress(payload, wbits=-15)
-            _decode_block(payload, schema, cols)
+            _decode_block(payload, decs, cols)
             q = q + 16 + p + size  # the next sync trails this payload
         return cols
 
@@ -417,7 +437,11 @@ def write_avro(
     written executor-side (tmp+rename), driver collects only
     O(partitions) summary rows. ``codec="deflate"`` compresses each
     block (raw RFC-1951; splits stay independent). Returns the row
-    count written."""
+    count written. ``mode`` honors Spark's writer modes: overwrite,
+    append, error/errorifexists, ignore."""
+    mode = {"error": "errorifexists"}.get(mode, mode)
+    if mode not in ("overwrite", "append", "errorifexists", "ignore"):
+        raise ValueError(f"unsupported write mode {mode!r}")
     if os.path.exists(path):
         if mode == "overwrite":
             import shutil
@@ -425,6 +449,8 @@ def write_avro(
             shutil.rmtree(path)
         elif mode == "errorifexists":
             raise FileExistsError(path)
+        elif mode == "ignore":
+            return 0  # Spark's ignore contract: silently skip the write
     os.makedirs(path, exist_ok=True)
     schema = df.schema
     _avro_schema_json(schema)  # refuse unsupported types BEFORE launching
@@ -464,6 +490,8 @@ def read_avro(
     spark: SparkSession,
     path: str,
     split_bytes: int = DEFAULT_AVRO_SPLIT_BYTES,
+    recursive: bool = False,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Distributed SPLITTABLE Avro OCF scan. The driver does O(files)
     metadata work only — one header read for the schema plus a stat
@@ -477,11 +505,18 @@ def read_avro(
     file reads assume)."""
     files: list[str] = []
     if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, n)
-            for n in os.listdir(path)
-            if n.endswith(".avro")
-        )
+        if recursive:
+            for root, _dirs, names in os.walk(path):
+                files += [
+                    os.path.join(root, n) for n in names if n.endswith(".avro")
+                ]
+            files.sort()
+        else:
+            files = sorted(
+                os.path.join(path, n)
+                for n in os.listdir(path)
+                if n.endswith(".avro")
+            )
     elif path.endswith(".avro") and os.path.exists(path):
         files = [path]
     if not files:
@@ -489,7 +524,19 @@ def read_avro(
     with open(files[0], "rb") as fh:
         head = fh.read(1 << 20)  # headers are tiny; 1 MiB covers any schema
     meta, _, _ = _read_header(head)
-    schema = _spark_schema_from_avro(meta["avro.schema"].decode())
+    file_schema = _spark_schema_from_avro(meta["avro.schema"].decode())
+    if schema is not None:
+        # the file IS typed: an explicit schema is an assertion, not a
+        # cast — mismatches refuse loudly instead of being ignored
+        want = [(f.name, f.dataType) for f in schema.fields]
+        have = [(f.name, f.dataType) for f in file_schema.fields]
+        if want != have:
+            raise ValueError(
+                f"requested schema {schema.simpleString()} does not match "
+                f"the avro file schema {file_schema.simpleString()} under "
+                f"{path}"
+            )
+    schema = file_schema
 
     specs: list[tuple[str, int, int]] = []
     for f in files:

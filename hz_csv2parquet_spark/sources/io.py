@@ -124,7 +124,11 @@ def read_table(
 
         if len(paths) != 1:
             raise ValueError("avro read takes exactly one directory/file path")
-        df = read_avro(spark, paths[0])
+        if isinstance(schema, str):
+            from pyspark.sql.types import StructType as _St
+
+            schema = _St.fromDDL(schema)
+        df = read_avro(spark, paths[0], recursive=recursive, schema=schema)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

@@ -368,7 +368,19 @@ def sink_compatible_reason(expr: str, columns: set[str] | None = None) -> str | 
     cols_lower = {c.lower() for c in columns} if columns is not None else None
     tokens = [m.group(0) for m in _SINK_TOKEN_RE.finditer(expr)]
     for i, tok in enumerate(tokens):
-        if tok.isspace() or (tok.startswith("'") and tok.endswith("'") and len(tok) >= 2):
+        if tok.isspace():
+            continue
+        if tok.startswith("'") and tok.endswith("'") and len(tok) >= 2:
+            # backslash escapes parse differently between the engines
+            # (Spark: 'a\tb' is a TAB; DuckDB: a literal backslash-t)
+            # — the exact silent-divergence the subset exists to
+            # exclude, verified live in both engines
+            if "\\" in tok:
+                return (
+                    "string literal with a backslash escape is outside the "
+                    "sink-compatible subset (Spark and DuckDB parse "
+                    "escapes differently)"
+                )
             continue
         low = tok.lower()
         if tok[0].isalpha() or tok[0] == "_":
@@ -805,6 +817,21 @@ class TxTable:
             # well as OSError) so nothing leaks until vacuum
             if os.path.exists(tmp):
                 os.remove(tmp)
+
+    def _load_checkpoint_envelope(self, v: int) -> dict:
+        """ONLY the table-level envelope of checkpoint ``v`` — an
+        O(footer) parquet schema-metadata read, no add rows
+        materialized. The pure-metadata callers (commit_timestamps)
+        use this so a timestamp lookup on a million-file table never
+        pays a full checkpoint scan. Legacy JSON checkpoints fall
+        back to the full load."""
+        pqt = _checkpoint_parquet(self.path, v)
+        if os.path.exists(pqt):
+            import pyarrow.parquet as pq
+
+            meta = pq.read_schema(pqt).metadata or {}
+            return json.loads(meta[b"hz_txlog.envelope"].decode())
+        return json.load(open(_checkpoint_file(self.path, v)))
 
     def _load_checkpoint(self, v: int) -> dict:
         """The checkpoint payload at version ``v`` — parquet
@@ -1431,10 +1458,24 @@ class TxTable:
         for name, expr in (state.get("constraints") or {}).items():
             try:
                 bad = df.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1)
-            except AnalysisException:
-                # widening batch without the constrained column:
-                # the column null-fills, NULL passes CHECK
-                continue
+            except AnalysisException as exc:
+                cls = ""
+                try:
+                    cls = exc.getErrorClass() or ""
+                except Exception:  # pragma: no cover - very old exc shape
+                    pass
+                if "UNRESOLVED_COLUMN" in cls or "UNRESOLVED_COLUMN" in str(exc):
+                    # widening batch without the constrained column:
+                    # the column null-fills, NULL passes CHECK — the
+                    # ONLY analysis failure that may skip enforcement
+                    continue
+                # anything else (e.g. an ambiguous reference from a
+                # case-duplicate column in the batch) must surface,
+                # never silently unenforce the invariant
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) could not be "
+                    f"evaluated against the incoming batch: {exc}"
+                ) from exc
             if bad.count():
                 raise ValueError(
                     f"CHECK constraint {name!r} ({expr}) violated by the "
@@ -1704,7 +1745,8 @@ class TxTable:
         ckpts = [c for c in self._checkpoint_versions() if c <= top]
         if ckpts:
             try:
-                snap = self._load_checkpoint(ckpts[-1])
+                # envelope-only read: this is a pure metadata question
+                snap = self._load_checkpoint_envelope(ckpts[-1])
                 if "commitTimestamps" in snap:
                     cts = {
                         int(k): float(t)

@@ -754,20 +754,46 @@ class _TxLogStreamReader(DataSourceStreamReader):
                         "the stream's query-start anchor — restart the "
                         "stream to pick up the new schema"
                     )
-            elif "schema" in m and not self._anchor["mapped"]:
-                new = {
-                    f.name: f.dataType.simpleString()
-                    for f in StructType.fromJson(
-                        json.loads(m["schema"])
-                    ).fields
-                }
+            if "schema" in m:
+                # compare in PHYSICAL space whenever the table is
+                # mapped at this commit — including the upgrade commit
+                # itself (rename on a previously-unmapped table ships
+                # schema + columnMapping together; its logical names
+                # legally change while physicals stay identity)
+                mapped_now = bool(m.get("columnMapping")) or self._anchor["mapped"]
+                if not mapped_now:
+                    new = {
+                        f.name: f.dataType.simpleString()
+                        for f in StructType.fromJson(
+                            json.loads(m["schema"])
+                        ).fields
+                    }
+                else:
+                    # mapped table: logical names may legally rename,
+                    # so compare by PHYSICAL name — via the commit's
+                    # own mapping when it carries one, else the
+                    # mapping replayed at this version (physicals are
+                    # version-invariant; one O(tail) replay per
+                    # schema-carrying meta commit, a rare event)
+                    mp2 = m.get("columnMapping")
+                    if mp2 is None:
+                        mp2 = _log_state(self.path, v).get("columnMapping")
+                    phys2 = dict((mp2 or {}).get("physical") or {})
+                    new = {
+                        phys2.get(f.name, f.name): f.dataType.simpleString()
+                        for f in StructType.fromJson(
+                            json.loads(m["schema"])
+                        ).fields
+                    }
                 missing = sorted(
-                    c for c in self._anchor["phys"] if c not in new
+                    c
+                    for c, p in self._anchor["phys"].items()
+                    if p not in new
                 )
                 changed = sorted(
                     c
-                    for c, tp in self._anchor["types"].items()
-                    if c in new and new[c] != tp
+                    for c, p in self._anchor["phys"].items()
+                    if p in new and new[p] != self._anchor["types"][c]
                 )
                 if missing or changed:
                     raise ValueError(
@@ -1099,6 +1125,27 @@ class _StagedParquetWriteMixin:
             if committed is not None
             else []
         )
+        if new_fields and committed is not None:
+            # a case-variant of an existing column must not evolve into
+            # a duplicate: under the default spark.sql.caseSensitive=
+            # false, `value` + `Value` in one schema makes every later
+            # reference an ambiguous-analysis error (a bricked table).
+            # Refuse with the rename instruction instead.
+            lower = {cf.name.lower(): cf.name for cf in committed.fields}
+            clashes = [
+                (f.name, lower[f.name.lower()])
+                for f in new_fields
+                if f.name.lower() in lower
+            ]
+            if clashes:
+                raise ValueError(
+                    f"written column(s) {[c[0] for c in clashes]} differ "
+                    f"only by case from existing column(s) "
+                    f"{[c[1] for c in clashes]} at {self.path}; rename the "
+                    "written columns to match exactly — evolving a "
+                    "case-duplicate would make every later reference "
+                    "ambiguous"
+                )
         if mapping:
             from .txlog import TableFeatureError
 

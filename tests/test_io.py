@@ -283,3 +283,48 @@ def test_avro_deflate_codec_roundtrip(spark, tmp_path):
     assert deflated < plain  # it actually compressed
     with pytest.raises(ValueError, match="codec"):
         write_avro(df, str(tmp_path / "bad"), codec="snappy")
+
+
+def test_avro_read_refuses_mixed_type_dirs_and_honors_modes(spark, tmp_path):
+    """Round-12 self-review fixes: (1) a directory mixing same-named
+    differently-typed avro files refuses with a named error instead
+    of misaligning the byte stream; (2) writer modes follow Spark's
+    contract — 'error' refuses on existing output, 'ignore' no-ops,
+    'append' adds; (3) an explicit read schema is validated against
+    the file header; (4) recursive discovery walks nested dirs."""
+    from pyspark.sql import functions as F
+
+    from hz_csv2parquet_spark.sources.avro import read_avro, write_avro
+
+    d = str(tmp_path / "mixed_types")
+    write_avro(spark.createDataFrame([(1,)], "x long"), d)
+    write_avro(spark.createDataFrame([(2.5,)], "x double"), d, mode="append")
+    with pytest.raises(Exception, match="does not match the planned schema"):
+        read_avro(spark, d).collect()
+
+    out = str(tmp_path / "modes")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    assert write_avro(df, out) == 1
+    with pytest.raises(FileExistsError):
+        write_avro(df, out, mode="error")
+    assert write_avro(df, out, mode="ignore") == 0  # skipped, not written
+    assert read_avro(spark, out).count() == 1
+    assert write_avro(df, out, mode="append") == 1
+    assert read_avro(spark, out).count() == 2
+    with pytest.raises(ValueError, match="unsupported write mode"):
+        write_avro(df, out, mode="bogus")
+
+    # explicit schema is an assertion against the typed file
+    ok = read_table(spark, out, fmt="avro", schema="k long, s string")
+    assert ok.count() == 2
+    with pytest.raises(ValueError, match="does not match the avro file schema"):
+        read_table(spark, out, fmt="avro", schema="k double, s string")
+
+    # recursive discovery
+    nest = tmp_path / "nest" / "inner"
+    nest.mkdir(parents=True)
+    write_avro(df, str(nest / "leaf_avro"))
+    got = read_table(spark, str(tmp_path / "nest"), fmt="avro", recursive=True)
+    assert got.count() == 1
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, str(tmp_path / "nest"), fmt="avro")  # non-recursive

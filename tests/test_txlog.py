@@ -2828,3 +2828,24 @@ def test_starting_timestamp_rides_the_same_index(spark, tmp_path, monkeypatch):
     fresh.log_reads = 0
     assert fresh.version_at(1004.5) == 4
     assert fresh.log_reads <= 1
+
+
+def test_review_r12_constraint_gate_hardening(spark, tmp_path):
+    """Round-12 self-review fixes: (1) string literals with backslash
+    escapes are refused from the sink-enforceable subset (Spark reads
+    'a\\tb' as a TAB, DuckDB as backslash-t — verified divergent);
+    (2) a constraint that fails analysis on a batch for any reason
+    OTHER than a missing column (e.g. an ambiguous case-duplicate
+    reference) surfaces as an error instead of silently unenforcing
+    the invariant."""
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(spark.createDataFrame([(1, 5, "ok")], "k long, v long, s string"))
+    with pytest.raises(ValueError, match="backslash"):
+        t.add_constraint("c", r"s <> 'a\tb'")
+    t.add_constraint("v_pos", "v > 0")
+    ambiguous = spark.createDataFrame(
+        [(2, 3, -9, "x")], "k long, v long, V long, s string"
+    )
+    with pytest.raises(Exception, match="v_pos"):
+        t.append(ambiguous)
+    assert t.snapshot().count() == 1  # nothing committed

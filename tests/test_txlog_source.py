@@ -1101,3 +1101,45 @@ def test_stream_fails_on_unmapped_column_drop(spark, tmp_path):
     t2._rebase_commit([{"meta": {"schema": retyped}}], operation="RETYPE")
     with pytest.raises(ValueError, match="restart the stream"):
         reader2.partitions({"version": v2}, {"version": t2.version()})
+
+
+def test_sink_merge_schema_refuses_case_variant_columns(spark, tmp_path):
+    """Round-12 self-review fix: evolving a case-variant of an
+    existing column would commit a schema where every later
+    reference is ambiguous under spark.sql.caseSensitive=false — the
+    sink refuses at construction with a rename instruction."""
+    t = _mk(spark, tmp_path, n=2, files=1)
+    wide = spark.createDataFrame([(9, 9, 9)], "k long, v long, K long")
+    with pytest.raises(Exception, match="differ\\s+only by case"):
+        wide.write.format("hz_txlog").mode("append").option(
+            "mergeSchema", "true"
+        ).save(t.path)
+    assert "K" not in t.snapshot().columns
+
+
+def test_stream_fails_on_mapped_column_retype(spark, tmp_path):
+    """Round-12 self-review fix: on a MAPPED table a schema-only meta
+    commit that retypes a served column (physical names unchanged)
+    must fail the stream — the columnMapping presence check alone
+    cannot see it."""
+    import json as _json
+
+    from hz_csv2parquet_spark.sources.txlog_source import (
+        _TxLogStreamReader,
+        _schema_from_log,
+    )
+
+    t = _mk(spark, tmp_path, n=2, files=1)
+    t.rename_column("k", "key")  # upgrade to mapping
+    reader = _TxLogStreamReader(t.path, _schema_from_log(t.path), {})
+    v0 = t.version()
+    # additive on mapped: rename again — physicals invariant, passes
+    t.rename_column("v", "val")
+    assert reader.partitions({"version": v0}, {"version": t.version()}) == []
+    v1 = t.version()
+    retyped = t._replay_state()["schema"].replace(
+        '"type":"long"', '"type":"double"', 1
+    )
+    t._rebase_commit([{"meta": {"schema": retyped}}], operation="RETYPE")
+    with pytest.raises(ValueError, match="restart the stream"):
+        reader.partitions({"version": v1}, {"version": t.version()})
