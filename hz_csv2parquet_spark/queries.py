@@ -128,9 +128,11 @@ def query(
 #: simulator demanded it): the 24 alphabetically-first of the 46 live
 #: r9 greens (48 r9 greens minus ann_recall_eval and
 #: minhash_banding_eval, retired this round — see below). 48 named
-#: here; the remaining 2 window slots are reserved for
-#: ``priority=True`` round-12 registrations — slack goes UNUSED if
-#: fewer land (count what is registered, not what is planned).
+#: here; the remaining 2 window slots went to the two
+#: ``priority=True`` round-12 registrations that LANDED:
+#: ``txlog_update_rename_cdf_events`` (E174, the rename→DML→feed
+#: lifecycle) and ``avro_roundtrip_agg`` (the hand-rolled OCF
+#: source/sink) — window = 48 + 2 = exactly the 50-row cap.
 #: Catalog note: round 12 retired three redundant eval-harness rows
 #: whose arithmetic is carried by driver-gated siblings —
 #: ann_recall_eval (recall reduction lives on in ivf_recall_eval; the
