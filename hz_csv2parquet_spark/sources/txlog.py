@@ -104,8 +104,33 @@ class TableFeatureError(RuntimeError):
 #: read path (snapshot, changes, DSv2 source) raise
 #: :class:`TableFeatureError` instead of misreading the table.
 SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "hivePartitioning", "columnMapping"}
+    {"deletionVectors", "hivePartitioning", "columnMapping", "absolutePaths"}
 )
+
+
+def _data_file(table_path: str, rel: str, action: dict | None) -> str:
+    """Resolve an add/dv action's on-disk file. Paths in the log are
+    table-relative EXCEPT on shallow clones (``absolutePaths`` reader
+    feature): a clone's commit-0 add actions keep the SOURCE table's
+    relative key (so the scan-side ``data-*/…`` join key still
+    matches) and carry the source file's absolute location in
+    ``absPath``. Everything local to this table resolves under
+    ``table_path`` as before."""
+    abs_path = (action or {}).get("absPath")
+    return abs_path or os.path.join(table_path, rel)
+
+
+def _rel_key(path: str) -> str:
+    """Inverse of resolution: the log key of a resolved data-file
+    path. Every data file a TxTable writes lives under a table-root
+    ``data-*`` stage dir (``_stage``/``convert_in_place`` both
+    guarantee it), so the key is the path suffix from the LAST
+    ``data-*`` segment — the same extraction the scan side performs
+    JVM-side (``_DV_KEY_RE``), which keeps log keys and scan keys
+    identical whether the file is local or an absolute shallow-clone
+    reference into another table."""
+    m = re.search(_DV_KEY_RE, path)
+    return m.group(1) if m else path
 
 
 def _pv_from_path(rel_path: str) -> dict[str, str | None]:
@@ -670,7 +695,11 @@ class TxTable:
         return max((int(n[:8]) for n in names if _COMMIT_RE.match(n)), default=-1)
 
     def _commit(
-        self, actions: list[dict], expected_version: int, operation: str | None = None
+        self,
+        actions: list[dict],
+        expected_version: int,
+        operation: str | None = None,
+        info: dict | None = None,
     ) -> int:
         """Atomically write version ``expected_version + 1``. O_EXCL
         create: exactly one writer wins; a loser raises
@@ -684,7 +713,13 @@ class TxTable:
         target = _version_file(self.path, v)
         if operation is not None:
             actions = actions + [
-                {"commitInfo": {"operation": operation, "timestamp": time.time()}}
+                {
+                    "commitInfo": {
+                        "operation": operation,
+                        "timestamp": time.time(),
+                        **(info or {}),
+                    }
+                }
             ]
         try:
             with open(target, "x") as fh:
@@ -1281,6 +1316,108 @@ class TxTable:
         actions.append({"meta": meta})
         return self._commit(actions, -1, operation="CONVERT")
 
+    def clone(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        timestamp: float | str | None = None,
+    ) -> "TxTable":
+        """SHALLOW CLONE (Delta's ``CREATE TABLE … SHALLOW CLONE``):
+        a new, fully independent table at ``dest_path`` whose commit
+        0 REFERENCES the source's data files without copying a byte —
+        O(files) driver-side log metadata whatever the table's size,
+        which is what makes dev/test copies of a 100 TB production
+        table instant. Time travel the clone point via ``version`` or
+        ``timestamp``.
+
+        The clone is a first-class table: every verb works, and any
+        rewrite (DELETE/UPDATE/MERGE/OPTIMIZE) is copy-on-write INTO
+        THE CLONE's own directory — the source never changes, and
+        ``compact()`` on the clone is how it materializes itself
+        fully local.
+
+        Mechanics: cloned add actions keep the source's RELATIVE key
+        (every data file lives under a table-root ``data-*`` stage
+        dir, so the scan-side join key ``_DV_KEY_RE`` extracts is
+        identical either way) and carry the file's absolute location
+        in ``absPath``; deletion-vector sidecars clone the same way.
+        The clone's log requires the ``absolutePaths`` reader
+        feature, so a feature-unaware reader refuses loudly instead
+        of resolving keys under the wrong root. Cloning a clone
+        re-points at the ORIGINAL files (``absPath`` propagates) —
+        reference chains never deepen.
+
+        The shared-fate hazard is Delta's own documented one:
+        ``vacuum``/data-deleting ops ON THE SOURCE can reclaim files
+        the clone still references; the clone's reads then fail
+        loudly (FileNotFound), never silently. Constraints,
+        properties (CDF/dv), partitioning, and column mapping carry
+        over; writer txn idempotency state (``txns``) deliberately
+        does not — the clone is a new table, and a streaming sink
+        that previously wrote the source must re-deliver into it."""
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        if timestamp is not None:
+            version = self.version_at(timestamp)
+        state = self._replay_state(as_of=version)
+        dest = TxTable(
+            self.spark,
+            dest_path,
+            stat_cols=self.stat_cols,
+            checkpoint_interval=self.checkpoint_interval,
+        )
+        if dest.version() >= 0:
+            raise FileExistsError(f"table already exists at {dest_path}")
+        src_root = os.path.abspath(self.path)
+        resolved = {
+            rel: _data_file(src_root, rel, a) for rel, a in state["adds"].items()
+        }
+        # key-consistency gate: the clone keeps the source's relative
+        # keys, which only round-trips when the scan-side extraction
+        # reproduces them (true for every file a TxTable stages or
+        # converts — all under table-root data-*/ dirs)
+        bad = [rel for rel, f in resolved.items() if _rel_key(f) != rel]
+        if bad:
+            raise ValueError(
+                f"cannot shallow-clone {self.path}: {len(bad)} file key(s) "
+                f"(e.g. {bad[0]!r}) do not round-trip the scan-side "
+                "data-*/ key extraction; run compact() on the source "
+                "first to rewrite them into standard staging layout"
+            )
+        actions: list[dict] = []
+        for rel, a in state["adds"].items():
+            add = {k: v for k, v in a.items() if k != "dataChange"}
+            add["absPath"] = resolved[rel]
+            if a.get("dv"):
+                dv = dict(a["dv"])
+                dv["absPath"] = _data_file(src_root, dv["path"], a["dv"])
+                add["dv"] = dv
+            actions.append({"add": add})
+        features = set(state["readerFeatures"])
+        if actions:
+            features.add("absolutePaths")
+        meta: dict = {
+            "schema": state["schema"],
+            "properties": dict(state["properties"]),
+        }
+        if state["partitionColumns"]:
+            meta["partitionColumns"] = state["partitionColumns"]
+        if state.get("constraints"):
+            meta["constraints"] = dict(state["constraints"])
+        if state.get("columnMapping") is not None:
+            meta["columnMapping"] = state["columnMapping"]
+        if features:
+            meta["readerFeatures"] = sorted(features)
+        actions.append({"meta": meta})
+        os.makedirs(dest_path, exist_ok=True)
+        dest._commit(
+            actions,
+            -1,
+            operation="CLONE",
+            info={"sourcePath": src_root, "sourceVersion": version if version is not None else self.version()},
+        )
+        return dest
+
     def append(self, df: DataFrame) -> int:
         """Blind append — add actions only, no reads rewritten.
 
@@ -1406,7 +1543,7 @@ class TxTable:
                     "expression, or pass sink_enforceable=False to accept "
                     "it (sink writes to this table will then refuse)"
                 )
-        files = [os.path.join(self.path, rel) for rel in state["adds"]]
+        files = self._files_of(state["adds"])
         if files:
             current = self._read_files(
                 files,
@@ -1701,8 +1838,14 @@ class TxTable:
     # ---------------- read path ----------------
 
     def files(self, as_of: int | None = None) -> list[str]:
-        rel, _ = self._replay(as_of)
-        return [os.path.join(self.path, p) for p in rel]
+        adds = self._replay_state(as_of)["adds"]
+        return self._files_of(adds)
+
+    def _files_of(self, adds: dict[str, dict]) -> list[str]:
+        """Resolved on-disk paths of ``adds`` — table-relative keys
+        joined under this table's root, shallow-clone references
+        (``absPath``) taken verbatim."""
+        return [_data_file(self.path, rel, a) for rel, a in adds.items()]
 
     def partition_columns(self, as_of: int | None = None) -> list[str]:
         """The table's hive-partition columns ([] = unpartitioned),
@@ -1781,7 +1924,7 @@ class TxTable:
         if as_of_timestamp is not None:
             as_of = self.version_at(as_of_timestamp)
         state = self._replay_state(as_of)
-        files = [os.path.join(self.path, p) for p in state["adds"]]
+        files = self._files_of(state["adds"])
         if not files:
             # empty table: zero-row frame with the committed schema
             from pyspark.sql.types import StructType
@@ -1851,7 +1994,7 @@ class TxTable:
             )
 
         dv_of = {
-            os.path.join(self.path, rel): a["dv"]
+            _data_file(self.path, rel, a): a["dv"]
             for rel, a in adds.items()
             if a.get("dv")
         }
@@ -1859,7 +2002,7 @@ class TxTable:
             # partitionValues keys are physical (hive dirs) — re-key
             # to logical so pv columns attach under the names the
             # caller's schema speaks
-            os.path.join(self.path, rel): _rekey_logical(
+            _data_file(self.path, rel, a): _rekey_logical(
                 a["partitionValues"], mapping
             )
             for rel, a in adds.items()
@@ -1926,7 +2069,7 @@ class TxTable:
 
         rows = [
             tuple(
-                [os.path.relpath(f, self.path)]
+                [_rel_key(f)]
                 + [
                     pv_cast((pv_of.get(f) or {}).get(c), types[c])
                     for c in pcols
@@ -1965,7 +2108,7 @@ class TxTable:
             if rel_col:
                 scan = scan.withColumn(rel_col, _decode_uri_col(F.col("__hz_fname")))
             dv = self.spark.read.parquet(
-                *[os.path.join(self.path, dv_of[f]["path"]) for f in dvd]
+                *[_data_file(self.path, dv_of[f]["path"], dv_of[f]) for f in dvd]
             ).select(
                 F.col("fname").alias("__dv_fname"), F.col("pos").alias("__dv_pos")
             )
@@ -2028,7 +2171,7 @@ class TxTable:
                 overlaps = st is None or (st[0] <= keys_max and keys_min <= st[1])
             except TypeError:
                 overlaps = True  # incomparable stat types → cannot prove disjoint
-            (hit if overlaps else miss).append(os.path.join(self.path, p))
+            (hit if overlaps else miss).append(_data_file(self.path, p, add))
         return hit, miss
 
     # ---------------- transactions ----------------
@@ -2180,7 +2323,7 @@ class TxTable:
                     self._cdc_diff_actions(current, rewritten, mapping=mapping)
                 )
             for f in touched:
-                actions.append({"remove": {"path": os.path.relpath(f, self.path)}})
+                actions.append({"remove": {"path": _rel_key(f)}})
             if merged_schema != old_schema:
                 meta = {"schema": merged_schema}
                 if mapping is not state.get("columnMapping"):
@@ -2339,7 +2482,7 @@ class TxTable:
         # table's persisted properties, not its own constructor flags
         dv_on = self._prop_on(state, "deletionVectors", self.deletion_vectors)
         cdf_on = self._prop_on(state, "changeDataFeed", self.change_data)
-        files = [os.path.join(self.path, rel) for rel in state["adds"]]
+        files = self._files_of(state["adds"])
         if not files:
             return base
         pred_sql = predicate if isinstance(predicate, str) else None
@@ -2408,7 +2551,7 @@ class TxTable:
                 new_rels = [r for r in head["adds"] if r not in state["adds"]]
                 if new_rels:
                     new_touched = self._detect_matches(
-                        [os.path.join(self.path, r) for r in new_rels],
+                        [_data_file(self.path, r, head["adds"].get(r)) for r in new_rels],
                         head,
                         pred,
                         pred_sql,
@@ -2454,7 +2597,7 @@ class TxTable:
                 mapping = state.get("columnMapping")
                 kept = []
                 for f in files:
-                    a = state["adds"].get(os.path.relpath(f, self.path), {})
+                    a = state["adds"].get(_rel_key(f), {})
                     try:
                         # stats/pv keys are physical — re-key to the
                         # logical names the predicate speaks
@@ -2470,7 +2613,7 @@ class TxTable:
         if not files:
             return []
         return [
-            os.path.join(self.path, r["__hz_rel"])
+            _data_file(self.path, r["__hz_rel"], state["adds"].get(r["__hz_rel"]))
             for r in self._read_files(
                 files,
                 state["adds"],
@@ -2532,7 +2675,7 @@ class TxTable:
             )
             for f in touched:
                 actions.append(
-                    {"remove": {"path": os.path.relpath(f, self.path)}}
+                    {"remove": {"path": _rel_key(f)}}
                 )
         if cdf_on:
             actions.extend(
@@ -2585,7 +2728,7 @@ class TxTable:
             raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
         dv_on = self._prop_on(state, "deletionVectors", self.deletion_vectors)
         cdf_on = self._prop_on(state, "changeDataFeed", self.change_data)
-        files = [os.path.join(self.path, rel) for rel in state["adds"]]
+        files = self._files_of(state["adds"])
         if not files:
             return base
         pred_sql = predicate if isinstance(predicate, str) else None
@@ -2681,7 +2824,7 @@ class TxTable:
             )
             for f in touched:
                 actions.append(
-                    {"remove": {"path": os.path.relpath(f, self.path)}}
+                    {"remove": {"path": _rel_key(f)}}
                 )
         if cdf_on:
             actions.extend(
@@ -2721,7 +2864,7 @@ class TxTable:
 
         pv_groups: dict[tuple, list[str]] = {}
         for f in touched:
-            rel = os.path.relpath(f, self.path)
+            rel = _rel_key(f)
             pv = _rekey_logical(adds[rel].get("partitionValues"), mapping)
             pv_groups.setdefault(tuple(sorted(pv.items())), []).append(f)
         types = {}
@@ -2737,7 +2880,7 @@ class TxTable:
         if len(pv_groups) > _PV_UNION_MAX:
             pv_of = {
                 f: _rekey_logical(
-                    adds[os.path.relpath(f, self.path)].get("partitionValues"),
+                    adds[_rel_key(f)].get("partitionValues"),
                     mapping,
                 )
                 for f in touched
@@ -2779,9 +2922,13 @@ class TxTable:
             for b in branches[1:]:
                 hits = hits.unionByName(b)
         old_dvs = [
-            os.path.join(self.path, adds[os.path.relpath(f, self.path)]["dv"]["path"])
+            _data_file(
+                self.path,
+                adds[_rel_key(f)]["dv"]["path"],
+                adds[_rel_key(f)]["dv"],
+            )
             for f in touched
-            if adds[os.path.relpath(f, self.path)].get("dv")
+            if adds[_rel_key(f)].get("dv")
         ]
         if old_dvs:
             hits = hits.unionByName(
@@ -2853,9 +3000,9 @@ class TxTable:
 
         schema = StructType.fromJson(json.loads(state["schema"]))
         types = {f.name: f.dataType for f in schema.fields}
-        files = [os.path.join(self.path, rel) for rel in rels]
+        files = [_data_file(self.path, rel, state["adds"].get(rel)) for rel in rels]
         pv_of = {
-            os.path.join(self.path, rel): _rekey_logical(
+            _data_file(self.path, rel, state["adds"].get(rel)): _rekey_logical(
                 state["adds"][rel].get("partitionValues"),
                 state.get("columnMapping"),
             )
@@ -2994,7 +3141,7 @@ class TxTable:
             # nothing (reachable from a maintenance tick after
             # empty-batch merges)
             return base
-        files = [os.path.join(self.path, rel) for rel in scope]
+        files = [_data_file(self.path, rel, state["adds"].get(rel)) for rel in scope]
         # dv-aware read: OPTIMIZE materializes deletion vectors —
         # the rewritten files carry no dv and the old vectors die
         df = self._read_files(
@@ -3048,7 +3195,7 @@ class TxTable:
             a["add"]["dataChange"] = False
         for f in files:
             actions.append(
-                {"remove": {"path": os.path.relpath(f, self.path), "dataChange": False}}
+                {"remove": {"path": _rel_key(f), "dataChange": False}}
             )
         # Conflict resolution (the Delta OPTIMIZE rule): a version
         # race against a BLIND APPEND never invalidates the rewrite —
@@ -3125,7 +3272,7 @@ class TxTable:
         dropped = [rel for rel in cur if rel not in tgt]
         actions: list[dict] = []
         for rel in re_added:
-            if not os.path.exists(os.path.join(self.path, rel)):
+            if not os.path.exists(_data_file(self.path, rel, tgt[rel])):
                 raise FileNotFoundError(
                     f"restore to version {version} needs {rel}, which vacuum "
                     "has reclaimed — RESTORE shares time travel's retention "
@@ -3166,7 +3313,7 @@ class TxTable:
                 # rolled back (current-logical columns would null out
                 # under _align_columns otherwise)
                 df = self._read_files(
-                    [os.path.join(self.path, r) for r in rels],
+                    [_data_file(self.path, r, adds.get(r)) for r in rels],
                     adds,
                     schema_json,
                     mapping=tgt_state.get("columnMapping"),
@@ -3290,10 +3437,11 @@ class TxTable:
                     rel = action["add"]["path"]
                     if rel in live and _norm_action(live[rel]) == _norm_action(action["add"]):
                         continue  # re-emitted unchanged: no content change
-                    added.append(os.path.join(self.path, rel))
+                    added.append(_data_file(self.path, rel, action["add"]))
                     added_adds[rel] = action["add"]
                 elif "remove" in action and action["remove"].get("dataChange", True):
-                    removed.append(os.path.join(self.path, action["remove"]["path"]))
+                    rrel = action["remove"]["path"]
+                    removed.append(_data_file(self.path, rrel, live.get(rrel)))
                 elif "cdc" in action:
                     cdcs.append(os.path.join(self.path, action["cdc"]["path"]))
             # in-place changes: added paths live at v-1 with a
@@ -3301,7 +3449,8 @@ class TxTable:
             # — their pre-state rows join the removed side of the diff
             in_place = [
                 rel for rel in added_adds
-                if rel in live and os.path.join(self.path, rel) not in removed
+                if rel in live
+                and _data_file(self.path, rel, live.get(rel)) not in removed
             ]
             pre_adds = dict(live)  # v-1 state for the removed side
             # advance the live state BEFORE any early-continue — in
@@ -3349,18 +3498,24 @@ class TxTable:
                     "_commit_version", F.lit(v).cast("long")
                 )
 
-            old_side = removed + [os.path.join(self.path, rel) for rel in in_place]
+            old_side = removed + [
+                _data_file(self.path, rel, pre_adds.get(rel)) for rel in in_place
+            ]
             # retention check covers the dv sidecars the diff reads,
             # not just data files: the in-place old side needs the
             # SUPERSEDED vector, which vacuum may have reclaimed
             needed_dvs = [
-                os.path.join(self.path, a["dv"]["path"])
+                _data_file(self.path, a["dv"]["path"], a["dv"])
                 for a in added_adds.values()
                 if a.get("dv")
             ] + [
-                os.path.join(self.path, pre_adds[os.path.relpath(p, self.path)]["dv"]["path"])
+                _data_file(
+                    self.path,
+                    pre_adds[_rel_key(p)]["dv"]["path"],
+                    pre_adds[_rel_key(p)]["dv"],
+                )
                 for p in old_side
-                if (pre_adds.get(os.path.relpath(p, self.path)) or {}).get("dv")
+                if (pre_adds.get(_rel_key(p)) or {}).get("dv")
             ]
             for p in added + removed + needed_dvs:
                 if not os.path.exists(p):

@@ -77,7 +77,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from .txlog import _version_file
+from .txlog import _data_file, _version_file
 
 
 @dataclass
@@ -426,7 +426,7 @@ def _cdf_version_partitions(
     for add in added:
         parts.extend(
             _file_partitions(
-                os.path.join(path, add["path"]),
+                _data_file(path, add["path"], add),
                 int(add.get("rows", 0)),
                 cols,
                 split_rows,
@@ -461,12 +461,12 @@ class _TxLogBatchReader(DataSourceReader):
             dv = add.get("dv")
             parts.extend(
                 _file_partitions(
-                    os.path.join(self.path, p),
+                    _data_file(self.path, p, add),
                     int(add.get("rows", 0)),
                     cols,
                     self.split_rows,
                     constants=_pv_constants(add, cols, self._pairs),
-                    dv=os.path.join(self.path, dv["path"]) if dv else None,
+                    dv=_data_file(self.path, dv["path"], dv) if dv else None,
                     physical=self._pairs,
                 )
             )
@@ -886,7 +886,7 @@ class _TxLogStreamReader(DataSourceStreamReader):
             for add in added:
                 parts.extend(
                     _file_partitions(
-                        os.path.join(self.path, add["path"]),
+                        _data_file(self.path, add["path"], add),
                         int(add.get("rows", 0)),
                         cols,
                         self.split_rows,
