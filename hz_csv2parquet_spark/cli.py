@@ -226,11 +226,34 @@ def cmd_table(args: argparse.Namespace) -> None:
     t = TxTable(spark, args.table, stat_cols=args.stat_cols.split(",") if args.stat_cols else None)
     if args.action == "create":
         df = read_table(spark, args.src, fmt=_fmt_of(args.src))
+        gen = {}
+        for g in args.generated or []:
+            col, sep, expr = g.partition("=")
+            if not sep:
+                raise SystemExit(f"--generated needs COL=EXPR, got {g!r}")
+            gen[col.strip()] = expr.strip()
         v = t.create(
             df,
             partition_by=args.partition_by.split(",") if args.partition_by else None,
+            generated=gen or None,
         )
         log.info("created %s at version %d (%d files)", args.table, v, len(t.files()))
+    elif args.action == "clone":
+        if not args.dest:
+            raise SystemExit("table clone requires --dest")
+        if args.as_of is not None and args.as_of_timestamp is not None:
+            raise SystemExit("pass --as-of OR --as-of-timestamp, not both")
+        c = t.clone(
+            args.dest, version=args.as_of, timestamp=args.as_of_timestamp
+        )
+        log.info(
+            "shallow-cloned %s to %s at version %d (%d file reference(s), "
+            "zero bytes copied)",
+            args.table,
+            args.dest,
+            c.version(),
+            len(c.files()),
+        )
     elif args.action == "history":
         for v in range(t.version() + 1):
             actions = jsonmod.load(open(_version_file(args.table, v)))
@@ -374,6 +397,11 @@ def cmd_table(args: argparse.Namespace) -> None:
         print(f"partition columns: {', '.join(pcols) if pcols else '(none)'}")
         for cname, cexpr in sorted((state.get("constraints") or {}).items()):
             print(f"constraint {cname}: CHECK ({cexpr})")
+        for gname, gexpr in sorted((state.get("generated") or {}).items()):
+            print(f"generated {gname}: ALWAYS AS ({gexpr})")
+        wf = sorted(state.get("writerFeatures") or ())
+        if wf:
+            print(f"writer features: {', '.join(wf)}")
         cm = state.get("columnMapping")
         if cm:
             moved = {
@@ -528,7 +556,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser(
         "table",
-        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/restore/describe/set-properties)",
+        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/restore/describe/set-properties/clone)",
     )
     t.add_argument(
         "action",
@@ -550,6 +578,7 @@ def build_parser() -> argparse.ArgumentParser:
             "drop-constraint",
             "rename-column",
             "drop-column",
+            "clone",
         ),
     )
     t.add_argument("table", help="table directory (contains _txlog/)")
@@ -651,6 +680,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--partition-by",
         default=None,
         help="create: hive-partition the table by these comma-separated columns",
+    )
+    t.add_argument(
+        "--generated",
+        action="append",
+        default=None,
+        metavar="COL=EXPR",
+        help="create: declare a GENERATED column computed from the SQL "
+        "expression on every write (repeatable; may appear in "
+        "--partition-by — writers then never supply it)",
     )
     t.add_argument(
         "--retention-seconds",

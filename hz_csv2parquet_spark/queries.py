@@ -133,6 +133,14 @@ def query(
 #: ``txlog_update_rename_cdf_events`` (E174, the rename→DML→feed
 #: lifecycle) and ``avro_roundtrip_agg`` (the hand-rolled OCF
 #: source/sink) — window = 48 + 2 = exactly the 50-row cap.
+#: LATE-ROUND AMENDMENT: a third feature landed in-round — generated
+#: columns (E175 ``txlog_generated_partition_events``), which must be
+#: verified on its landing round (the r11 ``top_terms_per_lang``
+#: precedent: a brand-new implementation earns its driver row the
+#: round it lands). Its priority slot displaces the alphabetically
+#: LAST r9 fill row (``hierarchy_depths_documents`` — the same
+#: displacement rule r11 applied to its 26th fill row), which moves
+#: to the round-13 mandatory ledger below. Window stays exactly 50.
 #: Catalog note: round 12 retired three redundant eval-harness rows
 #: whose arithmetic is carried by driver-gated siblings —
 #: ann_recall_eval (recall reduction lives on in ivf_recall_eval; the
@@ -194,10 +202,10 @@ ROTATION: set[str] = {
     "funnel_conversion_events",
     "grouped_lang_stats_pandas",
     "hard_negatives_embeddings",
-    "hierarchy_depths_documents",
-    # Round-13 plan ledger — the 22 r9 rows NOT in this window become
+    # Round-13 plan ledger — the 23 r9 rows NOT in this window become
     # rule-mandatory at round-13 planning (last row r9 <= latest(12)
-    # - 3): intersect_active_nations,
+    # - 3): hierarchy_depths_documents (displaced by E175, above),
+    # intersect_active_nations,
     # ivf_recall_eval, jsonl_roundtrip_agg,
     # length_histogram_documents, levenshtein_near_pairs,
     # lm_bigram_score_documents, mad_outliers_events,
@@ -208,7 +216,7 @@ ROTATION: set[str] = {
     # retention_cohorts_events, rfm_segmentation_customers,
     # running_total_orders, scan_prune_filter,
     # seasonal_anomaly_events, trend_slope_by_type,
-    # vocab_oov_rate_documents (22 slots; the balance of the
+    # vocab_oov_rate_documents (23 slots; the balance of the
     # round-13 window goes to the oldest r10 greens).
 }
 

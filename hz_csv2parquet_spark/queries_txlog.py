@@ -563,3 +563,68 @@ def txlog_update_rename_cdf_events(spark: SparkSession, sf_dir: str) -> DataFram
         {"amount_cents": "amount_cents + 1"},
     )
     return t.changes(0)
+
+
+@query(
+    "txlog_generated_partition_events",
+    priority=True,  # new in round 12 (late): needs its first driver row
+    since=12,
+    sql="""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
+    GROUP BY 1, 2
+    """,
+)
+def txlog_generated_partition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E175: GENERATED columns as the ingest-partitioning layout —
+    Delta's ``GENERATED ALWAYS AS`` on the txlog. Create an events
+    table PARTITIONED BY a generated ``event_date = CAST(ts AS
+    DATE)`` (the canonical lakehouse ingest shape: writers never
+    supply the column), append the second half WITHOUT the column
+    (the write path computes it — the commit that earns the
+    ``generatedColumns`` writer feature its driver row), then answer
+    a date-range aggregate THROUGH the table. The oracle states the
+    whole lifecycle declaratively over the raw fixture: a hash match
+    proves create-computes, append-computes, hive layout under the
+    generated column, and the snapshot read reattaching partition
+    values all reproduce exactly ``CAST(ts AS DATE)``.
+
+    Scale: generation is a projection folded into each staging write
+    (zero extra scans when writers omit the column); the date
+    predicate prunes on partitionValues — O(days touched), not
+    O(table) — before any parquet is opened. (Reference: no table
+    or partitioning layer exists in hz_csv2parquet — §2-beyond.)"""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    t = TxTable(spark, scratch_dir("hz_txq_genpart_"), stat_cols=["event_id"])
+    t.create(
+        ev.filter("event_id % 2 = 0")
+        .repartitionByRange(2, "event_id")
+        .sortWithinPartitions("event_id"),
+        partition_by=["event_date"],
+        generated={"event_date": "CAST(ts AS DATE)"},
+    )
+    t.append(
+        ev.filter("event_id % 2 = 1")
+        .repartitionByRange(2, "event_id")
+        .sortWithinPartitions("event_id")
+    )
+    return (
+        t.snapshot()
+        .filter(
+            "event_date BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'"
+        )
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

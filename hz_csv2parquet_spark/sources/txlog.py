@@ -107,6 +107,15 @@ SUPPORTED_READER_FEATURES = frozenset(
     {"deletionVectors", "hivePartitioning", "columnMapping", "absolutePaths"}
 )
 
+#: Writer features THIS implementation understands (the Delta
+#: minWriterVersion/writerFeatures contract's other half): a table
+#: whose meta names a writer feature outside this set refuses every
+#: WRITE verb — reads stay legal (the data is self-describing), but
+#: an unaware writer pressing on would break the invariant the
+#: feature encodes (e.g. append rows without computing a generated
+#: column, silently desynchronizing it from its expression).
+SUPPORTED_WRITER_FEATURES = frozenset({"generatedColumns"})
+
 
 def _data_file(table_path: str, rel: str, action: dict | None) -> str:
     """Resolve an add/dv action's on-disk file. Paths in the log are
@@ -827,7 +836,9 @@ class TxTable:
             "partitionColumns": state["partitionColumns"],
             "properties": state["properties"],
             "constraints": state.get("constraints", {}),
+            "generatedColumns": state.get("generated", {}),
             "readerFeatures": sorted(state["readerFeatures"]),
+            "writerFeatures": sorted(state.get("writerFeatures", set())),
             "columnMapping": state.get("columnMapping"),
             "txns": {app: sorted(ids) for app, ids in state["txns"].items()},
         }
@@ -913,7 +924,9 @@ class TxTable:
         pcols: list[str] = []
         props: dict = {}
         constraints: dict = {}
+        generated: dict = {}
         features: set[str] = set()
+        wfeatures: set[str] = set()
         txns: dict[str, set] = {}
         mapping: dict | None = None
         cts: dict[int, float] = {}
@@ -928,7 +941,9 @@ class TxTable:
                 pcols = snap.get("partitionColumns", [])
                 props = snap.get("properties", {})
                 constraints = snap.get("constraints", {})
+                generated = snap.get("generatedColumns", {})
                 features = set(snap.get("readerFeatures", []))
+                wfeatures = set(snap.get("writerFeatures", []))
                 mapping = snap.get("columnMapping")
                 txns = {app: set(ids) for app, ids in snap["txns"].items()}
                 start = snap["version"] + 1
@@ -946,6 +961,7 @@ class TxTable:
             except (OSError, ValueError, KeyError):
                 adds, schema, pcols, start = {}, None, [], 0  # full replay
                 props, constraints, features, txns = {}, {}, set(), {}
+                generated, wfeatures = {}, set()
                 mapping = None
                 cts, cts_complete = {}, True
         for v in range(start, hi + 1):
@@ -976,8 +992,18 @@ class TxTable:
                                 constraints.pop(cname, None)
                             else:
                                 constraints[cname] = expr
+                    if "generatedColumns" in m:
+                        # None value = column dropped / generation
+                        # removed (the constraints merge rule)
+                        for gname, gexpr in m["generatedColumns"].items():
+                            if gexpr is None:
+                                generated.pop(gname, None)
+                            else:
+                                generated[gname] = gexpr
                     if "readerFeatures" in m:
                         features.update(m["readerFeatures"])
+                    if "writerFeatures" in m:
+                        wfeatures.update(m["writerFeatures"])
                     if "columnMapping" in m:
                         # whole-value replace (RESTORE commits None
                         # to roll an upgrade back)
@@ -1001,7 +1027,9 @@ class TxTable:
             "partitionColumns": pcols,
             "properties": props,
             "constraints": constraints,
+            "generated": generated,
             "readerFeatures": features,
+            "writerFeatures": wfeatures,
             "columnMapping": mapping,
             "txns": txns,
             "commitTs": cts,
@@ -1139,15 +1167,65 @@ class TxTable:
             )
         return self._stage_cdc(feed, mapping=mapping)
 
-    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def create(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        generated: dict[str, str] | None = None,
+    ) -> int:
         """Version 0: data files + schema meta in one commit. With
         ``partition_by`` the table is hive-partitioned: data files
         live under ``col=value`` directories WITHOUT the partition
         columns (values ride the add actions), the meta action
         records ``partitionColumns``, and every later rewrite
-        preserves the layout."""
+        preserves the layout.
+
+        ``generated`` ({column: SQL expression}) declares GENERATED
+        columns (Delta's ``GENERATED ALWAYS AS``): the expression is
+        evaluated over the other columns of the same row and
+        MATERIALIZED on every write path — append, streaming append,
+        MERGE, UPDATE (which recomputes after assignments), the DSv2
+        sink — so readers pay nothing and predicates on the column
+        prune normally. Declare them here, partition by them
+        (``partition_by=["event_date"]`` with ``event_date``
+        generated from a timestamp is THE lakehouse ingest layout:
+        writers never supply the column, readers prune on it), and
+        they are enforced forever: a writer that supplies the column
+        is equality-verified against the expression, a writer that
+        cannot compute it (a feature-unaware one) is refused via the
+        ``generatedColumns`` WRITER feature. Expressions may not
+        reference other generated columns, must analyze against the
+        frame, and must be deterministic (a nondeterministic
+        generator would make verify-on-supply and UPDATE's recompute
+        internally inconsistent)."""
         if self.version() >= 0:
             raise FileExistsError(f"table already exists at {self.path}")
+        gen = dict(generated or {})
+        if gen:
+            for gname, gexpr in gen.items():
+                refs = {
+                    a.split(".")[0].lower()
+                    for a in _expr_attr_names(self.spark, gexpr)
+                }
+                self_refs = sorted(
+                    g for g in gen if g.lower() in refs
+                )
+                if self_refs:
+                    raise ValueError(
+                        f"generated column {gname!r} = ({gexpr}) references "
+                        f"generated column(s) {self_refs} — generation "
+                        "expressions may only use regular columns"
+                    )
+                if not self._expr_deterministic(df, gexpr):
+                    raise ValueError(
+                        f"generated column {gname!r} = ({gexpr}) uses a "
+                        "nondeterministic expression — generation must be "
+                        "reproducible (verify-on-supply and UPDATE's "
+                        "recompute re-evaluate it)"
+                    )
+            df = self._apply_generated(
+                df, {"generated": gen, "schema": df.schema.json()}
+            )
         pcols = list(partition_by or [])
         missing = [c for c in pcols if c not in df.columns]
         if missing:
@@ -1155,6 +1233,9 @@ class TxTable:
         os.makedirs(self.path, exist_ok=True)
         actions = self._stage(df, pcols)
         meta: dict = {"schema": df.schema.json()}
+        if gen:
+            meta["generatedColumns"] = gen
+            meta["writerFeatures"] = ["generatedColumns"]
         if pcols:
             meta["partitionColumns"] = pcols
         # table properties persist IN THE LOG (advisor r10: per-
@@ -1404,10 +1485,14 @@ class TxTable:
             meta["partitionColumns"] = state["partitionColumns"]
         if state.get("constraints"):
             meta["constraints"] = dict(state["constraints"])
+        if state.get("generated"):
+            meta["generatedColumns"] = dict(state["generated"])
         if state.get("columnMapping") is not None:
             meta["columnMapping"] = state["columnMapping"]
         if features:
             meta["readerFeatures"] = sorted(features)
+        if state.get("writerFeatures"):
+            meta["writerFeatures"] = sorted(state["writerFeatures"])
         actions.append({"meta": meta})
         os.makedirs(dest_path, exist_ok=True)
         dest._commit(
@@ -1438,6 +1523,8 @@ class TxTable:
         indefinitely under sustained contention; past the cap the
         conflict surfaces and the caller owns the policy."""
         state = self._replay_state()
+        self._check_writer_features(state)
+        df = self._apply_generated(df, state)
         self._enforce_constraints(df, state)
         adds = self._stage(
             df, state["partitionColumns"], mapping=state.get("columnMapping")
@@ -1481,6 +1568,7 @@ class TxTable:
         if unknown:
             raise ValueError(f"unknown table properties: {sorted(unknown)}")
         state = self._replay_state()
+        self._check_writer_features(state)
         meta: dict = {"properties": {k: bool(v) for k, v in props.items()}}
         if props.get("deletionVectors") and "deletionVectors" not in state["readerFeatures"]:
             meta["readerFeatures"] = sorted(
@@ -1491,6 +1579,11 @@ class TxTable:
     def constraints(self) -> dict:
         """{name: SQL expression} of the table's CHECK constraints."""
         return dict(self._replay_state().get("constraints", {}))
+
+    def generated_columns(self) -> dict:
+        """{column: generation SQL expression} of the table's
+        GENERATED columns (declared at :meth:`create`)."""
+        return dict(self._replay_state().get("generated", {}))
 
     def add_constraint(
         self, name: str, expr: str, sink_enforceable: bool = True
@@ -1516,6 +1609,7 @@ class TxTable:
         from pyspark.sql.types import StructType
 
         state = self._replay_state()
+        self._check_writer_features(state)
         if name in state.get("constraints", {}):
             raise ValueError(f"constraint {name!r} already exists")
         F.expr(expr)  # parse now: a bad expression must not commit
@@ -1571,6 +1665,109 @@ class TxTable:
             [{"meta": {"constraints": {name: None}}}],
             operation="DROP-CONSTRAINT",
         )
+
+    def _check_writer_features(self, state: dict) -> None:
+        """Raise if the log names a writer feature this writer does
+        not implement — called by every verb that COMMITS (data or
+        schema) so an unaware writer refuses instead of breaking the
+        feature's invariant (reads stay legal either way)."""
+        unknown = set(state.get("writerFeatures", ())) - SUPPORTED_WRITER_FEATURES
+        if unknown:
+            raise TableFeatureError(
+                f"table {self.path} requires writer features {sorted(unknown)} "
+                "this writer does not implement — upgrade the writer; "
+                f"supported: {sorted(SUPPORTED_WRITER_FEATURES)}"
+            )
+
+    def _expr_deterministic(self, df: DataFrame, expr: str) -> bool:
+        """Best-effort determinism probe of a SQL expression against
+        ``df`` via the analyzed plan's ``deterministic`` flag
+        (rand()/uuid()/shuffle() report False). Fail-open on any
+        introspection surprise — analysis errors surface separately
+        as named errors in :meth:`_apply_generated`."""
+        try:
+            jdf = df.select(F.expr(expr).alias("__gen_probe"))._jdf
+            exprs = jdf.queryExecution().analyzed().expressions()
+            return all(
+                exprs.apply(i).deterministic() for i in range(exprs.size())
+            )
+        except Exception:  # noqa: BLE001 - py4j shape drift: advisory check
+            return True
+
+    def _apply_generated(
+        self, df: DataFrame, state: dict, verify: bool = True
+    ) -> DataFrame:
+        """Materialize the table's generated columns on an incoming
+        frame (Delta's generated-columns write contract): a column
+        the writer OMITS is computed from its generation expression —
+        the free path, the projection folds into the staging write —
+        while a column the writer SUPPLIES is verified cell-by-cell
+        against the expression (null-safe equality; one filter scan
+        per supplied generated column, like a CHECK) and a mismatch
+        refuses the write. Presence follows the analyzer's resolution
+        rule (case-insensitive under the default
+        ``spark.sql.caseSensitive=false``).
+
+        A narrowing batch that omits a generation SOURCE column
+        computes over NULL inputs — the same value a reader's
+        null-fill would imply — via committed-schema augmentation
+        helpers that are dropped before staging."""
+        gen = state.get("generated") or {}
+        if not gen:
+            return df
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        cs = (
+            str(self.spark.conf.get("spark.sql.caseSensitive", "false")).lower()
+            == "true"
+        )
+
+        def find(name: str, cols) -> str | None:
+            if name in cols:
+                return name
+            if not cs:
+                low = name.lower()
+                for c in cols:
+                    if c.lower() == low:
+                        return c
+            return None
+
+        for name, expr in gen.items():
+            target = types.get(name)
+            # committed source columns the batch omits null-fill for
+            # the computation, exactly as they would on read
+            aug = df
+            for f in schema.fields:
+                if f.name != name and find(f.name, df.columns) is None:
+                    aug = aug.withColumn(f.name, F.lit(None).cast(f.dataType))
+            try:
+                val = F.expr(expr)
+                if target is not None:
+                    val = val.cast(target)
+                have = find(name, df.columns)
+                if have is not None:
+                    if verify:
+                        bad = aug.filter(
+                            ~F.col(have).eqNullSafe(val)
+                        ).limit(1)
+                        if bad.count():
+                            raise ValueError(
+                                f"generated column {name!r} = ({expr}): the "
+                                "written values do not match the generation "
+                                "expression — omit the column to have it "
+                                "computed, or fix the writer"
+                            )
+                else:
+                    df = aug.select(*df.columns, val.alias(name))
+            except AnalysisException as exc:
+                raise ValueError(
+                    f"generated column {name!r} = ({expr}) could not be "
+                    f"evaluated against the incoming batch: {exc}"
+                ) from exc
+        return df
 
     def _enforce_constraints(self, df: DataFrame, state: dict) -> None:
         """Raise if any incoming row violates a CHECK constraint —
@@ -1634,6 +1831,8 @@ class TxTable:
         if batch_id in self.committed_txns(app_id):
             return None
         state = self._replay_state()
+        self._check_writer_features(state)
+        df = self._apply_generated(df, state)
         self._enforce_constraints(df, state)
         actions = self._stage(df, mapping=state.get("columnMapping"))
         actions.append({"txn": {"appId": app_id, "batchId": batch_id}})
@@ -1669,6 +1868,8 @@ class TxTable:
         name."""
         base = self.version()
         state = self._replay_state()
+        self._check_writer_features(state)
+        df = self._apply_generated(df, state)
         mapping = state.get("columnMapping")
         merged = self.snapshot_schema_union(state["schema"], df)
         meta: dict = {"schema": merged}
@@ -1744,6 +1945,29 @@ class TxTable:
                     f"{cname!r} references it — drop the constraint first"
                 )
 
+    def _refuse_generated_source(self, state: dict, col: str, verb: str) -> None:
+        """Refuse a rename/drop of a column any GENERATION expression
+        references (the expression is a stored string — moving its
+        source would orphan it); same analyzer-style name resolution
+        as :meth:`_refuse_constrained_column`. The generated column
+        ITSELF may be renamed (the entry rekeys) or dropped (the
+        entry retires) — only its sources are pinned."""
+        case_sensitive = (
+            str(self.spark.conf.get("spark.sql.caseSensitive", "false")).lower()
+            == "true"
+        )
+        key = col if case_sensitive else col.lower()
+        for gname, gexpr in (state.get("generated") or {}).items():
+            roots = {a.split(".")[0] for a in _expr_attr_names(self.spark, gexpr)}
+            if not case_sensitive:
+                roots = {r.lower() for r in roots}
+            if key in roots:
+                raise ValueError(
+                    f"cannot {verb} column {col!r}: generated column "
+                    f"{gname!r} = ({gexpr}) references it — drop the "
+                    "generated column first"
+                )
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — one metadata-only commit, no
         data file touched (the Delta columnMapping name-mode rename:
@@ -1764,7 +1988,9 @@ class TxTable:
             raise ValueError(f"no such column: {old!r}")
         if new in names:
             raise ValueError(f"column {new!r} already exists")
+        self._check_writer_features(state)
         self._refuse_constrained_column(state, old, "rename")
+        self._refuse_generated_source(state, old, "rename")
         mapping = self._mapping_for_ddl(state)
         phys = mapping["physical"]
         phys[new] = phys.pop(old)
@@ -1785,6 +2011,14 @@ class TxTable:
             meta["partitionColumns"] = [
                 new if c == old else c for c in state["partitionColumns"]
             ]
+        if old in (state.get("generated") or {}):
+            # a generated column renames like any other (the
+            # expression string doesn't name the column itself) —
+            # the generation entry just rekeys
+            meta["generatedColumns"] = {
+                old: None,
+                new: state["generated"][old],
+            }
         return self._commit([{"meta": meta}], base, operation="RENAME-COLUMN")
 
     def drop_column(self, name: str) -> int:
@@ -1806,7 +2040,9 @@ class TxTable:
             raise ValueError(f"cannot drop partition column {name!r}")
         if len(names) == 1:
             raise ValueError("cannot drop the table's last column")
+        self._check_writer_features(state)
         self._refuse_constrained_column(state, name, "drop")
+        self._refuse_generated_source(state, name, "drop")
         mapping = self._mapping_for_ddl(state)
         mapping["physical"].pop(name, None)
         meta = {
@@ -1818,6 +2054,9 @@ class TxTable:
                 set(state["readerFeatures"]) | {"columnMapping"}
             ),
         }
+        if name in (state.get("generated") or {}):
+            # dropping a generated column retires its generation
+            meta["generatedColumns"] = {name: None}
         return self._commit([{"meta": meta}], base, operation="DROP-COLUMN")
 
     @staticmethod
@@ -2230,6 +2469,13 @@ class TxTable:
         prune_col = keys[0]
         if txn is not None and txn[1] in self.committed_txns(txn[0]):
             return None
+        # generated columns materialize on the update batch up front
+        # (before bounds/dup checks — the merge key may itself be a
+        # generated column the writer omits); this replay is metadata-
+        # only and does not supersede the per-attempt one below
+        gstate = self._replay_state()
+        self._check_writer_features(gstate)
+        updates = self._apply_generated(updates, gstate)
         bounds = updates.agg(
             F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
         ).collect()[0]
@@ -2304,6 +2550,12 @@ class TxTable:
                 else:
                     matched = current.join(match_keys, keys, "left_semi")
                     resolved = resolve(matched, updates)
+                    # a custom resolver may synthesize values: its
+                    # output honors generation like any written frame
+                    # (the verify scan runs once, with the CHECK one)
+                    resolved = self._apply_generated(
+                        resolved, state, verify=attempt == 0
+                    )
                 if attempt == 0:
                     # kept rows passed CHECK when written (and
                     # add_constraint validated history); only the new
@@ -2477,6 +2729,7 @@ class TxTable:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         base = self.version()
         state = self._replay_state()
+        self._check_writer_features(state)
         # the LOG decides the delete mode and cdc staging — another
         # writer (the CLI, a bare TxTable(path)) must honor the
         # table's persisted properties, not its own constructor flags
@@ -2722,10 +2975,20 @@ class TxTable:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         base = self.version()
         state = self._replay_state()
+        self._check_writer_features(state)
         schema = StructType.fromJson(json.loads(state["schema"]))
         unknown = set(assignments) - {f.name for f in schema.fields}
         if unknown:
             raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+        gen_assigned = sorted(
+            set(assignments) & set(state.get("generated") or {})
+        )
+        if gen_assigned:
+            raise ValueError(
+                f"update_where: cannot SET generated column(s) {gen_assigned} "
+                "— they recompute from their generation expressions after "
+                "the other assignments apply"
+            )
         dv_on = self._prop_on(state, "deletionVectors", self.deletion_vectors)
         cdf_on = self._prop_on(state, "changeDataFeed", self.change_data)
         files = self._files_of(state["adds"])
@@ -2796,6 +3059,16 @@ class TxTable:
             return F.lit(None).cast(f.dataType).alias(f.name)
 
         updated = matched.select(*[out_col(f) for f in schema.fields])
+        # generated columns recompute over the POST-assignment row
+        # (deterministic expressions: untouched sources reproduce the
+        # stored value; changed sources — including a partition-moving
+        # generated partition column — derive the new one)
+        types = {f.name: f.dataType for f in schema.fields}
+        for gname, gexpr in (state.get("generated") or {}).items():
+            val = F.expr(gexpr)
+            if gname in types:
+                val = val.cast(types[gname])
+            updated = updated.withColumn(gname, val)
         self._enforce_constraints(updated, state)
         actions: list[dict] = []
         if dv_on:
@@ -3077,6 +3350,7 @@ class TxTable:
         if base < 0:
             return base
         state = self._replay_state()
+        self._check_writer_features(state)
         scope = self._partition_scope(state, where)
 
         def live_rows(rel: str) -> int:
@@ -3257,6 +3531,7 @@ class TxTable:
                 f"table is at version {base}"
             )
         cur_state = self._replay_state()
+        self._check_writer_features(cur_state)
         tgt_state = self._replay_state(as_of=version)
         cur, tgt = cur_state["adds"], tgt_state["adds"]
 

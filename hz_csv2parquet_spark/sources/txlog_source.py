@@ -1046,6 +1046,11 @@ class _StagedParquetWriteMixin:
     #: ((logical, physical), ...) columnMapping pairs for the written
     #: schema (set by _resolve_constraints; () = unmapped table)
     mapping: tuple = ()
+    #: ((column, generation expr), ...) sorted pairs (set by
+    #: _resolve_constraints; () = no generated columns)
+    generated: tuple = ()
+    #: StructType json of the generated columns' committed fields
+    gen_schema_json: str | None = None
 
     def _resolve_partition_cols(self, opts: dict) -> list:
         """The effective hive-partition columns for this write: the
@@ -1096,6 +1101,8 @@ class _StagedParquetWriteMixin:
         from .txlog import TxTable
 
         self.mapping = ()
+        self.generated = ()
+        self.gen_schema_json = None
         self.evolve_meta = None
         self._evolve_base = None
         merge = bool(getattr(self, "merge_schema", False))
@@ -1109,6 +1116,16 @@ class _StagedParquetWriteMixin:
         if t.version() < 0:
             return {}
         state = t._replay_state()
+        from .txlog import SUPPORTED_WRITER_FEATURES, TableFeatureError
+
+        unknown_wf = (
+            set(state.get("writerFeatures", ())) - SUPPORTED_WRITER_FEATURES
+        )
+        if unknown_wf:
+            raise TableFeatureError(
+                f"table {self.path} requires writer features "
+                f"{sorted(unknown_wf)} this sink does not implement"
+            )
         mapping = state.get("columnMapping")
         committed = (
             StructType.fromJson(json.loads(state["schema"]))
@@ -1176,10 +1193,16 @@ class _StagedParquetWriteMixin:
                     "schema": state.get("schema"),
                 }
                 phys = ext_phys
+            written = list(self._schema.fieldNames())
+            # generated columns the sink computes executor-side need
+            # their physical names in the rename map too
+            written += [
+                g
+                for g in (state.get("generated") or {})
+                if g not in written and g in phys
+            ]
             self.mapping = tuple(
-                (f, phys[f])
-                for f in self._schema.fieldNames()
-                if phys[f] != f
+                (f, phys[f]) for f in written if phys[f] != f
             )
         elif new_fields and not is_overwrite:
             # (overwrite handles shape changes via its own
@@ -1222,7 +1245,99 @@ class _StagedParquetWriteMixin:
                     f"{reason} — the sink cannot enforce it with "
                     "Spark-identical semantics; write via TxTable instead"
                 )
+        gen = dict(state.get("generated") or {})
+        if gen:
+            # the sink computes/verifies generation through the same
+            # session-less DuckDB gate as CHECK, so the expressions
+            # must sit inside the matrix-tested subset — anything
+            # richer (CAST, division, ...) fails CLOSED here with the
+            # TxTable redirect rather than computing a value Spark
+            # might not have
+            src_cols = (
+                {c for c in cols if c not in gen} if cols is not None else None
+            )
+            for gname, gexpr in gen.items():
+                reason = sink_compatible_reason(gexpr, columns=src_cols)
+                if reason:
+                    raise ValueError(
+                        f"generated column {gname!r} = ({gexpr}) on "
+                        f"{self.path}: {reason} — the sink cannot compute "
+                        "or verify it with Spark-identical semantics; "
+                        "write via TxTable instead"
+                    )
+            self.generated = tuple(sorted(gen.items()))
+            if committed is not None:
+                gfields = [f for f in committed.fields if f.name in gen]
+                self.gen_schema_json = StructType(gfields).json()
         return cons
+
+    def _apply_generated_arrow(self, table):
+        """Executor-side generated-column materialization on one
+        Arrow batch — the sink twin of ``TxTable._apply_generated``:
+        an omitted column is COMPUTED from its expression, a supplied
+        one is VERIFIED cell-by-cell (null-safe equality), both
+        through DuckDB over the Arrow table. Construction already
+        pinned every expression to the matrix-tested sink-compatible
+        subset, so the two engines agree by test, and
+        ``preserve_insertion_order`` + one thread keep the computed
+        column row-aligned with its batch."""
+        gen = getattr(self, "generated", None)
+        if not gen:
+            return table
+        import duckdb
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        gtypes = {}
+        if getattr(self, "gen_schema_json", None):
+            gtypes = {
+                f.name: f.dataType
+                for f in StructType.fromJson(
+                    json.loads(self.gen_schema_json)
+                ).fields
+            }
+        con = duckdb.connect()
+        try:
+            con.execute("SET threads TO 1")
+            con.execute("SET preserve_insertion_order = true")
+            for name, expr in gen:
+                con.register("staged_batch", table)
+                try:
+                    if name in table.column_names:
+                        n = con.execute(
+                            "SELECT count(*) FROM staged_batch WHERE NOT "
+                            f'("{name}" IS NOT DISTINCT FROM ({expr}))'
+                        ).fetchone()[0]
+                        if n:
+                            raise ValueError(
+                                f"generated column {name!r} = ({expr}): "
+                                f"{n} written row(s) do not match the "
+                                "generation expression — omit the column "
+                                "to have the sink compute it"
+                            )
+                    else:
+                        arr = (
+                            con.execute(
+                                f"SELECT ({expr}) AS __g FROM staged_batch"
+                            )
+                            .arrow()
+                            .column("__g")
+                        )
+                        if name in gtypes:
+                            arr = arr.cast(to_arrow_type(gtypes[name]))
+                        table = table.append_column(name, arr)
+                except ValueError:
+                    raise
+                except Exception as e:  # noqa: BLE001 - fail closed
+                    raise ValueError(
+                        f"cannot materialize generated column {name!r} "
+                        f"({expr}) on the sink path: {e}; write via "
+                        "TxTable instead"
+                    ) from e
+                finally:
+                    con.unregister("staged_batch")
+        finally:
+            con.close()
+        return table
 
     def _check_arrow(self, table, pv: dict | None) -> None:
         """Executor-side CHECK enforcement on one staged Arrow batch
@@ -1335,6 +1450,9 @@ class _StagedParquetWriteMixin:
         if not batches or sum(b.num_rows for b in batches) == 0:
             return _WriteMessage([])
         table = pa.Table.from_batches(batches)
+        # generated columns materialize BEFORE the partition split —
+        # a generated partition column is the canonical ingest layout
+        table = self._apply_generated_arrow(table)
         if not self.partition_cols:
             return _WriteMessage([self._stage_one(table, "data-stream", None)])
         from urllib.parse import quote
@@ -1442,7 +1560,12 @@ class _TxLogBatchWriter(_StagedParquetWriteMixin, DataSourceArrowWriter):
         )
         self.partition_cols = self._resolve_partition_cols(opts)
         self.constraints = self._resolve_constraints()
-        bad = [c for c in self.partition_cols if c not in schema.fieldNames()]
+        gen_cols = {g for g, _ in getattr(self, "generated", ())}
+        bad = [
+            c
+            for c in self.partition_cols
+            if c not in schema.fieldNames() and c not in gen_cols
+        ]
         if bad:
             raise ValueError(f"partition columns not in the written schema: {bad}")
 
@@ -1566,7 +1689,12 @@ class _TxLogStreamWriter(_StagedParquetWriteMixin, DataSourceStreamArrowWriter):
         )
         self.partition_cols = self._resolve_partition_cols(opts)
         self.constraints = self._resolve_constraints()
-        bad = [c for c in self.partition_cols if c not in schema.fieldNames()]
+        gen_cols = {g for g, _ in getattr(self, "generated", ())}
+        bad = [
+            c
+            for c in self.partition_cols
+            if c not in schema.fieldNames() and c not in gen_cols
+        ]
         if bad:
             raise ValueError(f"partition columns not in the streamed schema: {bad}")
 

@@ -376,3 +376,43 @@ def test_cli_table_rename_and_drop_column(tmp_path, spark, capsys):
 
     with _pytest.raises(SystemExit):
         main(["table", "rename-column", tbl, "--column", "k"])  # no --to
+
+
+def test_cli_table_clone_and_generated(tmp_path, spark):
+    """``table clone --dest`` (zero-copy reference) and ``table
+    create --generated COL=EXPR`` (computed on create, enforced by
+    the writer-feature gate) through the CLI surface."""
+    import pytest as _pytest
+
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    src = tmp_path / "in"
+    spark.range(20).selectExpr("id AS k", "cast(id % 4 AS int) AS x").write.parquet(str(src))
+    tbl = str(tmp_path / "tbl")
+    assert (
+        main(
+            [
+                "table", "create", tbl, "--src", str(src),
+                "--generated", "bucket=abs(x - 2)",
+                "--partition-by", "bucket",
+            ]
+        )
+        == 0
+    )
+    snap = spark.read.format("hz_txlog").load(tbl)
+    assert "bucket" in snap.columns
+    assert snap.filter("bucket <> abs(x - 2)").count() == 0
+
+    dest = str(tmp_path / "clone")
+    assert main(["table", "clone", tbl, "--dest", dest]) == 0
+    csnap = spark.read.format("hz_txlog").load(dest)
+    assert csnap.count() == 20
+    # the clone referenced, not copied: no data bytes under dest
+    assert not [p for p in os.listdir(dest) if p.startswith("data-")]
+    assert main(["table", "describe", tbl]) == 0
+
+    with _pytest.raises(SystemExit):
+        main(["table", "clone", tbl])  # no --dest
+    with _pytest.raises(SystemExit):
+        main(["table", "create", str(tmp_path / "t2"), "--src", str(src), "--generated", "badpair"])
