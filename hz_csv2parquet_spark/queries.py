@@ -141,6 +141,11 @@ def query(
 #: LAST r9 fill row (``hierarchy_depths_documents`` — the same
 #: displacement rule r11 applied to its 26th fill row), which moves
 #: to the round-13 mandatory ledger below. Window stays exactly 50.
+#: E175's registration is paired with a FOURTH round-12 retirement
+#: (promo_revenue_by_brand — its oracle semantics carried verbatim by
+#: q14_promo_revenue_ratio, see queries_extra.py), so the catalog
+#: closes the round at 169 with one slot of cadence slack, not at the
+#: 170 ceiling.
 #: Catalog note: round 12 retired three redundant eval-harness rows
 #: whose arithmetic is carried by driver-gated siblings —
 #: ann_recall_eval (recall reduction lives on in ivf_recall_eval; the

@@ -376,46 +376,17 @@ def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "promo_revenue_by_brand",
-    sql="""
-    SELECT p_brand,
-           CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount)
-                                   ELSE 0 END AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
-             AS promo_revenue,
-           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
-                AS VARCHAR) AS DOUBLE) AS total_revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_lines
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY p_brand
-    """,
-)
-def promo_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14-shaped fact⋈dim aggregate: promo vs total revenue
-    per brand over a one-year shipdate slice. The ``part`` dimension
-    is explicitly broadcast — the lineitem fact side never shuffles
-    for the join; the date predicate pushes to the parquet scan; sums
-    are decimal-exact (functions/exact.py). The last fixture table
-    (part) becomes load-bearing here."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-    )
-    p = F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type"))
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
-    return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .groupBy("p_brand")
-        .agg(
-            exact_sum(promo).alias("promo_revenue"),
-            exact_sum(disc).alias("total_revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
-        )
-    )
+# E38 (promo_revenue_by_brand, promo vs total revenue per brand) was
+# retired in round 12 (late, restoring the catalog slack E175's
+# registration consumed): its oracle semantics — the broadcast
+# part-dimension join the lineitem fact never shuffles for, the
+# pushed 1996 shipdate slice, and the promo-conditional decimal-exact
+# sums — are carried verbatim by q14_promo_revenue_ratio
+# (queries_tpch2.py, the real TPC-H Q14 over the SAME slice and join,
+# whose docstring already named this row its complement); the only
+# difference was the grouping key (brand vs month), and grouped
+# exact-sum arithmetic is gated by a dozen other rows (q1, rollup,
+# revenue_share_of_region, ...).
 
 
 @query(

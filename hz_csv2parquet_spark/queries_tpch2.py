@@ -603,10 +603,12 @@ def q12_priority_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 — promotion revenue share per month of 1996: the
-    conditional-ratio aggregate after a broadcast part-dimension join
-    (the complement of promo_revenue_by_brand, which groups by brand
-    instead of rationing by type). Both sums are decimal-exact; the
-    100·x/y finish divides in double identically on both engines."""
+    conditional-ratio aggregate after a broadcast part-dimension join.
+    Since round 12 this row also carries retired E38
+    (promo_revenue_by_brand): same slice, same broadcast join, same
+    promo-conditional sums — only the grouping key differed. Both
+    sums are decimal-exact; the 100·x/y finish divides in double
+    identically on both engines."""
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
