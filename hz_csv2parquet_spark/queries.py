@@ -146,6 +146,18 @@ def query(
 #: q14_promo_revenue_ratio, see queries_extra.py), so the catalog
 #: closes the round at 169 with one slot of cadence slack, not at the
 #: 170 ceiling.
+#: SECOND LATE-ROUND AMENDMENT: a fourth feature cluster landed
+#: in-round — REORG APPLY (PURGE) + per-file bloom-filter indexes
+#: (E176 ``txlog_reorg_purge_events``, gating both verbs in one
+#: lifecycle row). Same displacement rule: its priority slot takes
+#: the now-alphabetically-last r9 fill row
+#: (``hard_negatives_embeddings`` → round-13 mandatory ledger below),
+#: and its registration is paired with a FIFTH retirement
+#: (asof_tolerance_last_click — the asof OPERATOR is gated by the
+#: frozen-floor headline asof_last_click; the tolerance delta is a
+#: post-join projection, pinned against brute force in
+#: tests/test_properties_events.py). Catalog stays at 169, window
+#: stays exactly 50.
 #: Catalog note: round 12 retired three redundant eval-harness rows
 #: whose arithmetic is carried by driver-gated siblings —
 #: ann_recall_eval (recall reduction lives on in ivf_recall_eval; the
@@ -206,10 +218,14 @@ ROTATION: set[str] = {
     "full_outer_nation_presence",
     "funnel_conversion_events",
     "grouped_lang_stats_pandas",
-    "hard_negatives_embeddings",
-    # Round-13 plan ledger — the 23 r9 rows NOT in this window become
+    # hard_negatives_embeddings: displaced by E176 (see the second
+    # late-round amendment in the header comment) — moves to the
+    # round-13 mandatory ledger below, same rule as E175's
+    # displacement of hierarchy_depths_documents.
+    # Round-13 plan ledger — the 24 r9 rows NOT in this window become
     # rule-mandatory at round-13 planning (last row r9 <= latest(12)
-    # - 3): hierarchy_depths_documents (displaced by E175, above),
+    # - 3): hard_negatives_embeddings (displaced by E176, above),
+    # hierarchy_depths_documents (displaced by E175, above),
     # intersect_active_nations,
     # ivf_recall_eval, jsonl_roundtrip_agg,
     # length_histogram_documents, levenshtein_near_pairs,
@@ -221,7 +237,7 @@ ROTATION: set[str] = {
     # retention_cohorts_events, rfm_segmentation_customers,
     # running_total_orders, scan_prune_filter,
     # seasonal_anomaly_events, trend_slope_by_type,
-    # vocab_oov_rate_documents (23 slots; the balance of the
+    # vocab_oov_rate_documents (24 slots; the balance of the
     # round-13 window goes to the oldest r10 greens).
 }
 

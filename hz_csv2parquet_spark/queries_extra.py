@@ -810,29 +810,16 @@ def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "asof_tolerance_last_click",
-    sql="""
-    WITH ev AS (
-      SELECT event_id, user_id, epoch_ms(ts) AS tms, event_type, value FROM events
-    ),
-    clicks AS (SELECT user_id, tms, event_id AS click_id, value AS click_value FROM ev
-               WHERE event_type = 'click'),
-    j AS (
-      SELECT ev.event_id, ev.user_id, ev.tms,
-             clicks.tms AS click_tms,
-             clicks.click_id, clicks.click_value
-      FROM ev ASOF LEFT JOIN clicks
-        ON ev.user_id = clicks.user_id AND ev.tms >= clicks.tms
-    )
-    SELECT event_id, user_id, tms,
-           CASE WHEN tms - click_tms <= 3600000 THEN click_id END AS last_click_id,
-           CASE WHEN tms - click_tms <= 3600000 THEN click_value END AS last_click_value,
-           CASE WHEN tms - click_tms <= 3600000 THEN tms - click_tms END AS age_ms
-    FROM j
-    """,
-    since=5,
-)
+# RETIRED (round 12, late — the catalog-slack pairing for E176
+# txlog_reorg_purge_events, the same pattern as promo_revenue_by_brand
+# / E175 above): the asof-join OPERATOR this row gated
+# (operators/asof.py, the single-shuffle union–carry-forward plan) is
+# identical to — and driver-gated by — the headline
+# ``asof_last_click`` (a frozen bench floor); the staleness tolerance
+# it added is a post-join ``when()`` PROJECTION, not a second
+# operator, and stays pinned against a brute-force oracle in
+# tests/test_properties_events.py::test_asof_tolerance_matches_bruteforce,
+# which imports the function below (kept, undecorated).
 def asof_tolerance_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join WITH STALENESS TOLERANCE — the production variant of
     asof_last_click: a match older than 1 hour is no match (feature

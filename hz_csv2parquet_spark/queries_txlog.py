@@ -628,3 +628,74 @@ def txlog_generated_partition_events(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+@query(
+    "txlog_reorg_purge_events",
+    priority=True,  # new in round 12 (late): needs its first driver row
+    since=12,
+    sql="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_id % 7 != 0 AND event_id != 1
+    GROUP BY event_type
+    """,
+)
+def txlog_reorg_purge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E176: the GDPR erasure endgame — bloom-indexed point DELETE,
+    metadata-only DROP COLUMN, then REORG APPLY (PURGE). Create the
+    events fixture as a two-file ``deletion_vectors=True`` table
+    carrying a synthetic ``pii_tag`` column, build the per-file BLOOM
+    index on ``event_id`` (``index_bloom`` — the interleaved-key
+    point-lookup skipper min/max stats can't provide), run a bulk dv
+    DELETE (``% 7``) plus a bloom-probed point DELETE (``= 1``), DROP
+    the pii column (O(1) metadata — bytes linger), and ``reorg_purge``
+    — the ONE verb that rewrites exactly the soft-deleted state:
+    vectors materialize away AND the dropped column's bytes leave the
+    rewritten files (footer-schema residue detection, driver-side
+    metadata only). The snapshot aggregate hash-matches the oracle's
+    declarative filter only if the purge rewrite preserved content
+    exactly while physically destroying what it must.
+
+    Scale: deletes cost O(deleted rows) sidecar bytes; the point
+    delete schedules scan tasks only for bloom-plausible files; purge
+    selection is O(scope) footer reads and rewrites only dirty files.
+    After this commit ``vacuum`` can actually destroy the PII bytes —
+    without REORG a metadata DROP leaves them on disk forever.
+    (Reference: no table layer exists in hz_csv2parquet — §2-beyond.)"""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.sha1(F.col("event_id").cast("string")).alias("pii_tag"),
+    )
+    t = TxTable(
+        spark,
+        scratch_dir("hz_txq_purge_"),
+        stat_cols=["event_id"],
+        deletion_vectors=True,
+    )
+    # parity split, one file each: the two files' event_id RANGES
+    # fully overlap, so min/max stats cannot prune the point delete —
+    # the bloom is what keeps it to one file's scan
+    t.create(ev.filter("event_id % 2 = 0").coalesce(1))
+    t.append(ev.filter("event_id % 2 = 1").coalesce(1))
+    t.index_bloom("event_id")
+    t.delete_where("event_id % 7 = 0")
+    t.delete_where("event_id = 1")
+    t.drop_column("pii_tag")
+    t.reorg_purge()
+    return (
+        t.snapshot()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )

@@ -644,6 +644,98 @@ def _can_match_stats(node, stats: dict, pv: dict) -> bool:
         return True
 
 
+#: Bloom probes precompute this many 64-bit hashes per literal; a
+#: sidecar's ``k`` (hash count) may not exceed it.
+_BLOOM_MAX_K = 8
+
+
+def _bloom_atoms(node) -> list[tuple[str, list]]:
+    """Top-level AND-conjunct equality atoms ``[(attr, [values])]``
+    of a parsed predicate — ``c = v`` / ``v = c`` yields one value,
+    ``c IN (...)`` all of them. ONLY direct conjuncts make bloom
+    skipping sound (under OR the file may match via the other
+    branch), and only int/string literals are probed: float equality
+    is noise, date/binary literals don't hash type-stably. Values
+    come back as Python int/str; the caller type-checks them against
+    the column before probing."""
+
+    def lit_of(n):
+        if n.getClass().getSimpleName() != "Literal":
+            return None
+        v = n.value()
+        if v is None:
+            return None
+        dt = n.dataType().simpleString()
+        if dt in ("int", "bigint", "smallint", "tinyint"):
+            return int(str(v))
+        if dt == "string":
+            return str(v)
+        return None
+
+    atoms: list[tuple[str, list]] = []
+
+    def leaf(n):
+        cls = n.getClass().getSimpleName()
+        ch = n.children()
+        kids = [ch.apply(i) for i in range(ch.size())]
+        if cls in ("EqualTo", "EqualNullSafe") and len(kids) == 2:
+            names = [k.getClass().getSimpleName() for k in kids]
+            if sorted(names) == ["Literal", "UnresolvedAttribute"]:
+                attr = kids[names.index("UnresolvedAttribute")]
+                v = lit_of(kids[names.index("Literal")])
+                if v is not None:
+                    atoms.append((attr.name(), [v]))
+        elif (
+            cls == "In"
+            and kids
+            and kids[0].getClass().getSimpleName() == "UnresolvedAttribute"
+        ):
+            vals = [lit_of(k) for k in kids[1:]]
+            if vals and all(v is not None for v in vals):
+                atoms.append((kids[0].name(), vals))
+
+    def conjuncts(n):
+        if n.getClass().getSimpleName() == "And":
+            ch = n.children()
+            for i in range(ch.size()):
+                conjuncts(ch.apply(i))
+        else:
+            leaf(n)
+
+    conjuncts(node)
+    return atoms
+
+
+def _bloom_probe_hashes(spark, probes: list[tuple]) -> list[list[int]]:
+    """``_BLOOM_MAX_K`` 64-bit hashes per ``(value, kind)`` probe,
+    computed by the SAME JVM expression the index build uses —
+    ``xxhash64(cast(value), i)`` — so build/probe parity is by
+    construction, not by reimplementing Spark's xxhash64 in Python.
+    ONE tiny local job per predicate (per-file tests are then pure
+    Python bit checks)."""
+    exprs = []
+    for j, (v, kind) in enumerate(probes):
+        lit = F.lit(v).cast("long" if kind == "long" else "string")
+        for i in range(_BLOOM_MAX_K):
+            exprs.append(F.xxhash64(lit, F.lit(i)).alias(f"h_{j}_{i}"))
+    row = spark.range(1).select(*exprs).collect()[0]
+    return [
+        [row[f"h_{j}_{i}"] for i in range(_BLOOM_MAX_K)]
+        for j in range(len(probes))
+    ]
+
+
+def _bloom_contains(bits: bytes, m: int, hashes: list[int]) -> bool:
+    """Membership test: every hash's ``h % m`` bit must be set.
+    Python ``%`` on a negative hash is non-negative for positive
+    ``m`` — the same value as the JVM ``pmod`` the build side uses."""
+    for h in hashes:
+        p = h % m
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 class TxTable:
     """A parquet table governed by the transaction log.
 
@@ -715,17 +807,40 @@ class TxTable:
         CommitConflictError without touching the log. The winner also
         drops a replay checkpoint every ``checkpoint_interval``
         commits. ``operation`` adds a ``commitInfo`` action (the Delta
-        commitInfo shape: operation name + wall-clock) — pure
-        observability, ignored by replay."""
+        commitInfo shape: operation name + wall-clock) — ignored by
+        replay, but the timestamp is the ``timestampAsOf`` /
+        ``startingTimestamp`` resolution key, so it is MONOTONIC by
+        construction (Delta's inCommitTimestamps rule: stamp
+        ``max(clock, previous + ε)``). Without the clamp, clock skew
+        between two writer hosts — or one NTP step-back — makes a
+        later version carry an earlier wall-clock and ``version_at``
+        silently resolves a timestamp to a snapshot that excludes
+        commits before it. One O(1) JSON open of the predecessor
+        version per commit (walk-back past unstamped commits is
+        bounded by the unstamped run length, ~0 in practice)."""
         v = expected_version + 1
         os.makedirs(_log_dir(self.path), exist_ok=True)
         target = _version_file(self.path, v)
         if operation is not None:
+            ts = time.time()
+            prev = expected_version
+            while prev >= 0:
+                try:
+                    prior = json.load(open(_version_file(self.path, prev)))
+                except (OSError, ValueError):
+                    break  # vacuumed/unreadable log head: clock wins
+                stamp = next(
+                    (a["commitInfo"] for a in prior if "commitInfo" in a), None
+                )
+                if stamp is not None:
+                    ts = max(ts, float(stamp.get("timestamp", 0)) + 1e-3)
+                    break
+                prev -= 1
             actions = actions + [
                 {
                     "commitInfo": {
                         "operation": operation,
-                        "timestamp": time.time(),
+                        "timestamp": ts,
                         **(info or {}),
                     }
                 }
@@ -2148,6 +2263,61 @@ class TxTable:
                     break
         return cts
 
+    def history(self, limit: int | None = None) -> DataFrame:
+        """DESCRIBE HISTORY: one row per commit, NEWEST FIRST —
+        (version, timestamp, operation, info), the Delta audit
+        surface. ``limit`` bounds the walk to the newest N commits
+        (O(limit) driver-side JSON opens, the usual "what changed
+        recently" question costs O(10) regardless of table age);
+        ``None`` walks the whole retained log. Vacuumed log heads
+        skip silently; commits without commitInfo (bare internal
+        commits) report a null operation. Returned as a DataFrame so
+        the audit joins/filters like any other table."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            MapType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        rows = []
+        v = self.version()
+        while v >= 0 and (limit is None or len(rows) < limit):
+            try:
+                actions = json.load(open(_version_file(self.path, v)))
+                self.log_reads += 1
+            except (OSError, ValueError):
+                v -= 1
+                continue  # vacuumed log head
+            stamp = next(
+                (a["commitInfo"] for a in actions if "commitInfo" in a), {}
+            )
+            info = {
+                k: str(val)
+                for k, val in stamp.items()
+                if k not in ("operation", "timestamp")
+            }
+            rows.append(
+                (
+                    v,
+                    float(stamp["timestamp"]) if "timestamp" in stamp else None,
+                    stamp.get("operation"),
+                    info,
+                )
+            )
+            v -= 1
+        schema = StructType(
+            [
+                StructField("version", LongType(), False),
+                StructField("timestamp", DoubleType(), True),
+                StructField("operation", StringType(), True),
+                StructField("info", MapType(StringType(), StringType()), True),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def snapshot(
         self,
         as_of: int | None = None,
@@ -2412,6 +2582,272 @@ class TxTable:
                 overlaps = True  # incomparable stat types → cannot prove disjoint
             (hit if overlaps else miss).append(_data_file(self.path, p, add))
         return hit, miss
+
+    def index_bloom(
+        self,
+        cols: str | list[str],
+        bits: int = 8192,
+        hashes: int = 5,
+        where: str | None = None,
+    ) -> int:
+        """Build per-file BLOOM FILTER indexes (Delta's bloom-filter
+        data-skipping shape) for ``cols`` — integral or string
+        columns. Min/max footer stats prune RANGES well but point
+        lookups badly once values interleave across files (every file
+        of a 100k-file table overlaps ``user_id = X`` after enough
+        appends); a 1 KiB bloom sidecar per file answers "provably
+        absent" for equality/IN probes, so a GDPR point-DELETE
+        schedules scan tasks only for files that plausibly contain
+        the key.
+
+        A MAINTENANCE verb, not a write-path hook: one distributed
+        scan over the live files not yet indexed for ``cols``
+        (``where`` scopes by partition predicate like
+        :meth:`compact`), one ``_bloom/`` JSON sidecar written per
+        file FROM THE EXECUTORS (the driver sees O(files) metadata
+        rows, never positions), and one commit that re-emits the add
+        actions with the pointer (``dataChange=False`` — content
+        unchanged; the feed skips it). Files appended later are
+        simply unindexed until the next tick — an absent bloom always
+        means "cannot skip", never a wrong skip. Re-indexing a file
+        REPLACES its sidecar: call with the full column list you
+        want. Conflicts follow the OPTIMIZE rule (rebase over blind
+        appends; anything touching an input file surfaces).
+
+        Skipping soundness: the build hashes the physical column
+        cast to long/string; probes (:meth:`_bloom_prune`) hash the
+        literal through the same JVM expression and only fire on
+        type-matching conjunct-level equality atoms. Entirely-null /
+        column-absent files are indexed as an EMPTY bloom — equality
+        to a non-null literal is provably false there, so they skip.
+
+        Returns the committed version (the current one when nothing
+        in scope needed indexing)."""
+        cols = [cols] if isinstance(cols, str) else list(cols)
+        if not cols:
+            raise ValueError("index_bloom needs at least one column")
+        if not 1 <= hashes <= _BLOOM_MAX_K:
+            raise ValueError(f"hashes must be in [1, {_BLOOM_MAX_K}]")
+        if bits < 64 or bits % 8:
+            raise ValueError("bits must be a multiple of 8, >= 64")
+        base = self.version()
+        if base < 0:
+            return base
+        state = self._replay_state()
+        self._check_writer_features(state)
+        from pyspark.sql.types import StructType
+
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(state["schema"])).fields
+        }
+        kinds: dict[str, str] = {}
+        for c in cols:
+            if c not in types:
+                raise ValueError(f"no such column: {c!r}")
+            if c in state["partitionColumns"]:
+                raise ValueError(
+                    f"{c!r} is a partition column — partitionValues "
+                    "already prune it exactly"
+                )
+            t = types[c]
+            if t in ("int", "bigint", "smallint", "tinyint"):
+                kinds[c] = "long"
+            elif t == "string":
+                kinds[c] = "string"
+            else:
+                raise ValueError(
+                    f"bloom index supports integral and string columns; "
+                    f"{c!r} is {t}"
+                )
+        mapping = state.get("columnMapping")
+        phys = _cm_map(mapping)
+        pcols_of = {c: phys.get(c, c) for c in cols}
+        want = set(pcols_of.values())
+        scope = [
+            rel
+            for rel in self._partition_scope(state, where)
+            if want - set((state["adds"][rel].get("bloom") or {}).get("indexed", []))
+        ]
+        if not scope:
+            return base
+        files = [_data_file(self.path, rel, state["adds"][rel]) for rel in scope]
+        reader = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        present = set(reader.columns)
+        base_df = reader.withColumn("__hz_rel", _decoded_rel_col())
+        parts = []
+        for c in cols:
+            p = pcols_of[c]
+            if p not in present:
+                continue  # no scoped file carries it: empty blooms below
+            expr = F.col(p).cast("long" if kinds[c] == "long" else "string")
+            parts.append(
+                base_df.where(F.col(p).isNotNull()).select(
+                    "__hz_rel",
+                    F.lit(p).alias("c"),
+                    F.explode(
+                        F.array(
+                            *[
+                                F.pmod(F.xxhash64(expr, F.lit(i)), F.lit(bits))
+                                for i in range(hashes)
+                            ]
+                        )
+                    ).alias("p"),
+                )
+            )
+        os.makedirs(os.path.join(self.path, "_bloom"), exist_ok=True)
+        table_path = self.path
+        indexed = sorted(want)
+        n_bits = bits
+        n_hashes = hashes
+
+        def write_bloom(pdf):
+            import base64 as _b64
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as _pd
+
+            cols_b = {}
+            for c, grp in pdf.groupby("c"):
+                buf = bytearray(n_bits // 8)
+                for pos in grp["p"].unique():
+                    pos = int(pos)
+                    buf[pos >> 3] |= 1 << (pos & 7)
+                cols_b[str(c)] = _b64.b64encode(bytes(buf)).decode("ascii")
+            rel = _os.path.join("_bloom", f"bloom-{_uuid.uuid4().hex}.json")
+            with open(_os.path.join(table_path, rel), "w") as fh:
+                _json.dump(
+                    {
+                        "m": n_bits,
+                        "k": n_hashes,
+                        "indexed": indexed,
+                        "cols": cols_b,
+                    },
+                    fh,
+                )
+            return _pd.DataFrame(
+                {"rel": [pdf["__hz_rel"].iloc[0]], "sidecar": [rel]}
+            )
+
+        if parts:
+            pos_df = parts[0]
+            for b in parts[1:]:
+                pos_df = pos_df.unionByName(b)
+            meta = (
+                pos_df.groupBy("__hz_rel")
+                .applyInPandas(write_bloom, "rel string, sidecar string")
+                .collect()
+            )
+        else:
+            meta = []
+        sidecar_of = {r.rel: r.sidecar for r in meta}
+        # files whose every indexed column is null/absent produce no
+        # position rows — give them an explicit EMPTY sidecar (all
+        # bits clear), which is exactly the "provably absent" answer
+        for rel in scope:
+            if rel not in sidecar_of:
+                side = os.path.join("_bloom", f"bloom-{uuid.uuid4().hex}.json")
+                with open(os.path.join(self.path, side), "w") as fh:
+                    json.dump(
+                        {"m": bits, "k": hashes, "indexed": indexed, "cols": {}},
+                        fh,
+                    )
+                sidecar_of[rel] = side
+        actions = []
+        for rel in scope:
+            add = dict(state["adds"][rel])
+            add["bloom"] = {"path": sidecar_of[rel], "indexed": indexed}
+            add["dataChange"] = False  # index build: content unchanged
+            actions.append({"add": add})
+        return self._commit_rewrite(actions, base, scope, state, "BLOOM-INDEX")
+
+    def _bloom_prune(self, files: list[str], state: dict, pred_sql: str) -> list[str]:
+        """Drop candidate files whose bloom sidecars PROVE a
+        conjunct-level equality atom of ``pred_sql`` cannot match
+        (see :meth:`index_bloom`). Sidecar reads are driver-side
+        O(candidates) small JSONs, paid only for files that survived
+        stats pruning and carry an index; any surprise keeps the
+        file (skipping is an optimization, never a gate)."""
+        if not any(
+            state["adds"].get(_rel_key(f), {}).get("bloom") for f in files
+        ):
+            return files
+        node = (
+            self.spark._jsparkSession.sessionState()
+            .sqlParser()
+            .parseExpression(pred_sql)
+        )
+        atoms = _bloom_atoms(node)
+        if not atoms:
+            return files
+        from pyspark.sql.types import StructType
+
+        types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(state["schema"])).fields
+        }
+        phys = _cm_map(state.get("columnMapping"))
+        probes: list[tuple] = []
+        compiled: list[tuple[str, list[int]]] = []  # (physical col, probe idxs)
+        for name, vals in atoms:
+            t = types.get(name)
+            kind = (
+                "long"
+                if t in ("int", "bigint", "smallint", "tinyint")
+                else ("string" if t == "string" else None)
+            )
+            if kind is None:
+                continue
+            # a literal whose family differs from the column's would
+            # compare under implicit casts the index didn't hash —
+            # drop the whole atom (an IN with one mistyped value
+            # could otherwise skip wrongly)
+            if not all(
+                isinstance(v, int) if kind == "long" else isinstance(v, str)
+                for v in vals
+            ):
+                continue
+            idxs = []
+            for v in vals:
+                idxs.append(len(probes))
+                probes.append((v, kind))
+            compiled.append((phys.get(name, name), idxs))
+        if not compiled:
+            return files
+        hashes = _bloom_probe_hashes(self.spark, probes)
+        import base64
+
+        kept = []
+        for f in files:
+            bl = state["adds"].get(_rel_key(f), {}).get("bloom")
+            if not bl:
+                kept.append(f)
+                continue
+            try:
+                side = json.load(open(os.path.join(self.path, bl["path"])))
+                m, k = int(side["m"]), int(side["k"])
+                indexed = set(side.get("indexed", []))
+                skip = False
+                for pname, idxs in compiled:
+                    if pname not in indexed:
+                        continue
+                    b64 = side["cols"].get(pname)
+                    if b64 is None:
+                        skip = True  # indexed but all-null: no value present
+                        break
+                    blob = base64.b64decode(b64)
+                    if not any(
+                        _bloom_contains(blob, m, hashes[i][:k]) for i in idxs
+                    ):
+                        skip = True
+                        break
+            except Exception:
+                skip = False  # unreadable sidecar: cannot skip
+            if not skip:
+                kept.append(f)
+        return kept
 
     # ---------------- transactions ----------------
 
@@ -2863,6 +3299,14 @@ class TxTable:
                     if ok:
                         kept.append(f)
                 files = kept
+            try:
+                # bloom pass over the stats survivors (round 12):
+                # equality/IN atoms test per-file sidecars, so a
+                # point DELETE/UPDATE schedules scan tasks only for
+                # files that plausibly contain the key
+                files = self._bloom_prune(files, state, pred_sql)
+            except Exception:
+                pass  # skipping is only an optimization
         if not files:
             return []
         return [
@@ -3471,20 +3915,31 @@ class TxTable:
             actions.append(
                 {"remove": {"path": _rel_key(f), "dataChange": False}}
             )
-        # Conflict resolution (the Delta OPTIMIZE rule): a version
-        # race against a BLIND APPEND never invalidates the rewrite —
-        # the new files are disjoint from the rewritten set — so
-        # rebase and re-commit the same actions instead of failing;
-        # on a busy ingest table a compactor would otherwise lose
-        # every race forever. A concurrent commit that TOUCHED any
-        # input file (delete, merge, another compaction, a new
-        # vector) makes the staged rewrite stale: surface the
-        # conflict, the caller re-runs on a fresh snapshot.
+        return self._commit_rewrite(actions, base, scope, state, "OPTIMIZE")
+
+    def _commit_rewrite(
+        self,
+        actions: list[dict],
+        base: int,
+        scope: list[str],
+        state: dict,
+        operation: str,
+    ) -> int:
+        """Commit a content-preserving rewrite (OPTIMIZE / REORG)
+        with the Delta maintenance conflict rule: a version race
+        against a BLIND APPEND never invalidates the rewrite — the
+        new files are disjoint from the rewritten set — so rebase
+        and re-commit the same actions instead of failing; on a busy
+        ingest table a compactor would otherwise lose every race
+        forever. A concurrent commit that TOUCHED any input file
+        (delete, merge, another compaction, a new vector) makes the
+        staged rewrite stale: surface the conflict, the caller
+        re-runs on a fresh snapshot."""
         import random
 
         for attempt in range(self._REBASE_ATTEMPTS):
             try:
-                return self._commit(actions, base, operation="OPTIMIZE")
+                return self._commit(actions, base, operation=operation)
             except CommitConflictError:
                 # capture the head version FIRST and validate exactly
                 # that snapshot: a commit landing after the staleness
@@ -3504,6 +3959,95 @@ class TxTable:
                     raise
                 base = head_v
                 time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
+        raise AssertionError("unreachable")  # loop always returns or raises
+
+    def reorg_purge(self, where: str | None = None) -> int:
+        """REORG TABLE ... APPLY (PURGE): rewrite exactly the files
+        that still carry soft-deleted state — a deletion vector, or
+        parquet columns a mapping ``drop_column`` removed from the
+        logical schema (metadata-only DROP leaves the bytes in place;
+        readers prune them, but the data physically persists until a
+        rewrite — the Delta REORG PURGE contract, and the verb a
+        GDPR/right-to-be-forgotten pipeline runs after DROP COLUMN so
+        ``vacuum`` can actually destroy the bytes).
+
+        **Selection costs O(scope), never O(table data)**: deletion
+        vectors are log metadata, and dropped-column residue is
+        detected from parquet FOOTER schemas (driver-side metadata
+        reads, concurrent, same I/O class as commit-time stats) — a
+        footer naming any physical column the current mapping does
+        not map is residue. Clean files keep their add actions
+        untouched; a table with nothing to purge commits NOTHING
+        (idempotent maintenance tick). ``where`` scopes the pass by
+        partition predicate exactly like :meth:`compact`.
+
+        The rewrite reads dv-masked logical rows and restages them
+        under the CURRENT mapping, so outputs carry neither vectors
+        nor dropped physicals. Commits with ``dataChange=False``
+        (rearranged bytes, identical content) — change-feed readers
+        skip it — and inherits OPTIMIZE's conflict rule: rebase over
+        blind appends, surface anything that touched an input file."""
+        base = self.version()
+        if base < 0:
+            return base
+        state = self._replay_state()
+        self._check_writer_features(state)
+        scope = self._partition_scope(state, where)
+        mapping = state.get("columnMapping")
+        if mapping:
+            expected = set(_cm_map(mapping).values())
+        else:
+            # no mapping ⇒ no column was ever dropped (DROP COLUMN
+            # upgrades to mapping); physical names are the schema's
+            from pyspark.sql.types import StructType
+
+            expected = {
+                f.name
+                for f in StructType.fromJson(json.loads(state["schema"])).fields
+            }
+
+        dv_rels = [rel for rel in scope if state["adds"][rel].get("dv")]
+        clean = [rel for rel in scope if not state["adds"][rel].get("dv")]
+
+        def has_residue(rel: str) -> bool:
+            import pyarrow.parquet as pq
+
+            f = _data_file(self.path, rel, state["adds"].get(rel))
+            # partition columns never live in the data files, so any
+            # footer name outside the mapped physical set is residue
+            return bool(set(pq.ParquetFile(f).schema_arrow.names) - expected)
+
+        if clean:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(clean))) as ex:
+                flags = list(ex.map(has_residue, clean))
+            residue = [rel for rel, fl in zip(clean, flags) if fl]
+        else:
+            residue = []
+        selected = dv_rels + residue
+        if not selected:
+            return base  # nothing soft-deleted in scope: no-op
+        files = [_data_file(self.path, rel, state["adds"].get(rel)) for rel in selected]
+        df = self._read_files(
+            files, state["adds"], state["schema"], mapping=mapping
+        )
+        pcols = state["partitionColumns"]
+        # preserve file granularity (REORG is not compaction): n_out
+        # mirrors the input count, hive groups keep their dirs
+        n_out = len(selected)
+        if pcols:
+            out = df.repartitionByRange(
+                max(1, n_out), *[F.col(c) for c in pcols], F.xxhash64(*df.columns)
+            )
+        else:
+            out = df.coalesce(n_out)
+        actions = self._stage(out, pcols, mapping=mapping)
+        for a in actions:
+            a["add"]["dataChange"] = False
+        for f in files:
+            actions.append({"remove": {"path": _rel_key(f), "dataChange": False}})
+        return self._commit_rewrite(actions, base, selected, state, "REORG-PURGE")
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION: roll the table back to the
@@ -3879,6 +4423,17 @@ class TxTable:
         } if self.version() >= 0 else set()
         for f in glob.glob(os.path.join(self.path, "_dv", "*.parquet")):
             if f not in live_dv:
+                deleted += _remove_if_aged(f)
+        # bloom sidecars: superseded by a re-index, or their data file
+        # rewritten/removed — same retention guard; sidecars the
+        # current snapshot's add actions point at are never touched
+        live_bloom = {
+            os.path.join(self.path, a["bloom"]["path"])
+            for a in self._replay_state()["adds"].values()
+            if a.get("bloom")
+        } if self.version() >= 0 else set()
+        for f in glob.glob(os.path.join(self.path, "_bloom", "*.json")):
+            if f not in live_bloom:
                 deleted += _remove_if_aged(f)
         # change-data sidecars share the retention contract: a feed
         # older than the window is unrecoverable anyway (its data

@@ -2173,6 +2173,76 @@ def test_timestamp_time_travel_resolves_latest_at_or_before(
     assert df.count() == 20
 
 
+def test_commit_timestamps_are_monotonic_under_clock_skew(
+    spark, tmp_path, monkeypatch
+):
+    """Monotonic in-commit timestamps (round 12, Delta's
+    inCommitTimestamps rule): _commit stamps max(clock, previous +
+    ε), so a writer whose wall-clock stepped BACK (NTP, cross-host
+    skew) never commits a later version with an earlier timestamp —
+    which would make version_at resolve a timestamp T to a snapshot
+    excluding commits before T."""
+    import time as _time
+
+    from hz_csv2parquet_spark.sources import txlog as _mod
+
+    clock = {"t": 5000.0}
+    monkeypatch.setattr(_mod.time, "time", lambda: clock["t"])
+    t = _mk(spark, tmp_path, n=10, files=1)
+    clock["t"] = 3000.0  # the clock steps BACK 2000 s
+    t.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+    )
+    cts = t.commit_timestamps()
+    assert cts[1] > cts[0]  # clamped, not 3000
+    assert cts[1] == pytest.approx(5000.0 + 1e-3)
+    # resolution stays order-consistent: the skewed commit is visible
+    # at any T >= its (clamped) stamp, and T = 5000 still means v0
+    assert t.version_at(5000.0) == 0
+    assert t.version_at(5001.0) == 1
+    # an unstamped commit between two stamped ones doesn't break the
+    # chain: the walk-back finds the last stamped predecessor
+    t._commit([{"meta": {}}], t.version())  # operation=None: no stamp
+    clock["t"] = 1000.0
+    t.append(
+        spark.range(20, 30).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+    )
+    cts = t.commit_timestamps()
+    assert cts[3] > cts[1]
+
+
+def test_history_lists_commits_newest_first(spark, tmp_path):
+    """DESCRIBE HISTORY (round 12): one row per commit, newest
+    first, operation names and monotone timestamps; ``limit`` bounds
+    the driver-side log walk to O(limit) opens."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    t.append(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+    )
+    t.compact()
+    h = t.history().collect()
+    assert [r.version for r in h] == [2, 1, 0]
+    assert [r.operation for r in h] == ["OPTIMIZE", "APPEND", "CREATE"]
+    ts = [r.timestamp for r in h]
+    assert ts[0] > ts[1] > ts[2]
+    # limit bounds the walk — and the log reads
+    t.log_reads = 0
+    top = t.history(limit=1).collect()
+    assert [(r.version, r.operation) for r in top] == [(2, "OPTIMIZE")]
+    assert t.log_reads == 1
+    # clone stamps its provenance into info
+    dest = t.clone(str(tmp_path / "copy"))
+    row = dest.history(limit=1).collect()[0]
+    assert row.operation == "CLONE"
+    assert row.info["sourcePath"] == t.path
+
+
 def test_compact_zorder_three_columns_prunes_every_dimension(spark, tmp_path):
     """Round-11 k-ary ZORDER: compact(zorder=[a, b, c]) clusters on
     a 3-way Morton interleave — footer stats prune narrow bands on
