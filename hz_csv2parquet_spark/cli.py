@@ -278,6 +278,28 @@ def cmd_table(args: argparse.Namespace) -> None:
             max_file_rows=args.max_file_rows,
         )
         log.info("compacted to %d file(s) at version %d", len(t.files()), v)
+    elif args.action == "reorg-purge":
+        before = set(t.files())
+        v = t.reorg_purge(where=args.where)
+        after = set(t.files())
+        log.info(
+            "purged soft-deleted state at version %s (%d file(s) "
+            "rewritten, %d untouched) — run vacuum after the retention "
+            "window to destroy the bytes",
+            v,
+            len(before - after),
+            len(before & after),
+        )
+    elif args.action == "index-bloom":
+        if not args.column:
+            raise SystemExit("table index-bloom requires --column")
+        v = t.index_bloom(args.column.split(","), where=args.where)
+        log.info(
+            "bloom-indexed %s at version %s (%d live file(s))",
+            args.column,
+            v,
+            len(t.files()),
+        )
     elif args.action == "set-properties":
         props = {}
         for kv in (args.properties or "").split(","):
@@ -556,7 +578,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser(
         "table",
-        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/restore/describe/set-properties/clone)",
+        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/restore/describe/set-properties/clone/reorg-purge/index-bloom)",
     )
     t.add_argument(
         "action",
@@ -579,6 +601,8 @@ def build_parser() -> argparse.ArgumentParser:
             "rename-column",
             "drop-column",
             "clone",
+            "reorg-purge",
+            "index-bloom",
         ),
     )
     t.add_argument("table", help="table directory (contains _txlog/)")

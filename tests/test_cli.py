@@ -416,3 +416,34 @@ def test_cli_table_clone_and_generated(tmp_path, spark):
         main(["table", "clone", tbl])  # no --dest
     with _pytest.raises(SystemExit):
         main(["table", "create", str(tmp_path / "t2"), "--src", str(src), "--generated", "badpair"])
+
+
+def test_cli_table_reorg_purge_and_index_bloom(tmp_path, spark):
+    """The GDPR upkeep verbs through the CLI: index-bloom builds the
+    point-lookup skipper, drop-column is metadata-only, reorg-purge
+    rewrites the residue so vacuum can destroy it."""
+    import pyarrow.parquet as pq
+
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    src = tmp_path / "in"
+    spark.range(40).selectExpr(
+        "id AS k", "CAST(id AS STRING) AS pii"
+    ).repartition(2).write.parquet(str(src))
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+    assert main(["table", "index-bloom", tbl, "--column", "k,pii"]) == 0
+    t = TxTable(spark, tbl, stat_cols=["k"])
+    assert all(
+        a.get("bloom") for a in t._replay_state()["adds"].values()
+    )
+    with pytest.raises(SystemExit):
+        main(["table", "index-bloom", tbl])  # --column required
+    assert main(["table", "drop-column", tbl, "--column", "pii"]) == 0
+    assert main(["table", "reorg-purge", tbl]) == 0
+    assert all(
+        "pii" not in set(pq.read_schema(f).names) for f in t.files()
+    )
+    out = str(tmp_path / "out")
+    assert main(["table", "export", tbl, "--dest", out]) == 0
+    assert spark.read.parquet(out).count() == 40

@@ -207,6 +207,31 @@ def test_validation_errors(spark, tmp_path):
         tp.index_bloom("p")
 
 
+def test_dsv2_reads_indexed_and_purged_tables(spark, tmp_path):
+    """Interop: the sessionless DSv2 reader serves bloom-indexed
+    tables (unknown ``bloom`` add-keys ignored; the BLOOM-INDEX
+    commit's dataChange=False adds are invisible to streams/CDF),
+    and purged tables read through the mapping as usual."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    t = _mk_interleaved(
+        spark, tmp_path, files=2, per=16, deletion_vectors=True
+    )
+    v = t.index_bloom(["k", "user"])
+    t.set_properties(changeDataFeed=True)
+    t.delete_where("k = 7")
+    register_txlog_source(spark)
+    df = spark.read.format("hz_txlog").load(t.path)
+    assert df.count() == 31
+    # the index commit is maintenance: the change feed skips it
+    assert t.changes(v, v).count() == 0
+    t.drop_column("user")
+    t.reorg_purge()
+    df = spark.read.format("hz_txlog").load(t.path)
+    assert df.columns == ["k"]
+    assert df.count() == 31
+
+
 def test_or_predicates_never_bloom_skip(spark, tmp_path):
     """Only conjunct-level atoms are sound: `k = 7 OR user = 'u9'`
     must not skip a file that merely lacks k=7."""
