@@ -454,10 +454,13 @@ class _TxLogBatchReader(DataSourceReader):
         state = _replay_adds(self.path, self.as_of)
         cols = _schema_columns(self.schema)
         phys = dict(self._pairs)
+        admit_bloom = _bloom_gate(self.path, self._pruning, self.schema, phys)
         parts: list[_FilePartition] = []
         for p, add in state.items():
             if not all(_stats_admit(add, f, phys) for f in self._pruning):
                 continue
+            if admit_bloom is not None and not admit_bloom(add):
+                continue  # bloom proves the pushed equality can't match
             dv = add.get("dv")
             parts.extend(
                 _file_partitions(
@@ -502,6 +505,98 @@ class _TxLogPruningBatchReader(_TxLogBatchReader):
             ):
                 self._pruning.append(f)
         return filters
+
+
+def _bloom_gate(path: str, filters, schema: StructType, phys: dict):
+    """``admit(add) -> bool`` testing pushed EqualTo/In filters
+    against per-file bloom sidecars (see txlog.py ``index_bloom``),
+    or ``None`` when nothing is probe-able. Pushed filters are
+    top-level CONJUNCTS by the DSv2 contract, which is exactly the
+    soundness condition bloom skipping needs. Probe hashes go through
+    the live SparkSession (planning runs on the driver; no session —
+    e.g. a bare unit-test harness — means no bloom skipping, never a
+    wrong skip). Sidecars are read once per plan and only for files
+    that survived stats pruning and carry an index."""
+    eq = [f for f in filters if isinstance(f, (EqualTo, In)) and len(f.attribute) == 1]
+    if not eq:
+        return None
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        return None
+    if spark is None:
+        return None
+    kinds = {}
+    for fld in schema.fields:
+        t = fld.dataType.simpleString()
+        kinds[fld.name] = (
+            "long"
+            if t in ("int", "bigint", "smallint", "tinyint")
+            else ("string" if t == "string" else None)
+        )
+    probes: list[tuple] = []
+    plan: list[tuple[str, list[int]]] = []
+    for f in eq:
+        col = f.attribute[0]
+        kind = kinds.get(col)
+        if kind is None:
+            continue
+        vals = list(f.value) if isinstance(f, In) else [f.value]
+        if not vals:
+            continue
+        if not all(
+            (isinstance(v, int) and not isinstance(v, bool))
+            if kind == "long"
+            else isinstance(v, str)
+            for v in vals
+        ):
+            continue
+        idxs = []
+        for v in vals:
+            idxs.append(len(probes))
+            probes.append((v, kind))
+        plan.append((phys.get(col, col), idxs))
+    if not plan:
+        return None
+    from .txlog import _bloom_contains, _bloom_probe_hashes
+
+    try:
+        hashes = _bloom_probe_hashes(spark, probes)
+    except Exception:
+        return None  # probe job failed: skipping is only an optimization
+    import base64
+
+    cache: dict[str, dict] = {}
+
+    def admit(add: dict) -> bool:
+        bl = add.get("bloom")
+        if not bl:
+            return True
+        try:
+            side = cache.get(bl["path"])
+            if side is None:
+                side = json.load(open(os.path.join(path, bl["path"])))
+                cache[bl["path"]] = side
+            m, k = int(side["m"]), int(side["k"])
+            indexed = set(side.get("indexed", []))
+            for pname, idxs in plan:
+                if pname not in indexed:
+                    continue
+                b64 = side["cols"].get(pname)
+                if b64 is None:
+                    return False  # indexed but all-null: provably absent
+                blob = base64.b64decode(b64)
+                if not any(
+                    _bloom_contains(blob, m, hashes[i][:k]) for i in idxs
+                ):
+                    return False
+        except Exception:
+            return True  # unreadable sidecar: cannot skip
+        return True
+
+    return admit
 
 
 def _replay_adds(path: str, as_of: int | None = None) -> dict[str, dict]:
