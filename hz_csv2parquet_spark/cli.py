@@ -158,12 +158,28 @@ def cmd_sql(args: argparse.Namespace) -> None:
         # reader pushes filters against the log's min/max stats, so a
         # selective WHERE prunes files before any scan is planned
         register_txlog_source(spark)
+    tx_paths: dict[str, str] = {}
     for spec in args.table or []:
         name, sep, path = spec.partition("=")
         if not sep:
             raise SystemExit(f"--table takes name=path, got {spec!r}")
         spark.read.format("hz_txlog").load(path).createOrReplaceTempView(name)
-    df = spark.sql(args.query)
+        tx_paths[name.lower()] = path
+    # table-verb statements (UPDATE/DELETE/MERGE/OPTIMIZE/VACUUM/
+    # DESCRIBE HISTORY/RESTORE/ALTER TABLE) route to the TxTable
+    # verbs — Catalyst cannot execute DML against a Python data
+    # source; everything else is handed to spark.sql untouched
+    from . import sqlfront
+    from .sources.txlog import TxTable
+
+    def _resolve(name: str) -> TxTable:
+        return TxTable(spark, tx_paths[name.lower()])
+
+    try:
+        routed = sqlfront.execute(spark, args.query, _resolve)
+    except sqlfront.SqlFrontDoorError as e:
+        raise SystemExit(f"sql: {e}")
+    df = routed if routed is not None else spark.sql(args.query)
     if args.dest:
         write_table(df, args.dest, fmt=_fmt_of(args.dest))
         logging.getLogger("hz_csv2parquet_spark.cli").info(
@@ -244,15 +260,19 @@ def cmd_table(args: argparse.Namespace) -> None:
         if args.as_of is not None and args.as_of_timestamp is not None:
             raise SystemExit("pass --as-of OR --as-of-timestamp, not both")
         c = t.clone(
-            args.dest, version=args.as_of, timestamp=args.as_of_timestamp
+            args.dest,
+            version=args.as_of,
+            timestamp=args.as_of_timestamp,
+            deep=args.deep,
         )
         log.info(
-            "shallow-cloned %s to %s at version %d (%d file reference(s), "
-            "zero bytes copied)",
+            "%s-cloned %s to %s at version %d (%d file%s)",
+            "deep" if args.deep else "shallow",
             args.table,
             args.dest,
             c.version(),
             len(c.files()),
+            " copy(ies)" if args.deep else " reference(s), zero bytes copied",
         )
     elif args.action == "history":
         for v in range(t.version() + 1):
@@ -619,6 +639,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="export: time travel to the latest version committed at or "
         "before this epoch-seconds or ISO timestamp (Delta timestampAsOf)",
+    )
+    t.add_argument(
+        "--deep",
+        action="store_true",
+        help="clone: copy data files executor-side into the clone "
+        "(Delta DEEP CLONE) instead of referencing the source's",
     )
     t.add_argument("--target-files", type=int, default=1, help="compaction target file count")
     t.add_argument(

@@ -1,0 +1,499 @@
+"""SQL front door for transaction-log DML/DDL/maintenance verbs.
+
+``spark.sql`` happily parses ``UPDATE``/``DELETE``/``MERGE`` but a
+Python DataSource (our ``hz_txlog``) cannot execute them — Spark
+would raise a table-does-not-support-writes error deep inside the
+analyzer. This module closes the gap the way Delta's SQL extension
+does: recognize the table-verb statements *before* Catalyst sees
+them, route them to the :class:`TxTable` verbs (which already take
+SQL predicate/expression strings verbatim), and hand every other
+statement to ``spark.sql`` untouched.
+
+The supported grammar is deliberately the canonical Delta surface —
+one documented form per verb (see each ``_parse_*``); a statement
+that starts with a routed keyword but deviates raises
+:class:`SqlFrontDoorError` naming what IS supported instead of
+falling through to a confusing analyzer error. Expressions
+(``WHERE`` predicates, ``SET`` assignments, ``CHECK`` bodies) are
+never interpreted here — they pass through as text to the verbs,
+which evaluate them with Spark's own parser, so the front door adds
+zero expression semantics of its own.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["SqlFrontDoorError", "execute", "routes"]
+
+
+class SqlFrontDoorError(ValueError):
+    """A routed verb was recognized but the statement deviates from
+    the supported form (the message states the supported grammar)."""
+
+
+#: ``identifier`` — bare or backtick-quoted.
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
+
+
+def _unquote(ident: str) -> str:
+    ident = ident.strip()
+    if ident.startswith("`") and ident.endswith("`"):
+        return ident[1:-1]
+    return ident
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on top-level ``sep`` — outside parens and outside
+    single/double/backtick quotes (with ``''`` escape inside single
+    quotes, the SQL rule)."""
+    parts, depth, quote, start = [], 0, None, 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                if quote == "'" and i + 1 < len(s) and s[i + 1] == "'":
+                    i += 1  # escaped quote
+                else:
+                    quote = None
+        elif c in "'\"`":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _split_top_kw(s: str, kw: str) -> list[str]:
+    """Split on a top-level KEYWORD (case-insensitive, word-bounded),
+    same quote/paren rules as :func:`_split_top`."""
+    out, depth, quote, start = [], 0, None, 0
+    pat = re.compile(rf"(?i)\b{kw}\b")
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                if quote == "'" and i + 1 < len(s) and s[i + 1] == "'":
+                    i += 1
+                else:
+                    quote = None
+            i += 1
+            continue
+        if c in "'\"`":
+            quote = c
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                out.append(s[start : i])
+                start = i = m.end()
+                continue
+        i += 1
+    out.append(s[start:])
+    return [p.strip() for p in out]
+
+
+def _assignment(item: str) -> tuple[str, str]:
+    """``col = expr`` — split on the FIRST top-level ``=`` that is a
+    bare assignment (not ``<=``, ``>=``, ``!=``, ``==``)."""
+    depth, quote = 0, None
+    i = 0
+    while i < len(item):
+        c = item[i]
+        if quote:
+            if c == quote:
+                if quote == "'" and i + 1 < len(item) and item[i + 1] == "'":
+                    i += 1
+                else:
+                    quote = None
+        elif c in "'\"`":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "=" and depth == 0:
+            prev = item[i - 1] if i else ""
+            nxt = item[i + 1] if i + 1 < len(item) else ""
+            if prev not in "<>!=" and nxt != "=":
+                col, expr = item[:i].strip(), item[i + 1 :].strip()
+                if re.fullmatch(_IDENT, col) and expr:
+                    return _unquote(col), expr
+                break
+        i += 1
+    raise SqlFrontDoorError(
+        f"SET expects `column = expression`, got: {item.strip()!r}"
+    )
+
+
+def _one_row(spark: SparkSession, operation: str, version) -> DataFrame:
+    return spark.createDataFrame(
+        [(operation, None if version is None else int(version))],
+        "operation string, version bigint",
+    )
+
+
+# ---------------- per-verb parsers ----------------
+# Each returns a runner(spark, resolve) -> DataFrame, or raises
+# SqlFrontDoorError. `resolve(name)` returns the TxTable for a
+# registered table name (raising KeyError for unknown names).
+
+
+def _parse_update(stmt: str):
+    m = re.match(rf"(?is)^UPDATE\s+({_IDENT})\s+SET\s+(.*)$", stmt)
+    if not m:
+        raise SqlFrontDoorError(
+            "supported: UPDATE <table> SET col = expr[, ...] [WHERE <predicate>]"
+        )
+    name, rest = _unquote(m.group(1)), m.group(2)
+    before_where, *where = _split_top_kw(rest, "WHERE")
+    if len(where) > 1:
+        raise SqlFrontDoorError("UPDATE: one WHERE clause expected")
+    assignments = dict(_assignment(a) for a in _split_top(before_where))
+    if not assignments:
+        raise SqlFrontDoorError("UPDATE: empty SET clause")
+    pred = where[0] if where else "true"
+    if not pred:
+        raise SqlFrontDoorError("UPDATE: empty WHERE predicate")
+
+    def run(spark, resolve):
+        v = resolve(name).update_where(pred, assignments)
+        return _one_row(spark, "UPDATE", v)
+
+    return run
+
+
+def _parse_delete(stmt: str):
+    m = re.match(
+        rf"(?is)^DELETE\s+FROM\s+({_IDENT})\s*(?:WHERE\s+(.+))?$", stmt
+    )
+    if not m:
+        raise SqlFrontDoorError(
+            "supported: DELETE FROM <table> [WHERE <predicate>]"
+        )
+    name, pred = _unquote(m.group(1)), (m.group(2) or "true").strip()
+
+    def run(spark, resolve):
+        v = resolve(name).delete_where(pred)
+        return _one_row(spark, "DELETE", v)
+
+    return run
+
+
+def _parse_merge(stmt: str):
+    """The canonical upsert only (what ``merge_upsert`` computes):
+
+    MERGE INTO <table> [[AS] t] USING <view | (subquery)> [[AS] s]
+    ON <t.k = s.k [AND ...]>
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+    """
+    grammar = (
+        "supported: MERGE INTO <table> [[AS] t] USING <view|(subquery)> "
+        "[[AS] s] ON t.k = s.k [AND ...] WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    m = re.match(
+        rf"(?is)^MERGE\s+INTO\s+({_IDENT})(?:\s+(?:AS\s+)?({_IDENT}))?"
+        rf"\s+USING\s+(.*)$",
+        stmt,
+    )
+    if not m:
+        raise SqlFrontDoorError(grammar)
+    name = _unquote(m.group(1))
+    t_alias = _unquote(m.group(2)) if m.group(2) else name
+    rest = m.group(3)
+    on_split = _split_top_kw(rest, "ON")
+    if len(on_split) != 2:
+        raise SqlFrontDoorError(grammar)
+    src_part, after_on = on_split
+    # source: `(subquery) [AS] s` or `view [AS] s`
+    sm = re.match(
+        rf"(?s)^(\(.*\)|{_IDENT})\s*(?:(?:AS\s+)?({_IDENT}))?\s*$", src_part
+    )
+    if not sm:
+        raise SqlFrontDoorError(grammar)
+    src, s_alias = sm.group(1), sm.group(2)
+    s_alias = _unquote(s_alias) if s_alias else (None if src.startswith("(") else _unquote(src))
+    if s_alias is None:
+        raise SqlFrontDoorError("MERGE: a (subquery) source needs an alias")
+    when_parts = _split_top_kw(after_on, "WHEN")
+    cond = when_parts[0]
+    clauses = [re.sub(r"(?s)\s+", " ", w).strip().upper() for w in when_parts[1:]]
+    if sorted(clauses) != sorted(
+        ["MATCHED THEN UPDATE SET *", "NOT MATCHED THEN INSERT *"]
+    ):
+        raise SqlFrontDoorError(grammar)
+    keys = []
+    for conj in _split_top_kw(cond, "AND"):
+        cm = re.match(
+            rf"(?s)^\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
+            conj,
+        )
+        if not cm:
+            raise SqlFrontDoorError(
+                "MERGE ON: conjunctions of t.col = s.col equalities only"
+            )
+        a_al, a_col, b_al, b_col = (_unquote(g) for g in cm.groups())
+        sides = {a_al: a_col, b_al: b_col}
+        if set(sides) != {t_alias, s_alias}:
+            raise SqlFrontDoorError(
+                f"MERGE ON: each equality must join {t_alias!r} to {s_alias!r}"
+            )
+        if sides[t_alias] != sides[s_alias]:
+            raise SqlFrontDoorError(
+                "MERGE ON: target and source key columns must share a name "
+                f"(got {sides[t_alias]!r} = {sides[s_alias]!r}); alias the "
+                "source column in a subquery"
+            )
+        keys.append(sides[t_alias])
+    if not keys:
+        raise SqlFrontDoorError(grammar)
+
+    def run(spark, resolve):
+        updates = (
+            spark.sql(src[1:-1]) if src.startswith("(") else spark.table(src)
+        )
+        v = resolve(name).merge_upsert(updates, keys)
+        return _one_row(spark, "MERGE", v)
+
+    return run
+
+
+def _parse_optimize(stmt: str):
+    m = re.match(
+        rf"(?is)^OPTIMIZE\s+({_IDENT})"
+        rf"(?:\s+WHERE\s+(.*?))?"
+        rf"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+        stmt,
+    )
+    if not m:
+        raise SqlFrontDoorError(
+            "supported: OPTIMIZE <table> [WHERE <partition predicate>] "
+            "[ZORDER BY (col[, ...])]"
+        )
+    name = _unquote(m.group(1))
+    where = m.group(2).strip() if m.group(2) else None
+    zcols = None
+    if m.group(3) is not None:
+        zcols = [_unquote(c) for c in _split_top(m.group(3))]
+        if not zcols:
+            raise SqlFrontDoorError("ZORDER BY needs at least one column")
+
+    def run(spark, resolve):
+        v = resolve(name).compact(zorder=zcols, where=where)
+        return _one_row(spark, "OPTIMIZE", v)
+
+    return run
+
+
+def _parse_vacuum(stmt: str):
+    m = re.match(
+        rf"(?is)^VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+        rf"(\s+DRY\s+RUN)?\s*$",
+        stmt,
+    )
+    if not m:
+        raise SqlFrontDoorError(
+            "supported: VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]"
+        )
+    name = _unquote(m.group(1))
+    hours = float(m.group(2)) if m.group(2) else None
+    dry = bool(m.group(3))
+
+    def run(spark, resolve):
+        tbl = resolve(name)
+        kwargs = {"dry_run": dry}
+        if hours is not None:
+            kwargs["retention_seconds"] = hours * 3600.0
+        n = tbl.vacuum(**kwargs)
+        return spark.createDataFrame(
+            [(n,)], "files_deleted bigint" if not dry else "files_deletable bigint"
+        )
+
+    return run
+
+
+def _parse_describe_history(stmt: str):
+    m = re.match(
+        rf"(?is)^DESCRIBE\s+HISTORY\s+({_IDENT})(?:\s+LIMIT\s+(\d+))?\s*$",
+        stmt,
+    )
+    if not m:
+        raise SqlFrontDoorError(
+            "supported: DESCRIBE HISTORY <table> [LIMIT <n>]"
+        )
+    name = _unquote(m.group(1))
+    limit = int(m.group(2)) if m.group(2) else None
+
+    def run(spark, resolve):
+        return resolve(name).history(limit)
+
+    return run
+
+
+def _parse_restore(stmt: str):
+    m = re.match(
+        rf"(?is)^RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+        rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*$",
+        stmt,
+    )
+    if not m:
+        raise SqlFrontDoorError(
+            "supported: RESTORE [TABLE] <table> TO VERSION AS OF <n> | "
+            "TO TIMESTAMP AS OF '<ts>'"
+        )
+    name = _unquote(m.group(1))
+    version = int(m.group(2)) if m.group(2) else None
+    ts = m.group(3)
+
+    def run(spark, resolve):
+        tbl = resolve(name)
+        v = tbl.restore(version if version is not None else tbl.version_at(ts))
+        return _one_row(spark, "RESTORE", v)
+
+    return run
+
+
+def _parse_alter(stmt: str):
+    grammar = (
+        "supported ALTER TABLE forms: RENAME COLUMN a TO b | DROP COLUMN a | "
+        "ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name | "
+        "SET TBLPROPERTIES ('k'='v'[, ...])"
+    )
+    m = re.match(rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", stmt)
+    if not m:
+        raise SqlFrontDoorError(grammar)
+    name, rest = _unquote(m.group(1)), m.group(2).strip()
+
+    rm = re.match(
+        rf"(?is)^RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$", rest
+    )
+    if rm:
+        old, new = _unquote(rm.group(1)), _unquote(rm.group(2))
+
+        def run(spark, resolve):
+            return _one_row(spark, "RENAME COLUMN", resolve(name).rename_column(old, new))
+
+        return run
+    dm = re.match(rf"(?is)^DROP\s+COLUMN\s+({_IDENT})\s*$", rest)
+    if dm:
+        col = _unquote(dm.group(1))
+
+        def run(spark, resolve):
+            return _one_row(spark, "DROP COLUMN", resolve(name).drop_column(col))
+
+        return run
+    am = re.match(
+        rf"(?is)^ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.*)\)\s*$", rest
+    )
+    if am:
+        cname, expr = _unquote(am.group(1)), am.group(2).strip()
+
+        def run(spark, resolve):
+            return _one_row(
+                spark, "ADD CONSTRAINT", resolve(name).add_constraint(cname, expr)
+            )
+
+        return run
+    cm = re.match(rf"(?is)^DROP\s+CONSTRAINT\s+({_IDENT})\s*$", rest)
+    if cm:
+        cname = _unquote(cm.group(1))
+
+        def run(spark, resolve):
+            return _one_row(
+                spark, "DROP CONSTRAINT", resolve(name).drop_constraint(cname)
+            )
+
+        return run
+    pm = re.match(rf"(?is)^SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", rest)
+    if pm:
+        props = {}
+        for item in _split_top(pm.group(1)):
+            kv = re.match(r"(?s)^\s*'([^']+)'\s*=\s*'([^']*)'\s*$", item)
+            if not kv:
+                raise SqlFrontDoorError(
+                    "SET TBLPROPERTIES expects 'key'='value' pairs"
+                )
+            val = kv.group(2).lower()
+            if val not in ("true", "false"):
+                raise SqlFrontDoorError(
+                    f"property {kv.group(1)!r}: only 'true'/'false' values "
+                    "are supported"
+                )
+            props[kv.group(1)] = val == "true"
+
+        def run(spark, resolve):
+            return _one_row(
+                spark, "SET TBLPROPERTIES", resolve(name).set_properties(**props)
+            )
+
+        return run
+    raise SqlFrontDoorError(grammar)
+
+
+_VERBS: list[tuple[re.Pattern, Callable]] = [
+    (re.compile(r"(?is)^\s*UPDATE\b"), _parse_update),
+    (re.compile(r"(?is)^\s*DELETE\b"), _parse_delete),
+    (re.compile(r"(?is)^\s*MERGE\b"), _parse_merge),
+    (re.compile(r"(?is)^\s*OPTIMIZE\b"), _parse_optimize),
+    (re.compile(r"(?is)^\s*VACUUM\b"), _parse_vacuum),
+    (re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\b"), _parse_describe_history),
+    (re.compile(r"(?is)^\s*RESTORE\b"), _parse_restore),
+    (re.compile(r"(?is)^\s*ALTER\s+TABLE\b"), _parse_alter),
+]
+
+
+def routes(statement: str) -> bool:
+    """True iff the statement starts with a front-door verb (so it
+    will NOT be handed to ``spark.sql``)."""
+    stmt = statement.strip().rstrip(";")
+    return any(pat.match(stmt) for pat, _ in _VERBS)
+
+
+def execute(
+    spark: SparkSession,
+    statement: str,
+    resolve: Callable[[str], object],
+) -> DataFrame | None:
+    """Route a table-verb statement to the resolved :class:`TxTable`,
+    returning its result as a DataFrame (a one-row operation/version
+    summary for the mutating verbs, the audit table for DESCRIBE
+    HISTORY, the file count for VACUUM). Returns ``None`` when the
+    statement is not a front-door verb — the caller runs it through
+    ``spark.sql`` as usual. ``resolve(name)`` maps a statement's
+    table name to its TxTable; a KeyError is re-raised as
+    :class:`SqlFrontDoorError` listing nothing (the caller knows its
+    registry)."""
+    stmt = statement.strip().rstrip(";").strip()
+    for pat, parse in _VERBS:
+        if pat.match(stmt):
+            run = parse(stmt)
+
+            def resolve_named(name: str):
+                try:
+                    return resolve(name)
+                except KeyError:
+                    raise SqlFrontDoorError(
+                        f"{name!r} is not a registered transaction-log table "
+                        "(pass --table name=path)"
+                    ) from None
+
+            return run(spark, resolve_named)
+    return None

@@ -1,0 +1,214 @@
+"""SQL front door (sqlfront.py): Delta's table-verb SQL surface —
+UPDATE/DELETE/MERGE/OPTIMIZE/VACUUM/DESCRIBE HISTORY/RESTORE/ALTER
+TABLE — parsed up front and routed to the TxTable verbs, since
+Catalyst cannot execute DML against a Python data source. Grammar
+deviations raise a named error stating the supported form; anything
+that is not a table verb falls through to spark.sql."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark import sqlfront
+from hz_csv2parquet_spark.sqlfront import SqlFrontDoorError
+from hz_csv2parquet_spark.sources.txlog import TxTable
+
+
+def _mk(spark, tmp_path, n=100, files=4, **kw):
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], **kw)
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(files)
+    t.create(df)
+    return t
+
+
+def _run(spark, stmt, tbl):
+    return sqlfront.execute(spark, stmt, lambda name: {"t": tbl}[name])
+
+
+def test_select_is_not_routed(spark, tmp_path):
+    assert not sqlfront.routes("SELECT 1")
+    assert sqlfront.execute(spark, "SELECT 1", lambda n: None) is None
+    # WITH/INSERT etc. also pass through
+    assert sqlfront.execute(spark, "WITH x AS (SELECT 1) SELECT * FROM x",
+                            lambda n: None) is None
+
+
+def test_update_set_where(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    out = _run(spark, "UPDATE t SET v = v + 1000 WHERE k < 10;", t).collect()
+    assert out[0].operation == "UPDATE" and out[0].version == 1
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[5] == 1010 and got[50] == 100
+
+
+def test_update_multi_assignment_and_case_expr(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    # an expression containing '=' and a quoted comma must not break
+    # the top-level splitter
+    _run(
+        spark,
+        "UPDATE t SET v = CASE WHEN k = 0 THEN -1 ELSE v END, "
+        "k = k + 100 WHERE k <= 1",
+        t,
+    )
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[100] == -1 and got[101] == 2 and 0 not in got
+
+
+def test_delete_from_where(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    out = _run(spark, "DELETE FROM t WHERE k >= 90", t).collect()
+    assert out[0].operation == "DELETE"
+    assert t.snapshot().count() == 90
+
+
+def test_merge_upsert_canonical_form(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    src = spark.range(8, 12).select(
+        F.col("id").alias("k"), F.lit(-5).alias("v")
+    )
+    src.createOrReplaceTempView("updates_v")
+    out = _run(
+        spark,
+        "MERGE INTO t USING updates_v AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        t,
+    ).collect()
+    assert out[0].operation == "MERGE"
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert len(got) == 12 and got[8] == -5 and got[11] == -5 and got[0] == 0
+
+
+def test_merge_subquery_source_and_alias(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5, files=1)
+    out = _run(
+        spark,
+        "MERGE INTO t AS tgt USING "
+        "(SELECT CAST(9 AS BIGINT) AS k, CAST(9 AS BIGINT) AS v) AS s "
+        "ON tgt.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT * WHEN MATCHED THEN UPDATE SET *",
+        t,
+    ).collect()
+    assert out[0].operation == "MERGE"
+    assert t.snapshot().where("k = 9").collect()[0].v == 9
+
+
+def test_merge_rejects_non_upsert_forms(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5, files=1)
+    with pytest.raises(SqlFrontDoorError, match="supported: MERGE"):
+        _run(
+            spark,
+            "MERGE INTO t USING u AS s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE",
+            t,
+        )
+    with pytest.raises(SqlFrontDoorError, match="share a name"):
+        _run(
+            spark,
+            "MERGE INTO t USING u AS s ON t.k = s.id "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+            t,
+        )
+
+
+def test_optimize_and_zorder(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, files=8)
+    out = _run(spark, "OPTIMIZE t", t).collect()
+    assert out[0].operation == "OPTIMIZE"
+    assert len(t.files()) == 1
+    assert t.snapshot().count() == 100
+    _run(spark, "OPTIMIZE t ZORDER BY (k, v)", t)
+    assert t.snapshot().count() == 100
+
+
+def test_vacuum_retain_and_dry_run(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20, files=2)
+    t.compact()  # orphan the two original files
+    dry = _run(spark, "VACUUM t RETAIN 0 HOURS DRY RUN", t).collect()
+    assert dry[0].files_deletable == 2
+    assert len(t.files()) == 1 and t.snapshot().count() == 20
+    gone = _run(spark, "VACUUM t RETAIN 0 HOURS", t).collect()
+    assert gone[0].files_deleted == 2
+
+
+def test_describe_history_and_restore(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=20, files=1)
+    t.delete_where("k < 5")
+    hist = _run(spark, "DESCRIBE HISTORY t LIMIT 2", t)
+    ops = [r.operation for r in hist.collect()]
+    assert ops[0] == "DELETE" and len(ops) == 2
+    out = _run(spark, "RESTORE TABLE t TO VERSION AS OF 0", t).collect()
+    assert out[0].operation == "RESTORE"
+    assert t.snapshot().count() == 20
+
+
+def test_alter_table_forms(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    _run(spark, "ALTER TABLE t ADD CONSTRAINT pos CHECK (v >= 0)", t)
+    with pytest.raises(Exception, match="pos"):
+        t.append(spark.sql("SELECT CAST(900 AS BIGINT) k, CAST(-1 AS BIGINT) v"))
+    _run(spark, "ALTER TABLE t DROP CONSTRAINT pos", t)
+    _run(spark, "ALTER TABLE t RENAME COLUMN v TO val", t)
+    assert "val" in t.snapshot().columns
+    _run(spark, "ALTER TABLE t SET TBLPROPERTIES ('changeDataFeed'='true')", t)
+    v = t.version()
+    t.delete_where("k = 0")
+    assert t.changes(v).where("_change_type = 'delete'").count() == 1
+    _run(spark, "ALTER TABLE t DROP COLUMN val", t)
+    assert t.snapshot().columns == ["k"]
+
+
+def test_grammar_deviations_raise_named_errors(spark):
+    dummy = lambda n: None
+    cases = [
+        "UPDATE t SETT v = 1",
+        "UPDATE t SET WHERE k = 1",
+        "DELETE t WHERE k = 1",
+        "OPTIMIZE t ZORDER BY ()",
+        "VACUUM t RETAIN x HOURS",
+        "RESTORE t TO VERSION 3",
+        "ALTER TABLE t ADD COLUMN x INT",
+    ]
+    for stmt in cases:
+        with pytest.raises(SqlFrontDoorError):
+            sqlfront.execute(spark, stmt, dummy)
+
+
+def test_unknown_table_names_the_registry_gap(spark):
+    def resolve(name):
+        raise KeyError(name)
+
+    with pytest.raises(SqlFrontDoorError, match="not a registered"):
+        sqlfront.execute(spark, "DELETE FROM nosuch WHERE 1=1", resolve)
+
+
+def test_cli_sql_dml_roundtrip(tmp_path, spark, capsys):
+    """The sql CLI verb routes DML to the table and prints the
+    summary row."""
+    from hz_csv2parquet_spark.cli import main
+
+    src = tmp_path / "t.csv"
+    src.write_text("k,v\n1,10\n2,20\n3,30\n")
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+    assert (
+        main(["sql", "UPDATE mytbl SET v = v * 10 WHERE k = 2",
+              "--table", f"mytbl={tbl}"])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "UPDATE" in out
+    assert (
+        main(["sql", "SELECT v FROM mytbl WHERE k = 2",
+              "--table", f"mytbl={tbl}"])
+        == 0
+    )
+    assert "200" in capsys.readouterr().out
+    # a grammar deviation surfaces as a clean exit, not a stack trace
+    with pytest.raises(SystemExit):
+        main(["sql", "UPDATE mytbl SETT v = 1", "--table", f"mytbl={tbl}"])
