@@ -1517,6 +1517,7 @@ class TxTable:
         dest_path: str,
         version: int | None = None,
         timestamp: float | str | None = None,
+        deep: bool = False,
     ) -> "TxTable":
         """SHALLOW CLONE (Delta's ``CREATE TABLE … SHALLOW CLONE``):
         a new, fully independent table at ``dest_path`` whose commit
@@ -1525,6 +1526,16 @@ class TxTable:
         which is what makes dev/test copies of a 100 TB production
         table instant. Time travel the clone point via ``version`` or
         ``timestamp``.
+
+        ``deep=True`` is Delta's DEEP CLONE: data files (and dv
+        sidecars) COPY into the clone's own directory under the same
+        relative keys — the byte copy runs ON THE EXECUTORS (one
+        Arrow batch of paths per task, O(files) driver metadata, the
+        bytes never visit the driver), so a 100 TB clone parallelizes
+        across the cluster like any scan. The deep clone shares no
+        fate with the source: vacuum/DML on either side cannot break
+        the other, and no ``absolutePaths`` reader feature is needed.
+        Deletion-vector and bloom-index sidecars copy the same way.
 
         The clone is a first-class table: every verb works, and any
         rewrite (DELETE/UPDATE/MERGE/OPTIMIZE) is copy-on-write INTO
@@ -1581,16 +1592,45 @@ class TxTable:
                 "first to rewrite them into standard staging layout"
             )
         actions: list[dict] = []
+        copies: list[tuple[str, str]] = []  # (src abs, dest abs) for deep
+        dest_root = os.path.abspath(dest_path)
         for rel, a in state["adds"].items():
             add = {k: v for k, v in a.items() if k != "dataChange"}
-            add["absPath"] = resolved[rel]
-            if a.get("dv"):
-                dv = dict(a["dv"])
-                dv["absPath"] = _data_file(src_root, dv["path"], a["dv"])
-                add["dv"] = dv
+            if deep:
+                # the copy lands under the clone root — local keys only
+                add.pop("absPath", None)
+                copies.append((resolved[rel], os.path.join(dest_root, rel)))
+                if a.get("dv"):
+                    dv = dict(a["dv"])
+                    dv.pop("absPath", None)
+                    copies.append(
+                        (
+                            _data_file(src_root, dv["path"], a["dv"]),
+                            os.path.join(dest_root, dv["path"]),
+                        )
+                    )
+                    add["dv"] = dv
+                if a.get("bloom"):
+                    bl = dict(a["bloom"])
+                    copies.append(
+                        (
+                            os.path.join(src_root, bl["path"]),
+                            os.path.join(dest_root, bl["path"]),
+                        )
+                    )
+                    add["bloom"] = bl
+            else:
+                add["absPath"] = resolved[rel]
+                if a.get("dv"):
+                    dv = dict(a["dv"])
+                    dv["absPath"] = _data_file(src_root, dv["path"], a["dv"])
+                    add["dv"] = dv
             actions.append({"add": add})
         features = set(state["readerFeatures"])
-        if actions:
+        if deep:
+            features.discard("absolutePaths")  # fully local by construction
+            self._copy_files_distributed(copies)
+        elif actions:
             features.add("absolutePaths")
         meta: dict = {
             "schema": state["schema"],
@@ -1614,9 +1654,50 @@ class TxTable:
             actions,
             -1,
             operation="CLONE",
-            info={"sourcePath": src_root, "sourceVersion": version if version is not None else self.version()},
+            info={
+                "sourcePath": src_root,
+                "sourceVersion": version if version is not None else self.version(),
+                "deep": bool(deep),
+            },
         )
         return dest
+
+    def _copy_files_distributed(self, copies: list[tuple[str, str]]) -> None:
+        """Byte-copy ``(src, dest)`` pairs on the executors — the
+        deep-clone data path. The driver ships O(files) path strings
+        and gets O(files) byte counts back; file contents never visit
+        it. Each copy lands via temp-file + rename, so a killed task
+        retried by Spark cannot leave a torn destination visible.
+        (On a real cluster the same shape delegates to the DFS client
+        on each executor; locally it is a parallel filesystem copy.)"""
+        if not copies:
+            return
+        import pandas as pd  # noqa: F401  (executors need it anyway)
+
+        def copy_part(batches):
+            import os as _os
+            import shutil as _shutil
+            import uuid as _uuid
+
+            import pandas as _pd
+
+            for pdf in batches:
+                done = []
+                for s, d in zip(pdf["src"], pdf["dst"]):
+                    _os.makedirs(_os.path.dirname(d), exist_ok=True)
+                    tmp = f"{d}.{_uuid.uuid4().hex[:8]}.tmp"
+                    _shutil.copyfile(s, tmp)
+                    _os.replace(tmp, d)
+                    done.append(_os.path.getsize(d))
+                yield _pd.DataFrame({"bytes": done})
+
+        n = len(copies)
+        (
+            self.spark.createDataFrame(copies, "src string, dst string")
+            .repartition(min(n, 64))
+            .mapInPandas(copy_part, "bytes bigint")
+            .collect()  # O(files) scalar byte counts, not data rows
+        )
 
     def append(self, df: DataFrame) -> int:
         """Blind append — add actions only, no reads rewritten.

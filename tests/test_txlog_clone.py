@@ -249,3 +249,79 @@ def test_clone_lineage_in_commit_info(spark, tmp_path):
     assert info["operation"] == "CLONE"
     assert info["sourcePath"] == os.path.abspath(str(tmp_path / "src"))
     assert info["sourceVersion"] == 0
+
+
+# ---------------- DEEP CLONE (round 12) ----------------
+
+
+def test_deep_clone_copies_files_and_shares_no_fate(spark, tmp_path):
+    import shutil
+
+    src = _mk_src(spark, str(tmp_path / "src"), deletion_vectors=True)
+    src.delete_where("id < 10")  # dv sidecar must copy too
+    cl = src.clone(str(tmp_path / "cl"), deep=True)
+    # fully local: every file under the clone root, no absPath, no
+    # absolutePaths reader feature
+    assert all(f.startswith(str(tmp_path / "cl")) for f in cl.files())
+    state = cl._replay_state()
+    assert not any(a.get("absPath") for a in state["adds"].values())
+    assert "absolutePaths" not in state["readerFeatures"]
+    assert _ids(cl) == _ids(src) == list(range(10, 100))
+    # no shared fate: destroy the source entirely; the clone still reads
+    shutil.rmtree(str(tmp_path / "src"))
+    assert _ids(cl) == list(range(10, 100))
+    # and clone DML never touched the (now gone) source before that
+    assert cl.partition_columns() == ["grp"]
+
+
+def test_deep_clone_carries_bloom_sidecars(spark, tmp_path):
+    src = _mk_src(spark, str(tmp_path / "src"))
+    src.index_bloom("id")
+    cl = src.clone(str(tmp_path / "cl"), deep=True)
+    state = cl._replay_state()
+    blooms = [a.get("bloom") for a in state["adds"].values()]
+    assert all(b for b in blooms)
+    for b in blooms:
+        assert os.path.exists(os.path.join(str(tmp_path / "cl"), b["path"]))
+    # the copied sidecars actually prune: a miss probe skips all files
+    kept = cl._bloom_prune(cl.files(), state, "id = 100000")
+    assert kept == []
+
+
+def test_deep_clone_of_shallow_clone_localizes_original_bytes(spark, tmp_path):
+    import shutil
+
+    src = _mk_src(spark, str(tmp_path / "src"))
+    sh = src.clone(str(tmp_path / "sh"))
+    dp = sh.clone(str(tmp_path / "dp"), deep=True)
+    shutil.rmtree(str(tmp_path / "src"))
+    shutil.rmtree(str(tmp_path / "sh"))
+    assert _ids(dp) == list(range(100))
+
+
+def test_deep_clone_time_travel_and_lineage(spark, tmp_path):
+    src = _mk_src(spark, str(tmp_path / "src"))
+    src.append(
+        spark.range(100, 150).selectExpr(
+            "id", "id % 5 as grp", "cast(id as double) as val"
+        )
+    )
+    old = src.clone(str(tmp_path / "old"), version=0, deep=True)
+    assert old.snapshot().count() == 100
+    log = json.load(open(str(tmp_path / "old" / "_txlog" / "00000000.json")))
+    info = next(a["commitInfo"] for a in log if "commitInfo" in a)
+    assert info["deep"] is True and info["sourceVersion"] == 0
+
+
+def test_cli_deep_clone(spark, tmp_path):
+    from hz_csv2parquet_spark.cli import main
+
+    src = tmp_path / "t.csv"
+    src.write_text("k,v\n1,10\n2,20\n3,30\n")
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k"]) == 0
+    dest = str(tmp_path / "deep")
+    assert main(["table", "clone", tbl, "--dest", dest, "--deep"]) == 0
+    cl = TxTable(spark, dest)
+    assert all(f.startswith(dest) for f in cl.files())
+    assert cl.snapshot().count() == 3
