@@ -248,10 +248,24 @@ def cmd_table(args: argparse.Namespace) -> None:
             if not sep:
                 raise SystemExit(f"--generated needs COL=EXPR, got {g!r}")
             gen[col.strip()] = expr.strip()
+        ident = {}
+        for spec in args.identity or []:
+            col, sep, rest = spec.partition("=")
+            entry = {}
+            if sep:
+                try:
+                    start_s, _, step_s = rest.partition(",")
+                    entry = {"start": int(start_s), "step": int(step_s or 1)}
+                except ValueError:
+                    raise SystemExit(
+                        f"--identity needs COL or COL=START[,STEP], got {spec!r}"
+                    )
+            ident[col.strip()] = entry
         v = t.create(
             df,
             partition_by=args.partition_by.split(",") if args.partition_by else None,
             generated=gen or None,
+            identity=ident or None,
         )
         log.info("created %s at version %d (%d files)", args.table, v, len(t.files()))
     elif args.action == "clone":
@@ -441,6 +455,12 @@ def cmd_table(args: argparse.Namespace) -> None:
             print(f"constraint {cname}: CHECK ({cexpr})")
         for gname, gexpr in sorted((state.get("generated") or {}).items()):
             print(f"generated {gname}: ALWAYS AS ({gexpr})")
+        for iname, ispec in sorted((state.get("identity") or {}).items()):
+            print(
+                f"identity {iname}: ALWAYS AS IDENTITY (START WITH "
+                f"{ispec.get('start', 1)} INCREMENT BY {ispec.get('step', 1)}, "
+                f"high-water mark {ispec.get('highWaterMark')})"
+            )
         wf = sorted(state.get("writerFeatures") or ())
         if wf:
             print(f"writer features: {', '.join(wf)}")
@@ -739,6 +759,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="create: declare a GENERATED column computed from the SQL "
         "expression on every write (repeatable; may appear in "
         "--partition-by — writers then never supply it)",
+    )
+    t.add_argument(
+        "--identity",
+        action="append",
+        default=None,
+        metavar="COL[=START[,STEP]]",
+        help="create: declare a GENERATED ALWAYS AS IDENTITY bigint "
+        "column — unique engine-assigned ids on every append "
+        "(repeatable; writers never supply it)",
     )
     t.add_argument(
         "--retention-seconds",

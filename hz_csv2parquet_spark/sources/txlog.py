@@ -114,7 +114,16 @@ SUPPORTED_READER_FEATURES = frozenset(
 #: an unaware writer pressing on would break the invariant the
 #: feature encodes (e.g. append rows without computing a generated
 #: column, silently desynchronizing it from its expression).
-SUPPORTED_WRITER_FEATURES = frozenset({"generatedColumns"})
+SUPPORTED_WRITER_FEATURES = frozenset({"generatedColumns", "identityColumns"})
+
+#: Identity assignment packs (partition index, row-in-partition) into
+#: one 64-bit sequence: ``seq = pid * STRIDE + row``. The stride caps
+#: rows per written partition (guarded executor-side — overflow would
+#: collide ids); 2^28 ≈ 268M rows is far above any sane task output,
+#: while keeping hwm growth ~32× slower than raw
+#: ``monotonically_increasing_id`` (whose 2^33 partition stride would
+#: exhaust long id space in ~1e5 large appends).
+IDENTITY_PARTITION_STRIDE = 1 << 28
 
 
 def _data_file(table_path: str, rel: str, action: dict | None) -> str:
@@ -952,6 +961,7 @@ class TxTable:
             "properties": state["properties"],
             "constraints": state.get("constraints", {}),
             "generatedColumns": state.get("generated", {}),
+            "identityColumns": state.get("identity", {}),
             "readerFeatures": sorted(state["readerFeatures"]),
             "writerFeatures": sorted(state.get("writerFeatures", set())),
             "columnMapping": state.get("columnMapping"),
@@ -1040,6 +1050,7 @@ class TxTable:
         props: dict = {}
         constraints: dict = {}
         generated: dict = {}
+        identity: dict = {}
         features: set[str] = set()
         wfeatures: set[str] = set()
         txns: dict[str, set] = {}
@@ -1057,6 +1068,7 @@ class TxTable:
                 props = snap.get("properties", {})
                 constraints = snap.get("constraints", {})
                 generated = snap.get("generatedColumns", {})
+                identity = snap.get("identityColumns", {})
                 features = set(snap.get("readerFeatures", []))
                 wfeatures = set(snap.get("writerFeatures", []))
                 mapping = snap.get("columnMapping")
@@ -1076,7 +1088,7 @@ class TxTable:
             except (OSError, ValueError, KeyError):
                 adds, schema, pcols, start = {}, None, [], 0  # full replay
                 props, constraints, features, txns = {}, {}, set(), {}
-                generated, wfeatures = {}, set()
+                generated, identity, wfeatures = {}, {}, set()
                 mapping = None
                 cts, cts_complete = {}, True
         for v in range(start, hi + 1):
@@ -1115,6 +1127,15 @@ class TxTable:
                                 generated.pop(gname, None)
                             else:
                                 generated[gname] = gexpr
+                    if "identityColumns" in m:
+                        # whole-spec replace per column; None = column
+                        # dropped / identity retired (the constraints
+                        # merge rule). hwm advances ride these metas.
+                        for iname, ispec in m["identityColumns"].items():
+                            if ispec is None:
+                                identity.pop(iname, None)
+                            else:
+                                identity[iname] = ispec
                     if "readerFeatures" in m:
                         features.update(m["readerFeatures"])
                     if "writerFeatures" in m:
@@ -1143,6 +1164,7 @@ class TxTable:
             "properties": props,
             "constraints": constraints,
             "generated": generated,
+            "identity": identity,
             "readerFeatures": features,
             "writerFeatures": wfeatures,
             "columnMapping": mapping,
@@ -1287,6 +1309,7 @@ class TxTable:
         df: DataFrame,
         partition_by: list[str] | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> int:
         """Version 0: data files + schema meta in one commit. With
         ``partition_by`` the table is hive-partitioned: data files
@@ -1312,7 +1335,20 @@ class TxTable:
         reference other generated columns, must analyze against the
         frame, and must be deterministic (a nondeterministic
         generator would make verify-on-supply and UPDATE's recompute
-        internally inconsistent)."""
+        internally inconsistent).
+
+        ``identity`` ({column: {"start": int, "step": int}}) declares
+        GENERATED ALWAYS AS IDENTITY bigint columns (Delta's identity
+        columns): the engine assigns unique ids on every append path
+        (append, streaming append_batch, schema evolution, MERGE's
+        new keys — matched keys keep theirs), writers may never
+        supply them (UPDATE refuses assignments, the session-less
+        DSv2 sink refuses the table), and the log's per-column
+        high-water mark — advanced in the same commit as the data —
+        is the reservation record concurrent writers serialize on.
+        Values are unique and step-monotonic per task but GAPPED
+        (the Delta contract: uniqueness, not contiguity). Gated by
+        the ``identityColumns`` writer feature."""
         if self.version() >= 0:
             raise FileExistsError(f"table already exists at {self.path}")
         gen = dict(generated or {})
@@ -1341,6 +1377,9 @@ class TxTable:
             df = self._apply_generated(
                 df, {"generated": gen, "schema": df.schema.json()}
             )
+        ident = self._normalize_identity_specs(identity, df, gen, partition_by)
+        if ident:
+            df = self._assign_identity(df, ident)
         pcols = list(partition_by or [])
         missing = [c for c in pcols if c not in df.columns]
         if missing:
@@ -1348,9 +1387,17 @@ class TxTable:
         os.makedirs(self.path, exist_ok=True)
         actions = self._stage(df, pcols)
         meta: dict = {"schema": df.schema.json()}
+        wfeatures = []
         if gen:
             meta["generatedColumns"] = gen
-            meta["writerFeatures"] = ["generatedColumns"]
+            wfeatures.append("generatedColumns")
+        if ident:
+            meta["identityColumns"] = self._identity_with_hwm(
+                ident, actions, mapping=None
+            )
+            wfeatures.append("identityColumns")
+        if wfeatures:
+            meta["writerFeatures"] = wfeatures
         if pcols:
             meta["partitionColumns"] = pcols
         # table properties persist IN THE LOG (advisor r10: per-
@@ -1642,6 +1689,10 @@ class TxTable:
             meta["constraints"] = dict(state["constraints"])
         if state.get("generated"):
             meta["generatedColumns"] = dict(state["generated"])
+        if state.get("identity"):
+            # hwm carries over: the clone's next append must not
+            # re-issue ids the cloned rows already hold
+            meta["identityColumns"] = dict(state["identity"])
         if state.get("columnMapping") is not None:
             meta["columnMapping"] = state["columnMapping"]
         if features:
@@ -1699,6 +1750,228 @@ class TxTable:
             .collect()  # O(files) scalar byte counts, not data rows
         )
 
+    # ---------------- identity columns ----------------
+
+    def _normalize_identity_specs(
+        self,
+        identity: dict | None,
+        df: DataFrame,
+        gen: dict,
+        partition_by: list[str] | None,
+    ) -> dict:
+        """Validate create-time identity declarations into
+        ``{col: {"start", "step", "highWaterMark": None}}``."""
+        ident: dict[str, dict] = {}
+        for col, spec in (identity or {}).items():
+            spec = dict(spec or {})
+            start = int(spec.get("start", 1))
+            step = int(spec.get("step", 1))
+            if step == 0:
+                raise ValueError(f"identity column {col!r}: step must be non-zero")
+            if col in df.columns:
+                raise ValueError(
+                    f"{col!r} is GENERATED ALWAYS AS IDENTITY — writers may "
+                    "not supply it; drop the column from the frame"
+                )
+            if col in gen:
+                raise ValueError(
+                    f"{col!r} cannot be both a generated and an identity column"
+                )
+            if col in (partition_by or []):
+                raise ValueError(
+                    f"identity column {col!r} cannot be a partition column"
+                )
+            ident[col] = {"start": start, "step": step, "highWaterMark": None}
+        return ident
+
+    def _assign_identity(self, df: DataFrame, ident: dict) -> DataFrame:
+        """Materialize fresh identity values on a frame that omits
+        them (Delta's GENERATED ALWAYS AS IDENTITY assignment),
+        entirely JVM-side: ``monotonically_increasing_id`` decomposes
+        into (partition index, row-in-partition), which re-pack under
+        :data:`IDENTITY_PARTITION_STRIDE` as one sequence number —
+        unique per row without any shuffle, window, or extra pass.
+        Values are unique, ascending per task, and GAPPED (the Delta
+        contract: identity guarantees uniqueness, not contiguity —
+        each task's range rounds up to the stride). A task writing
+        more rows than the stride would collide; ``assert_true``
+        fails the job instead, inside the assigned expression so
+        column pruning can never elide the guard."""
+        for col, spec in ident.items():
+            if col in df.columns:
+                raise ValueError(
+                    f"{col!r} is GENERATED ALWAYS AS IDENTITY — writers may "
+                    "not supply it; drop the column from the frame"
+                )
+            df = df.withColumn(col, self._identity_value_expr(spec))
+        return df
+
+    @staticmethod
+    def _identity_value_expr(spec: dict):
+        """The fresh-id Column for one identity spec (see
+        :meth:`_assign_identity` for the packing contract)."""
+        step = int(spec["step"])
+        hwm = spec.get("highWaterMark")
+        base = int(hwm) if hwm is not None else int(spec["start"]) - step
+        mono = F.monotonically_increasing_id()
+        row = mono.bitwiseAND(F.lit((1 << 33) - 1))
+        pid = F.shiftright(mono, 33)
+        guard = F.assert_true(
+            row < F.lit(IDENTITY_PARTITION_STRIDE),
+            F.lit(
+                "identity assignment overflowed: one task wrote more "
+                f"than {IDENTITY_PARTITION_STRIDE} rows — repartition "
+                "the input into smaller tasks"
+            ),
+        )
+        seq = pid * F.lit(IDENTITY_PARTITION_STRIDE) + row + F.lit(1)
+        return F.when(guard.isNull(), (F.lit(base) + seq * F.lit(step)).cast("long"))
+
+    def _identity_with_hwm(
+        self, ident: dict, actions: list[dict], mapping: dict | None
+    ) -> dict:
+        """Each identity column's spec with the high-water mark
+        advanced over the staged add actions' footer stats — the
+        (version-serialized) reservation record the NEXT writer
+        assigns above. Stats usually ride the staging pass already;
+        columns outside the staged stat set get one targeted
+        driver-side footer read per file (O(files) metadata, like
+        every other log pass)."""
+        phys = _cm_map(mapping)
+        adds = [a["add"] for a in actions if "add" in a]
+        out: dict[str, dict] = {}
+        for col, spec in ident.items():
+            p = phys.get(col, col)
+            vals: list[int] = []
+            pending: list[str] = []
+            for add in adds:
+                st = (add.get("stats") or {}).get(p)
+                if st is not None and st[0] is not None:
+                    vals.extend((int(st[0]), int(st[1])))
+                else:
+                    pending.append(_data_file(self.path, add["path"], add))
+            if pending:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(16, len(pending))) as ex:
+                    for _, st in ex.map(lambda f: _file_stats(f, [p]), pending):
+                        s = st.get(p)
+                        if s is None or s[0] is None:
+                            raise ValueError(
+                                f"cannot advance identity high-water mark for "
+                                f"{col!r}: staged file carries no footer stats"
+                            )
+                        vals.extend((int(s[0]), int(s[1])))
+            step = int(spec["step"])
+            prev = spec.get("highWaterMark")
+            new_hwm = prev
+            if vals:
+                ext = max(vals) if step > 0 else min(vals)
+                if prev is None:
+                    new_hwm = ext
+                else:
+                    new_hwm = max(int(prev), ext) if step > 0 else min(int(prev), ext)
+            out[col] = {
+                "start": int(spec["start"]),
+                "step": step,
+                "highWaterMark": new_hwm,
+            }
+        return out
+
+    def _merge_attach_identity(
+        self,
+        resolved: DataFrame,
+        current: DataFrame,
+        keys: list[str],
+        ident: dict,
+    ) -> DataFrame:
+        """Identity values for a MERGE's replacement rows: a matched
+        key keeps its existing id (fetched from the touched files'
+        rows — when several existing rows share the key, the
+        step-direction-earliest id survives), a new key draws a fresh
+        one above the hwm. A custom resolver's output may already
+        carry ids (it can return rows of ``matched``); those win."""
+        id_cols = [c for c in ident]
+        fetched = current.groupBy(*keys).agg(
+            *[
+                (F.min(c) if int(ident[c]["step"]) > 0 else F.max(c)).alias(
+                    f"__hz_ident_{c}"
+                )
+                for c in id_cols
+            ]
+        )
+        out = resolved.join(fetched, keys, "left")
+        for c in id_cols:
+            fresh = self._identity_value_expr(ident[c])
+            existing = (
+                [F.col(c)] if c in resolved.columns else []
+            )
+            out = out.withColumn(
+                c, F.coalesce(*existing, F.col(f"__hz_ident_{c}"), fresh)
+            )
+        return out.drop(*[f"__hz_ident_{c}" for c in id_cols])
+
+    _IDENTITY_ATTEMPTS = 8
+
+    def _append_identity(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None,
+        operation: str,
+    ) -> int | None:
+        """Append onto an identity table. Unlike a blind append this
+        READS the log (the high-water mark), so a lost version race
+        cannot rebase the same staged files — the interloper may have
+        reserved the same id range. Each attempt re-replays at a
+        PINNED version, assigns ids above that version's hwm, stages,
+        and commits with the advanced hwm riding the same commit
+        (reservation and data are atomic); a conflict restages from
+        the fresh hwm (orphans go to vacuum). Identity writers
+        therefore serialize on the log head — Delta's identity
+        contract makes the same trade."""
+        last_exc: Exception | None = None
+        for _ in range(self._IDENTITY_ATTEMPTS):
+            if txn is not None and txn[1] in self.committed_txns(txn[0]):
+                return None  # replayed batch: the twin's commit won
+            base_v = self.version()
+            # pin the replay at base_v: a commit landing between
+            # version() and replay would otherwise feed a NEWER hwm
+            # than the version we commit against — id collision, not
+            # conflict. Pinned, any interleaver forces O_EXCL failure.
+            state = self._replay_state(as_of=base_v)
+            self._check_writer_features(state)
+            out = self._assign_identity(df, state["identity"])
+            out = self._apply_generated(out, state)
+            self._enforce_constraints(out, state)
+            actions: list[dict] = list(
+                self._stage(
+                    out,
+                    state["partitionColumns"],
+                    mapping=state.get("columnMapping"),
+                )
+            )
+            actions.append(
+                {
+                    "meta": {
+                        "identityColumns": self._identity_with_hwm(
+                            state["identity"], actions, state.get("columnMapping")
+                        )
+                    }
+                }
+            )
+            if txn is not None:
+                actions.append({"txn": {"appId": txn[0], "batchId": txn[1]}})
+            try:
+                return self._commit(actions, base_v, operation=operation)
+            except CommitConflictError as e:
+                last_exc = e  # restage above the fresh hwm
+        raise last_exc
+
+    def identity_columns(self) -> dict:
+        """{column: {"start", "step", "highWaterMark"}} of the
+        table's GENERATED ALWAYS AS IDENTITY columns."""
+        return dict(self._replay_state().get("identity", {}))
+
     def append(self, df: DataFrame) -> int:
         """Blind append — add actions only, no reads rewritten.
 
@@ -1720,6 +1993,10 @@ class TxTable:
         conflict surfaces and the caller owns the policy."""
         state = self._replay_state()
         self._check_writer_features(state)
+        if state.get("identity"):
+            # an identity append reads the high-water mark — not
+            # blind; it owns its own (restaging) conflict loop
+            return self._append_identity(df, None, "APPEND")
         df = self._apply_generated(df, state)
         self._enforce_constraints(df, state)
         adds = self._stage(
@@ -2028,6 +2305,10 @@ class TxTable:
             return None
         state = self._replay_state()
         self._check_writer_features(state)
+        if state.get("identity"):
+            return self._append_identity(
+                df, (app_id, batch_id), "STREAMING-APPEND"
+            )
         df = self._apply_generated(df, state)
         self._enforce_constraints(df, state)
         actions = self._stage(df, mapping=state.get("columnMapping"))
@@ -2065,6 +2346,11 @@ class TxTable:
         base = self.version()
         state = self._replay_state()
         self._check_writer_features(state)
+        if state.get("identity"):
+            # ids assign above the replayed hwm; a commit that lost
+            # the version race surfaces as a conflict (never a rebase
+            # of stale ids — the interloper may hold the same range)
+            df = self._assign_identity(df, state["identity"])
         df = self._apply_generated(df, state)
         mapping = state.get("columnMapping")
         merged = self.snapshot_schema_union(state["schema"], df)
@@ -2073,6 +2359,16 @@ class TxTable:
             mapping = self._extend_mapping(mapping, merged)
             meta["columnMapping"] = mapping
         actions = self._stage(df, state["partitionColumns"], mapping=mapping)
+        if state.get("identity"):
+            actions.append(
+                {
+                    "meta": {
+                        "identityColumns": self._identity_with_hwm(
+                            state["identity"], actions, mapping
+                        )
+                    }
+                }
+            )
         actions.append({"meta": meta})
         return self._commit(actions, base, operation="EVOLVE-SCHEMA")
 
@@ -2215,6 +2511,13 @@ class TxTable:
                 old: None,
                 new: state["generated"][old],
             }
+        if old in (state.get("identity") or {}):
+            # identity spec (incl. the high-water mark) rekeys with
+            # the logical name; the physical column never moves
+            meta["identityColumns"] = {
+                old: None,
+                new: state["identity"][old],
+            }
         return self._commit([{"meta": meta}], base, operation="RENAME-COLUMN")
 
     def drop_column(self, name: str) -> int:
@@ -2253,6 +2556,9 @@ class TxTable:
         if name in (state.get("generated") or {}):
             # dropping a generated column retires its generation
             meta["generatedColumns"] = {name: None}
+        if name in (state.get("identity") or {}):
+            # dropping an identity column retires its spec (and hwm)
+            meta["identityColumns"] = {name: None}
         return self._commit([{"meta": meta}], base, operation="DROP-COLUMN")
 
     @staticmethod
@@ -2992,6 +3298,19 @@ class TxTable:
         # only and does not supersede the per-attempt one below
         gstate = self._replay_state()
         self._check_writer_features(gstate)
+        if gstate.get("identity"):
+            bad = sorted(set(gstate["identity"]) & set(updates.columns))
+            if bad:
+                raise ValueError(
+                    f"{bad} are GENERATED ALWAYS AS IDENTITY — merge "
+                    "batches may not supply them"
+                )
+            bad_keys = sorted(set(gstate["identity"]) & set(keys))
+            if bad_keys:
+                raise ValueError(
+                    f"identity columns cannot be merge keys: {bad_keys} "
+                    "(writers cannot know generated ids)"
+                )
         updates = self._apply_generated(updates, gstate)
         bounds = updates.agg(
             F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
@@ -3073,6 +3392,13 @@ class TxTable:
                     resolved = self._apply_generated(
                         resolved, state, verify=attempt == 0
                     )
+                if state.get("identity"):
+                    # matched keys keep their ids, new keys draw
+                    # above this attempt's hwm — before CHECK, which
+                    # may reference the identity column
+                    resolved = self._merge_attach_identity(
+                        resolved, current, keys, state["identity"]
+                    )
                 if attempt == 0:
                     # kept rows passed CHECK when written (and
                     # add_constraint validated history); only the new
@@ -3081,12 +3407,26 @@ class TxTable:
                 rewritten = keep.unionByName(resolved, allowMissingColumns=True)
             else:
                 current = None
-                rewritten = updates
+                rewritten = (
+                    self._assign_identity(updates, state["identity"])
+                    if state.get("identity")
+                    else updates
+                )
                 if attempt == 0:
-                    self._enforce_constraints(updates, state)
+                    self._enforce_constraints(rewritten, state)
             actions.extend(
                 self._stage(rewritten, state["partitionColumns"], mapping=mapping)
             )
+            if state.get("identity"):
+                actions.append(
+                    {
+                        "meta": {
+                            "identityColumns": self._identity_with_hwm(
+                                state["identity"], actions, mapping
+                            )
+                        }
+                    }
+                )
             if self._prop_on(state, "changeDataFeed", self.change_data):
                 actions.extend(
                     self._cdc_diff_actions(current, rewritten, mapping=mapping)
@@ -3136,6 +3476,10 @@ class TxTable:
             or head.get("constraints") != state.get("constraints")
             or head["readerFeatures"] != state["readerFeatures"]
             or head.get("columnMapping") != state.get("columnMapping")
+            # an interleaved commit that advanced an identity hwm may
+            # hold ids the staged rewrite also assigned — a stale
+            # rebase would collide, so it is a genuine conflict
+            or head.get("identity") != state.get("identity")
         ):
             return False
         return all(
@@ -3513,6 +3857,15 @@ class TxTable:
                 f"update_where: cannot SET generated column(s) {gen_assigned} "
                 "— they recompute from their generation expressions after "
                 "the other assignments apply"
+            )
+        ident_assigned = sorted(
+            set(assignments) & set(state.get("identity") or {})
+        )
+        if ident_assigned:
+            raise ValueError(
+                f"update_where: cannot SET identity column(s) "
+                f"{ident_assigned} — GENERATED ALWAYS AS IDENTITY values "
+                "are engine-assigned and immutable (the Delta rule)"
             )
         dv_on = self._prop_on(state, "deletionVectors", self.deletion_vectors)
         cdf_on = self._prop_on(state, "changeDataFeed", self.change_data)

@@ -1221,6 +1221,15 @@ class _StagedParquetWriteMixin:
                 f"table {self.path} requires writer features "
                 f"{sorted(unknown_wf)} this sink does not implement"
             )
+        if state.get("identity"):
+            # id reservation needs the hwm-advancing commit the
+            # TxTable append path serializes; the session-less sink
+            # cannot provide it — fail closed at construction
+            raise TableFeatureError(
+                f"table {self.path} has GENERATED ALWAYS AS IDENTITY "
+                f"column(s) {sorted(state['identity'])} — write via "
+                "TxTable.append/append_batch, which reserve id ranges"
+            )
         mapping = state.get("columnMapping")
         committed = (
             StructType.fromJson(json.loads(state["schema"]))

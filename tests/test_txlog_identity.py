@@ -1,0 +1,237 @@
+"""GENERATED ALWAYS AS IDENTITY columns (sources/txlog.py): unique
+engine-assigned ids on every append path, a log-serialized high-water
+mark as the reservation record, ALWAYS semantics (writers may never
+supply or SET the column), and the writer-feature gate for unaware
+writers. Mirrors Delta's identity-column contract: uniqueness and
+per-task monotonicity guaranteed, contiguity not (values gap)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark.sources.txlog import (
+    CommitConflictError,
+    TableFeatureError,
+    TxTable,
+)
+
+
+def _mk(spark, tmp_path, n=20, files=2, **kw):
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"], **kw)
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(files)
+    t.create(df, identity={"rid": {}})
+    return t
+
+
+def _rids(t):
+    return [r.rid for r in t.snapshot().collect()]
+
+
+def test_create_assigns_unique_ids_and_hwm(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    rids = _rids(t)
+    assert len(rids) == 20 and len(set(rids)) == 20
+    assert all(r >= 1 for r in rids)
+    spec = t.identity_columns()["rid"]
+    assert spec["start"] == 1 and spec["step"] == 1
+    assert spec["highWaterMark"] == max(rids)
+    # schema carries the column as bigint
+    assert dict(t.snapshot().dtypes)["rid"] == "bigint"
+
+
+def test_append_draws_above_the_high_water_mark(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = set(_rids(t))
+    hwm0 = t.identity_columns()["rid"]["highWaterMark"]
+    t.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        ).repartition(3)
+    )
+    after = _rids(t)
+    assert len(after) == 30 and len(set(after)) == 30
+    new = set(after) - before
+    assert all(r > hwm0 for r in new)
+    assert t.identity_columns()["rid"]["highWaterMark"] == max(after)
+
+
+def test_start_and_step_respected(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.range(5).select(F.col("id").alias("k")),
+        identity={"rid": {"start": 1000, "step": 10}},
+    )
+    rids = sorted(_rids(t))
+    assert rids[0] >= 1000
+    assert all((r - 1000) % 10 == 0 for r in rids)
+    # negative step counts down
+    t2 = TxTable(spark, str(tmp_path / "tbl2"))
+    t2.create(
+        spark.range(5).select(F.col("id").alias("k")),
+        identity={"rid": {"start": -1, "step": -1}},
+    )
+    rids2 = [r.rid for r in t2.snapshot().collect()]
+    assert all(r <= -1 for r in rids2) and len(set(rids2)) == 5
+    t2.append(spark.range(5, 8).select(F.col("id").alias("k")))
+    rids3 = [r.rid for r in t2.snapshot().collect()]
+    assert len(set(rids3)) == 8
+    assert t2.identity_columns()["rid"]["highWaterMark"] == min(rids3)
+
+
+def test_always_semantics_refuse_supplied_values(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5, files=1)
+    bad = spark.range(5).selectExpr("id as k", "id as v", "id as rid")
+    with pytest.raises(ValueError, match="ALWAYS AS IDENTITY"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="cannot SET identity"):
+        t.update_where("k = 0", {"rid": "99"})
+    with pytest.raises(ValueError, match="ALWAYS AS IDENTITY"):
+        t.merge_upsert(bad, "k")
+    with pytest.raises(ValueError, match="merge keys"):
+        t.merge_upsert(spark.range(2).selectExpr("id as k", "id as v"), "rid")
+    # declaration-time validation
+    t3 = TxTable(spark, str(tmp_path / "t3"))
+    with pytest.raises(ValueError, match="step must be non-zero"):
+        t3.create(spark.range(2).selectExpr("id as k"),
+                  identity={"rid": {"step": 0}})
+    with pytest.raises(ValueError, match="partition column"):
+        t3.create(spark.range(2).selectExpr("id as k"),
+                  partition_by=["p"], identity={"p": {}})
+
+
+def test_merge_matched_keys_keep_ids_new_keys_draw_fresh(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    ids_before = {r.k: r.rid for r in t.snapshot().collect()}
+    hwm0 = t.identity_columns()["rid"]["highWaterMark"]
+    t.merge_upsert(
+        spark.range(8, 14).select(F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")),
+        "k",
+    )
+    rows = {r.k: r for r in t.snapshot().collect()}
+    assert len(rows) == 14
+    # matched keys kept their identity values
+    assert rows[8].rid == ids_before[8] and rows[9].rid == ids_before[9]
+    assert rows[8].v == -1
+    # new keys drew above the old hwm
+    for k in (10, 11, 12, 13):
+        assert rows[k].rid > hwm0
+    all_ids = [r.rid for r in rows.values()]
+    assert len(set(all_ids)) == 14
+    assert t.identity_columns()["rid"]["highWaterMark"] == max(all_ids)
+
+
+def test_streaming_append_batch_idempotent_with_identity(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=4, files=1)
+    batch = spark.range(100, 104).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+    )
+    v1 = t.append_batch(batch, "job", 0)
+    assert v1 is not None
+    assert t.append_batch(batch, "job", 0) is None  # replayed: no-op
+    rids = _rids(t)
+    assert len(rids) == 8 and len(set(rids)) == 8
+
+
+def test_evolve_schema_assigns_ids_too(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=4, files=1)
+    t.evolve_schema(
+        spark.range(50, 53).select(
+            F.col("id").alias("k"), F.lit(9).alias("extra")
+        )
+    )
+    rows = t.snapshot().collect()
+    rids = [r.rid for r in rows]
+    assert len(rids) == 7 and len(set(rids)) == 7
+    assert t.identity_columns()["rid"]["highWaterMark"] == max(rids)
+
+
+def test_unaware_writer_feature_gate_and_sink_refusal(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=4, files=1)
+    state = t._replay_state()
+    assert "identityColumns" in state["writerFeatures"]
+    # the session-less DSv2 sink fails closed at writer construction
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    with pytest.raises(Exception, match="IDENTITY"):
+        (
+            spark.range(3)
+            .selectExpr("id as k", "id as v")
+            .write.format("hz_txlog")
+            .mode("append")
+            .save(t.path)
+        )
+    # reads through the DSv2 source still work (reader-side unaffected)
+    assert spark.read.format("hz_txlog").load(t.path).count() == 4
+
+
+def test_racing_identity_appends_never_collide(spark, tmp_path, monkeypatch):
+    """A lost version race must RESTAGE above the fresh hwm, never
+    rebase the same staged ids — simulate the interleaving by
+    committing a competing identity append between the loser's replay
+    and its commit."""
+    t = _mk(spark, tmp_path, n=4, files=1)
+    rival = TxTable(spark, t.path, stat_cols=["k"])
+    real_commit = t._commit
+    fired = {"done": False}
+
+    def racing_commit(actions, expected_version, operation=None, info=None):
+        if not fired["done"] and operation == "APPEND":
+            fired["done"] = True
+            rival.append(
+                spark.range(200, 204).selectExpr("id as k", "cast(0 as bigint) as v")
+            )
+        return real_commit(actions, expected_version, operation=operation, info=info)
+
+    monkeypatch.setattr(t, "_commit", racing_commit)
+    t.append(spark.range(300, 304).selectExpr("id as k", "cast(1 as bigint) as v"))
+    rids = _rids(t)
+    assert len(rids) == 12 and len(set(rids)) == 12  # no collisions
+    assert t.identity_columns()["rid"]["highWaterMark"] == max(rids)
+
+
+def test_rename_and_drop_rekey_the_spec(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=4, files=1)
+    hwm = t.identity_columns()["rid"]["highWaterMark"]
+    t.rename_column("rid", "row_id")
+    spec = t.identity_columns()
+    assert "rid" not in spec and spec["row_id"]["highWaterMark"] == hwm
+    # assignment still flows through the mapping on append
+    t.append(spark.range(10, 12).selectExpr("id as k", "cast(0 as bigint) as v"))
+    vals = [r.row_id for r in t.snapshot().collect()]
+    assert len(set(vals)) == 6
+    t.drop_column("row_id")
+    assert t.identity_columns() == {}
+    t.append(spark.range(20, 22).selectExpr("id as k", "cast(0 as bigint) as v"))
+    assert "row_id" not in t.snapshot().columns
+
+
+def test_clone_carries_spec_and_hwm(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=6, files=1)
+    hwm = t.identity_columns()["rid"]["highWaterMark"]
+    cl = t.clone(str(tmp_path / "cl"))
+    assert cl.identity_columns()["rid"]["highWaterMark"] == hwm
+    cl.append(spark.range(50, 53).selectExpr("id as k", "cast(0 as bigint) as v"))
+    rids = [r.rid for r in cl.snapshot().collect()]
+    assert len(set(rids)) == 9 and max(rids) > hwm
+
+
+def test_checkpoint_roundtrip_preserves_identity(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "tbl"), checkpoint_interval=2)
+    t.create(spark.range(3).selectExpr("id as k"), identity={"rid": {}})
+    for i in range(4):  # crosses checkpoint boundaries
+        t.append(spark.range(10 * i, 10 * i + 2).selectExpr("id as k"))
+    import glob
+
+    assert glob.glob(os.path.join(t.path, "_txlog", "*.ckpt*"))
+    fresh = TxTable(spark, t.path)
+    spec = fresh.identity_columns()["rid"]
+    rids = [r.rid for r in fresh.snapshot().collect()]
+    assert len(set(rids)) == 11
+    assert spec["highWaterMark"] == max(rids)
