@@ -158,6 +158,17 @@ def query(
 #: post-join projection, pinned against brute force in
 #: tests/test_properties_events.py). Catalog stays at 169, window
 #: stays exactly 50.
+#: THIRD LATE-ROUND AMENDMENT: a fifth feature landed in-round —
+#: GENERATED ALWAYS AS IDENTITY columns (E177
+#: ``txlog_identity_merge_events``, gating assignment uniqueness,
+#: matched-key id preservation through MERGE, and the above-hwm
+#: fresh-draw guarantee as oracle-predictable counts). Its priority
+#: slot needs NO displacement: the paired SIXTH retirement
+#: (txlog_snapshot_read_orders — the plain snapshot read is the
+#: terminal step of every other txlog driver row incl. E177 itself;
+#: see queries_txlog.py) was a rule-mandatory ROTATION member, so the
+#: window arithmetic nets to 45 rotation + 5 priority = exactly 50.
+#: Catalog stays at 169.
 #: Catalog note: round 12 retired three redundant eval-harness rows
 #: whose arithmetic is carried by driver-gated siblings —
 #: ann_recall_eval (recall reduction lives on in ivf_recall_eval; the
@@ -191,7 +202,10 @@ ROTATION: set[str] = {
     "tokenize_regex_documents",
     "txlog_changes_events",
     "txlog_merge_read_events",
-    "txlog_snapshot_read_orders",
+    # txlog_snapshot_read_orders: RETIRED this round (the E177
+    # pairing, third late-round amendment above) — verify-or-retire
+    # satisfied by retirement; machinery gated by every other txlog
+    # row's terminal snapshot read.
     "txlog_time_travel_orders",
     "weighted_sample_documents",
     "zscore_outliers_events",

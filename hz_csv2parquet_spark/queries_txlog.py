@@ -45,21 +45,17 @@ def _orders_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "txlog_snapshot_read_orders",
-    priority=False,  # r8-verified; rotated out of the round-9 window
-    since=8,
-    sql="""
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS cents_sum,
-           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
-           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
-    FROM orders
-    GROUP BY o_orderstatus
-    """,
-)
+# RETIRED (round 12, late — the catalog-slack pairing for E177
+# txlog_identity_merge_events below, the same pattern as the E175/
+# E176 retirements): the plain snapshot read this row gated is the
+# TERMINAL STEP of every other txlog driver row — time_travel reads
+# as_of=0 AND builds through the same create+append replay,
+# merge_read / dv_delete_read / restore_read / reorg_purge /
+# update_rename_cdf all finish in ``t.snapshot()`` aggregates, and
+# E177 itself snapshot-reads twice (as_of and head) through the
+# checkpointed replay branch. Retiring the standalone row loses no
+# unique machinery; the function stays (undecorated) for
+# tests/test_txlog.py-style reuse and for the record.
 def txlog_snapshot_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-commit build (create even keys, blind-append odd keys),
     then aggregate through the replayed snapshot. A hash match proves
@@ -697,5 +693,114 @@ def txlog_reorg_purge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents_sum"),
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+@query(
+    "txlog_identity_merge_events",
+    priority=True,  # new in round 12 (late): needs its first driver row
+    since=12,
+    sql="""
+    WITH base AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE user_id % 7 <> 0 GROUP BY user_id
+    ),
+    upd AS (
+        SELECT user_id,
+               CAST(COUNT(*) + 1000 AS BIGINT) AS n_events,
+               CAST(user_id * 10 AS BIGINT) AS cents
+        FROM events WHERE user_id % 3 = 0 GROUP BY user_id
+    ),
+    final AS (
+        SELECT b.user_id, b.n_events, b.cents FROM base b
+        WHERE b.user_id NOT IN (SELECT user_id FROM upd)
+        UNION ALL
+        SELECT u.user_id, u.n_events, u.cents FROM upd u
+    )
+    SELECT CAST(user_id % 5 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS distinct_rids,
+           CAST(SUM(CASE WHEN user_id IN (SELECT user_id FROM base)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS preserved_ids,
+           CAST(SUM(CASE WHEN user_id NOT IN (SELECT user_id FROM base)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fresh_ids,
+           CAST(SUM(n_events) AS BIGINT) AS events_sum,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM final GROUP BY 1
+    """,
+)
+def txlog_identity_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E177: GENERATED ALWAYS AS IDENTITY through a MERGE lifecycle.
+    Create a per-user aggregate table with an identity column
+    (engine-assigned ids, hwm recorded in the create commit,
+    checkpoint_interval=1 so replay serves spec+hwm through the
+    checkpointed branch), then MERGE an update batch that overlaps
+    (matched keys must KEEP their ids) and extends (new keys must
+    draw ABOVE the pre-merge high-water mark) the key set.
+
+    The ids themselves are engine-assigned with gaps, so the oracle
+    cannot predict values — instead every identity GUARANTEE is
+    reduced to an oracle-predictable count: ``distinct_rids`` equals
+    ``n_rows`` only if ids stayed unique through the merge,
+    ``preserved_ids`` equals the per-bucket base-key count only if
+    every matched (and kept) row retained its pre-merge id
+    (checked by joining the as_of=0 snapshot), and ``fresh_ids``
+    equals the new-key count only if every insert drew strictly
+    above the pre-merge hwm. The data columns ride along, so the
+    merge's content correctness is hash-gated too.
+
+    Scale: identity assignment is a pure JVM projection folded into
+    the staging writes (no shuffle, no second pass); the hwm is
+    O(1) log metadata read driver-side; the preserved-id check is
+    one co-keyed join.
+    (Reference: no table layer exists in hz_csv2parquet — §2-beyond.)"""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    base = (
+        ev.filter("user_id % 7 != 0")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    t = TxTable(
+        spark,
+        scratch_dir("hz_txq_ident_"),
+        stat_cols=["user_id"],
+        checkpoint_interval=1,
+    )
+    t.create(base.repartition(4), identity={"rid": {}})
+    hwm0 = t.identity_columns()["rid"]["highWaterMark"]
+    upd = (
+        ev.filter("user_id % 3 = 0")
+        .groupBy("user_id")
+        .agg((F.count(F.lit(1)) + F.lit(1000)).alias("n_events"))
+        .withColumn("cents", (F.col("user_id") * 10).cast("long"))
+    )
+    t.merge_upsert(upd, "user_id")
+    pre = t.snapshot(as_of=0).select("user_id", F.col("rid").alias("rid0"))
+    return (
+        t.snapshot()
+        .join(pre, "user_id", "left")
+        .groupBy((F.col("user_id") % 5).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("rid").alias("distinct_rids"),
+            F.sum(
+                F.when(F.col("rid") == F.col("rid0"), 1).otherwise(0)
+            ).cast("long").alias("preserved_ids"),
+            F.sum(
+                F.when(
+                    F.col("rid0").isNull() & (F.col("rid") > F.lit(hwm0)), 1
+                ).otherwise(0)
+            ).cast("long").alias("fresh_ids"),
+            F.sum("n_events").alias("events_sum"),
+            F.sum("cents").alias("cents_sum"),
         )
     )
