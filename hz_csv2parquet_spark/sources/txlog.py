@@ -4483,6 +4483,59 @@ class TxTable:
             actions.append({"remove": {"path": _rel_key(f), "dataChange": False}})
         return self._commit_rewrite(actions, base, selected, state, "REORG-PURGE")
 
+    def fsck_repair(self, dry_run: bool = False) -> list[str]:
+        """FSCK REPAIR TABLE (Delta's verb): drop the add actions
+        whose data files are physically MISSING — the recovery path
+        after an out-of-band deletion (a cloud lifecycle rule, a
+        manual rm, a shallow-clone source vacuumed past retention)
+        has already broken the snapshot. Every read of a damaged
+        table fails loudly today; repair re-commits the log minus the
+        unservable references so the surviving rows read again, and
+        returns the removed relative paths (``dry_run`` lists them
+        without committing).
+
+        A file whose DELETION VECTOR sidecar is missing counts as
+        missing too: serving the file unmasked would resurrect
+        deleted rows — dropping the reference loses the file's live
+        rows (recoverable: the data file still exists for manual
+        re-ingest), which is the fail-safe direction.
+
+        Cost: O(files) driver-side existence checks (concurrent, like
+        every other log metadata pass); the commit is O(missing)
+        remove actions. Data loss is EXPLICIT and bounded: exactly
+        the rows of the named files — which were already unreadable.
+        A lost version race surfaces as CommitConflictError (a racing
+        writer may have re-added or purged the same paths)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        base = self.version()
+        state = self._replay_state()
+        self._check_writer_features(state)
+        items = list(state["adds"].items())
+
+        def probe(item):
+            rel, a = item
+            if not os.path.exists(_data_file(self.path, rel, a)):
+                return rel
+            dv = a.get("dv")
+            if dv and not os.path.exists(_data_file(self.path, dv["path"], dv)):
+                return rel
+            return None
+
+        missing: list[str] = []
+        if items:
+            with ThreadPoolExecutor(max_workers=min(16, len(items))) as ex:
+                missing = sorted(r for r in ex.map(probe, items) if r)
+        if dry_run or not missing:
+            return missing
+        self._commit(
+            [{"remove": {"path": rel}} for rel in missing],
+            base,
+            operation="FSCK",
+            info={"removed": len(missing)},
+        )
+        return missing
+
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION: roll the table back to the
         ``version`` snapshot AS A NEW COMMIT (Delta's RESTORE shape) —
@@ -4544,6 +4597,45 @@ class TxTable:
             # features only ever grow, and an identity/absent mapping
             # is harmless to a mapping-aware reader)
             meta_rollback["columnMapping"] = tgt_state.get("columnMapping")
+        if tgt_state.get("generated") != cur_state.get("generated"):
+            # generation entries roll back WITH the schema they name —
+            # a restore past a rename must re-key the entry, past a
+            # drop must reinstate it (the column returns), and past a
+            # create-time declaration... cannot exist (create is v0).
+            meta_rollback["generatedColumns"] = {
+                **{g: None for g in cur_state.get("generated", {})},
+                **tgt_state.get("generated", {}),
+            }
+        if tgt_state.get("identity") != cur_state.get("identity"):
+            # identity specs re-key/reinstate the same way, but the
+            # high-water mark NEVER regresses: ids handed out after
+            # the target version may live downstream (or in time
+            # travel), so a restored spec keeps the most advanced
+            # mark either state knows for that column
+            rolled: dict = {i: None for i in cur_state.get("identity", {})}
+            for iname, tspec in tgt_state.get("identity", {}).items():
+                spec = dict(tspec)
+                step = int(spec.get("step", 1))
+                marks = [
+                    m
+                    for m in (
+                        spec.get("highWaterMark"),
+                        # the same column may sit under another logical
+                        # name in cur (rename rolled back): match the
+                        # spec identity by (start, step) pair
+                        *(
+                            c.get("highWaterMark")
+                            for c in cur_state.get("identity", {}).values()
+                            if int(c.get("step", 1)) == step
+                            and int(c.get("start", 1)) == int(spec.get("start", 1))
+                        ),
+                    )
+                    if m is not None
+                ]
+                if marks:
+                    spec["highWaterMark"] = max(marks) if step > 0 else min(marks)
+                rolled[iname] = spec
+            meta_rollback["identityColumns"] = rolled
         if meta_rollback:
             actions.append({"meta": meta_rollback})
         if not actions:

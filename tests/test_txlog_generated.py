@@ -298,3 +298,23 @@ def test_sink_generated_under_column_mapping(spark, sink_table):
     # hive dirs carry the PHYSICAL partition name, values stay typed
     # (x = event_id % 4 → abs(x-2)=2 on 3 rows per 12-row frame)
     assert snap.filter("bucket = 2").count() == 6
+
+
+def test_restore_past_rename_rekeys_generation(spark, tmp_path):
+    """RESTORE past a rename of the generated column itself: the
+    generation entry re-keys back with the schema, so later writes
+    keep computing it (round-12 restore metadata-rollback fix)."""
+    from pyspark.sql import functions as F
+
+    t = TxTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.range(4).selectExpr("id as k"),
+        generated={"dbl": "k * 2"},
+    )
+    t.rename_column("dbl", "twice")  # entry re-keys to 'twice'
+    assert t.generated_columns() == {"twice": "k * 2"}
+    t.restore(0)
+    assert t.generated_columns() == {"dbl": "k * 2"}
+    t.append(spark.range(10, 12).selectExpr("id as k"))
+    rows = {r.k: r.dbl for r in t.snapshot().collect()}
+    assert rows[10] == 20 and rows[11] == 22

@@ -235,3 +235,32 @@ def test_checkpoint_roundtrip_preserves_identity(spark, tmp_path):
     rids = [r.rid for r in fresh.snapshot().collect()]
     assert len(set(rids)) == 11
     assert spec["highWaterMark"] == max(rids)
+
+
+def test_restore_past_rename_rekeys_spec_and_keeps_hwm(spark, tmp_path):
+    """RESTORE rolls the schema back past a rename: the identity spec
+    must re-key with it, and the high-water mark must never regress —
+    ids handed out after the target version may live downstream."""
+    t = _mk(spark, tmp_path, n=4, files=1)  # v0: create (rid)
+    t.rename_column("rid", "row_id")  # v1
+    t.append(spark.range(10, 13).selectExpr("id as k", "cast(0 as bigint) as v"))
+    hwm = t.identity_columns()["row_id"]["highWaterMark"]
+    t.restore(0)
+    spec = t.identity_columns()
+    assert list(spec) == ["rid"]
+    assert spec["rid"]["highWaterMark"] == hwm  # monotonic through restore
+    t.append(spark.range(20, 22).selectExpr("id as k", "cast(0 as bigint) as v"))
+    rids = _rids(t)
+    assert len(rids) == 6 and len(set(rids)) == 6
+    assert max(rids) > hwm  # fresh draws stayed above the kept mark
+
+
+def test_restore_past_drop_reinstates_spec(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=4, files=1)  # v0
+    hwm0 = t.identity_columns()["rid"]["highWaterMark"]
+    t.drop_column("rid")  # v1: spec retired
+    assert t.identity_columns() == {}
+    t.restore(0)  # column (and spec) return
+    spec = t.identity_columns()
+    assert spec["rid"]["highWaterMark"] == hwm0
+    assert len(set(_rids(t))) == 4
