@@ -441,6 +441,14 @@ def cmd_table(args: argparse.Namespace) -> None:
             "would vacuum" if args.dry_run else "vacuumed",
             n,
         )
+    elif args.action == "fsck":
+        missing = t.fsck_repair(dry_run=args.dry_run)
+        log.info(
+            "%s %d missing file reference(s)%s",
+            "would repair" if args.dry_run else "repaired",
+            len(missing),
+            (": " + ", ".join(missing)) if missing else "",
+        )
     elif args.action == "describe":
         state = t._replay_state()
         rows = sum(a.get("rows", 0) for a in state["adds"].values())
@@ -628,6 +636,7 @@ def build_parser() -> argparse.ArgumentParser:
             "history",
             "compact",
             "vacuum",
+            "fsck",
             "export",
             "changes",
             "delete",

@@ -330,6 +330,26 @@ def _parse_vacuum(stmt: str):
     return run
 
 
+def _parse_fsck(stmt: str):
+    m = re.match(
+        rf"(?is)^FSCK\s+REPAIR\s+TABLE\s+({_IDENT})(\s+DRY\s+RUN)?\s*$", stmt
+    )
+    if not m:
+        raise SqlFrontDoorError(
+            "supported: FSCK REPAIR TABLE <table> [DRY RUN]"
+        )
+    name, dry = _unquote(m.group(1)), bool(m.group(2))
+
+    def run(spark, resolve):
+        missing = resolve(name).fsck_repair(dry_run=dry)
+        return spark.createDataFrame(
+            [(rel,) for rel in missing] or [],
+            "removed_file string",
+        )
+
+    return run
+
+
 def _parse_describe_history(stmt: str):
     m = re.match(
         rf"(?is)^DESCRIBE\s+HISTORY\s+({_IDENT})(?:\s+LIMIT\s+(\d+))?\s*$",
@@ -454,6 +474,7 @@ _VERBS: list[tuple[re.Pattern, Callable]] = [
     (re.compile(r"(?is)^\s*MERGE\b"), _parse_merge),
     (re.compile(r"(?is)^\s*OPTIMIZE\b"), _parse_optimize),
     (re.compile(r"(?is)^\s*VACUUM\b"), _parse_vacuum),
+    (re.compile(r"(?is)^\s*FSCK\b"), _parse_fsck),
     (re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\b"), _parse_describe_history),
     (re.compile(r"(?is)^\s*RESTORE\b"), _parse_restore),
     (re.compile(r"(?is)^\s*ALTER\s+TABLE\b"), _parse_alter),

@@ -212,3 +212,17 @@ def test_cli_sql_dml_roundtrip(tmp_path, spark, capsys):
     # a grammar deviation surfaces as a clean exit, not a stack trace
     with pytest.raises(SystemExit):
         main(["sql", "UPDATE mytbl SETT v = 1", "--table", f"mytbl={tbl}"])
+
+
+def test_fsck_repair_table_statement(spark, tmp_path):
+    import os as _os
+
+    t = _mk(spark, tmp_path, n=20, files=2)
+    _os.remove(sorted(t.files())[0])
+    dry = _run(spark, "FSCK REPAIR TABLE t DRY RUN", t).collect()
+    assert len(dry) == 1 and t.version() == 0
+    fixed = _run(spark, "FSCK REPAIR TABLE t", t).collect()
+    assert [r.removed_file for r in fixed] == [r.removed_file for r in dry]
+    assert t.snapshot().count() == 10
+    with pytest.raises(SqlFrontDoorError, match="supported: FSCK"):
+        _run(spark, "FSCK TABLE t", t)

@@ -2919,3 +2919,50 @@ def test_review_r12_constraint_gate_hardening(spark, tmp_path):
     with pytest.raises(Exception, match="v_pos"):
         t.append(ambiguous)
     assert t.snapshot().count() == 1  # nothing committed
+
+
+def test_fsck_repair_drops_missing_file_references(spark, tmp_path):
+    """FSCK REPAIR (round 12): out-of-band deletion breaks the
+    snapshot loudly; repair re-commits the log minus the unservable
+    references and the survivors read again."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.create(df.repartitionByRange(4, "k").sortWithinPartitions("k"))
+    victim = sorted(t.files())[0]
+    import os as _os
+
+    _os.remove(victim)
+    with pytest.raises(Exception):
+        t.snapshot().count()  # damaged: fails loudly
+    listed = t.fsck_repair(dry_run=True)
+    assert len(listed) == 1 and listed[0] in victim
+    assert t.version() == 0  # dry run commits nothing
+    removed = t.fsck_repair()
+    assert removed == listed and t.version() == 1
+    n = t.snapshot().count()
+    assert 0 < n < 100  # survivors only, readable again
+    assert t.fsck_repair(dry_run=True) == []  # healthy now
+
+
+def test_fsck_counts_missing_deletion_vector_as_missing(spark, tmp_path):
+    """A file whose dv sidecar vanished must NOT be served unmasked
+    (deleted rows would resurrect) — fsck drops the reference."""
+    t = TxTable(
+        spark, str(tmp_path / "tbl"), stat_cols=["k"], deletion_vectors=True
+    )
+    t.create(
+        spark.range(20)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+    )
+    t.delete_where("k < 5")
+    import glob as _glob
+    import os as _os
+
+    (dv,) = _glob.glob(str(tmp_path / "tbl" / "_dv" / "*"))
+    _os.remove(dv)
+    removed = t.fsck_repair()
+    assert len(removed) == 1
+    assert t.snapshot().count() == 0  # the lone file carried the dv
