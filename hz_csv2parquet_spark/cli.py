@@ -177,7 +177,10 @@ def cmd_sql(args: argparse.Namespace) -> None:
 
     try:
         routed = sqlfront.execute(spark, args.query, _resolve)
-    except sqlfront.SqlFrontDoorError as e:
+    except (sqlfront.SqlFrontDoorError, ValueError) as e:
+        # grammar deviations AND verb-level refusals (bad column,
+        # unknown constraint, ...) surface as a clean named error,
+        # not a traceback
         raise SystemExit(f"sql: {e}")
     df = routed if routed is not None else spark.sql(args.query)
     if args.dest:

@@ -724,6 +724,8 @@ def txlog_reorg_purge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(user_id % 5 AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS distinct_rids,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT)
+             AS total_distinct_rids,
            CAST(SUM(CASE WHEN user_id IN (SELECT user_id FROM base)
                          THEN 1 ELSE 0 END) AS BIGINT) AS preserved_ids,
            CAST(SUM(CASE WHEN user_id NOT IN (SELECT user_id FROM base)
@@ -785,8 +787,15 @@ def txlog_identity_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge_upsert(upd, "user_id")
     pre = t.snapshot(as_of=0).select("user_id", F.col("rid").alias("rid0"))
+    post = t.snapshot()
+    # GLOBAL distinct-id count (one row, broadcast onto every bucket):
+    # a per-bucket countDistinct alone would miss a duplicate id
+    # landing in two different buckets
+    total = post.agg(
+        F.countDistinct("rid").alias("total_distinct_rids")
+    )
     return (
-        t.snapshot()
+        post
         .join(pre, "user_id", "left")
         .groupBy((F.col("user_id") % 5).cast("long").alias("bucket"))
         .agg(
@@ -802,5 +811,16 @@ def txlog_identity_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("fresh_ids"),
             F.sum("n_events").alias("events_sum"),
             F.sum("cents").alias("cents_sum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_rows",
+            "distinct_rids",
+            "total_distinct_rids",
+            "preserved_ids",
+            "fresh_ids",
+            "events_sum",
+            "cents_sum",
         )
     )

@@ -1658,20 +1658,32 @@ class TxTable:
                     )
                     add["dv"] = dv
                 if a.get("bloom"):
+                    # bloom sidecars resolve table-relative only (no
+                    # absPath support) — copy when the source really
+                    # has one; a shallow-clone source does not (its
+                    # entries were dropped below), and an absent
+                    # bloom is always sound ("cannot skip")
                     bl = dict(a["bloom"])
-                    copies.append(
-                        (
-                            os.path.join(src_root, bl["path"]),
-                            os.path.join(dest_root, bl["path"]),
+                    side_src = os.path.join(src_root, bl["path"])
+                    if os.path.exists(side_src):
+                        copies.append(
+                            (side_src, os.path.join(dest_root, bl["path"]))
                         )
-                    )
-                    add["bloom"] = bl
+                        add["bloom"] = bl
+                    else:
+                        add.pop("bloom", None)
             else:
                 add["absPath"] = resolved[rel]
                 if a.get("dv"):
                     dv = dict(a["dv"])
                     dv["absPath"] = _data_file(src_root, dv["path"], a["dv"])
                     add["dv"] = dv
+                # a shallow clone cannot serve the source's bloom
+                # sidecars (they live under the SOURCE root; bloom
+                # paths have no absPath form) — drop the reference
+                # instead of carrying a dead one that silently
+                # disables pruning error-paths; re-index the clone
+                add.pop("bloom", None)
             actions.append({"add": add})
         features = set(state["readerFeatures"])
         if deep:
@@ -1878,6 +1890,27 @@ class TxTable:
             }
         return out
 
+    def _pin_identity_frame(self, df: DataFrame, state: dict) -> DataFrame:
+        """Materialize a frame that just drew fresh identity values
+        when anything will scan it TWICE. The assignment expression
+        is nondeterministic (monotonically_increasing_id): the one
+        staging write is a single draw, but a CDF content diff, a
+        CHECK-constraint scan, or a generated-column verify scan
+        re-executes the projection and can see a DIFFERENT draw than
+        the staged data — cdc rows carrying ids that do not exist in
+        the table. localCheckpoint pins one draw for every consumer;
+        the plain single-scan path (no cdf/constraints/generated)
+        skips the cost."""
+        if not state.get("identity"):
+            return df
+        if (
+            self._prop_on(state, "changeDataFeed", self.change_data)
+            or state.get("constraints")
+            or state.get("generated")
+        ):
+            return df.localCheckpoint(eager=True)
+        return df
+
     def _merge_attach_identity(
         self,
         resolved: DataFrame,
@@ -1918,6 +1951,7 @@ class TxTable:
         df: DataFrame,
         txn: tuple[str, int] | None,
         operation: str,
+        first: tuple[int, dict] | None = None,
     ) -> int | None:
         """Append onto an identity table. Unlike a blind append this
         READS the log (the high-water mark), so a lost version race
@@ -1931,16 +1965,24 @@ class TxTable:
         contract makes the same trade."""
         last_exc: Exception | None = None
         for _ in range(self._IDENTITY_ATTEMPTS):
-            if txn is not None and txn[1] in self.committed_txns(txn[0]):
-                return None  # replayed batch: the twin's commit won
-            base_v = self.version()
-            # pin the replay at base_v: a commit landing between
-            # version() and replay would otherwise feed a NEWER hwm
-            # than the version we commit against — id collision, not
-            # conflict. Pinned, any interleaver forces O_EXCL failure.
-            state = self._replay_state(as_of=base_v)
-            self._check_writer_features(state)
-            out = self._assign_identity(df, state["identity"])
+            if first is not None:
+                # the caller's (pinned) replay — no second walk
+                base_v, state = first
+                first = None
+            else:
+                if txn is not None and txn[1] in self.committed_txns(txn[0]):
+                    return None  # replayed batch: the twin's commit won
+                base_v = self.version()
+                # pin the replay at base_v: a commit landing between
+                # version() and replay would otherwise feed a NEWER
+                # hwm than the version we commit against — id
+                # collision, not conflict. Pinned, any interleaver
+                # forces O_EXCL failure.
+                state = self._replay_state(as_of=base_v)
+                self._check_writer_features(state)
+            out = self._pin_identity_frame(
+                self._assign_identity(df, state["identity"]), state
+            )
             out = self._apply_generated(out, state)
             self._enforce_constraints(out, state)
             actions: list[dict] = list(
@@ -1991,12 +2033,16 @@ class TxTable:
         committed) but an unbounded hot loop lets one caller starve
         indefinitely under sustained contention; past the cap the
         conflict surfaces and the caller owns the policy."""
-        state = self._replay_state()
+        base_v = self.version()
+        state = self._replay_state(as_of=base_v)
         self._check_writer_features(state)
         if state.get("identity"):
             # an identity append reads the high-water mark — not
-            # blind; it owns its own (restaging) conflict loop
-            return self._append_identity(df, None, "APPEND")
+            # blind; it owns its own (restaging) conflict loop,
+            # seeded with this (pinned) replay so no walk repeats
+            return self._append_identity(
+                df, None, "APPEND", first=(base_v, state)
+            )
         df = self._apply_generated(df, state)
         self._enforce_constraints(df, state)
         adds = self._stage(
@@ -2301,13 +2347,15 @@ class TxTable:
         re-reads the log, sees its own marker if the winner was its
         twin, and drops out. Returns the committed version, or None
         for a skipped duplicate."""
-        if batch_id in self.committed_txns(app_id):
+        base_v = self.version()
+        state = self._replay_state(as_of=base_v)
+        if batch_id in state["txns"].get(app_id, set()):
             return None
-        state = self._replay_state()
         self._check_writer_features(state)
         if state.get("identity"):
             return self._append_identity(
-                df, (app_id, batch_id), "STREAMING-APPEND"
+                df, (app_id, batch_id), "STREAMING-APPEND",
+                first=(base_v, state),
             )
         df = self._apply_generated(df, state)
         self._enforce_constraints(df, state)
@@ -2350,7 +2398,9 @@ class TxTable:
             # ids assign above the replayed hwm; a commit that lost
             # the version race surfaces as a conflict (never a rebase
             # of stale ids — the interloper may hold the same range)
-            df = self._assign_identity(df, state["identity"])
+            df = self._pin_identity_frame(
+                self._assign_identity(df, state["identity"]), state
+            )
         df = self._apply_generated(df, state)
         mapping = state.get("columnMapping")
         merged = self.snapshot_schema_union(state["schema"], df)
@@ -3395,9 +3445,32 @@ class TxTable:
                 if state.get("identity"):
                     # matched keys keep their ids, new keys draw
                     # above this attempt's hwm — before CHECK, which
-                    # may reference the identity column
-                    resolved = self._merge_attach_identity(
-                        resolved, current, keys, state["identity"]
+                    # may reference the identity column. A custom
+                    # resolver emitting several rows per matched key
+                    # would coalesce them all onto the SAME fetched
+                    # id — refuse rather than silently break
+                    # uniqueness (the engine cannot attribute the
+                    # preserved id among duplicates).
+                    if resolve is not None:
+                        dup_resolved = (
+                            resolved.groupBy(*keys)
+                            .count()
+                            .filter(F.col("count") > 1)
+                            .limit(1)
+                            .count()
+                        )
+                        if dup_resolved:
+                            raise ValueError(
+                                "merge_upsert: a resolver on an identity "
+                                f"table returned multiple rows per key {keys} "
+                                "— identity preservation needs at most one "
+                                "row per matched key"
+                            )
+                    resolved = self._pin_identity_frame(
+                        self._merge_attach_identity(
+                            resolved, current, keys, state["identity"]
+                        ),
+                        state,
                     )
                 if attempt == 0:
                     # kept rows passed CHECK when written (and
@@ -3408,7 +3481,9 @@ class TxTable:
             else:
                 current = None
                 rewritten = (
-                    self._assign_identity(updates, state["identity"])
+                    self._pin_identity_frame(
+                        self._assign_identity(updates, state["identity"]), state
+                    )
                     if state.get("identity")
                     else updates
                 )
@@ -3464,7 +3539,9 @@ class TxTable:
                 if attempt == retries:
                     raise  # genuine conflict: caller must re-merge on a fresh snapshot
 
-    def _read_set_intact(self, state: dict, head: dict) -> bool:
+    def _read_set_intact(
+        self, state: dict, head: dict, identity_sensitive: bool = False
+    ) -> bool:
         """True iff every file live at ``state`` is live and
         byte-identical at ``head`` and no table meta moved — i.e. the
         only interleaved commits were pure blind appends, the one
@@ -3476,10 +3553,17 @@ class TxTable:
             or head.get("constraints") != state.get("constraints")
             or head["readerFeatures"] != state["readerFeatures"]
             or head.get("columnMapping") != state.get("columnMapping")
-            # an interleaved commit that advanced an identity hwm may
-            # hold ids the staged rewrite also assigned — a stale
-            # rebase would collide, so it is a genuine conflict
-            or head.get("identity") != state.get("identity")
+            # identity_sensitive (the MERGE path, which DRAWS fresh
+            # ids): an interleaved commit that advanced an identity
+            # hwm may hold ids the staged rewrite also assigned — a
+            # stale rebase would collide, so it is a genuine
+            # conflict. DELETE/UPDATE assign no ids; for them a moved
+            # hwm is harmless and must NOT kill the rebase (every
+            # concurrent append on an identity table moves it).
+            or (
+                identity_sensitive
+                and head.get("identity") != state.get("identity")
+            )
         ):
             return False
         return all(
@@ -3508,7 +3592,11 @@ class TxTable:
         for attempt in range(self._REBASE_ATTEMPTS):
             head_v = self.version()
             head = self._replay_state(as_of=head_v)
-            if not self._read_set_intact(state, head):
+            # MERGE draws fresh ids on identity tables — a moved hwm
+            # means a possible collision, so the rebase must not land
+            if not self._read_set_intact(
+                state, head, identity_sensitive=bool(state.get("identity"))
+            ):
                 return None
             # stats keys are physical; read_set_intact guarantees the
             # head mapping matches the staged state's
@@ -4528,11 +4616,20 @@ class TxTable:
                 missing = sorted(r for r in ex.map(probe, items) if r)
         if dry_run or not missing:
             return missing
+        # dataChange=False: the feed CANNOT serve these rows (the
+        # files are unreadable — that is why fsck runs), so a
+        # data-changing remove would permanently break changes()
+        # across the repair commit. Marking the removes as
+        # maintenance keeps the feed consumable; the loss is
+        # recorded in commitInfo instead of as row-level changes.
         self._commit(
-            [{"remove": {"path": rel}} for rel in missing],
+            [
+                {"remove": {"path": rel, "dataChange": False}}
+                for rel in missing
+            ],
             base,
             operation="FSCK",
-            info={"removed": len(missing)},
+            info={"removed": len(missing), "removedPaths": missing},
         )
         return missing
 

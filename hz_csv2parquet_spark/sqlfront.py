@@ -297,7 +297,12 @@ def _parse_optimize(stmt: str):
             raise SqlFrontDoorError("ZORDER BY needs at least one column")
 
     def run(spark, resolve):
-        v = resolve(name).compact(zorder=zcols, where=where)
+        if zcols and len(zcols) == 1:
+            # one-column z-order IS linear clustering — route to the
+            # layout-key sort (compact's zorder needs >= 2 columns)
+            v = resolve(name).compact(layout_key=zcols[0], where=where)
+        else:
+            v = resolve(name).compact(zorder=zcols, where=where)
         return _one_row(spark, "OPTIMIZE", v)
 
     return run

@@ -226,3 +226,10 @@ def test_fsck_repair_table_statement(spark, tmp_path):
     assert t.snapshot().count() == 10
     with pytest.raises(SqlFrontDoorError, match="supported: FSCK"):
         _run(spark, "FSCK TABLE t", t)
+
+
+def test_optimize_zorder_single_column_routes_to_layout_key(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50, files=4)
+    out = _run(spark, "OPTIMIZE t ZORDER BY (k)", t).collect()
+    assert out[0].operation == "OPTIMIZE"
+    assert len(t.files()) == 1 and t.snapshot().count() == 50

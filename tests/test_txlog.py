@@ -2966,3 +2966,29 @@ def test_fsck_counts_missing_deletion_vector_as_missing(spark, tmp_path):
     removed = t.fsck_repair()
     assert len(removed) == 1
     assert t.snapshot().count() == 0  # the lone file carried the dv
+
+
+def test_fsck_commit_keeps_change_feed_consumable(spark, tmp_path):
+    """FSCK removes are maintenance (dataChange=false): the feed
+    cannot serve rows whose files are gone, so the repair commit must
+    not break changes() for ranges crossing it (round-12 review)."""
+    t = TxTable(
+        spark, str(tmp_path / "tbl"), stat_cols=["k"], change_data=True
+    )
+    t.create(
+        spark.range(10)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(2)
+    )
+    import os as _os
+
+    _os.remove(sorted(t.files())[0])
+    t.fsck_repair()  # v1
+    t.append(
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+    )  # v2
+    feed = t.changes(0)  # spans the FSCK commit
+    assert feed.where("_change_type = 'insert'").count() == 3
+    assert feed.where("_commit_version = 1").count() == 0  # repair invisible

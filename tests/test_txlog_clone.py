@@ -325,3 +325,23 @@ def test_cli_deep_clone(spark, tmp_path):
     cl = TxTable(spark, dest)
     assert all(f.startswith(dest) for f in cl.files())
     assert cl.snapshot().count() == 3
+
+
+def test_clone_drops_bloom_refs_shallow_copies_them_deep_of_shallow(spark, tmp_path):
+    """Bloom sidecars resolve table-relative only: a shallow clone
+    cannot serve the source's, so the entries are dropped (absent
+    bloom = cannot skip, always sound) — and a deep clone OF that
+    shallow clone must not crash copying nonexistent sidecars
+    (round-12 review)."""
+    src = _mk_src(spark, str(tmp_path / "src"))
+    src.index_bloom("id")
+    sh = src.clone(str(tmp_path / "sh"))
+    state = sh._replay_state()
+    assert not any(a.get("bloom") for a in state["adds"].values())
+    assert _ids(sh) == list(range(100))
+    dp = sh.clone(str(tmp_path / "dp"), deep=True)  # must not raise
+    assert _ids(dp) == list(range(100))
+    # deep clone of the ORIGINAL still carries working sidecars
+    dp2 = src.clone(str(tmp_path / "dp2"), deep=True)
+    st2 = dp2._replay_state()
+    assert all(a.get("bloom") for a in st2["adds"].values())

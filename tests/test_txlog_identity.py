@@ -264,3 +264,69 @@ def test_restore_past_drop_reinstates_spec(spark, tmp_path):
     spec = t.identity_columns()
     assert spec["rid"]["highWaterMark"] == hwm0
     assert len(set(_rids(t))) == 4
+
+
+def test_dml_rebase_survives_interleaved_identity_append(spark, tmp_path, monkeypatch):
+    """DELETE assigns no ids, so a moved hwm must NOT kill its
+    blind-append rebase (round-12 review: the identity check belongs
+    to the MERGE path only)."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    rival = TxTable(spark, t.path, stat_cols=["k"])
+    real_commit = t._commit
+    fired = {"done": False}
+
+    def racing_commit(actions, expected_version, operation=None, info=None):
+        if not fired["done"] and operation == "DELETE":
+            fired["done"] = True
+            # interleave an identity append: hwm moves, key range
+            # disjoint from the delete predicate's touched file? the
+            # DML extension scan handles matching rows either way
+            rival.append(
+                spark.range(500, 503).selectExpr(
+                    "id as k", "cast(0 as bigint) as v"
+                )
+            )
+        return real_commit(actions, expected_version, operation=operation, info=info)
+
+    monkeypatch.setattr(t, "_commit", racing_commit)
+    t.delete_where("k < 3")  # must NOT raise CommitConflictError
+    rows = t.snapshot().collect()
+    ks = sorted(r.k for r in rows)
+    assert ks == [3, 4, 5, 6, 7, 8, 9, 500, 501, 502]
+    rids = [r.rid for r in rows]
+    assert len(set(rids)) == len(rids)
+
+
+def test_resolver_multi_row_per_key_refused_on_identity(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=6, files=1)
+
+    def keep_both(matched, updates):
+        return matched.unionByName(updates, allowMissingColumns=True)
+
+    upd = spark.range(4, 8).selectExpr("id as k", "cast(-1 as bigint) as v")
+    with pytest.raises(ValueError, match="at most one row per matched key"):
+        t.merge_upsert(upd, "k", resolve=keep_both)
+
+
+def test_cdf_identity_merge_feed_ids_match_table_ids(spark, tmp_path):
+    """The fresh-id expression is nondeterministic; the cdc diff
+    must see the SAME draw the staging write committed (round-12
+    review: the frame is pinned via localCheckpoint)."""
+    t = TxTable(
+        spark, str(tmp_path / "tbl"), stat_cols=["k"], change_data=True
+    )
+    t.create(
+        spark.range(6)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(2),
+        identity={"rid": {}},
+    )
+    v0 = t.version()
+    t.merge_upsert(
+        spark.range(4, 12).selectExpr("id as k", "cast(-1 as bigint) as v"),
+        "k",
+    )
+    table_ids = {r.k: r.rid for r in t.snapshot().collect()}
+    feed = t.changes(v0)
+    for r in feed.where("_change_type = 'insert'").collect():
+        assert r.rid == table_ids[r.k], "cdc id diverged from table id"
