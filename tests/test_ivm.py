@@ -1,0 +1,129 @@
+"""Incremental materialized-view maintenance (sources/ivm.py):
+sum/count aggregates advanced by change-feed deltas — O(rows
+changed) per refresh, exactly-once via txn markers, zero-count
+groups leaving the view."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hz_csv2parquet_spark.sources.ivm import IncrementalAggView
+from hz_csv2parquet_spark.sources.txlog import TxTable
+
+
+def _mk_source(spark, tmp_path, cdf=True):
+    t = TxTable(
+        spark, str(tmp_path / "src"), stat_cols=["grp"], change_data=cdf
+    )
+    t.create(
+        spark.range(100)
+        .selectExpr("id % 5 as grp", "id as amt")
+        .repartition(2)
+    )
+    return t
+
+
+def _expected(t):
+    return {
+        r.grp: (r.n, r.s)
+        for r in t.snapshot()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+
+
+def _got(view):
+    return {
+        r.grp: (r.n_rows, r.sum_amt) for r in view.read().collect()
+    }
+
+
+def test_bootstrap_then_incremental_appends(spark, tmp_path):
+    src = _mk_source(spark, tmp_path)
+    v = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+    assert v.last_applied() == -1
+    assert v.refresh() is not None
+    assert _got(v) == _expected(src)
+    assert v.last_applied() == src.version()
+    # two more source commits, ONE catch-up refresh
+    src.append(spark.range(100, 120).selectExpr("id % 5 as grp", "id as amt"))
+    src.append(spark.range(200, 210).selectExpr("cast(7 as bigint) as grp", "id as amt"))
+    assert v.refresh() is not None
+    assert _got(v) == _expected(src)
+    assert 7 in _got(v)  # brand-new group entered the view
+
+
+def test_refresh_is_idempotent_and_noop_when_current(spark, tmp_path):
+    src = _mk_source(spark, tmp_path)
+    v = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+    v.refresh()
+    assert v.refresh() is None  # already current
+    # a second maintainer instance replaying the same range is a no-op
+    v2 = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+    assert v2.refresh() is None
+    assert _got(v2) == _expected(src)
+
+
+def test_deletes_subtract_and_zero_groups_leave(spark, tmp_path):
+    src = _mk_source(spark, tmp_path)
+    v = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+    v.refresh()
+    src.delete_where("grp = 2")  # the whole group vanishes
+    src.delete_where("grp = 3 AND amt < 50")  # partial
+    assert v.refresh() is not None
+    got = _got(v)
+    assert 2 not in got  # zero-count group LEFT the view
+    assert got == _expected(src)
+
+
+def test_updates_move_sums_not_counts(spark, tmp_path):
+    src = _mk_source(spark, tmp_path)
+    v = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+    v.refresh()
+    before = _got(v)
+    src.update_where("grp = 1", {"amt": "amt + 1000"})
+    v.refresh()
+    got = _got(v)
+    assert got[1][0] == before[1][0]  # count unchanged
+    assert got[1][1] == before[1][1] + 1000 * before[1][0]
+    assert got == _expected(src)
+
+
+def test_works_without_cdf_via_content_diff(spark, tmp_path):
+    """changes() falls back to content-diff recovery on plain
+    tables — the view stays correct, cdf just makes it cheaper."""
+    src = _mk_source(spark, tmp_path, cdf=False)
+    v = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+    v.refresh()
+    src.delete_where("grp = 0")
+    src.append(spark.range(300, 310).selectExpr("id % 5 as grp", "id as amt"))
+    v.refresh()
+    assert _got(v) == _expected(src)
+
+
+def test_count_only_view_and_validation(spark, tmp_path):
+    src = _mk_source(spark, tmp_path)
+    v = IncrementalAggView(src, str(tmp_path / "cnt"), "grp")
+    v.refresh()
+    assert {r.grp: r.n_rows for r in v.read().collect()} == {
+        g: n for g, (n, _) in _expected(src).items()
+    }
+    with pytest.raises(ValueError, match="group and sum"):
+        IncrementalAggView(src, str(tmp_path / "bad"), "grp", ["grp"])
+    with pytest.raises(ValueError, match="at least one"):
+        IncrementalAggView(src, str(tmp_path / "bad2"), [])
+
+
+def test_view_is_a_real_table_with_history(spark, tmp_path):
+    src = _mk_source(spark, tmp_path)
+    v = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+    v.refresh()
+    src.append(spark.range(500, 510).selectExpr("id % 5 as grp", "id as amt"))
+    v.refresh()
+    # time travel to the first materialization still works
+    hist_rows = v.view.snapshot(as_of=1).groupBy().sum("n_rows").collect()
+    assert hist_rows[0][0] == 100
+    ops = [r.operation for r in v.view.history().collect()]
+    assert ops[0] == "MERGE" and "CREATE" in ops
