@@ -444,6 +444,26 @@ def cmd_table(args: argparse.Namespace) -> None:
             "would vacuum" if args.dry_run else "vacuumed",
             n,
         )
+    elif args.action == "refresh-view":
+        # incremental materialized view: `args.table` is the SOURCE
+        # table; --dest holds the view, advanced by O(changed rows)
+        from .sources.ivm import IncrementalAggView
+
+        if not args.dest or not args.group_by:
+            raise SystemExit("table refresh-view requires --dest and --group-by")
+        view = IncrementalAggView(
+            t,
+            args.dest,
+            args.group_by.split(","),
+            args.sum.split(",") if args.sum else None,
+        )
+        v = view.refresh()
+        log.info(
+            "view %s %s source version %d",
+            args.dest,
+            "already reflects" if v is None else "advanced to",
+            view.last_applied(),
+        )
     elif args.action == "fsck":
         missing = t.fsck_repair(dry_run=args.dry_run)
         log.info(
@@ -629,7 +649,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser(
         "table",
-        help="transaction-log table maintenance (create/merge/history/compact/vacuum/export/changes/delete/restore/describe/set-properties/clone/reorg-purge/index-bloom)",
+        help="transaction-log table maintenance (create/merge/history/compact/vacuum/fsck/export/changes/delete/restore/describe/set-properties/clone/reorg-purge/index-bloom/refresh-view)",
     )
     t.add_argument(
         "action",
@@ -640,6 +660,7 @@ def build_parser() -> argparse.ArgumentParser:
             "compact",
             "vacuum",
             "fsck",
+            "refresh-view",
             "export",
             "changes",
             "delete",
@@ -780,6 +801,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="create: declare a GENERATED ALWAYS AS IDENTITY bigint "
         "column — unique engine-assigned ids on every append "
         "(repeatable; writers never supply it)",
+    )
+    t.add_argument(
+        "--group-by",
+        default=None,
+        help="refresh-view: comma-separated grouping columns of the "
+        "incremental aggregate",
+    )
+    t.add_argument(
+        "--sum",
+        default=None,
+        help="refresh-view: comma-separated columns to SUM (COUNT is "
+        "always maintained)",
     )
     t.add_argument(
         "--retention-seconds",

@@ -127,3 +127,24 @@ def test_view_is_a_real_table_with_history(spark, tmp_path):
     assert hist_rows[0][0] == 100
     ops = [r.operation for r in v.view.history().collect()]
     assert ops[0] == "MERGE" and "CREATE" in ops
+
+
+def test_cli_refresh_view(spark, tmp_path, capsys):
+    from hz_csv2parquet_spark.cli import main
+
+    src_csv = tmp_path / "t.csv"
+    src_csv.write_text("grp,amt\n1,10\n1,20\n2,30\n")
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    assert main(["table", "create", src, "--src", str(src_csv),
+                 "--stat-cols", "grp"]) == 0
+    assert main(["table", "refresh-view", src, "--dest", view,
+                 "--group-by", "grp", "--sum", "amt"]) == 0
+    got = {
+        r.grp: (r.n_rows, r.sum_amt)
+        for r in TxTable(spark, view).snapshot().collect()
+    }
+    assert got == {1: (2, 30), 2: (1, 30)}
+    # second invocation is a no-op (already current)
+    assert main(["table", "refresh-view", src, "--dest", view,
+                 "--group-by", "grp", "--sum", "amt"]) == 0
