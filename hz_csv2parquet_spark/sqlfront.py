@@ -25,7 +25,7 @@ from __future__ import annotations
 import re
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["SqlFrontDoorError", "execute", "routes"]
 
@@ -276,6 +276,66 @@ def _parse_merge(stmt: str):
     return run
 
 
+def _parse_insert(stmt: str):
+    """``INSERT INTO <table> <SELECT ...>`` or ``INSERT INTO <table>
+    VALUES (...)[, ...]`` — routed to the blind append (exactly the
+    Delta INSERT INTO semantics). OVERWRITE is refused: the table
+    layer has no atomic truncate-and-append commit, and two commits
+    would expose an empty table to concurrent readers."""
+    if re.match(r"(?is)^INSERT\s+OVERWRITE\b", stmt):
+        raise SqlFrontDoorError(
+            "INSERT OVERWRITE is not supported (no atomic "
+            "truncate-and-append commit); DELETE then INSERT INTO, or "
+            "replace the table"
+        )
+    m = re.match(
+        rf"(?is)^INSERT\s+INTO\s+(?:TABLE\s+)?({_IDENT})\s+(.+)$", stmt
+    )
+    if not m:
+        raise SqlFrontDoorError(
+            "supported: INSERT INTO <table> <SELECT ...> | VALUES (...)[, ...]"
+        )
+    name, body = _unquote(m.group(1)), m.group(2).strip()
+    if not re.match(r"(?is)^(SELECT|VALUES|WITH|TABLE|\()", body):
+        raise SqlFrontDoorError(
+            "INSERT INTO expects a SELECT/VALUES/WITH query body"
+        )
+
+    def run(spark, resolve):
+        tbl = resolve(name)
+        rows = spark.sql(body)
+        # VALUES and untyped literals land as whatever Spark infers —
+        # align names/types to the table schema positionally so an
+        # INSERT of (1, 10) into (k bigint, v bigint) round-trips
+        from pyspark.sql.types import StructType
+        import json as _json
+
+        state = tbl._replay_state()
+        committed = StructType.fromJson(_json.loads(state["schema"]))
+        # identity columns are engine-assigned: the INSERT supplies
+        # every OTHER column, positionally (the Delta rule)
+        fields = [
+            f
+            for f in committed.fields
+            if f.name not in (state.get("identity") or {})
+        ]
+        if len(rows.columns) != len(fields):
+            raise SqlFrontDoorError(
+                f"INSERT INTO {name}: query produces {len(rows.columns)} "
+                f"column(s), table takes {len(fields)}"
+            )
+        rows = rows.select(
+            *[
+                F.col(c).cast(f.dataType).alias(f.name)
+                for c, f in zip(rows.columns, fields)
+            ]
+        )
+        v = tbl.append(rows)
+        return _one_row(spark, "INSERT", v)
+
+    return run
+
+
 def _parse_optimize(stmt: str):
     m = re.match(
         rf"(?is)^OPTIMIZE\s+({_IDENT})"
@@ -477,6 +537,7 @@ _VERBS: list[tuple[re.Pattern, Callable]] = [
     (re.compile(r"(?is)^\s*UPDATE\b"), _parse_update),
     (re.compile(r"(?is)^\s*DELETE\b"), _parse_delete),
     (re.compile(r"(?is)^\s*MERGE\b"), _parse_merge),
+    (re.compile(r"(?is)^\s*INSERT\b"), _parse_insert),
     (re.compile(r"(?is)^\s*OPTIMIZE\b"), _parse_optimize),
     (re.compile(r"(?is)^\s*VACUUM\b"), _parse_vacuum),
     (re.compile(r"(?is)^\s*FSCK\b"), _parse_fsck),

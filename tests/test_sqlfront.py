@@ -233,3 +233,30 @@ def test_optimize_zorder_single_column_routes_to_layout_key(spark, tmp_path):
     out = _run(spark, "OPTIMIZE t ZORDER BY (k)", t).collect()
     assert out[0].operation == "OPTIMIZE"
     assert len(t.files()) == 1 and t.snapshot().count() == 50
+
+
+def test_insert_into_values_and_select(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=3, files=1)
+    out = _run(spark, "INSERT INTO t VALUES (100, 1), (101, 2)", t).collect()
+    assert out[0].operation == "INSERT"
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[100] == 1 and got[101] == 2 and len(got) == 5
+    # SELECT body; positional alignment casts to the table's types
+    _run(spark, "INSERT INTO t SELECT 200, 5", t)
+    assert t.snapshot().where("k = 200").collect()[0].v == 5
+    with pytest.raises(SqlFrontDoorError, match="not supported"):
+        _run(spark, "INSERT OVERWRITE t SELECT 1, 2", t)
+    with pytest.raises(SqlFrontDoorError, match="column"):
+        _run(spark, "INSERT INTO t VALUES (1)", t)
+
+
+def test_insert_into_identity_table_assigns_ids(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "ident"), stat_cols=["k"])
+    t.create(
+        spark.range(3).selectExpr("id as k", "id * 2 as v"),
+        identity={"rid": {}},
+    )
+    _run(spark, "INSERT INTO t VALUES (50, 1), (51, 2)", t)
+    rows = t.snapshot().collect()
+    rids = [r.rid for r in rows]
+    assert len(rows) == 5 and len(set(rids)) == 5

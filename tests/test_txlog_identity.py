@@ -330,3 +330,31 @@ def test_cdf_identity_merge_feed_ids_match_table_ids(spark, tmp_path):
     feed = t.changes(v0)
     for r in feed.where("_change_type = 'insert'").collect():
         assert r.rid == table_ids[r.k], "cdc id diverged from table id"
+
+
+def test_dsv2_stream_tails_identity_appends(spark, tmp_path):
+    """The hz_txlog stream reader tails an identity table: the
+    hwm-advancing meta riding each append commit must not confuse
+    version-offset planning, and streamed rows carry the assigned
+    ids."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    t = _mk(spark, tmp_path, n=4, files=1)
+    t.append(spark.range(10, 13).selectExpr("id as k", "cast(0 as bigint) as v"))
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    (
+        spark.readStream.format("hz_txlog")
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = spark.read.parquet(out)
+    rids = [r.rid for r in got.collect()]
+    assert len(rids) == 7 and len(set(rids)) == 7
+    assert set(rids) == {r.rid for r in t.snapshot().collect()}
