@@ -358,3 +358,60 @@ def test_dsv2_stream_tails_identity_appends(spark, tmp_path):
     rids = [r.rid for r in got.collect()]
     assert len(rids) == 7 and len(set(rids)) == 7
     assert set(rids) == {r.rid for r in t.snapshot().collect()}
+
+
+def test_identity_on_partitioned_table(spark, tmp_path):
+    """Identity + hive partitioning: ids assign before the
+    partitioned staging write; hwm derives from per-file footer
+    stats under the hive layout."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(
+        spark.range(20).selectExpr("id as k", "id % 3 as p"),
+        partition_by=["p"],
+        identity={"rid": {}},
+    )
+    assert t.partition_columns() == ["p"]
+    assert len(set(_rids(t))) == 20
+    t.append(spark.range(20, 30).selectExpr("id as k", "id % 3 as p"))
+    rows = t.snapshot().collect()
+    assert len({r.rid for r in rows}) == 30
+    assert t.identity_columns()["rid"]["highWaterMark"] == max(
+        r.rid for r in rows
+    )
+    # partition pruning still serves the identity column
+    sub = t.snapshot().where("p = 1")
+    assert {r.rid for r in sub.collect()} <= {r.rid for r in rows}
+
+
+def test_threaded_identity_writers_stay_unique(spark, tmp_path):
+    """Four genuinely concurrent identity appends (each through its
+    own TxTable handle): every lost race restages above the fresh
+    hwm, so all ids stay unique and the hwm lands on the max."""
+    import threading
+
+    t = _mk(spark, tmp_path, n=4, files=1)
+    errors = []
+
+    def writer(base):
+        try:
+            TxTable(spark, t.path, stat_cols=["k"]).append(
+                spark.range(base, base + 5).select(
+                    F.col("id").alias("k"),
+                    F.lit(base).cast("long").alias("v"),
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"writer {base}: {e!r}")
+
+    threads = [
+        threading.Thread(target=writer, args=(100 * (i + 1),))
+        for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    rids = _rids(t)
+    assert len(rids) == 24 and len(set(rids)) == 24
+    assert t.identity_columns()["rid"]["highWaterMark"] == max(rids)
