@@ -260,3 +260,29 @@ def test_insert_into_identity_table_assigns_ids(spark, tmp_path):
     rows = t.snapshot().collect()
     rids = [r.rid for r in rows]
     assert len(rows) == 5 and len(set(rids)) == 5
+
+
+def test_tokenizer_respects_quotes_and_backticks(spark, tmp_path):
+    """Keywords inside string literals must not split clauses, and
+    backtick-quoted identifiers resolve like bare ones."""
+    t = _mk(spark, tmp_path, n=5, files=1)
+    # add a string column via evolve so a string literal can carry
+    # the words WHERE / AND / SET
+    t.evolve_schema(
+        spark.sql("SELECT CAST(99 AS BIGINT) k, CAST(0 AS BIGINT) v, "
+                  "'x' AS tag")
+    )
+    _run(
+        spark,
+        "UPDATE `t` SET tag = 'set where and, comma' WHERE `k` = 99",
+        t,
+    )
+    got = t.snapshot().where("k = 99").collect()[0]
+    assert got.tag == "set where and, comma"
+    # a quoted comma inside SET must not split the assignment list
+    _run(spark, "UPDATE t SET tag = 'a,b', v = 7 WHERE k = 99", t)
+    got = t.snapshot().where("k = 99").collect()[0]
+    assert got.tag == "a,b" and got.v == 7
+    # DELETE with a subquery-free predicate containing quoted keyword
+    _run(spark, "DELETE FROM t WHERE tag = 'a,b' AND k = 99", t)
+    assert t.snapshot().where("k = 99").count() == 0
