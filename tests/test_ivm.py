@@ -148,3 +148,56 @@ def test_cli_refresh_view(spark, tmp_path, capsys):
     # second invocation is a no-op (already current)
     assert main(["table", "refresh-view", src, "--dest", view,
                  "--group-by", "grp", "--sum", "amt"]) == 0
+
+
+def test_property_random_dml_interleaved_with_refreshes(spark, tmp_path):
+    """Property: any sequence of append/delete/update on the source,
+    with refreshes at arbitrary points, leaves the view equal to a
+    full recompute (hypothesis drives the op sequence)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    ops = st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "update", "refresh"]),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=3,
+        max_size=6,
+    )
+    case = {"n": 0}
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(seq=ops)
+    def run(seq):
+        case["n"] += 1
+        base = tmp_path / f"case{case['n']}"
+        src = TxTable(
+            spark, str(base / "src"), stat_cols=["grp"], change_data=True
+        )
+        src.create(
+            spark.range(30).selectExpr("id % 4 as grp", "id as amt")
+        )
+        v = IncrementalAggView(src, str(base / "view"), "grp", ["amt"])
+        nxt = 1000
+        for op, arg in seq:
+            if op == "append":
+                src.append(
+                    spark.range(nxt, nxt + 5 + arg).selectExpr(
+                        "id % 4 as grp", "id as amt"
+                    )
+                )
+                nxt += 100
+            elif op == "delete":
+                src.delete_where(f"amt % 10 = {arg}")
+            elif op == "update":
+                src.update_where(f"grp = {arg % 4}", {"amt": "amt + 7"})
+            else:
+                v.refresh()
+        v.refresh()
+        assert _got(v) == _expected(src)
+
+    run()
