@@ -289,13 +289,23 @@ def _parse_insert(stmt: str):
             "replace the table"
         )
     m = re.match(
-        rf"(?is)^INSERT\s+INTO\s+(?:TABLE\s+)?({_IDENT})\s+(.+)$", stmt
+        rf"(?is)^INSERT\s+INTO\s+(?:TABLE\s+)?({_IDENT})"
+        rf"(?:\s*\(([^)]*)\))?\s+(.+)$",
+        stmt,
     )
     if not m:
         raise SqlFrontDoorError(
-            "supported: INSERT INTO <table> <SELECT ...> | VALUES (...)[, ...]"
+            "supported: INSERT INTO <table> [(col[, ...])] "
+            "<SELECT ...> | VALUES (...)[, ...]"
         )
-    name, body = _unquote(m.group(1)), m.group(2).strip()
+    name, body = _unquote(m.group(1)), m.group(3).strip()
+    col_list = (
+        [_unquote(c) for c in _split_top(m.group(2))]
+        if m.group(2) is not None
+        else None
+    )
+    if col_list is not None and not col_list:
+        raise SqlFrontDoorError("INSERT INTO: empty column list")
     if not re.match(r"(?is)^(SELECT|VALUES|WITH|TABLE|\()", body):
         raise SqlFrontDoorError(
             "INSERT INTO expects a SELECT/VALUES/WITH query body"
@@ -312,17 +322,35 @@ def _parse_insert(stmt: str):
 
         state = tbl._replay_state()
         committed = StructType.fromJson(_json.loads(state["schema"]))
-        # identity columns are engine-assigned: the INSERT supplies
-        # every OTHER column, positionally (the Delta rule)
-        fields = [
-            f
-            for f in committed.fields
-            if f.name not in (state.get("identity") or {})
-        ]
+        if col_list is None:
+            # identity columns are engine-assigned: a positional
+            # INSERT supplies every OTHER column (the Delta rule)
+            fields = [
+                f
+                for f in committed.fields
+                if f.name not in (state.get("identity") or {})
+            ]
+        else:
+            # explicit column list: align by the NAMED columns —
+            # omitted generated columns compute in the append,
+            # omitted nullable columns null-fill on read (schema
+            # evolution machinery); identity names are refused there
+            if len({c.lower() for c in col_list}) != len(col_list):
+                raise SqlFrontDoorError(
+                    f"INSERT INTO {name}: duplicate column in list"
+                )
+            by_name = {f.name.lower(): f for f in committed.fields}
+            missing = [c for c in col_list if c.lower() not in by_name]
+            if missing:
+                raise SqlFrontDoorError(
+                    f"INSERT INTO {name}: unknown column(s) {missing}"
+                )
+            fields = [by_name[c.lower()] for c in col_list]
         if len(rows.columns) != len(fields):
             raise SqlFrontDoorError(
                 f"INSERT INTO {name}: query produces {len(rows.columns)} "
-                f"column(s), table takes {len(fields)}"
+                f"column(s), {'column list names' if col_list else 'table takes'} "
+                f"{len(fields)}"
             )
         rows = rows.select(
             *[

@@ -286,3 +286,23 @@ def test_tokenizer_respects_quotes_and_backticks(spark, tmp_path):
     # DELETE with a subquery-free predicate containing quoted keyword
     _run(spark, "DELETE FROM t WHERE tag = 'a,b' AND k = 99", t)
     assert t.snapshot().where("k = 99").count() == 0
+
+
+def test_insert_with_explicit_column_list(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=3, files=1)
+    # reversed column order aligns by name, not position
+    _run(spark, "INSERT INTO t (v, k) VALUES (5, 300)", t)
+    assert t.snapshot().where("k = 300").collect()[0].v == 5
+    with pytest.raises(SqlFrontDoorError, match="unknown column"):
+        _run(spark, "INSERT INTO t (nope) VALUES (1)", t)
+    with pytest.raises(SqlFrontDoorError, match="duplicate column"):
+        _run(spark, "INSERT INTO t (k, k) VALUES (1, 2)", t)
+    # generated column omitted via the list: computed by the append
+    g = TxTable(spark, str(tmp_path / "gen"))
+    g.create(
+        spark.range(2).selectExpr("id as k"), generated={"dbl": "k * 2"}
+    )
+    sqlfront.execute(spark, "INSERT INTO g (k) VALUES (10)",
+                     lambda name: {"g": g}[name])
+    rows = {r.k: r.dbl for r in g.snapshot().collect()}
+    assert rows[10] == 20
