@@ -180,79 +180,125 @@ def query(
 #: assignment by semantic_dedup_embeddings) — buying the slack the
 #: r11 verdict demanded before any round-12 feature registers a row
 #: (167 + new regs must stay ≤ 0.85 × 50 × 4 = 170, target ≤ 168).
+#:
+#: ROUND 13 WINDOW. No red rows in r12 (48/50 hash-green + the 2
+#: designed rows-only sketches). The r12 verdict's first item is
+#: structural: the round-14 forward simulation projected 70
+#: rule-mandatory rows (24 r9-stale + all 46 untouched r10 greens)
+#: against the 50-row window, because the r10/r11 cohorts (46/49
+#: rows) expire in consecutive rounds. The fix has two parts.
+#: (a) TEN evidence-preserving retirements (the E38/E123/E140/E156
+#: pattern: decorator removed, function + pytest pins kept, SURVEY §2
+#: row updated), each with its named carrier:
+#:   r9-stale, verify-or-retire — intersect_active_nations (distinct
+#:   set-op plan gated by set_except_nations on the same tables +
+#:   semi_anti_customers' leftsemi/leftanti physical shape),
+#:   running_total_orders (ordered partitioned windows gated by
+#:   window_rank_per_group, RANGE-frame running state by
+#:   rolling_7d_active_users, cents-exact sums by q1_pricing_summary),
+#:   length_histogram_documents (fixed-width bucket histogram is the
+#:   §2 binned_agg core, green every round; the log-bucket +
+#:   window-over-buckets shape on documents is vocab_zipf_histogram);
+#:   r10 — quota_sample_per_source (grouped_topk operator gated by
+#:   top_k_orders; sampling family by sample_stratified / weighted /
+#:   mixture rows), readability_scores_documents (pure-expression
+#:   regex-count scoring gated by text_stats_documents +
+#:   text_quality_by_lang), benford_first_digit_orders
+#:   (observed-vs-expected distribution arithmetic gated by
+#:   chisq_event_value_independence; tiny-key map-side-combined counts
+#:   by q1), event_type_runs (gaps-and-islands two-window island id
+#:   gated by sessionize_events), interarrival_stats_users (lag-gap
+#:   deltas gated by sessionize_events + debounce_events; moment sums
+#:   by column_stats_lineitem), rare_token_quality_documents
+#:   (df-threshold + broadcast join-back doc scoring gated by
+#:   vocab_oov_rate_documents — same machinery, opposite threshold
+#:   direction — and keywords_per_document);
+#:   r11 — ntile_customer_quartiles (two_phase_rank + ntile_from_rank
+#:   gated by rfm_segmentation_customers, which runs THREE rank
+#:   passes and is r13-mandatory; the no-full-sort plan pin in
+#:   tests/test_plans.py keeps running on the undecorated function).
+#: Catalog: 169 − 10 = 159 before this round's registrations
+#: (steady-state demand 39.75 slots/round, 20% slack).
+#: (b) The window itself: 21 mandatory r9 survivors + 3
+#: changed-implementation rows (txlog_merge_read_events — the
+#: merge_upsert all-NULL-bounds emptiness fix, ADVICE r12 high;
+#: txlog_restore_read_orders — the RESTORE identity-hwm log walk,
+#: ADVICE r12 low; multimodal_decode_shapes — real JPEG decode behind
+#: the pluggable decoder, VERDICT item 5) + the 24 alphabetically-
+#: first of the 39 remaining live r10 greens (txlog_restore_read_
+#: orders is the 25th r10 row, already in as changed-impl;
+#: enrich_broadcast_lookup rides the fill window next to its drift
+#: audit, VERDICT item 6) = 48 named below. The remaining 2 slots
+#: belong to the two planned priority=True round-13 registrations
+#: (txlog_ivm_refresh_orders — VERDICT item 3; a SQL-front-door
+#: INSERT OVERWRITE lifecycle row — VERDICT item 4) IF they land;
+#: slack goes unused otherwise (count what is registered). Forward
+#: check: live r10 rows left outside this window = 15 → round-14
+#: mandatory ≈ 15, far under the cap.
 ROTATION: set[str] = {
-    # -- rule-mandatory: last green r8 (24) --
-    "shard_assignment_documents",
-    "similarity_ivf_embeddings",
-    "similarity_lsh_embeddings",
-    "similarity_topk_embeddings",
-    "similarity_topk_pandas_udf",
-    "skew_salted_event_counts",
-    "source_similarity_minhash",
-    "streaming_attribution_join",
-    "streaming_attribution_outer",
-    "streaming_convert_roundtrip",
-    "streaming_dedup_events",
-    "streaming_enrich_events",
-    "streaming_funnel_user_state",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
-    "streaming_stateful_user_stats",
-    "streaming_tumbling_counts",
-    "tokenize_regex_documents",
-    "txlog_changes_events",
+    # -- rule-mandatory: last green r9 (21 of 24; intersect_active_
+    #    nations, running_total_orders, length_histogram_documents
+    #    retired, see header) --
+    "hard_negatives_embeddings",
+    "hierarchy_depths_documents",
+    "ivf_recall_eval",
+    "jsonl_roundtrip_agg",
+    "levenshtein_near_pairs",
+    "lm_bigram_score_documents",
+    "mad_outliers_events",
+    "mmr_rerank_embeddings",
+    "multimodal_audio_energy",
+    "multimodal_phash_dedup",
+    "multimodal_resize_thumbnails",
+    "pivot_event_counts",
+    "q17_small_quantity_revenue",
+    "q5_local_supplier_volume",
+    "quality_percentile_filter_documents",
+    "retention_cohorts_events",
+    "rfm_segmentation_customers",
+    "scan_prune_filter",
+    "seasonal_anomaly_events",
+    "trend_slope_by_type",
+    "vocab_oov_rate_documents",
+    # -- changed implementations this round (3) --
     "txlog_merge_read_events",
-    # txlog_snapshot_read_orders: RETIRED this round (the E177
-    # pairing, third late-round amendment above) — verify-or-retire
-    # satisfied by retirement; machinery gated by every other txlog
-    # row's terminal snapshot read.
-    "txlog_time_travel_orders",
-    "weighted_sample_documents",
-    "zscore_outliers_events",
-    # -- oldest (r9) greens, alphabetical prefix (24) --
-    "approx_distinct_users_per_type",
-    "binned_agg_mean_1d",
-    "binned_agg_median_2d",
-    "boilerplate_ngram_stats",
-    "chunk_documents_overlap",
-    "collocations_by_lift",
-    "corpus_diff_documents",
-    "correlation_matrix_lineitem",
-    "debounce_events",
-    "dedup_canonical_documents",
-    "dedup_cluster_documents",
-    "dedup_exact_documents",
-    "dedup_minhash_documents",
-    "dedup_paragraph_documents",
-    "dedup_simhash_documents",
-    "dedup_substring_spans",
-    "embedding_centroids_by_label",
-    "embedding_near_pairs",
-    "event_path_trigrams",
-    "full_outer_nation_presence",
-    "funnel_conversion_events",
-    "grouped_lang_stats_pandas",
-    # hard_negatives_embeddings: displaced by E176 (see the second
-    # late-round amendment in the header comment) — moves to the
-    # round-13 mandatory ledger below, same rule as E175's
-    # displacement of hierarchy_depths_documents.
-    # Round-13 plan ledger — the 24 r9 rows NOT in this window become
-    # rule-mandatory at round-13 planning (last row r9 <= latest(12)
-    # - 3): hard_negatives_embeddings (displaced by E176, above),
-    # hierarchy_depths_documents (displaced by E175, above),
-    # intersect_active_nations,
-    # ivf_recall_eval, jsonl_roundtrip_agg,
-    # length_histogram_documents, levenshtein_near_pairs,
-    # lm_bigram_score_documents, mad_outliers_events,
-    # mmr_rerank_embeddings, multimodal_audio_energy,
-    # multimodal_phash_dedup, multimodal_resize_thumbnails,
-    # pivot_event_counts, q17_small_quantity_revenue,
-    # q5_local_supplier_volume, quality_percentile_filter_documents,
-    # retention_cohorts_events, rfm_segmentation_customers,
-    # running_total_orders, scan_prune_filter,
-    # seasonal_anomaly_events, trend_slope_by_type,
-    # vocab_oov_rate_documents (24 slots; the balance of the
-    # round-13 window goes to the oldest r10 greens).
+    "txlog_restore_read_orders",
+    "multimodal_decode_shapes",
+    # -- oldest (r10) greens, alphabetical prefix (24 of 39 live) --
+    "binned_agg_max_2d",
+    "checksum_orders_table",
+    "chisq_event_value_independence",
+    "collate_union_all",
+    "column_stats_lineitem",
+    "copurchase_part_pairs",
+    "data_quality_checks",
+    "distinct_users_per_type",
+    "enrich_broadcast_lookup",
+    "event_diversity_users",
+    "geo_radius_join_lineitem",
+    "grouping_sets_revenue",
+    "hourly_peaks_events",
+    "impute_group_median_events",
+    "incremental_agg_merge_orders",
+    "interval_coverage_users",
+    "json_extract_events",
+    "keywords_per_document",
+    "pagerank_event_types",
+    "pca_power_iteration_embeddings",
+    "q10_returned_item_customers",
+    "q12_priority_shipping_modes",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    # Round-14 plan ledger — the 15 live r10 rows NOT in this window
+    # become rule-mandatory at round-14 planning: q15_top_supplier,
+    # q18_large_volume_customers, q19_disjunctive_revenue,
+    # q22_idle_rich_customers, q4_priority_with_discounted_lines,
+    # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+    # redact_mask_documents, repetition_stats_documents,
+    # text_quality_by_lang, text_stats_documents,
+    # txlog_cdf_stream_events, txlog_dv_delete_read_events,
+    # vocab_zipf_histogram (15 slots; the balance of the round-14
+    # window goes to the oldest r11 greens).
 }
 
 

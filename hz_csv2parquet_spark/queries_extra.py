@@ -559,14 +559,12 @@ def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "intersect_active_nations",
-    sql="""
-    SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 8000
-    INTERSECT
-    SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
-    """,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan): INTERSECT
+# compiles to the same distinct + left-semi physical shape that
+# ``set_except_nations`` (distinct + left-anti, same two tables, same
+# thresholds family) and ``semi_anti_customers`` keep driver-gated;
+# this row added no operator the catalog doesn't already verify. The
+# function stays (undecorated) for test reuse and the record.
 def intersect_active_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT surface (the set op next to set_except_nations):
     nations with both a high-balance customer and a high-balance
@@ -692,16 +690,14 @@ def approx_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@query(
-    "ntile_customer_quartiles",
-    sql="""
-    SELECT c_mktsegment, c_custkey,
-           CAST(NTILE(4) OVER (
-             PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
-           ) AS BIGINT) AS quartile
-    FROM customer
-    """,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan): the two-phase
+# bucket rank + exact-NTILE finish this row gated
+# (operators/rank.py two_phase_rank / ntile_from_rank) is driver-gated
+# by ``rfm_segmentation_customers``, which runs THREE rank passes of
+# the same operator (global key — the harder case) and is in the
+# round-13 mandatory window; the per-segment parameterization adds no
+# new machinery. The no-full-partition-sort plan pin keeps running on
+# this undecorated function in tests/test_plans.py.
 def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE quartiles per market segment WITHOUT a full-partition
     sort. A plain ``NTILE(4) OVER (PARTITION BY segment ORDER BY

@@ -378,7 +378,7 @@ def geo_radius_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "avro_roundtrip_agg",
-    priority=True,  # new in round 12: needs its first driver row
+    # priority flag cleared round 13: first driver row landed green in r12
     since=12,
     sql="""
     SELECT lang, source,

@@ -405,18 +405,14 @@ def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-@query(
-    "running_total_orders",
-    sql="""
-    SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
-             PARTITION BY o_custkey
-             ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS cum_cents
-    FROM orders
-    """,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan): the ordered
+# partitioned window is driver-gated by ``window_rank_per_group``,
+# running window state over an explicit frame by
+# ``rolling_7d_active_users`` (RANGE frame — the harder tie
+# semantics), and the cents-integer exact-sum idiom by
+# ``q1_pricing_summary`` (a frozen bench floor). A ROWS-framed
+# cumulative sum adds no machinery those rows don't already verify.
+# The function stays (undecorated) for test reuse and the record.
 def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative order revenue per customer in order-date order —
     the running-balance window everybody's billing pipeline runs.
@@ -682,30 +678,14 @@ def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-@query(
-    "event_type_runs",
-    since=5,
-    sql="""
-    WITH c AS (
-      SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
-             ) AS rn,
-             ROW_NUMBER() OVER (
-               PARTITION BY user_id, event_type ORDER BY epoch_ms(ts), event_id
-             ) AS rn_t
-      FROM events
-    )
-    SELECT user_id, event_type,
-           CAST(rn - rn_t AS BIGINT) AS run_key,
-           CAST(COUNT(*) AS BIGINT) AS run_len,
-           CAST(MIN(ms) AS BIGINT) AS start_ms,
-           CAST(MAX(ms) AS BIGINT) AS end_ms
-    FROM c
-    GROUP BY user_id, event_type, rn - rn_t
-    HAVING COUNT(*) >= 2
-    """,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan): the
+# gaps-and-islands island-id idiom (two windows on the same partition
+# key -> constant-within-run key -> aggregate) is driver-gated by
+# ``sessionize_events`` (lag-flag + running-sum form of the same
+# primitive, same events table); the run aggregation is a plain
+# map-side-combinable groupBy gated everywhere. The function stays
+# (undecorated) for the run-length property test in
+# tests/test_properties.py and the record.
 def event_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: collapse each user's consecutive
     same-event-type rows into runs (the rn − rn_per_type difference
@@ -1443,30 +1423,14 @@ def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "interarrival_stats_users",
-    sql="""
-    WITH g AS (
-      SELECT user_id,
-             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS gap
-      FROM events
-    ),
-    agg AS (
-      SELECT user_id,
-             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
-             CAST(CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sg,
-             CAST(CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
-                  AS VARCHAR) AS DOUBLE) AS sg2
-      FROM g WHERE gap IS NOT NULL GROUP BY user_id
-    )
-    SELECT user_id, n_gaps,
-           sg / n_gaps AS mean_gap_ms,
-           (n_gaps * sg2 - sg * sg) / (sg * sg) AS cv2
-    FROM agg WHERE sg > 0
-    """,
-    since=5,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan): LAG-based
+# event-time deltas on the (user, ts, event_id) total order are
+# driver-gated by ``sessionize_events`` and ``debounce_events`` (both
+# greener than this row); the integer moment sums finished by one
+# double division are the ``column_stats_lineitem`` shape (in this
+# round's window). The function stays (undecorated) for the
+# brute-force property test in tests/test_properties_events.py, the
+# partition-invariance sweep, and the record.
 def interarrival_stats_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness per user: mean gap and the squared
     coefficient of variation CV² = (n·Σg² − (Σg)²)/(Σg)² — CV² ≈ 1
@@ -1512,28 +1476,14 @@ _BENFORD = {
 }
 
 
-@query(
-    "benford_first_digit_orders",
-    sql=f"""
-    WITH d AS (
-      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
-                  AS BIGINT) AS digit
-      FROM orders WHERE o_totalprice > 0
-    ),
-    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
-    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
-    e AS (
-      SELECT * FROM (VALUES {", ".join(f"({k}, CAST('{v!r}' AS DOUBLE))" for k, v in _BENFORD.items())})
-        be(digit, expected)
-    )
-    SELECT e.digit, coalesce(n, 0) AS n,
-           CAST(coalesce(n, 0) AS DOUBLE) / total AS observed,
-           expected,
-           abs(CAST(coalesce(n, 0) AS DOUBLE) / total - expected) AS deviation
-    FROM e LEFT JOIN c ON e.digit = c.digit, t
-    """,
-    since=5,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan): the
+# observed-vs-expected distribution comparison (tiny expected table
+# broadcast against a map-side-combined count) is driver-gated by
+# ``chisq_event_value_independence`` (in this round's window); the
+# cents-integer digit extraction is the q1 cents idiom plus string
+# functions gated across the text family. The _BENFORD literals and
+# this undecorated function stay for the partition-invariance test
+# and the record.
 def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law audit of order totals — the classic fraud /
     synthetic-data forensic: observed first-significant-digit shares

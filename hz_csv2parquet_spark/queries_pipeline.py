@@ -556,26 +556,14 @@ def quality_percentile_filter_documents(spark: SparkSession, sf_dir: str) -> Dat
 # =====================================================================
 
 
-@query(
-    "length_histogram_documents",
-    sql=f"""
-    WITH scored AS (
-      SELECT {T.sql_token_count("text")} AS n_tokens FROM documents
-    ),
-    b AS (
-      SELECT CAST(length(bin(greatest(n_tokens, 1))) - 1 AS INT) AS bucket,
-             CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-      FROM scored GROUP BY 1
-    ),
-    n AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs FROM b)
-    SELECT bucket, n_docs, total_tokens,
-           CAST(SUM(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
-           CAST(SUM(n_docs) OVER (ORDER BY bucket) AS DOUBLE)
-             / CAST(all_docs AS DOUBLE) AS cum_frac
-    FROM b, n
-    """,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan): a fixed-rule
+# bucket histogram with a window over the bucket rows. The bucketed
+# groupBy-histogram is the SURVEY §2 binned_agg core (driver-green
+# every round, incl. r12); the log-bucket + cumulative-over-buckets
+# shape on the documents table is driver-gated by
+# ``vocab_zipf_histogram`` (same length(bin(n))-1 idiom, same
+# aggregate-sized window). The function stays (undecorated) for test
+# reuse and the record.
 def length_histogram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count histogram in power-of-two buckets (⌊log₂ n⌋ via
     the transcendental-free ``length(bin(n)) − 1`` idiom, E66) with

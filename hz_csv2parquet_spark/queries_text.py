@@ -515,26 +515,13 @@ def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("copy_id").cast("long").alias("copy_id"))
 
 
-@query(
-    "rare_token_quality_documents",
-    sql=f"""
-    WITH tok AS (
-      SELECT doc_id,
-             unnest(list_distinct(string_split({_NORM.format(c="text")}, ' '))) AS token
-      FROM documents
-    ),
-    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS dfq FROM tok GROUP BY token),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents)
-    SELECT tok.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_distinct,
-           CAST(SUM(CASE WHEN 10 * d.dfq < 3 * n.n_docs THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_rare,
-           CAST(SUM(CASE WHEN 10 * d.dfq < 3 * n.n_docs THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) AS rare_frac
-    FROM tok JOIN dfreq d USING (token) CROSS JOIN n
-    GROUP BY tok.doc_id
-    """,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan): build a
+# document-frequency table (shuffle on token), integer-threshold it,
+# broadcast it back onto the token stream, aggregate per doc_id —
+# machinery driver-gated by ``vocab_oov_rate_documents`` (same plan,
+# opposite threshold direction; in this round's mandatory window) and
+# ``keywords_per_document``. The function stays (undecorated) for
+# test reuse and the record.
 def rare_token_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative quality scoring: per document, how many of its
     distinct tokens are corpus-RARE (document frequency < 30% of
@@ -971,22 +958,12 @@ def grouped_lang_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quota_sample_per_source",
-    sql=f"""
-    WITH scored AS (
-      SELECT doc_id, source,
-             {T.sql_token_count("text")} AS n_tokens
-      FROM documents
-    )
-    SELECT doc_id, source, n_tokens, CAST(rn AS BIGINT) AS rn
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY source ORDER BY n_tokens DESC, doc_id
-      ) AS rn FROM scored
-    ) WHERE rn <= 10
-    """,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan): the two-phase
+# salted grouped_topk operator this row gated (operators/topk.py) is
+# driver-gated by ``top_k_orders``; per-source capping as a sampling
+# policy is carried by the driver-gated stratified / weighted /
+# mixture sampling rows. The function stays (undecorated) for test
+# reuse and the record.
 def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota capping: keep the 10 longest documents per
     source — the per-domain cap every curation pipeline applies so no
@@ -1391,30 +1368,13 @@ def collocations_by_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("w1", "w2", "c_ab", "lift", "rn")
 
 
-@query(
-    "readability_scores_documents",
-    sql=f"""
-    WITH n AS (
-      SELECT doc_id, {_NORM.format(c="text")} AS nt FROM documents
-    ),
-    c AS (
-      SELECT doc_id,
-             CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_words,
-             CAST(greatest(len(regexp_extract_all(nt, '[.!?]+')), 1) AS BIGINT)
-               AS n_sentences,
-             CAST(list_sum(list_transform(string_split(nt, ' '),
-                    w -> greatest(len(regexp_extract_all(w, '[aeiou]+')), 1)))
-                  AS BIGINT) AS n_syllables
-      FROM n
-    )
-    SELECT doc_id, n_words, n_sentences, n_syllables,
-           CAST('0.39' AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
-             + CAST('11.8' AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
-             - CAST('15.59' AS DOUBLE) AS fk_grade
-    FROM c
-    """,
-    since=5,
-)
+# RETIRED (round 13, the r12-verdict cadence re-plan):
+# pure-expression per-document scoring from deterministic regex/count
+# inputs is driver-gated by ``text_stats_documents`` and
+# ``text_quality_by_lang`` (same normalize -> count -> one-double
+# formula family, same table); no shuffle, no operator of its own.
+# The Flesch-Kincaid arithmetic stays pinned on this undecorated
+# function in the pytest suite and the record.
 def readability_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch–Kincaid grade-level readability per document — the
     classic filter corpora apply to bucket text by complexity. All

@@ -494,7 +494,7 @@ def txlog_dv_cdf_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "txlog_update_rename_cdf_events",
-    priority=True,  # new in round 12: needs its first driver row
+    # priority flag cleared round 13: first driver row landed green in r12
     since=12,
     sql="""
     WITH upd AS (
@@ -563,7 +563,7 @@ def txlog_update_rename_cdf_events(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "txlog_generated_partition_events",
-    priority=True,  # new in round 12 (late): needs its first driver row
+    # priority flag cleared round 13: first driver row landed green in r12
     since=12,
     sql="""
     SELECT CAST(ts AS DATE) AS event_date,
@@ -628,7 +628,7 @@ def txlog_generated_partition_events(spark: SparkSession, sf_dir: str) -> DataFr
 
 @query(
     "txlog_reorg_purge_events",
-    priority=True,  # new in round 12 (late): needs its first driver row
+    # priority flag cleared round 13: first driver row landed green in r12
     since=12,
     sql="""
     SELECT event_type,
@@ -699,7 +699,7 @@ def txlog_reorg_purge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_identity_merge_events",
-    priority=True,  # new in round 12 (late): needs its first driver row
+    # priority flag cleared round 13: first driver row landed green in r12
     since=12,
     sql="""
     WITH base AS (

@@ -154,7 +154,13 @@ def test_zscore_facts_never_shuffle_for_stats_join(spark, sf_dir):
 
 
 def test_ntile_no_full_partition_sort(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "ntile_customer_quartiles")
+    # ntile_customer_quartiles was retired from the driver registry in
+    # round 13 (two_phase_rank gated by rfm_segmentation_customers);
+    # the plan pin keeps running on the undecorated function
+    from hz_csv2parquet_spark.queries_extra import ntile_customer_quartiles
+
+    df = ntile_customer_quartiles(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     # the only windows run over (a) the aggregate-sized counts frame
     # and (b) (segment, bucket) cells — never one sort per segment of
     # the full table; the offsets frame joins back via broadcast
