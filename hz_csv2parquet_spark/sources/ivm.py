@@ -42,6 +42,19 @@ __all__ = ["IncrementalAggView"]
 #: (delete, update_preimage) subtracts it.
 _ADDS = ("insert", "update_postimage")
 
+#: internal null-safe surrogate merge key. A NULL group value is a
+#: perfectly legal group (GROUP BY treats NULLs as one group), but a
+#: MERGE join on the raw group columns never matches NULL keys — the
+#: NULL group would duplicate on every refresh instead of upserting,
+#: and an all-NULL delta once tripped merge_upsert's null-bounds
+#: emptiness shortcut and was silently discarded (advisor r12 high).
+#: The view therefore merges on ONE derived never-NULL column: the
+#: canonical JSON of the group tuple (``ignoreNullFields=false`` keeps
+#: NULL fields explicit, so ``{"g":null}`` is a distinct, stable key).
+#: It also serves as the view's stat column, so refresh pruning works
+#: on string ranges regardless of the group columns' types.
+_GK = "__gk"
+
 
 def _any_sum_moved(sum_cols: list[str]):
     """True iff any sum contribution is non-zero/non-null — keeps
@@ -83,7 +96,9 @@ class IncrementalAggView:
         overlap = set(self.group_cols) & set(self.sum_cols)
         if overlap:
             raise ValueError(f"columns cannot be both group and sum: {sorted(overlap)}")
-        self.view = TxTable(source.spark, path, stat_cols=self.group_cols[:1])
+        if _GK in self.group_cols or _GK in self.sum_cols:
+            raise ValueError(f"{_GK!r} is reserved for the view's merge key")
+        self.view = TxTable(source.spark, path, stat_cols=[_GK])
         #: txn app id — markers under it record applied source versions
         self.app_id = "hz_ivm"
 
@@ -96,10 +111,19 @@ class IncrementalAggView:
         return max(self.view.committed_txns(self.app_id), default=-1)
 
     def read(self) -> DataFrame:
-        """The materialized aggregate (a plain snapshot read)."""
-        return self.view.snapshot()
+        """The materialized aggregate (a plain snapshot read; the
+        internal merge key stays internal)."""
+        return self.view.snapshot().drop(_GK)
 
     # ---------------- maintenance ----------------
+
+    def _gk(self) -> "F.Column":
+        """Canonical never-NULL encoding of the group tuple (see
+        ``_GK``). Deterministic: field order is the declared
+        group-column order, NULL fields kept explicit."""
+        return F.to_json(
+            F.struct(*self.group_cols), {"ignoreNullFields": "false"}
+        )
 
     def _signed_delta(self, feed: DataFrame) -> DataFrame:
         """One signed aggregation of the change feed: +1 for
@@ -109,6 +133,9 @@ class IncrementalAggView:
             F.lit(-1)
         )
         return (
+            # GROUP BY on the raw columns (NULLs collapse into one
+            # group, as in any aggregate); the surrogate key is a
+            # function of the group tuple, attached after the agg
             feed.groupBy(*self.group_cols)
             .agg(
                 F.sum(sign).cast("long").alias(self.count_col),
@@ -124,6 +151,7 @@ class IncrementalAggView:
                 (F.col(self.count_col) != 0)
                 | _any_sum_moved(self.sum_cols)
             )
+            .withColumn(_GK, self._gk())
         )
 
     def refresh(self) -> int | None:
@@ -157,10 +185,12 @@ class IncrementalAggView:
         def apply_delta(matched: DataFrame, updates: DataFrame) -> DataFrame:
             # current + delta, then drop groups whose count hits 0 —
             # the resolver owns the per-key contract: a key it does
-            # not re-emit leaves the view
+            # not re-emit leaves the view. Grouping includes the
+            # surrogate key (a pure function of the group tuple, and
+            # GROUP BY is null-safe) so it survives into the rewrite.
             return (
                 matched.unionByName(updates)
-                .groupBy(*group_cols)
+                .groupBy(_GK, *group_cols)
                 .agg(
                     F.sum(count_col).cast("long").alias(count_col),
                     *[
@@ -173,7 +203,7 @@ class IncrementalAggView:
 
         return self.view.merge_upsert(
             delta,
-            self.group_cols,
+            _GK,
             txn=(self.app_id, src_v),
             resolve=apply_delta,
         )

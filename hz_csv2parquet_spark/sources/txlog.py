@@ -3362,10 +3362,20 @@ class TxTable:
                     "(writers cannot know generated ids)"
                 )
         updates = self._apply_generated(updates, gstate)
+        # count rides the same single-pass aggregate: emptiness must be
+        # decided by COUNT, not by null bounds — min/max ignore NULLs,
+        # so a non-empty batch whose prune key is all-NULL has lo None
+        # and would be silently DISCARDED while still stamping its txn
+        # marker (permanent data loss; advisor r12 high). Null bounds
+        # on a non-empty batch now mean "no pruning possible": NULL
+        # keys can never equality-match an existing row (SQL MERGE
+        # semantics), so the batch takes the touched=[] insert path.
         bounds = updates.agg(
-            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+            F.min(prune_col).alias("lo"),
+            F.max(prune_col).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
-        if bounds.lo is None:
+        if bounds.n == 0:
             # Empty update batch: no data work, but a txn-stamped call
             # still records its marker (marker-only commit) so callers
             # using committed_txns as a progress/watermark record see
@@ -3390,8 +3400,13 @@ class TxTable:
                         raise
                     time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
         if resolve is None:
+            # rows with a NULL in any key column can never match a
+            # target row (equality conjunction), so several of them
+            # are independent INSERTS, not an ambiguous multi-update —
+            # only non-NULL-keyed duplicates are a caller error
             dup = (
-                updates.groupBy(*keys)
+                updates.na.drop(subset=keys)
+                .groupBy(*keys)
                 .count()
                 .filter(F.col("count") > 1)
                 .limit(1)
@@ -3411,9 +3426,17 @@ class TxTable:
             # resolution (the log, not the constructor flag, decides
             # whether this commit stages cdc sidecars — advisor r10)
             state = self._replay_state()
-            touched, _ = self.pruned_files(
-                prune_col, bounds.lo, bounds.hi, state=state
-            )
+            if bounds.lo is None:
+                # non-empty batch, all-NULL prune key: NULL can never
+                # equality-match an existing row, so no file needs a
+                # rewrite — the whole batch inserts (probing
+                # pruned_files with None bounds would conservatively
+                # touch EVERY file and rewrite the table for nothing)
+                touched = []
+            else:
+                touched, _ = self.pruned_files(
+                    prune_col, bounds.lo, bounds.hi, state=state
+                )
             actions: list[dict] = []
             mapping = state.get("columnMapping")
             old_schema = state["schema"]
@@ -4707,25 +4730,55 @@ class TxTable:
             # identity specs re-key/reinstate the same way, but the
             # high-water mark NEVER regresses: ids handed out after
             # the target version may live downstream (or in time
-            # travel), so a restored spec keeps the most advanced
-            # mark either state knows for that column
+            # travel). The two ENDPOINT states are not enough to know
+            # the most advanced mark (advisor r12): a column dropped
+            # after the target retires its spec from the head state
+            # ({name: None}) while its issued ids live on — so walk
+            # the log BETWEEN target and head and collect every hwm
+            # any identityColumns meta ever recorded for the spec's
+            # (start, step) family. Family matching can only graft an
+            # unrelated column's mark, which INFLATES the restored
+            # hwm — safe (ids are never re-issued; some are skipped).
+            family_marks: dict[tuple[int, int], list] = {}
+            for v in range(version + 1, base + 1):
+                vf = _version_file(self.path, v)
+                if not os.path.exists(vf):
+                    continue  # log trimmed past a checkpoint: best effort
+                try:
+                    with open(vf) as fh:
+                        acts = [a for ln in fh for a in json.loads(ln)]
+                except (OSError, ValueError):
+                    continue
+                for a in acts:
+                    m = a.get("meta") if isinstance(a, dict) else None
+                    for ispec in (m or {}).get("identityColumns", {}).values():
+                        if ispec is None or ispec.get("highWaterMark") is None:
+                            continue
+                        key = (
+                            int(ispec.get("start", 1)),
+                            int(ispec.get("step", 1)),
+                        )
+                        family_marks.setdefault(key, []).append(
+                            ispec["highWaterMark"]
+                        )
             rolled: dict = {i: None for i in cur_state.get("identity", {})}
             for iname, tspec in tgt_state.get("identity", {}).items():
                 spec = dict(tspec)
                 step = int(spec.get("step", 1))
+                start = int(spec.get("start", 1))
                 marks = [
                     m
                     for m in (
                         spec.get("highWaterMark"),
-                        # the same column may sit under another logical
-                        # name in cur (rename rolled back): match the
-                        # spec identity by (start, step) pair
+                        # the head state still matters when the log was
+                        # trimmed: match by the same (start, step) pair
                         *(
                             c.get("highWaterMark")
                             for c in cur_state.get("identity", {}).values()
                             if int(c.get("step", 1)) == step
-                            and int(c.get("start", 1)) == int(spec.get("start", 1))
+                            and int(c.get("start", 1)) == start
                         ),
+                        *family_marks.get((start, step), ()),
                     )
                     if m is not None
                 ]

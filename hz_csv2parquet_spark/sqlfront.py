@@ -165,7 +165,18 @@ def _parse_update(stmt: str):
     before_where, *where = _split_top_kw(rest, "WHERE")
     if len(where) > 1:
         raise SqlFrontDoorError("UPDATE: one WHERE clause expected")
-    assignments = dict(_assignment(a) for a in _split_top(before_where))
+    pairs = [_assignment(a) for a in _split_top(before_where)]
+    # a column assigned twice is a user typo dict() would silently
+    # collapse to last-wins; Delta/Spark raise — so do we (advisor r12)
+    seen: set[str] = set()
+    for col, _ in pairs:
+        low = col.lower()
+        if low in seen:
+            raise SqlFrontDoorError(
+                f"UPDATE: column {col!r} assigned more than once in SET"
+            )
+        seen.add(low)
+    assignments = dict(pairs)
     if not assignments:
         raise SqlFrontDoorError("UPDATE: empty SET clause")
     pred = where[0] if where else "true"
@@ -277,31 +288,36 @@ def _parse_merge(stmt: str):
 
 
 def _parse_insert(stmt: str):
-    """``INSERT INTO <table> <SELECT ...>`` or ``INSERT INTO <table>
-    VALUES (...)[, ...]`` — routed to the blind append (exactly the
-    Delta INSERT INTO semantics). OVERWRITE is refused: the table
-    layer has no atomic truncate-and-append commit, and two commits
-    would expose an empty table to concurrent readers."""
-    if re.match(r"(?is)^INSERT\s+OVERWRITE\b", stmt):
-        raise SqlFrontDoorError(
-            "INSERT OVERWRITE is not supported (no atomic "
-            "truncate-and-append commit); DELETE then INSERT INTO, or "
-            "replace the table"
-        )
+    """``INSERT INTO <table> <query>`` (blind append — exactly the
+    Delta INSERT INTO semantics) or ``INSERT OVERWRITE [TABLE]
+    <table> <query>`` — routed through the DSv2 sink's atomic
+    overwrite commit (sources/txlog_source.py ``mode("overwrite")``):
+    the staged adds and the removal of every live file land in ONE
+    commit, so readers flip atomically and the superseded generation
+    stays time-travelable. Both verbs share the positional-cast
+    column alignment."""
     m = re.match(
-        rf"(?is)^INSERT\s+INTO\s+(?:TABLE\s+)?({_IDENT})"
+        rf"(?is)^INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?({_IDENT})"
         rf"(?:\s*\(([^)]*)\))?\s+(.+)$",
         stmt,
     )
     if not m:
         raise SqlFrontDoorError(
-            "supported: INSERT INTO <table> [(col[, ...])] "
+            "supported: INSERT INTO|OVERWRITE <table> [(col[, ...])] "
             "<SELECT ...> | VALUES (...)[, ...]"
         )
-    name, body = _unquote(m.group(1)), m.group(3).strip()
+    overwrite = m.group(1).upper() == "OVERWRITE"
+    name, body = _unquote(m.group(2)), m.group(4).strip()
+    if overwrite and m.group(3) is not None:
+        # a partial-column overwrite would null the omitted columns of
+        # EVERY row in the table — refuse rather than guess (Delta's
+        # INSERT OVERWRITE likewise takes the full row shape)
+        raise SqlFrontDoorError(
+            "INSERT OVERWRITE replaces whole rows — no column list"
+        )
     col_list = (
-        [_unquote(c) for c in _split_top(m.group(2))]
-        if m.group(2) is not None
+        [_unquote(c) for c in _split_top(m.group(3))]
+        if m.group(3) is not None
         else None
     )
     if col_list is not None and not col_list:
@@ -358,6 +374,17 @@ def _parse_insert(stmt: str):
                 for c, f in zip(rows.columns, fields)
             ]
         )
+        if overwrite:
+            # the DSv2 sink stages the new generation, then removes
+            # every live file and adds the staged set in one commit
+            # (conflict-checked against racing writers); it fails
+            # closed on identity tables, which need the id-reserving
+            # TxTable path
+            from .sources.txlog_source import register_txlog_source
+
+            register_txlog_source(spark)
+            rows.write.format("hz_txlog").mode("overwrite").save(tbl.path)
+            return _one_row(spark, "INSERT OVERWRITE", tbl.version())
         v = tbl.append(rows)
         return _one_row(spark, "INSERT", v)
 
@@ -399,16 +426,37 @@ def _parse_optimize(stmt: str):
 def _parse_vacuum(stmt: str):
     m = re.match(
         rf"(?is)^VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
-        rf"(\s+DRY\s+RUN)?\s*$",
+        rf"(\s+DRY\s+RUN)?(\s+FORCE)?\s*$",
         stmt,
     )
     if not m:
         raise SqlFrontDoorError(
-            "supported: VACUUM <table> [RETAIN <n> HOURS] [DRY RUN]"
+            "supported: VACUUM <table> [RETAIN <n> HOURS] [DRY RUN] [FORCE]"
         )
     name = _unquote(m.group(1))
     hours = float(m.group(2)) if m.group(2) else None
     dry = bool(m.group(3))
+    force = bool(m.group(4))
+    if hours is not None and not force:
+        # Delta's retentionDurationCheck, verbatim reasoning (advisor
+        # r12 medium): staging precedes the log commit by design, so a
+        # sub-default window can delete a concurrent writer's staged-
+        # but-uncommitted files (its later commit then references
+        # missing data) — and destroys time travel. Short windows need
+        # an explicit FORCE acknowledging both risks. DRY RUN is NOT
+        # exempt: its file count is the operator's preview of exactly
+        # the deletion the floor exists to question.
+        from .sources.txlog import DEFAULT_VACUUM_RETENTION_S
+
+        floor_h = DEFAULT_VACUUM_RETENTION_S / 3600.0
+        if hours * 3600.0 < DEFAULT_VACUUM_RETENTION_S:
+            raise SqlFrontDoorError(
+                f"VACUUM RETAIN {m.group(2)} HOURS is below the "
+                f"{floor_h:g}-hour retention floor; a short window can "
+                "delete files a concurrent writer has staged but not "
+                "yet committed, and breaks time travel — append FORCE "
+                "to override"
+            )
 
     def run(spark, resolve):
         tbl = resolve(name)
@@ -561,25 +609,40 @@ def _parse_alter(stmt: str):
     raise SqlFrontDoorError(grammar)
 
 
-_VERBS: list[tuple[re.Pattern, Callable]] = [
-    (re.compile(r"(?is)^\s*UPDATE\b"), _parse_update),
-    (re.compile(r"(?is)^\s*DELETE\b"), _parse_delete),
-    (re.compile(r"(?is)^\s*MERGE\b"), _parse_merge),
-    (re.compile(r"(?is)^\s*INSERT\b"), _parse_insert),
-    (re.compile(r"(?is)^\s*OPTIMIZE\b"), _parse_optimize),
-    (re.compile(r"(?is)^\s*VACUUM\b"), _parse_vacuum),
-    (re.compile(r"(?is)^\s*FSCK\b"), _parse_fsck),
-    (re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\b"), _parse_describe_history),
-    (re.compile(r"(?is)^\s*RESTORE\b"), _parse_restore),
-    (re.compile(r"(?is)^\s*ALTER\s+TABLE\b"), _parse_alter),
+#: (pattern, parser, spark_capable). ``spark_capable`` verbs are
+#: statements Catalyst can legitimately execute against its OWN
+#: catalog/temp tables (INSERT, the ALTER TABLE family) — when their
+#: target is not a registered txlog table, execute() falls through to
+#: ``spark.sql`` instead of erroring (advisor r12: the front door must
+#: not regress behavior for non-txlog targets). The lakehouse-only
+#: verbs (UPDATE/DELETE/MERGE/OPTIMIZE/VACUUM/FSCK/RESTORE/DESCRIBE
+#: HISTORY) keep the named unknown-table error: Spark cannot run them
+#: without a transactional table layer, so a misspelled name must say
+#: so rather than bounce off Catalyst with a worse message.
+_VERBS: list[tuple[re.Pattern, Callable, bool]] = [
+    (re.compile(r"(?is)^\s*UPDATE\b"), _parse_update, False),
+    (re.compile(r"(?is)^\s*DELETE\b"), _parse_delete, False),
+    (re.compile(r"(?is)^\s*MERGE\b"), _parse_merge, False),
+    (re.compile(r"(?is)^\s*INSERT\b"), _parse_insert, True),
+    (re.compile(r"(?is)^\s*OPTIMIZE\b"), _parse_optimize, False),
+    (re.compile(r"(?is)^\s*VACUUM\b"), _parse_vacuum, False),
+    (re.compile(r"(?is)^\s*FSCK\b"), _parse_fsck, False),
+    (re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\b"), _parse_describe_history, False),
+    (re.compile(r"(?is)^\s*RESTORE\b"), _parse_restore, False),
+    (re.compile(r"(?is)^\s*ALTER\s+TABLE\b"), _parse_alter, True),
 ]
+
+
+class _UnknownTable(SqlFrontDoorError):
+    """resolve() raised KeyError — the statement's target is not a
+    registered transaction-log table."""
 
 
 def routes(statement: str) -> bool:
     """True iff the statement starts with a front-door verb (so it
     will NOT be handed to ``spark.sql``)."""
     stmt = statement.strip().rstrip(";")
-    return any(pat.match(stmt) for pat, _ in _VERBS)
+    return any(pat.match(stmt) for pat, _, _ in _VERBS)
 
 
 def execute(
@@ -593,22 +656,57 @@ def execute(
     HISTORY, the file count for VACUUM). Returns ``None`` when the
     statement is not a front-door verb — the caller runs it through
     ``spark.sql`` as usual. ``resolve(name)`` maps a statement's
-    table name to its TxTable; a KeyError is re-raised as
-    :class:`SqlFrontDoorError` listing nothing (the caller knows its
-    registry)."""
+    table name to its TxTable; a KeyError becomes either a named
+    :class:`SqlFrontDoorError` (lakehouse-only verbs) or — for verbs
+    Catalyst itself supports against its catalog (INSERT, ALTER
+    TABLE) — a ``None`` return, so the caller's ``spark.sql`` path
+    executes the statement against the non-txlog target."""
     stmt = statement.strip().rstrip(";").strip()
-    for pat, parse in _VERBS:
+
+    def _target_is_foreign(verb_stmt: str) -> bool:
+        """True iff the statement's table target is extractable AND
+        not in the caller's registry — the fall-through condition for
+        Spark-capable verbs whose statement our grammar refuses."""
+        tm = re.match(
+            rf"(?is)^\s*(?:INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+            rf"|ALTER\s+TABLE\s+)({_IDENT})",
+            verb_stmt,
+        )
+        if not tm:
+            return False
+        try:
+            resolve(_unquote(tm.group(1)))
+        except KeyError:
+            return True
+        return False
+
+    for pat, parse, spark_capable in _VERBS:
         if pat.match(stmt):
-            run = parse(stmt)
+            try:
+                run = parse(stmt)
+            except SqlFrontDoorError:
+                if spark_capable and _target_is_foreign(stmt):
+                    # a shape OUR grammar refuses may still be valid
+                    # Spark SQL (e.g. ALTER TABLE ... ADD COLUMN on a
+                    # catalog table) — if the target is not a txlog
+                    # table, Catalyst owns the verdict. For registered
+                    # tables the named grammar error stands.
+                    return None
+                raise
 
             def resolve_named(name: str):
                 try:
                     return resolve(name)
                 except KeyError:
-                    raise SqlFrontDoorError(
+                    raise _UnknownTable(
                         f"{name!r} is not a registered transaction-log table "
                         "(pass --table name=path)"
                     ) from None
 
-            return run(spark, resolve_named)
+            try:
+                return run(spark, resolve_named)
+            except _UnknownTable:
+                if spark_capable:
+                    return None
+                raise
     return None

@@ -201,3 +201,63 @@ def test_property_random_dml_interleaved_with_refreshes(spark, tmp_path):
         assert _got(v) == _expected(src)
 
     run()
+
+
+def test_null_group_key_upserts_not_duplicates(spark, tmp_path):
+    """Advisor r12 (high): a NULL group value is a real group. Before
+    the null-safe surrogate merge key, (a) an all-NULL delta tripped
+    merge_upsert's null-bounds emptiness shortcut — the batch was
+    DISCARDED while the txn marker still advanced (permanent loss) —
+    and (b) mixed deltas never matched the view's NULL-group row, so
+    it duplicated instead of upserting. Exact repro from the advisory:
+    view must show (null, 2, 17), not (null, 1, 10) or two rows."""
+    src = TxTable(
+        spark, str(tmp_path / "src"), stat_cols=["grp"], change_data=True
+    )
+    src.create(
+        spark.createDataFrame(
+            [(None, 10)], "grp INT, amt INT"
+        )
+    )
+    v = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+    v.refresh()
+    assert _got(v) == {None: (1, 10)}
+    # an ALL-NULL-group delta: previously discarded with the marker
+    # stamped — the loss was permanent (no re-refresh could see it)
+    src.append(spark.createDataFrame([(None, 7)], "grp INT, amt INT"))
+    v.refresh()
+    assert _got(v) == {None: (2, 17)}
+    # mixed delta: NULL group upserts next to a real key, one row each
+    src.append(
+        spark.createDataFrame([(None, 3), (1, 5)], "grp INT, amt INT")
+    )
+    v.refresh()
+    assert _got(v) == {None: (3, 20), 1: (1, 5)}
+    assert v.read().count() == 2
+    # and the NULL group leaves the view when its count hits zero
+    src.delete_where("grp IS NULL")
+    v.refresh()
+    assert _got(v) == {1: (1, 5)}
+
+
+def test_null_groups_match_full_recompute_across_dml(spark, tmp_path):
+    """NULL-group variant of the recompute property: interleave DML
+    that creates, grows, shrinks and empties the NULL group."""
+    src = TxTable(
+        spark, str(tmp_path / "src"), stat_cols=["grp"], change_data=True
+    )
+    src.create(
+        spark.range(40).selectExpr(
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE id % 3 END as grp",
+            "id as amt",
+        )
+    )
+    v = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+    v.refresh()
+    assert _got(v) == _expected(src)
+    src.update_where("grp = 1", {"grp": "NULL"})
+    v.refresh()
+    assert _got(v) == _expected(src)
+    src.delete_where("grp IS NULL AND amt < 20")
+    v.refresh()
+    assert _got(v) == _expected(src)

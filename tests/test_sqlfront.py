@@ -129,11 +129,32 @@ def test_optimize_and_zorder(spark, tmp_path):
 def test_vacuum_retain_and_dry_run(spark, tmp_path):
     t = _mk(spark, tmp_path, n=20, files=2)
     t.compact()  # orphan the two original files
-    dry = _run(spark, "VACUUM t RETAIN 0 HOURS DRY RUN", t).collect()
+    # sub-floor retention without FORCE is refused BEFORE any table
+    # work — zero retention can delete a concurrent writer's staged-
+    # but-uncommitted files and destroys time travel (advisor r12);
+    # DRY RUN is not exempt (same preview, same hazard)
+    with pytest.raises(SqlFrontDoorError, match="retention floor"):
+        _run(spark, "VACUUM t RETAIN 0 HOURS", t)
+    with pytest.raises(SqlFrontDoorError, match="retention floor"):
+        _run(spark, "VACUUM t RETAIN 0 HOURS DRY RUN", t)
+    assert len(t.files()) == 1 and t.snapshot().count() == 20
+    dry = _run(spark, "VACUUM t RETAIN 0 HOURS DRY RUN FORCE", t).collect()
     assert dry[0].files_deletable == 2
     assert len(t.files()) == 1 and t.snapshot().count() == 20
-    gone = _run(spark, "VACUUM t RETAIN 0 HOURS", t).collect()
+    gone = _run(spark, "VACUUM t RETAIN 0 HOURS FORCE", t).collect()
     assert gone[0].files_deleted == 2
+    # at-or-above-floor retention needs no FORCE (7-day default floor)
+    ok = _run(spark, "VACUUM t RETAIN 200 HOURS", t).collect()
+    assert ok[0].files_deleted == 0
+
+
+def test_update_duplicate_set_column_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5, files=1)
+    with pytest.raises(SqlFrontDoorError, match="assigned more than once"):
+        _run(spark, "UPDATE t SET v = 1, v = 2", t)
+    # case-insensitive: V and v are the same column
+    with pytest.raises(SqlFrontDoorError, match="assigned more than once"):
+        _run(spark, "UPDATE t SET v = 1, V = 2", t)
 
 
 def test_describe_history_and_restore(spark, tmp_path):
@@ -161,6 +182,39 @@ def test_alter_table_forms(spark, tmp_path):
     assert t.changes(v).where("_change_type = 'delete'").count() == 1
     _run(spark, "ALTER TABLE t DROP COLUMN val", t)
     assert t.snapshot().columns == ["k"]
+
+
+def test_non_txlog_targets_fall_through_for_spark_capable_verbs(spark):
+    """Advisor r12: INSERT / ALTER TABLE against a table Spark's own
+    catalog could serve must NOT die with 'not a registered
+    transaction-log table' — execute() returns None so the caller's
+    spark.sql path runs the statement. Lakehouse-only verbs keep the
+    named error (Catalyst cannot run them anywhere)."""
+
+    def resolver(name):
+        raise KeyError(name)
+
+    # Spark-capable verbs: fall through (None = caller uses spark.sql)
+    assert sqlfront.execute(spark, "INSERT INTO cat_tbl VALUES (1)", resolver) is None
+    assert (
+        sqlfront.execute(spark, "INSERT OVERWRITE cat_tbl SELECT 1", resolver)
+        is None
+    )
+    # even a form OUR grammar refuses, when the target is foreign
+    assert (
+        sqlfront.execute(spark, "ALTER TABLE cat_tbl ADD COLUMN x INT", resolver)
+        is None
+    )
+    # lakehouse-only verbs: the named error stands
+    for stmt in (
+        "UPDATE cat_tbl SET v = 1",
+        "DELETE FROM cat_tbl",
+        "OPTIMIZE cat_tbl",
+        "VACUUM cat_tbl",
+        "RESTORE TABLE cat_tbl TO VERSION AS OF 0",
+    ):
+        with pytest.raises(SqlFrontDoorError, match="not a registered"):
+            sqlfront.execute(spark, stmt, resolver)
 
 
 def test_grammar_deviations_raise_named_errors(spark):
@@ -244,10 +298,29 @@ def test_insert_into_values_and_select(spark, tmp_path):
     # SELECT body; positional alignment casts to the table's types
     _run(spark, "INSERT INTO t SELECT 200, 5", t)
     assert t.snapshot().where("k = 200").collect()[0].v == 5
-    with pytest.raises(SqlFrontDoorError, match="not supported"):
-        _run(spark, "INSERT OVERWRITE t SELECT 1, 2", t)
     with pytest.raises(SqlFrontDoorError, match="column"):
         _run(spark, "INSERT INTO t VALUES (1)", t)
+
+
+def test_insert_overwrite_is_atomic_and_time_travelable(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5, files=2)
+    v_before = t.version()
+    out = _run(
+        spark, "INSERT OVERWRITE t VALUES (900, 1), (901, 2)", t
+    ).collect()
+    assert out[0].operation == "INSERT OVERWRITE"
+    # ONE commit replaced the generation...
+    assert t.version() == v_before + 1
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got == {900: 1, 901: 2}
+    # ...and the superseded generation stays time-travelable
+    assert t.snapshot(as_of=v_before).count() == 5
+    # positional cast alignment matches INSERT INTO (strings -> longs)
+    _run(spark, "INSERT OVERWRITE t SELECT '7', '8'", t)
+    assert {(r.k, r.v) for r in t.snapshot().collect()} == {(7, 8)}
+    # a column list makes no sense for whole-row replacement
+    with pytest.raises(SqlFrontDoorError, match="no column list"):
+        _run(spark, "INSERT OVERWRITE t (k) SELECT 1", t)
 
 
 def test_insert_into_identity_table_assigns_ids(spark, tmp_path):

@@ -86,6 +86,53 @@ def test_merge_inserts_new_keys(spark, tmp_path):
     assert got[5] == -5 and got[100] == -100 and len(got) == 11
 
 
+def test_merge_all_null_key_batch_is_not_discarded(spark, tmp_path):
+    """Advisor r12 (high): min/max ignore NULLs, so a NON-EMPTY batch
+    whose merge key is all-NULL used to hit the empty-batch shortcut —
+    the rows were silently dropped while a txn-stamped call still
+    recorded its marker, making the loss permanent (the watermark said
+    "applied"). Emptiness is now decided by COUNT: NULL keys can never
+    equality-match (SQL MERGE semantics), so the batch INSERTS —
+    without rewriting a single existing file."""
+    t = _mk(spark, tmp_path, n=10, files=2)
+    v0 = t.version()
+    ups = spark.createDataFrame([(None, -1), (None, -2)], "k long, v long")
+    t.merge_upsert(ups, "k", txn=("app", 7))
+    assert t.snapshot().count() == 12
+    assert t.snapshot().filter("k IS NULL").count() == 2
+    assert 7 in t.committed_txns("app")
+    # insert-only: the commit added files but removed none
+    from hz_csv2parquet_spark.sources.txlog import _version_file
+
+    acts = [
+        a
+        for ln in open(_version_file(t.path, v0 + 1))
+        for a in json.loads(ln)
+    ]
+    assert any("add" in a for a in acts) and not any("remove" in a for a in acts)
+    # a replay of the same (app, batch) is still a no-op
+    assert t.merge_upsert(ups, "k", txn=("app", 7)) is None
+    assert t.snapshot().count() == 12
+    # and a genuinely EMPTY batch still takes the marker-only path
+    empty = spark.createDataFrame([], "k long, v long")
+    t.merge_upsert(empty, "k", txn=("app", 8))
+    assert 8 in t.committed_txns("app")
+    assert t.snapshot().count() == 12
+
+
+def test_merge_mixed_null_and_real_keys(spark, tmp_path):
+    """Mixed batch: real keys upsert via pruned rewrite, NULL-key rows
+    insert (never match — SQL MERGE equality), in one commit."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    ups = spark.createDataFrame(
+        [(5, -5), (None, -9)], "k long, v long"
+    )
+    t.merge_upsert(ups, "k")
+    got = {r.k: r.v for r in t.snapshot().collect()}
+    assert got[5] == -5 and got[None] == -9 and len(got) == 11
+    assert t.snapshot().count() == 11
+
+
 def test_compact_is_atomic_and_lossless(spark, tmp_path):
     t = _mk(spark, tmp_path, n=100, files=8)
     before = t.snapshot().groupBy().agg(F.sum("v").alias("s")).collect()[0].s

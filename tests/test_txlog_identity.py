@@ -266,6 +266,32 @@ def test_restore_past_drop_reinstates_spec(spark, tmp_path):
     assert len(set(_rids(t))) == 4
 
 
+def test_restore_past_drop_keeps_advanced_hwm_via_log_walk(spark, tmp_path):
+    """Advisor r12: ids issued between the restore target and a later
+    DROP COLUMN live in time travel (and possibly downstream), but
+    their advanced high-water mark is in NEITHER endpoint state — the
+    target predates them and the head retired the spec. Only the log
+    walk between target and head can recover the mark; a regressed
+    hwm would re-issue those ids."""
+    t = _mk(spark, tmp_path, n=4, files=1)  # v0
+    # v1: append advances the hwm beyond the restore target's mark
+    t.append(
+        spark.range(10, 16).selectExpr("id as k", "cast(0 as bigint) as v")
+    )
+    hwm1 = t.identity_columns()["rid"]["highWaterMark"]
+    ids_v1 = set(_rids(t))
+    t.drop_column("rid")  # v2: spec (and advanced hwm) leave the head
+    t.restore(0)  # spec returns; files roll back to the 4 v0 rows
+    spec = t.identity_columns()
+    assert spec["rid"]["highWaterMark"] >= hwm1
+    t.append(
+        spark.range(30, 33).selectExpr("id as k", "cast(0 as bigint) as v")
+    )
+    fresh = {r.rid for r in t.snapshot().where("k >= 30").collect()}
+    assert fresh.isdisjoint(ids_v1)  # nothing re-issued
+    assert all(r > hwm1 for r in fresh)
+
+
 def test_dml_rebase_survives_interleaved_identity_append(spark, tmp_path, monkeypatch):
     """DELETE assigns no ids, so a moved hwm must NOT kill its
     blind-append rebase (round-12 review: the identity check belongs
