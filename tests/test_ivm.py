@@ -261,3 +261,44 @@ def test_null_groups_match_full_recompute_across_dml(spark, tmp_path):
     src.delete_where("grp IS NULL AND amt < 20")
     v.refresh()
     assert _got(v) == _expected(src)
+
+
+def test_streaming_cdf_drives_continuous_refresh(spark, tmp_path):
+    """Continuous view maintenance: tail the source's change feed as a
+    STREAM and refresh the view from foreachBatch — the always-on
+    shape of the nightly refresh. The batch content itself is not
+    consumed (refresh() reads the feed range it needs); the stream is
+    the TRIGGER, and exactly-once falls out of the txn-marker
+    watermark — a replayed/overlapping trigger is a no-op."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    src = _mk_source(spark, tmp_path)
+    v = IncrementalAggView(src, str(tmp_path / "view"), "grp", ["amt"])
+
+    register_txlog_source(spark)
+
+    def drive():
+        q = (
+            spark.readStream.format("hz_txlog")
+            .option("readChangeFeed", "true")
+            .load(src.path)
+            .writeStream.foreachBatch(lambda _df, _bid: v.refresh())
+            .option(
+                "checkpointLocation", str(tmp_path / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drive()
+    assert _got(v) == _expected(src)
+    # more source commits, another streaming pass: view follows
+    src.append(spark.range(900, 930).selectExpr("id % 5 as grp", "id as amt"))
+    src.delete_where("amt % 4 = 1")
+    drive()
+    assert _got(v) == _expected(src)
+    # a pass with no new source commits is a clean no-op
+    applied = v.last_applied()
+    drive()
+    assert v.last_applied() == applied
