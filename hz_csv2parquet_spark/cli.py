@@ -163,7 +163,11 @@ def cmd_sql(args: argparse.Namespace) -> None:
         name, sep, path = spec.partition("=")
         if not sep:
             raise SystemExit(f"--table takes name=path, got {spec!r}")
-        spark.read.format("hz_txlog").load(path).createOrReplaceTempView(name)
+        if os.path.isdir(os.path.join(path, "_txlog")):
+            spark.read.format("hz_txlog").load(path).createOrReplaceTempView(name)
+        # a name may be registered BEFORE its table exists — that is
+        # how `sql "CREATE TABLE t AS SELECT ..."` names its target
+        # path (the temp view appears once the table does)
         tx_paths[name.lower()] = path
     # table-verb statements (UPDATE/DELETE/MERGE/OPTIMIZE/VACUUM/
     # DESCRIBE HISTORY/RESTORE/ALTER TABLE) route to the TxTable

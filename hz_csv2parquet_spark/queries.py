@@ -235,6 +235,16 @@ def query(
 #: slack goes unused otherwise (count what is registered). Forward
 #: check: live r10 rows left outside this window = 15 → round-14
 #: mandatory ≈ 15, far under the cap.
+#: LATE-ROUND AMENDMENT: a third feature landed in-round — the SQL
+#: front door's CREATE TABLE AS SELECT / CREATE OR REPLACE TABLE
+#: (E180 ``txlog_ctas_replace_orders``, gating creation-from-query,
+#: the atomic schema-CHANGING replacement via overwriteSchema, and
+#: schema-correct time travel of the replaced generation). Per the
+#: r11/r12 displacement precedent a landed feature earns its driver
+#: row on its landing round: its priority slot displaces the
+#: alphabetically LAST r10 fill row (``q14_promo_revenue_ratio`` —
+#: moves to the round-14 mandatory ledger below). Window stays
+#: exactly 50 = 47 rotation + 3 priority.
 ROTATION: set[str] = {
     # -- rule-mandatory: last green r9 (21 of 24; intersect_active_
     #    nations, running_total_orders, length_histogram_documents
@@ -288,9 +298,11 @@ ROTATION: set[str] = {
     "q10_returned_item_customers",
     "q12_priority_shipping_modes",
     "q13_order_count_distribution",
-    "q14_promo_revenue_ratio",
-    # Round-14 plan ledger — the 15 live r10 rows NOT in this window
-    # become rule-mandatory at round-14 planning: q15_top_supplier,
+    # q14_promo_revenue_ratio: displaced by E180 (late-round
+    # amendment above) — moves to the round-14 mandatory ledger.
+    # Round-14 plan ledger — the 16 live r10 rows NOT in this window
+    # become rule-mandatory at round-14 planning:
+    # q14_promo_revenue_ratio (displaced by E180), q15_top_supplier,
     # q18_large_volume_customers, q19_disjunctive_revenue,
     # q22_idle_rich_customers, q4_priority_with_discounted_lines,
     # q6_forecast_revenue, q7_volume_shipping, q8_market_share,

@@ -970,3 +970,93 @@ def txlog_insert_overwrite_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     return agg(t.snapshot(), "head").unionAll(
         agg(t.snapshot(as_of=v_before), "v0")
     )
+
+
+@query(
+    "txlog_ctas_replace_orders",
+    priority=True,  # new in round 13 (late): needs its first driver row
+    since=13,
+    sql="""
+    WITH head AS (
+      SELECT 'head' AS generation, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+             CAST(-1 AS BIGINT) AS min_key
+      FROM orders WHERE o_orderkey % 5 = 2 GROUP BY o_orderstatus
+    ),
+    v0 AS (
+      SELECT 'v0' AS generation, o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum,
+             CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+      FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_orderstatus
+    )
+    SELECT * FROM head UNION ALL SELECT * FROM v0
+    """,
+)
+def txlog_ctas_replace_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front door CTAS + REPLACE TABLE (round 13): ``CREATE TABLE
+    ... AS SELECT`` materializes one fixture slice as a brand-new
+    transaction-log table (schema FROM the query), then ``CREATE OR
+    REPLACE TABLE ... AS SELECT`` swaps in a different slice WITH A
+    NARROWER SCHEMA in one atomic commit (the overwriteSchema path —
+    beyond what E179's same-schema INSERT OVERWRITE exercises). The
+    result unions the head read (new 2-column schema) with the
+    ``as_of=0`` read, whose ``min(o_orderkey)`` is computable ONLY if
+    time travel serves the replaced generation under its original
+    WIDER schema — the oracle states both slices declaratively, so a
+    hash match proves creation-from-query, atomic schema-changing
+    replacement, and schema-correct time travel at once. Scale shape:
+    both generations are distributed staged writes + O(files) log
+    surgery; nothing is rewritten twice."""
+    from . import sqlfront
+
+    oc = _orders_cents(spark, sf_dir).select(
+        "o_orderkey", "o_orderstatus", "price_cents"
+    )
+    t = TxTable(spark, scratch_dir("hz_txq_ctas_"), stat_cols=["o_orderkey"])
+    view = "hz_ctas_src"
+    oc.createOrReplaceTempView(view)
+    run = lambda stmt: sqlfront.execute(spark, stmt, lambda name: {"t": t}[name])
+    run(
+        f"CREATE TABLE t AS SELECT o_orderkey, o_orderstatus, price_cents "
+        f"FROM {view} WHERE o_orderkey % 5 = 0"
+    )
+    run(
+        f"CREATE OR REPLACE TABLE t AS SELECT o_orderstatus, price_cents "
+        f"FROM {view} WHERE o_orderkey % 5 = 2"
+    )
+    head = (
+        t.snapshot()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("cents_sum"),
+        )
+        .select(
+            F.lit("head").alias("generation"),
+            "o_orderstatus",
+            "n_orders",
+            "cents_sum",
+            F.lit(-1).cast("long").alias("min_key"),
+        )
+    )
+    v0 = (
+        t.snapshot(as_of=0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("cents_sum"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .select(
+            F.lit("v0").alias("generation"),
+            "o_orderstatus",
+            "n_orders",
+            "cents_sum",
+            "min_key",
+        )
+    )
+    return head.unionAll(v0)

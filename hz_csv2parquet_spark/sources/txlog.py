@@ -466,8 +466,11 @@ def _parse_ts(raw) -> float:
         return datetime.datetime.fromisoformat(raw).timestamp()
 
 
-def _file_stats(path: str, stat_cols: list[str] | None) -> tuple[int, dict]:
-    """(row count, {col: [min, max]}) from the parquet footer only.
+def _file_stats(
+    path: str, stat_cols: list[str] | None
+) -> tuple[int, dict, dict]:
+    """(row count, {col: [min, max]}, {col: null count}) from the
+    parquet footer only.
 
     ``stat_cols=None`` means AUTO (round 11, the Delta
     dataSkippingNumIndexedCols shape): collect stats for the first
@@ -476,12 +479,20 @@ def _file_stats(path: str, stat_cols: list[str] | None) -> tuple[int, dict]:
     DELETE, the DSv2 pushdown, and the disjoint-append rebase check.
     Columns whose stats are absent, binary, or non-JSON (timestamps)
     are skipped by the guards below either way; an explicit ``[]``
-    still means "no stats"."""
+    still means "no stats".
+
+    Null counts (round 13 — the Delta nullCount shape) are tracked
+    INDEPENDENTLY of min/max: an all-NULL column has no min/max but a
+    perfectly good null count, which is exactly the file a pushed
+    ``IS NOT NULL`` should skip; a null-free file is what ``IS NULL``
+    skips. A column is reported only when EVERY row group carries a
+    null count — partial knowledge must not masquerade as a bound."""
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     rows = pf.metadata.num_rows
     stats: dict[str, list] = {}
+    nulls: dict[str, int] = {}
     idx = {pf.schema_arrow.field(i).name: i for i in range(len(pf.schema_arrow.names))}
     if stat_cols is None:
         stat_cols = list(pf.schema_arrow.names)[:_AUTO_STAT_COLS]
@@ -489,13 +500,23 @@ def _file_stats(path: str, stat_cols: list[str] | None) -> tuple[int, dict]:
         if c not in idx:
             continue
         lo, hi = None, None
+        nc = 0
+        mm_ok = nc_ok = True
         for rg in range(pf.metadata.num_row_groups):
             st = pf.metadata.row_group(rg).column(idx[c]).statistics
-            if st is None or not st.has_min_max:
-                lo, hi = None, None
+            if st is None:
+                mm_ok = nc_ok = False
                 break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
+            if st.null_count is not None:
+                nc += st.null_count
+            else:
+                nc_ok = False
+            if mm_ok and st.has_min_max:
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            else:
+                mm_ok = False
+                lo, hi = None, None
         if isinstance(lo, bytes):
             # BYTE_ARRAY stats surface as bytes; the log is JSON
             try:
@@ -506,9 +527,12 @@ def _file_stats(path: str, stat_cols: list[str] | None) -> tuple[int, dict]:
             try:
                 json.dumps([lo, hi])
             except TypeError:
-                continue  # non-JSON-serializable stat type: skip
-            stats[c] = [lo, hi]
-    return rows, stats
+                lo = None  # non-JSON-serializable stat type: skip
+            else:
+                stats[c] = [lo, hi]
+        if nc_ok:
+            nulls[c] = int(nc)
+    return rows, stats, nulls
 
 
 _CMP_MIRROR = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "="}
@@ -1227,7 +1251,7 @@ class TxTable:
         with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
             footer = list(ex.map(lambda f: _file_stats(f, stat_cols), files))
         adds = []
-        for f, (rows, stats) in zip(files, footer):
+        for f, (rows, stats, nulls) in zip(files, footer):
             if rows == 0:
                 # don't register empty part files — a streaming sink
                 # would otherwise grow the live set (and every future
@@ -1236,6 +1260,8 @@ class TxTable:
                 continue
             rel = os.path.relpath(f, self.path)
             add = {"add": {"path": rel, "rows": rows, "stats": stats}}
+            if nulls:
+                add["add"]["nulls"] = nulls
             if partition_by:
                 add["add"]["partitionValues"] = _pv_from_path(rel)
             adds.append(add)
@@ -1257,7 +1283,7 @@ class TxTable:
         feed.write.mode("errorifexists").parquet(stage)
         actions = []
         for f in sorted(glob.glob(os.path.join(stage, "*.parquet"))):
-            rows, _ = _file_stats(f, [])
+            rows, _, _ = _file_stats(f, [])
             if rows == 0:
                 os.remove(f)
                 continue
@@ -1531,7 +1557,7 @@ class TxTable:
         with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
             footer = list(ex.map(lambda f: _file_stats(f, self.stat_cols), files))
         actions: list[dict] = []
-        for f, (rows, stats) in zip(files, footer):
+        for f, (rows, stats, nulls) in zip(files, footer):
             if rows == 0:
                 continue  # empty part file: not worth a log entry
             add = {
@@ -1539,6 +1565,8 @@ class TxTable:
                 "rows": rows,
                 "stats": stats,
             }
+            if nulls:
+                add["nulls"] = nulls
             if pcols:
                 add["partitionValues"] = pv_of[f]
             actions.append({"add": add})
@@ -1866,7 +1894,7 @@ class TxTable:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(max_workers=min(16, len(pending))) as ex:
-                    for _, st in ex.map(lambda f: _file_stats(f, [p]), pending):
+                    for _, st, _ in ex.map(lambda f: _file_stats(f, [p]), pending):
                         s = st.get(p)
                         if s is None or s[0] is None:
                             raise ValueError(

@@ -71,6 +71,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     WriterCommitMessage,
@@ -499,7 +501,20 @@ class _TxLogPruningBatchReader(_TxLogBatchReader):
             if (
                 isinstance(
                     f,
-                    (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, In),
+                    (
+                        EqualTo,
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                        In,
+                        # round 13: null-count skipping — Spark pushes
+                        # IsNotNull alongside almost every comparison,
+                        # and IS NULL probes are common on curation
+                        # tables; both gate on the logged null counts
+                        IsNull,
+                        IsNotNull,
+                    ),
                 )
                 and len(f.attribute) == 1
             ):
@@ -617,6 +632,16 @@ def _stats_admit(add: dict, flt, phys: dict | None = None) -> bool:
     col = flt.attribute[0]
     if phys:
         col = phys.get(col, col)
+    if isinstance(flt, (IsNull, IsNotNull)):
+        # null-count skipping (round 13, the Delta nullCount shape):
+        # IS NULL can't match a null-free file; IS NOT NULL can't
+        # match an all-NULL one. A file without a logged null count
+        # (pre-round-13 log, stat-less column) always admits.
+        nc = (add.get("nulls") or {}).get(col)
+        rows = add.get("rows")
+        if nc is None or rows is None:
+            return True
+        return nc > 0 if isinstance(flt, IsNull) else nc < rows
     st = add.get("stats", {}).get(col)
     if st is None:
         pv = add.get("partitionValues", {}).get(col)
@@ -1520,6 +1545,7 @@ class _StagedParquetWriteMixin:
         rel = os.path.join(rel_dir, f"part-{_uuid.uuid4().hex}.parquet")
         pq.write_table(table, os.path.join(self.path, rel))
         stats = {}
+        nulls = {}
         # None = auto (the TxTable/_file_stats contract); the JSON
         # guard below drops binary/timestamp mins
         from .txlog import _AUTO_STAT_COLS
@@ -1533,6 +1559,7 @@ class _StagedParquetWriteMixin:
             if c not in table.column_names:
                 continue
             col = table.column(c)
+            nulls[c] = int(col.null_count)
             if col.null_count == len(col):
                 continue
             lo, hi = pc.min(col).as_py(), pc.max(col).as_py()
@@ -1542,6 +1569,8 @@ class _StagedParquetWriteMixin:
                 continue
             stats[c] = [lo, hi]
         entry = {"path": rel, "rows": table.num_rows, "stats": stats}
+        if nulls:
+            entry["nulls"] = nulls
         if pv:
             entry["partitionValues"] = pv
         return entry

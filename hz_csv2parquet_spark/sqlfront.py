@@ -391,6 +391,66 @@ def _parse_insert(stmt: str):
     return run
 
 
+def _parse_create(stmt: str):
+    """``CREATE [OR REPLACE] TABLE <name> AS <query>`` and
+    ``CREATE TABLE IF NOT EXISTS <name> AS <query>`` — CTAS into a
+    registered transaction-log table path. A plain column-list CREATE
+    (no AS) is refused: the table layer derives its schema from the
+    first written frame. OR REPLACE on an existing table routes
+    through the DSv2 sink's atomic overwrite with overwriteSchema
+    (one commit; the old generation stays time-travelable — Delta's
+    REPLACE TABLE shape)."""
+    grammar = (
+        "supported: CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <table> "
+        "AS <SELECT ...> (column-list CREATE is not supported — the "
+        "schema comes from the query)"
+    )
+    m = re.match(
+        rf"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+        rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+(.+)$",
+        stmt,
+    )
+    if not m:
+        raise SqlFrontDoorError(grammar)
+    replace = bool(m.group(1))
+    if_not_exists = bool(m.group(2))
+    if replace and if_not_exists:
+        raise SqlFrontDoorError(
+            "CREATE TABLE: OR REPLACE and IF NOT EXISTS are exclusive"
+        )
+    name, body = _unquote(m.group(3)), m.group(4).strip()
+    if not re.match(r"(?is)^(SELECT|VALUES|WITH|TABLE|\()", body):
+        raise SqlFrontDoorError(grammar)
+
+    def run(spark, resolve):
+        tbl = resolve(name)
+        rows = spark.sql(body)
+        if tbl.version() >= 0:
+            if if_not_exists:
+                # the Spark/Delta contract: an existing table is left
+                # untouched and the statement succeeds as a no-op
+                return _one_row(spark, "CREATE TABLE (exists)", tbl.version())
+            if not replace:
+                raise SqlFrontDoorError(
+                    f"table {name!r} already exists — use CREATE OR "
+                    "REPLACE TABLE (or IF NOT EXISTS)"
+                )
+            from .sources.txlog_source import register_txlog_source
+
+            register_txlog_source(spark)
+            (
+                rows.write.format("hz_txlog")
+                .mode("overwrite")
+                .option("overwriteSchema", "true")
+                .save(tbl.path)
+            )
+            return _one_row(spark, "CREATE OR REPLACE", tbl.version())
+        v = tbl.create(rows)
+        return _one_row(spark, "CREATE TABLE", v)
+
+    return run
+
+
 def _parse_optimize(stmt: str):
     m = re.match(
         rf"(?is)^OPTIMIZE\s+({_IDENT})"
@@ -624,6 +684,7 @@ _VERBS: list[tuple[re.Pattern, Callable, bool]] = [
     (re.compile(r"(?is)^\s*DELETE\b"), _parse_delete, False),
     (re.compile(r"(?is)^\s*MERGE\b"), _parse_merge, False),
     (re.compile(r"(?is)^\s*INSERT\b"), _parse_insert, True),
+    (re.compile(r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\b"), _parse_create, True),
     (re.compile(r"(?is)^\s*OPTIMIZE\b"), _parse_optimize, False),
     (re.compile(r"(?is)^\s*VACUUM\b"), _parse_vacuum, False),
     (re.compile(r"(?is)^\s*FSCK\b"), _parse_fsck, False),
@@ -669,7 +730,9 @@ def execute(
         Spark-capable verbs whose statement our grammar refuses."""
         tm = re.match(
             rf"(?is)^\s*(?:INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
-            rf"|ALTER\s+TABLE\s+)({_IDENT})",
+            rf"|ALTER\s+TABLE\s+"
+            rf"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+            rf"(?:IF\s+NOT\s+EXISTS\s+)?)({_IDENT})",
             verb_stmt,
         )
         if not tm:

@@ -379,3 +379,57 @@ def test_insert_with_explicit_column_list(spark, tmp_path):
                      lambda name: {"g": g}[name])
     rows = {r.k: r.dbl for r in g.snapshot().collect()}
     assert rows[10] == 20
+
+
+def test_create_table_as_select(spark, tmp_path):
+    """CTAS into a registered path; IF NOT EXISTS no-ops on an
+    existing table; OR REPLACE swaps the generation atomically and
+    keeps the old one time-travelable."""
+    t = TxTable(spark, str(tmp_path / "ctas"), stat_cols=["k"])
+    out = _run(
+        spark, "CREATE TABLE t AS SELECT id AS k, id * 2 AS v FROM range(5)", t
+    ).collect()
+    assert out[0].operation == "CREATE TABLE" and out[0].version == 0
+    assert t.snapshot().count() == 5
+    # plain CREATE on an existing table is refused by name
+    with pytest.raises(SqlFrontDoorError, match="already exists"):
+        _run(spark, "CREATE TABLE t AS SELECT 1 AS k", t)
+    # IF NOT EXISTS: clean no-op
+    out = _run(
+        spark, "CREATE TABLE IF NOT EXISTS t AS SELECT 1 AS k", t
+    ).collect()
+    assert out[0].operation == "CREATE TABLE (exists)"
+    assert t.snapshot().count() == 5
+    # OR REPLACE: one atomic commit, old generation still readable
+    v_before = t.version()
+    _run(
+        spark,
+        "CREATE OR REPLACE TABLE t AS SELECT id AS k FROM range(3)",
+        t,
+    )
+    assert t.snapshot().count() == 3 and t.snapshot().columns == ["k"]
+    assert t.snapshot(as_of=v_before).count() == 5
+    # exclusive modifiers are a named grammar error
+    with pytest.raises(SqlFrontDoorError, match="exclusive"):
+        _run(spark, "CREATE OR REPLACE TABLE IF NOT EXISTS t AS SELECT 1", t)
+    # column-list CREATE on a REGISTERED table is refused by name
+    # (on a foreign name it falls through to Catalyst instead)
+    with pytest.raises(SqlFrontDoorError, match="schema comes from"):
+        _run(spark, "CREATE TABLE t (k BIGINT)", t)
+
+
+def test_create_table_foreign_target_falls_through(spark):
+    def resolver(name):
+        raise KeyError(name)
+
+    # CTAS against an unregistered name: Catalyst's statement, not ours
+    assert (
+        sqlfront.execute(
+            spark, "CREATE TABLE cat_t AS SELECT 1 AS x", resolver
+        )
+        is None
+    )
+    # ...including shapes our grammar refuses (column-list CREATE)
+    assert (
+        sqlfront.execute(spark, "CREATE TABLE cat_t (k INT)", resolver) is None
+    )

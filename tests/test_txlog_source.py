@@ -1143,3 +1143,52 @@ def test_stream_fails_on_mapped_column_retype(spark, tmp_path):
     t._rebase_commit([{"meta": {"schema": retyped}}], operation="RETYPE")
     with pytest.raises(ValueError, match="restart the stream"):
         reader.partitions({"version": v1}, {"version": t.version()})
+
+
+def test_null_count_skipping_is_null_and_is_not_null(spark, tmp_path):
+    """Round 13 (the Delta nullCount shape): the log records per-file
+    null counts next to min/max, and the pushed IsNull/IsNotNull
+    filters prune files on them — IS NULL skips null-free files,
+    IS NOT NULL skips all-NULL files (which have NO min/max stats, so
+    range skipping alone could never touch them). Skipping stays a
+    superset guarantee: results are exact either way."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    from hz_csv2parquet_spark.sources.txlog_source import (
+        _TxLogPruningBatchReader as _Reader,
+    )
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["v"])
+    mk = lambda sql: spark.sql(sql).coalesce(1)
+    # three single-file commits: all-NULL v / null-free v / mixed
+    t.create(mk("SELECT id AS k, CAST(NULL AS BIGINT) AS v FROM range(10)"))
+    t.append(mk("SELECT id AS k, id AS v FROM range(100, 110)"))
+    t.append(
+        mk(
+            "SELECT id AS k, IF(id % 2 = 0, id, CAST(NULL AS BIGINT)) AS v "
+            "FROM range(200, 210)"
+        )
+    )
+    adds = t._replay_state()["adds"]
+    assert sorted((a["rows"], a["nulls"]["v"]) for a in adds.values()) == [
+        (10, 0),
+        (10, 5),
+        (10, 10),
+    ]
+
+    r = _Reader(t.path, None)
+    assert len(r.partitions()) == 3
+    r2 = _Reader(t.path, None)
+    r2.pushFilters([IsNull(("v",))])
+    assert len(r2.partitions()) == 2  # null-free file skipped
+    r3 = _Reader(t.path, None)
+    r3.pushFilters([IsNotNull(("v",))])
+    assert len(r3.partitions()) == 2  # all-NULL file skipped
+
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    df = spark.read.format("hz_txlog").load(t.path)
+    assert df.filter("v IS NULL").count() == 15
+    assert df.filter("v IS NOT NULL").count() == 15
+    assert df.filter("v IS NOT NULL AND v >= 200").count() == 5
