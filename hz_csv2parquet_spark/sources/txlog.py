@@ -585,17 +585,18 @@ def _cmp_bounds(bounds, op: str, v, exact: bool) -> bool:
 
 def _compile_can_match(node):
     """Compile the parsed (unresolved) Catalyst predicate ``node``
-    into a pure-Python ``can_match(stats, pv) -> bool`` — the
-    conservative Delta/Parquet data-skipping rewrite (``c = v`` →
-    ``min <= v <= max``, AND/OR recurse; everything unrecognized —
-    functions, NOT, IS NULL, non-literal sides — compiles to
+    into a pure-Python ``can_match(stats, pv, nulls=None, rows=None)
+    -> bool`` — the conservative Delta/Parquet data-skipping rewrite
+    (``c = v`` → ``min <= v <= max``; ``c IS [NOT] NULL`` → the
+    file's logged null count, round 13; AND/OR recurse; everything
+    unrecognized — functions, NOT, non-literal sides — compiles to
     always-True). The py4j tree is walked ONCE here; per-file
     evaluation touches no JVM state, so skipping a 100k-file table
     costs 100k Python calls, not millions of py4j round-trips.
     Returns False only on PROOF of no match; nulls are sound by
     construction (parquet min/max ignore nulls and a comparison on
-    null is never TRUE). Raises on py4j surprises — callers treat
-    that as "cannot skip"."""
+    null is never TRUE; a missing null count always admits). Raises
+    on py4j surprises — callers treat that as "cannot skip"."""
 
     def lit_value(n):
         v = n.value()
@@ -610,7 +611,7 @@ def _compile_can_match(node):
             return str(v), True
         return None, False  # date/timestamp/binary literal: no skip
 
-    TRUE = lambda stats, pv: True  # noqa: E731
+    TRUE = lambda stats, pv, nulls=None, rows=None: True  # noqa: E731
 
     def bounds_of(name: str, stats: dict, pv: dict):
         st = stats.get(name)
@@ -622,9 +623,25 @@ def _compile_can_match(node):
         return None, False
 
     def cmp_fn(name: str, op: str, v):
-        def f(stats, pv):
+        def f(stats, pv, nulls=None, rows=None):
             b, exact = bounds_of(name, stats, pv)
             return True if b is None else _cmp_bounds(b, op, v, exact)
+
+        return f
+
+    def null_fn(name: str, want_null: bool):
+        def f(stats, pv, nulls=None, rows=None):
+            if want_null:
+                if (pv or {}).get(name) is not None:
+                    # exact non-null hive partition value: the column
+                    # is a non-null constant in this file
+                    return False
+                nc = (nulls or {}).get(name)
+                return True if nc is None else nc > 0
+            nc = (nulls or {}).get(name)
+            if nc is None or rows is None:
+                return True
+            return nc < rows  # all-NULL file can't satisfy IS NOT NULL
 
         return f
 
@@ -634,10 +651,16 @@ def _compile_can_match(node):
         kids = [ch.apply(i) for i in range(ch.size())]
         if cls == "And":
             l, r = walk(kids[0]), walk(kids[1])
-            return lambda stats, pv: l(stats, pv) and r(stats, pv)
+            return lambda *a: l(*a) and r(*a)
         if cls == "Or":
             l, r = walk(kids[0]), walk(kids[1])
-            return lambda stats, pv: l(stats, pv) or r(stats, pv)
+            return lambda *a: l(*a) or r(*a)
+        if (
+            cls in ("IsNull", "IsNotNull")
+            and len(kids) == 1
+            and kids[0].getClass().getSimpleName() == "UnresolvedAttribute"
+        ):
+            return null_fn(kids[0].name(), cls == "IsNull")
         if cls in _CMP_OPS and len(kids) == 2:
             lc = kids[0].getClass().getSimpleName()
             rc = kids[1].getClass().getSimpleName()
@@ -662,17 +685,19 @@ def _compile_can_match(node):
                 if not ok:
                     return TRUE
                 alts.append(cmp_fn(name, "=", v))
-            return lambda stats, pv: any(a(stats, pv) for a in alts)
-        return TRUE  # NOT / IS NULL / functions / anything else
+            return lambda *a: any(alt(*a) for alt in alts)
+        return TRUE  # NOT / functions / anything else
 
     return walk(node)
 
 
-def _can_match_stats(node, stats: dict, pv: dict) -> bool:
+def _can_match_stats(
+    node, stats: dict, pv: dict, nulls: dict | None = None, rows: int | None = None
+) -> bool:
     """One-shot form of :func:`_compile_can_match` (tests use it);
     hot paths compile once and evaluate per file."""
     try:
-        return _compile_can_match(node)(stats, pv)
+        return _compile_can_match(node)(stats, pv, nulls, rows)
     except Exception:  # py4j surprises: skipping is only an optimization
         return True
 
@@ -3857,6 +3882,8 @@ class TxTable:
                         ok = can_match(
                             _rekey_logical(a.get("stats"), mapping),
                             _rekey_logical(a.get("partitionValues"), mapping),
+                            _rekey_logical(a.get("nulls"), mapping),
+                            a.get("rows"),
                         )
                     except Exception:
                         ok = True  # skipping is only an optimization

@@ -2408,6 +2408,48 @@ def test_stats_can_match_is_conservative_and_sound(spark, tmp_path):
     assert can("name IN (50)", stats=num_str, p={})
     # hive pv is an EXACT value, so numeric coercion stays safe there
     assert not can("p = 4") and can("p = 3")
+    # round 13: null-count atoms — IS NULL skips null-free files,
+    # IS NOT NULL skips all-NULL files; missing info always admits
+    def can_n(sql, nulls=None, rows=None, stats=st, p=pv):
+        return _can_match_stats(parse(sql), stats, p, nulls, rows)
+
+    assert not can_n("k IS NULL", nulls={"k": 0}, rows=10)
+    assert can_n("k IS NULL", nulls={"k": 3}, rows=10)
+    assert can_n("k IS NULL")  # no null info: admit
+    assert not can_n("k IS NOT NULL", nulls={"k": 10}, rows=10)
+    assert can_n("k IS NOT NULL", nulls={"k": 9}, rows=10)
+    assert can_n("k IS NOT NULL", nulls={"k": 10})  # rows unknown: admit
+    # a non-null hive partition value refutes IS NULL even without counts
+    assert not can_n("p IS NULL")
+    # conjunction composes: range-matchable but null-free
+    assert not can_n("k = 15 AND k IS NULL", nulls={"k": 0}, rows=10)
+
+
+def test_delete_where_is_null_with_null_counts(spark, tmp_path):
+    """DELETE WHERE col IS NULL — the GDPR/cleanup shape — now prunes
+    its detection scan with logged null counts: a null-free file is
+    provably unmatchable driver-side (its min/max could never say so).
+    End-to-end correctness stays exact either way."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["v"])
+    mk = lambda sql: spark.sql(sql).coalesce(1)
+    t.create(mk("SELECT id AS k, id AS v FROM range(10)"))  # null-free
+    t.append(mk("SELECT id AS k, CAST(NULL AS BIGINT) AS v FROM range(100, 105)"))
+    t.append(
+        mk(
+            "SELECT id AS k, IF(id % 2 = 0, id, CAST(NULL AS BIGINT)) AS v "
+            "FROM range(200, 210)"
+        )
+    )
+    before = dict(t._replay_state()["adds"])
+    nullfree = [r for r, a in before.items() if a.get("nulls", {}).get("v") == 0]
+    assert len(nullfree) == 1
+    t.delete_where("v IS NULL")
+    after = t._replay_state()["adds"]
+    # the null-free file's add action is untouched (same entry, no
+    # rewrite); the all-NULL file is gone; the mixed file rewrote
+    assert after[nullfree[0]] == before[nullfree[0]]
+    got = t.snapshot()
+    assert got.count() == 15 and got.filter("v IS NULL").count() == 0
 
 
 def test_update_where_copy_on_write(spark, tmp_path):
