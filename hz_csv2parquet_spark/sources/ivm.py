@@ -117,13 +117,23 @@ class IncrementalAggView:
 
     # ---------------- maintenance ----------------
 
-    def _gk(self) -> "F.Column":
+    def _gk(self, df: DataFrame) -> "F.Column":
         """Canonical never-NULL encoding of the group tuple (see
         ``_GK``). Deterministic: field order is the declared
-        group-column order, NULL fields kept explicit."""
-        return F.to_json(
-            F.struct(*self.group_cols), {"ignoreNullFields": "false"}
-        )
+        group-column order, NULL fields kept explicit. TIMESTAMP
+        group columns encode as epoch micros — ``to_json`` would
+        otherwise format them in the SESSION timezone, and a tz
+        change between refreshes would silently re-key every
+        time-bucketed group."""
+        from pyspark.sql.types import TimestampType
+
+        fields = []
+        for c in self.group_cols:
+            col = F.col(c)
+            if isinstance(df.schema[c].dataType, TimestampType):
+                col = F.unix_micros(col)
+            fields.append(col.alias(c))
+        return F.to_json(F.struct(*fields), {"ignoreNullFields": "false"})
 
     def _signed_delta(self, feed: DataFrame) -> DataFrame:
         """One signed aggregation of the change feed: +1 for
@@ -151,7 +161,7 @@ class IncrementalAggView:
                 (F.col(self.count_col) != 0)
                 | _any_sum_moved(self.sum_cols)
             )
-            .withColumn(_GK, self._gk())
+            .withColumn(_GK, self._gk(feed))
         )
 
     def refresh(self) -> int | None:

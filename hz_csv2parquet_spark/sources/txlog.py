@@ -631,13 +631,18 @@ def _compile_can_match(node):
 
     def null_fn(name: str, want_null: bool):
         def f(stats, pv, nulls=None, rows=None):
+            p = pv or {}
             if want_null:
-                if (pv or {}).get(name) is not None:
+                if p.get(name) is not None:
                     # exact non-null hive partition value: the column
                     # is a non-null constant in this file
                     return False
                 nc = (nulls or {}).get(name)
                 return True if nc is None else nc > 0
+            if name in p and p[name] is None:
+                # __HIVE_DEFAULT_PARTITION__: the column is NULL for
+                # every row of this file
+                return False
             nc = (nulls or {}).get(name)
             if nc is None or rows is None:
                 return True

@@ -635,8 +635,13 @@ def _stats_admit(add: dict, flt, phys: dict | None = None) -> bool:
     if isinstance(flt, (IsNull, IsNotNull)):
         # null-count skipping (round 13, the Delta nullCount shape):
         # IS NULL can't match a null-free file; IS NOT NULL can't
-        # match an all-NULL one. A file without a logged null count
-        # (pre-round-13 log, stat-less column) always admits.
+        # match an all-NULL one. A hive partition value is exact: a
+        # non-null pv refutes IS NULL, the NULL sentinel (stored as
+        # None) refutes IS NOT NULL. A file without a logged null
+        # count (pre-round-13 log, stat-less column) always admits.
+        pvs = add.get("partitionValues") or {}
+        if col in pvs:
+            return (pvs[col] is None) == isinstance(flt, IsNull)
         nc = (add.get("nulls") or {}).get(col)
         rows = add.get("rows")
         if nc is None or rows is None:

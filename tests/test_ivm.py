@@ -302,3 +302,39 @@ def test_streaming_cdf_drives_continuous_refresh(spark, tmp_path):
     applied = v.last_applied()
     drive()
     assert v.last_applied() == applied
+
+
+def test_timestamp_group_key_survives_session_tz_change(spark, tmp_path):
+    """A TIMESTAMP group column (hourly rollup) must not re-key when
+    the session timezone changes between refreshes — the surrogate
+    key encodes epoch micros, not to_json's tz-formatted string."""
+    src = TxTable(
+        spark, str(tmp_path / "src"), stat_cols=["amt"], change_data=True
+    )
+    mk = lambda lo, hi: spark.sql(
+        f"SELECT timestamp_micros(1700000000000000 + (id % 3) * 3600000000)"
+        f" AS h, id AS amt FROM range({lo}, {hi})"
+    )
+    src.create(mk(0, 30))
+    v = IncrementalAggView(src, str(tmp_path / "view"), "h", ["amt"])
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        v.refresh()
+        assert v.read().count() == 3
+        src.append(mk(100, 120))
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        v.refresh()  # same groups must UPSERT, not duplicate
+        got = {
+            r.h: (r.n_rows, r.sum_amt) for r in v.read().collect()
+        }
+        exp = {
+            r.h: (r.n, r.s)
+            for r in src.snapshot()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+            .collect()
+        }
+        assert got == exp and len(got) == 3
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
