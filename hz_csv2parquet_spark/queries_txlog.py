@@ -834,7 +834,7 @@ def txlog_identity_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT o_orderkey, o_orderstatus,
              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      FROM orders WHERE o_orderkey % 15 IN (0, 1)
     ),
     after_del AS (
       SELECT * FROM base WHERE price_cents % 10 <> 3
@@ -879,7 +879,11 @@ def txlog_ivm_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         stat_cols=["o_orderkey"],
         change_data=True,
     )
-    t.create(oc.filter(F.col("o_orderkey") % 3 == 0))
+    # 1/15 slices keep the lifecycle's driver-bench cost proportional
+    # (the whole build runs inside the measurement): the evidence —
+    # insert/delete/update deltas composing to the recompute — is
+    # slice-size-invariant, and sf0.01 still feeds ~1k rows per slice
+    t.create(oc.filter(F.col("o_orderkey") % 15 == 0))
     v = IncrementalAggView(
         t,
         scratch_dir("hz_txq_ivmview_"),
@@ -888,7 +892,7 @@ def txlog_ivm_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="n_orders",
     )
     v.refresh()  # bootstrap: applies the create commit's inserts
-    t.append(oc.filter(F.col("o_orderkey") % 3 == 1))
+    t.append(oc.filter(F.col("o_orderkey") % 15 == 1))
     t.delete_where("price_cents % 10 = 3")
     t.update_where("o_orderkey % 7 = 0", {"price_cents": "price_cents + 5"})
     v.refresh()  # applies the three DML generations as one feed slice
