@@ -284,6 +284,46 @@ def test_cli_sql_over_fixtures_and_txlog_view(tmp_path, spark, capsys):
     assert spark.read.parquet(dest).count() == 2
 
 
+def test_cli_sql_ctas_into_fresh_path_and_fallthrough(tmp_path, spark, capsys):
+    """Round 13: a --table registration may name a path with NO table
+    yet — that is how `sql "CREATE TABLE t AS SELECT"` targets it —
+    and a Spark-capable verb against an UNREGISTERED name falls
+    through to spark.sql instead of dying with the txlog error."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    tbl = str(tmp_path / "fresh")
+    assert (
+        main(
+            [
+                "sql",
+                "CREATE TABLE newt AS SELECT r_regionkey AS k, r_name AS name "
+                "FROM region",
+                "--sf-dir",
+                sf_dir,
+                "--table",
+                f"newt={tbl}",
+            ]
+        )
+        == 0
+    )
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, tbl)
+    assert t.version() == 0 and t.snapshot().count() == 5
+    # fall-through: CREATE against a name with NO --table registration
+    # runs through spark.sql (a real temp view results)
+    assert (
+        main(
+            [
+                "sql",
+                "CREATE OR REPLACE TEMPORARY VIEW some_view AS SELECT 1 AS x",
+            ]
+        )
+        == 0
+    )
+
+
 def test_cli_table_set_properties_and_selective_compact(tmp_path, spark):
     """set-properties + compact --max-file-rows ride the CLI."""
     import json as j

@@ -338,3 +338,36 @@ def test_timestamp_group_key_survives_session_tz_change(spark, tmp_path):
         assert got == exp and len(got) == 3
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_composite_group_key_with_partial_nulls(spark, tmp_path):
+    """Two group columns where each can independently be NULL: the
+    JSON surrogate key distinguishes (NULL, x) from (x, NULL) and
+    from (NULL, NULL), and every combination upserts exactly."""
+    src = TxTable(
+        spark, str(tmp_path / "src"), stat_cols=["amt"], change_data=True
+    )
+    mk = lambda lo, hi: spark.sql(
+        f"SELECT IF(id % 2 = 0, CAST(NULL AS BIGINT), id % 3) AS a, "
+        f"IF(id % 3 = 0, CAST(NULL AS STRING), CAST(id % 2 AS STRING)) AS b, "
+        f"id AS amt FROM range({lo}, {hi})"
+    )
+    src.create(mk(0, 40))
+    v = IncrementalAggView(src, str(tmp_path / "view"), ["a", "b"], ["amt"])
+    v.refresh()
+    src.append(mk(100, 140))
+    src.delete_where("amt % 5 = 2")
+    v.refresh()
+    got = {
+        (r.a, r.b): (r.n_rows, r.sum_amt) for r in v.read().collect()
+    }
+    exp = {
+        (r.a, r.b): (r.n, r.s)
+        for r in src.snapshot()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amt").alias("s"))
+        .collect()
+    }
+    assert got == exp
+    # each refresh merged (no duplicate group rows)
+    assert v.read().count() == len(exp)
