@@ -2243,6 +2243,79 @@ class TxTable:
             operation="DROP-CONSTRAINT",
         )
 
+    def set_not_null(self, col: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN <col> SET NOT NULL — a NOT
+        NULL invariant, stored as the CHECK constraint
+        ``nn_<col>: <col> IS NOT NULL`` so every existing enforcement
+        path (append/merge/update/streaming/DSv2 sink, which all
+        run the CHECK set) carries it, including the round-13
+        null-extension rule that makes widening batches WITHOUT the
+        column refuse instead of null-filling past the invariant.
+
+        History validation is METADATA-FIRST (the round-13 null
+        counts): live files whose logged ``nulls[col]`` is present
+        are judged from the log — zero scan tasks; only files without
+        a count (pre-round-13 adds, stat-less columns) fall back to
+        one distributed IS NULL probe. On a fully-counted 100k-file
+        table this verb is pure driver-side log arithmetic."""
+        from pyspark.sql.types import StructType
+
+        state = self._replay_state()
+        self._check_writer_features(state)
+        schema = StructType.fromJson(json.loads(state["schema"]))
+        if col not in {f.name for f in schema.fields}:
+            raise ValueError(f"no such column: {col!r}")
+        name = f"nn_{col}"
+        if name in state.get("constraints", {}):
+            raise ValueError(f"constraint {name!r} already exists")
+        phys = _cm_map(state.get("columnMapping")).get(col, col)
+        unknown: list[str] = []
+        counted_nulls = 0
+        for rel, add in state["adds"].items():
+            nc = (add.get("nulls") or {}).get(phys)
+            if nc is None:
+                pv = (add.get("partitionValues") or {})
+                if phys in pv:
+                    # exact hive value: None = all-NULL, else null-free
+                    nc = add.get("rows", 0) if pv[phys] is None else 0
+            if nc is None:
+                unknown.append(rel)
+            else:
+                counted_nulls += nc
+        if counted_nulls:
+            raise ValueError(
+                f"cannot SET NOT NULL on {col!r}: existing rows are NULL "
+                f"({counted_nulls} per the logged null counts)"
+            )
+        if unknown:
+            current = self._read_files(
+                [
+                    _data_file(self.path, r, state["adds"][r])
+                    for r in unknown
+                ],
+                state["adds"],
+                state["schema"],
+                mapping=state.get("columnMapping"),
+            )
+            if current.filter(F.col(col).isNull()).limit(1).count():
+                raise ValueError(
+                    f"cannot SET NOT NULL on {col!r}: existing rows are NULL"
+                )
+        return self._rebase_commit(
+            [{"meta": {"constraints": {name: f"{col} IS NOT NULL"}}}],
+            operation="SET-NOT-NULL",
+        )
+
+    def drop_not_null(self, col: str) -> int:
+        """ALTER TABLE ... ALTER COLUMN <col> DROP NOT NULL."""
+        name = f"nn_{col}"
+        if name not in self._replay_state().get("constraints", {}):
+            raise ValueError(f"column {col!r} has no NOT NULL constraint")
+        return self._rebase_commit(
+            [{"meta": {"constraints": {name: None}}}],
+            operation="DROP-NOT-NULL",
+        )
+
     def _check_writer_features(self, state: dict) -> None:
         """Raise if the log names a writer feature this writer does
         not implement — called by every verb that COMMITS (data or
@@ -2360,13 +2433,33 @@ class TxTable:
         nested references, so a constraint spelled ``CHECK (V > 0)``
         over a ``v`` column is enforced, never silently skipped. A
         genuine resolution failure means a widening batch without the
-        constrained column — the column null-fills on read and NULL
-        passes CHECK — which is the only unresolvable case
-        :meth:`add_constraint` lets into the log (it analyzer-checks
-        the expression against the full table schema at add time)."""
+        constrained column — which used to be skipped outright on the
+        "NULL passes CHECK" rule. That rule is UNSOUND for constraints
+        NULL does not pass (``CHECK (c IS NOT NULL)`` evaluates FALSE
+        on the null-filled column a reader will serve!), so since
+        round 13 the batch is NULL-EXTENDED to the table schema first:
+        enforcement filters exactly the values a read would produce —
+        plain CHECKs still pass widening batches (NULL in, NULL out,
+        not FALSE), while NOT-NULL-shaped ones refuse them. The
+        analyzer-failure skip below survives only as a legacy guard
+        (add_constraint analyzer-checks every expression at add time,
+        so with the extension in place it should never fire)."""
         from pyspark.errors import AnalysisException
 
-        for name, expr in (state.get("constraints") or {}).items():
+        cons = state.get("constraints") or {}
+        if not cons:
+            return
+        schema_json = state.get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            have = {c.lower() for c in df.columns}
+            for fld in StructType.fromJson(json.loads(schema_json)).fields:
+                if fld.name.lower() not in have:
+                    df = df.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
+        for name, expr in cons.items():
             try:
                 bad = df.filter(F.expr(expr).eqNullSafe(F.lit(False))).limit(1)
             except AnalysisException as exc:
@@ -2460,6 +2553,11 @@ class TxTable:
                 self._assign_identity(df, state["identity"]), state
             )
         df = self._apply_generated(df, state)
+        # round 13: evolve_schema is a write verb like any other — it
+        # runs the CHECK set (with the null-extension rule, so a batch
+        # WITHOUT a NOT-NULL column refuses instead of null-filling
+        # past the invariant; plain CHECKs still pass on NULL)
+        self._enforce_constraints(df, state)
         mapping = state.get("columnMapping")
         merged = self.snapshot_schema_union(state["schema"], df)
         meta: dict = {"schema": merged}

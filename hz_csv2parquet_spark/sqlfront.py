@@ -596,6 +596,7 @@ def _parse_alter(stmt: str):
     grammar = (
         "supported ALTER TABLE forms: RENAME COLUMN a TO b | DROP COLUMN a | "
         "ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name | "
+        "ALTER COLUMN a SET NOT NULL | ALTER COLUMN a DROP NOT NULL | "
         "SET TBLPROPERTIES ('k'='v'[, ...])"
     )
     m = re.match(rf"(?is)^ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", stmt)
@@ -619,6 +620,22 @@ def _parse_alter(stmt: str):
 
         def run(spark, resolve):
             return _one_row(spark, "DROP COLUMN", resolve(name).drop_column(col))
+
+        return run
+    nn = re.match(
+        rf"(?is)^ALTER\s+COLUMN\s+({_IDENT})\s+(SET|DROP)\s+NOT\s+NULL\s*$",
+        rest,
+    )
+    if nn:
+        col, which = _unquote(nn.group(1)), nn.group(2).upper()
+
+        def run(spark, resolve):
+            tbl = resolve(name)
+            if which == "SET":
+                # history validated from the logged null counts first
+                # (O(files) log arithmetic); scan only uncounted files
+                return _one_row(spark, "SET NOT NULL", tbl.set_not_null(col))
+            return _one_row(spark, "DROP NOT NULL", tbl.drop_not_null(col))
 
         return run
     am = re.match(

@@ -433,3 +433,16 @@ def test_create_table_foreign_target_falls_through(spark):
     assert (
         sqlfront.execute(spark, "CREATE TABLE cat_t (k INT)", resolver) is None
     )
+
+
+def test_alter_column_set_drop_not_null(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=2)
+    out = _run(spark, "ALTER TABLE t ALTER COLUMN v SET NOT NULL", t).collect()
+    assert out[0].operation == "SET NOT NULL"
+    with pytest.raises(ValueError, match="nn_v"):
+        t.append(spark.sql("SELECT CAST(1 AS BIGINT) k, CAST(NULL AS BIGINT) v"))
+    out = _run(spark, "ALTER TABLE t ALTER COLUMN v DROP NOT NULL", t).collect()
+    assert out[0].operation == "DROP NOT NULL"
+    # verb-level refusals surface as ValueError (cmd_sql catches both)
+    with pytest.raises(ValueError, match="no NOT NULL"):
+        _run(spark, "ALTER TABLE t ALTER COLUMN v DROP NOT NULL", t)

@@ -3081,3 +3081,80 @@ def test_fsck_commit_keeps_change_feed_consumable(spark, tmp_path):
     feed = t.changes(0)  # spans the FSCK commit
     assert feed.where("_change_type = 'insert'").count() == 3
     assert feed.where("_commit_version = 1").count() == 0  # repair invisible
+
+
+def test_set_not_null_validates_from_null_counts(spark, tmp_path, monkeypatch):
+    """SET NOT NULL (round 13): history is judged from the logged
+    per-file null counts — on a fully-counted table the verb runs
+    ZERO scan tasks (pinned by failing _read_files), and a table with
+    NULL history refuses by count. Once set, the invariant rides the
+    CHECK machinery on every write path — including widening batches
+    WITHOUT the column, which the round-13 null-extension rule now
+    refuses instead of null-filling past the invariant."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["v"])
+    t.create(
+        spark.sql("SELECT id AS k, id AS v FROM range(10)").coalesce(1)
+    )
+    t.append(
+        spark.sql("SELECT id AS k, id AS v FROM range(50, 60)").coalesce(1)
+    )
+
+    def no_scan(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("SET NOT NULL scanned a fully-counted table")
+
+    monkeypatch.setattr(t, "_read_files", no_scan)
+    v = t.set_not_null("v")
+    monkeypatch.undo()
+    assert t.constraints() == {"nn_v": "v IS NOT NULL"}
+    assert v == t.version()
+    # write enforcement: a NULL v refuses on every verb
+    with pytest.raises(ValueError, match="nn_v"):
+        t.append(
+            spark.sql("SELECT CAST(99 AS BIGINT) k, CAST(NULL AS BIGINT) v")
+        )
+    # widening batch WITHOUT v: null-fills on read, so it must refuse
+    with pytest.raises(ValueError, match="nn_v"):
+        t.evolve_schema(
+            spark.createDataFrame([(7, "x")], "k long, note string")
+        )
+    # DROP NOT NULL lifts it
+    t.drop_not_null("v")
+    t.append(spark.sql("SELECT CAST(99 AS BIGINT) k, CAST(NULL AS BIGINT) v"))
+    assert t.snapshot().filter("v IS NULL").count() == 1
+    # and SET NOT NULL on the now-dirty history refuses BY COUNT
+    with pytest.raises(ValueError, match="per the logged null counts"):
+        t.set_not_null("v")
+
+
+def test_set_not_null_scans_only_uncounted_files(spark, tmp_path):
+    """Legacy adds without null counts (pre-round-13 logs) fall back
+    to one distributed probe — simulated by stripping the nulls key
+    from a committed add action."""
+    import json as _json
+
+    from hz_csv2parquet_spark.sources.txlog import _version_file
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["v"])
+    t.create(spark.sql("SELECT id AS k, id AS v FROM range(10)").coalesce(1))
+    vf = _version_file(t.path, 0)
+    acts = [_json.loads(ln) for ln in open(vf)]
+    for arr in acts:
+        for a in arr:
+            if "add" in a:
+                a["add"].pop("nulls", None)
+    with open(vf, "w") as fh:
+        for arr in acts:
+            fh.write(_json.dumps(arr) + "\n")
+    t2 = TxTable(spark, t.path)
+    assert t2.set_not_null("v") == 1  # scan fallback, no NULLs found
+    assert t2.constraints() == {"nn_v": "v IS NOT NULL"}
+
+
+def test_plain_check_still_passes_widening_batches(spark, tmp_path):
+    """The null-extension rule must not over-refuse: a widening batch
+    under a plain CHECK (NULL passes) still evolves the schema."""
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    t.create(spark.createDataFrame([(1, 5)], "k long, v long"))
+    t.add_constraint("v_pos", "v > 0")
+    t.evolve_schema(spark.createDataFrame([(9, "x")], "k long, note string"))
+    assert t.snapshot().filter("k = 9").count() == 1
