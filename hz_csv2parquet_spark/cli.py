@@ -397,6 +397,17 @@ def cmd_table(args: argparse.Namespace) -> None:
         else:
             v = t.drop_constraint(args.name)
             log.info("dropped constraint %s at version %s", args.name, v)
+    elif args.action in ("set-not-null", "drop-not-null"):
+        if not args.column:
+            raise SystemExit(f"table {args.action} requires --column")
+        if args.action == "set-not-null":
+            # history judged from the logged null counts (O(files)
+            # metadata); only uncounted legacy files get one probe
+            v = t.set_not_null(args.column)
+            log.info("column %s SET NOT NULL at version %s", args.column, v)
+        else:
+            v = t.drop_not_null(args.column)
+            log.info("column %s DROP NOT NULL at version %s", args.column, v)
     elif args.action == "rename-column":
         v = t.rename_column(args.column, args.to_name)
         log.info(
@@ -675,6 +686,8 @@ def build_parser() -> argparse.ArgumentParser:
             "convert",
             "add-constraint",
             "drop-constraint",
+            "set-not-null",
+            "drop-not-null",
             "rename-column",
             "drop-column",
             "clone",
@@ -751,7 +764,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--column",
         default=None,
-        help="rename-column/drop-column: the (logical) column to alter",
+        help="rename-column/drop-column/set-not-null/drop-not-null: "
+        "the (logical) column to alter",
     )
     t.add_argument(
         "--to",

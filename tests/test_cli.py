@@ -487,3 +487,19 @@ def test_cli_table_reorg_purge_and_index_bloom(tmp_path, spark):
     out = str(tmp_path / "out")
     assert main(["table", "export", tbl, "--dest", out]) == 0
     assert spark.read.parquet(out).count() == 40
+
+
+def test_cli_table_set_and_drop_not_null(tmp_path, spark):
+    """Round 13: the NOT NULL verbs ride the table CLI, metadata-first
+    validation included (a table with NULL history refuses)."""
+    src = tmp_path / "t.csv"
+    src.write_text("k,v\n1,10\n2,20\n3,30\n")
+    tbl = str(tmp_path / "tbl")
+    assert main(["table", "create", tbl, "--src", str(src), "--stat-cols", "k,v"]) == 0
+    assert main(["table", "set-not-null", tbl, "--column", "v"]) == 0
+    from hz_csv2parquet_spark.sources.txlog import TxTable
+
+    t = TxTable(spark, tbl)
+    assert t.constraints() == {"nn_v": "v IS NOT NULL"}
+    assert main(["table", "drop-not-null", tbl, "--column", "v"]) == 0
+    assert TxTable(spark, tbl).constraints() == {}
