@@ -245,72 +245,131 @@ def query(
 #: alphabetically LAST r10 fill row (``q14_promo_revenue_ratio`` —
 #: moves to the round-14 mandatory ledger below). Window stays
 #: exactly 50 = 47 rotation + 3 priority.
+#:
+#: ROUND 14 WINDOW. No red rows in r13 (50/50 hash-green — the first
+#: all-green window with no rows-only entries). The r13 verdict's
+#: first item is structural: the landed CORRECTNESS_r13 makes the
+#: round-14 rule-mandatory set 63 queries (16 last-green r10 + 47
+#: last-green r11) against the 50-row window — infeasible no matter
+#: how the window is planned (both rotation watchdogs failed on the
+#: closing state). The fix, per the verdict: FOURTEEN
+#: evidence-preserving retirements from the r11 cohort (the
+#: E38/E47/E55/E56 pattern — decorator removed, function + pytest
+#: pins kept, SURVEY §2 row updated), each with named carriers:
+#:   approx_percentiles_by_segment (rows-only by design, zero hash
+#:   evidence lost; exact path gated by percentiles_by_segment_
+#:   scalable, sketch accuracy pinned in tests/test_extra.py),
+#:   inverted_index_documents (tokenize→df/tf stats gated by
+#:   bm25_topk_documents + top_terms_per_lang; bounded-postings rank
+#:   cut by top_k_orders),
+#:   mixture_resample_documents (content-hash sampling gate by
+#:   sample_stratified_documents + train_val_test_split_documents;
+#:   copy-count explode pinned in tests/test_sampling.py),
+#:   multimodal_byte_features (the Arrow mapInPandas plumbing gated
+#:   by the STRONGER decode rows multimodal_decode_shapes /
+#:   multimodal_phash_dedup / multimodal_resize_thumbnails),
+#:   quantile_normalize_events + trimmed_mean_by_type (both ride the
+#:   E77 two-phase rank gated by percentiles_by_segment_scalable +
+#:   rfm_segmentation_customers; finishes pinned in pytest),
+#:   quantize_embeddings_int8 (narrow array projection gated by
+#:   pca_power_iteration_embeddings + hard_negatives_embeddings;
+#:   rounding arithmetic pinned in tests/test_similarity.py),
+#:   revenue_share_of_region (4-table exact join revenue by
+#:   q5_local_supplier_volume; broadcast-totals ratio finish by
+#:   chisq_event_value_independence),
+#:   rolling_hourly_user_counts (numeric RANGE frame gated by
+#:   rolling_7d_active_users; hour bucketing by hourly_peaks_events),
+#:   rollup_revenue (ROLLUP = grouping-sets sugar over the same
+#:   Expand + hash agg gated by grouping_sets_revenue — the
+#:   cube_order_stats argument from round 11),
+#:   skew_report_lineitem (generator unpivot + two-level counts by
+#:   column_stats_lineitem + distinct_users_per_type; the salting
+#:   remedy by skew_salted_event_counts),
+#:   tfidf_doc_similarity_pairs (shingle pair self-join by
+#:   ngram_jaccard_pairs; df broadcast by bm25/vocab_oov; salted
+#:   top-k by top_k_orders),
+#:   txlog_dv_cdf_partitioned_events (dv by txlog_dv_delete_read_
+#:   events, cdf by txlog_update_rename_cdf_events + txlog_cdf_
+#:   stream_events, partitioning by txlog_generated_partition_events;
+#:   the interaction legs pinned in tests/test_txlog.py — also the
+#:   catalog's 3rd-most-expensive row),
+#:   zorder_key_events (Morton layout consumer gated by txlog_time_
+#:   travel_orders' compact(layout_key) lifecycle, in this window;
+#:   interleave arithmetic pinned in tests/test_properties_events.py
+#:   + tests/test_txlog.py).
+#: Catalog: 162 − 14 = 148 (steady-state demand 37/round, 26% slack
+#: under the 0.85×50 ceiling).
+#: The window itself: the 16 rule-mandatory r10 rows (front-loaded —
+#: both the 3-round rule and the hard ceiling demand them) + ALL 33
+#: surviving r11 rows (so the r11 cohort zeroes out and round 15's
+#: mandatory set is exactly the 48 live r12 rows — the forward
+#: simulator passes with 2 slots of slack) + 1 changed-implementation
+#: row: txlog_time_travel_orders (r12-green, rerouted through the SQL
+#: front door's VERSION AS OF grammar this round — a landed feature
+#: earns its driver row on its landing round). The NOT NULL lifecycle
+#: evidence (r13 verdict item 3) rides txlog_dv_delete_read_events,
+#: already mandatory here — no extra slot. Round-15 plan ledger: the
+#: 48 live r12 rows (includes the two oldest real streaming runs,
+#: streaming_dedup_events + streaming_attribution_outer — the r13
+#: verdict's item-7 cadence ask lands there by construction); round
+#: 16's projected set is the 50 r13 rows, exactly at cap — round-15
+#: planning should retire 2-4 more from the r12/r13 cohorts to buy
+#: changed-implementation slack.
 ROTATION: set[str] = {
-    # -- rule-mandatory: last green r9 (21 of 24; intersect_active_
-    #    nations, running_total_orders, length_histogram_documents
-    #    retired, see header) --
-    "hard_negatives_embeddings",
-    "hierarchy_depths_documents",
-    "ivf_recall_eval",
-    "jsonl_roundtrip_agg",
-    "levenshtein_near_pairs",
-    "lm_bigram_score_documents",
-    "mad_outliers_events",
-    "mmr_rerank_embeddings",
-    "multimodal_audio_energy",
-    "multimodal_phash_dedup",
-    "multimodal_resize_thumbnails",
-    "pivot_event_counts",
-    "q17_small_quantity_revenue",
-    "q5_local_supplier_volume",
-    "quality_percentile_filter_documents",
-    "retention_cohorts_events",
-    "rfm_segmentation_customers",
-    "scan_prune_filter",
-    "seasonal_anomaly_events",
-    "trend_slope_by_type",
-    "vocab_oov_rate_documents",
-    # -- changed implementations this round (3) --
-    "txlog_merge_read_events",
-    "txlog_restore_read_orders",
-    "multimodal_decode_shapes",
-    # -- oldest (r10) greens, alphabetical prefix (24 of 39 live) --
-    "binned_agg_max_2d",
-    "checksum_orders_table",
-    "chisq_event_value_independence",
-    "collate_union_all",
-    "column_stats_lineitem",
-    "copurchase_part_pairs",
-    "data_quality_checks",
-    "distinct_users_per_type",
-    "enrich_broadcast_lookup",
-    "event_diversity_users",
-    "geo_radius_join_lineitem",
-    "grouping_sets_revenue",
-    "hourly_peaks_events",
-    "impute_group_median_events",
-    "incremental_agg_merge_orders",
-    "interval_coverage_users",
-    "json_extract_events",
-    "keywords_per_document",
-    "pagerank_event_types",
-    "pca_power_iteration_embeddings",
-    "q10_returned_item_customers",
-    "q12_priority_shipping_modes",
-    "q13_order_count_distribution",
-    # q14_promo_revenue_ratio: displaced by E180 (late-round
-    # amendment above) — moves to the round-14 mandatory ledger.
-    # Round-14 plan ledger — the 16 live r10 rows NOT in this window
-    # become rule-mandatory at round-14 planning:
-    # q14_promo_revenue_ratio (displaced by E180), q15_top_supplier,
-    # q18_large_volume_customers, q19_disjunctive_revenue,
-    # q22_idle_rich_customers, q4_priority_with_discounted_lines,
-    # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-    # redact_mask_documents, repetition_stats_documents,
-    # text_quality_by_lang, text_stats_documents,
-    # txlog_cdf_stream_events, txlog_dv_delete_read_events,
-    # vocab_zipf_histogram (15 slots; the balance of the round-14
-    # window goes to the oldest r11 greens).
+    # -- rule-mandatory: last green r10 (all 16 — hard ceiling) --
+    "q14_promo_revenue_ratio",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q4_priority_with_discounted_lines",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "redact_mask_documents",
+    "repetition_stats_documents",
+    "text_quality_by_lang",
+    "text_stats_documents",
+    "txlog_cdf_stream_events",
+    "txlog_dv_delete_read_events",  # + the NOT NULL lifecycle legs (r13 verdict item 3)
+    "vocab_zipf_histogram",
+    # -- all 33 surviving r11 rows (cohort zeroed; r15 = the r12 cohort) --
+    "asof_last_click",
+    "bm25_topk_documents",
+    "bucketed_join_revenue",
+    "compact_small_files",
+    "contamination_check_documents",
+    "csv_roundtrip_agg",
+    "gap_fill_hourly_events",
+    "geo_aggregate_lineitem",
+    "global_shuffle_documents",
+    "locf_carry_forward_events",
+    "multimodal_frame_index",
+    "ngram_jaccard_pairs",
+    "orc_roundtrip_agg",
+    "pack_sequences_documents",
+    "percentiles_by_segment_scalable",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "range_join_event_pairs",
+    "rolling_7d_active_users",
+    "sample_stratified_documents",
+    "scd2_snapshot_join_orders",
+    "schema_evolution_merge",
+    "semantic_dedup_embeddings",
+    "semi_anti_customers",
+    "sessionize_events",
+    "set_except_nations",
+    "skyline_orders",
+    "streaming_cdc_merge_events",
+    "top_k_orders",
+    "top_terms_per_lang",
+    "train_val_test_split_documents",
+    "udaf_grouped_agg_chars",
+    "window_rank_per_group",
+    # -- changed implementation this round (1): SQL-front-door
+    #    VERSION AS OF / TIMESTAMP AS OF reroute (r13 verdict item 5) --
+    "txlog_time_travel_orders",
 }
 
 

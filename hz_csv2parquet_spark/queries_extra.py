@@ -61,17 +61,13 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "tms", "last_click_id", "last_click_value")
 
 
-@query(
-    "rollup_revenue",
-    sql="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
-             AS revenue,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP(l_returnflag, l_linestatus)
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): ROLLUP is
+# grouping-sets sugar over the same physical operator (one Expand +
+# one hash aggregate) that ``grouping_sets_revenue`` (green r13)
+# oracle-gates in general form, with the same GROUPING()/grouping_id
+# and exact-decimal-sum shape — the identical argument that retired
+# ``cube_order_stats`` in round 11. The function stays (undecorated)
+# for test reuse and the record.
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical aggregates via ROLLUP: (flag, status), per-flag
     subtotals, and the grand total in one pass — Spark plans a single
@@ -288,7 +284,14 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles_by_segment", sql=None)
+# RETIRED (round 14, the r13-verdict cadence re-plan): a rows-only
+# driver row by design (no DuckDB sketch parity exists), so retiring
+# it loses zero hash evidence — the exact quantiles it approximates
+# are driver-gated by ``percentiles_by_segment_scalable`` (in this
+# round's mandatory window) and the sketch's accuracy against them
+# stays pinned in tests/test_extra.py
+# ``test_approx_percentile_tracks_exact`` on this undecorated
+# function.
 def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based scale path next to percentiles_by_segment_scalable:
     ``approx_percentile`` (KLL-style, mergeable, bounded memory) is
@@ -441,18 +444,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "rolling_hourly_user_counts",
-    sql="""
-    WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events)
-    SELECT user_id, event_id, tms,
-           CAST(COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY tms
-             RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS n_trailing_hour
-    FROM ev
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): the numeric
+# RANGE-frame window over epoch-ms partitioned by user is exactly the
+# frame shape ``rolling_7d_active_users`` oracle-gates (in this
+# round's mandatory window — it was the named RANGE-frame carrier for
+# the round-13 ``running_total_orders`` retirement too); hour-grain
+# event bucketing is gated by ``hourly_peaks_events`` (green r13) and
+# the streaming sliding-window row. The function stays (undecorated)
+# for test reuse and the record.
 def rolling_hourly_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time RANGE-frame window: per user, how many of their
     events fall in the trailing hour (inclusive). Numeric range frame

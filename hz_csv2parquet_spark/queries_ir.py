@@ -97,34 +97,15 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-@query(
-    "inverted_index_documents",
-    sql=f"""
-    WITH toks AS (
-      SELECT doc_id AS doc, unnest({sql_tokens("text")}) AS tok FROM documents
-    ),
-    pairs AS (
-      SELECT tok, doc, CAST(COUNT(*) AS BIGINT) AS tfp
-      FROM toks GROUP BY 1, 2
-    ),
-    stats AS (
-      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
-             CAST(SUM(tfp) AS BIGINT) AS tf_total
-      FROM pairs GROUP BY 1
-    ),
-    ranked AS (
-      SELECT tok, doc,
-             ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc) AS rn
-      FROM pairs
-    ),
-    post AS (
-      SELECT tok, string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
-      FROM ranked WHERE rn <= 8 GROUP BY tok
-    )
-    SELECT tok AS token, df, tf_total, postings
-    FROM stats JOIN post USING (tok)
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): every stage is
+# driver-gated by greener siblings — the tokenize → (token, doc)
+# reduce → per-token df/tf stats pipeline by ``bm25_topk_documents``
+# and ``top_terms_per_lang`` (both headline-benched, both in this
+# round's mandatory window), and the bounded-postings rank-≤-k cut by
+# the salted ``top_k_orders`` grouped-top-k (same no-unbounded-
+# collect_set argument). operators/ir.py ``inverted_index`` keeps its
+# pytest pins. The function stays (undecorated) for test reuse and
+# the record.
 def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-grain inverted index: df, total tf, and a bounded
     posting sample (8 smallest doc ids, comma-joined) per token.
@@ -994,30 +975,14 @@ def train_val_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------
 
 
-@query(
-    "trimmed_mean_by_type",
-    since=5,
-    sql="""
-    WITH c AS (
-      SELECT event_type,
-             CAST(round(value * 100) AS BIGINT) AS y,
-             event_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY event_type ORDER BY value, event_id
-             ) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
-    )
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_kept,
-           CAST(CAST(SUM(CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE) / 100.0 AS trimmed_mean
-    FROM c
-    WHERE rn > CAST(FLOOR(n / 20.0) AS BIGINT)
-      AND rn <= n - CAST(FLOOR(n / 20.0) AS BIGINT)
-    GROUP BY event_type
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): the E77
+# two-phase histogram rank this rides is driver-gated by
+# ``percentiles_by_segment_scalable`` (in this round's mandatory
+# window) and ``rfm_segmentation_customers`` (green r13); the robust-
+# stats finish (integer rank trim gate + cents-exact sum) is the
+# ``mad_outliers_events`` family (green r13). The rank-gate-vs-
+# sorted-slice property stays pinned in tests/test_properties.py and
+# the partition-invariance sweep on this undecorated function.
 def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5%-trimmed mean of event value per type — the robust-mean
     aggregate, computed scalably: ranks come from the E77 two-phase
@@ -1056,23 +1021,14 @@ def trimmed_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-@query(
-    "quantile_normalize_events",
-    since=5,
-    sql="""
-    WITH c AS (
-      SELECT event_id, event_type, value,
-             ROW_NUMBER() OVER (
-               PARTITION BY event_type ORDER BY value, event_id
-             ) AS rn,
-             COUNT(*) OVER (PARTITION BY event_type) AS n
-      FROM events
-    )
-    SELECT event_id, event_type,
-           (2.0 * CAST(rn AS DOUBLE) - 1.0) / (2.0 * CAST(n AS DOUBLE)) AS q
-    FROM c
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): the rank
+# machinery is the same driver-gated E77 two-phase rank
+# (``percentiles_by_segment_scalable``, in this round's mandatory
+# window; ``rfm_segmentation_customers`` green r13); the
+# (2·rank−1)/2n projection is a trivial narrow finish pinned against
+# a sorted-rank brute force in tests/test_properties_events.py and
+# kept under the partition-invariance sweep on this undecorated
+# function.
 def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantile normalization of event values within each type:
     q = (2·rank − 1) / (2n) maps values onto a uniform (0,1) grid —
@@ -1176,21 +1132,15 @@ def _z_sql_interleave(a: str, b: str, bits: int = 16) -> str:
     return " | ".join(parts)
 
 
-@query(
-    "zorder_key_events",
-    since=5,
-    sql=f"""
-    WITH c AS (
-      SELECT event_id,
-             CAST(user_id % 65536 AS BIGINT) AS ua,
-             CAST(FLOOR(epoch_ms(ts) / 3600000) % 65536 AS BIGINT) AS hb
-      FROM events
-    )
-    SELECT event_id, ua, hb,
-           CAST({_z_sql_interleave("ua", "hb")} AS BIGINT) AS zkey
-    FROM c
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): the Morton
+# key is a pure narrow integer expression whose production consumer —
+# the txlog layout rewrite ``TxTable.compact(layout_key=...)`` — is
+# driver-gated by ``txlog_time_travel_orders`` (rotated into this
+# round's window through the SQL front door); the interleave
+# arithmetic stays pinned against a Python bit-interleave in
+# tests/test_properties_events.py and the both-dimensions file-
+# skipping claim in tests/test_txlog.py. The function stays
+# (undecorated) for test reuse and the record.
 def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user, hour) — the
     multi-dimensional layout key Delta's OPTIMIZE ZORDER BY computes:
@@ -1371,29 +1321,13 @@ def interval_coverage_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "skew_report_lineitem",
-    sql="""
-    WITH kv AS (
-      SELECT 'l_orderkey' AS key_name, l_orderkey AS key_val FROM lineitem
-      UNION ALL
-      SELECT 'l_partkey', l_partkey FROM lineitem
-      UNION ALL
-      SELECT 'l_suppkey', l_suppkey FROM lineitem
-    ),
-    per_key AS (
-      SELECT key_name, key_val, CAST(COUNT(*) AS BIGINT) AS c
-      FROM kv GROUP BY 1, 2
-    )
-    SELECT key_name,
-           CAST(COUNT(*) AS BIGINT) AS ndv,
-           CAST(SUM(c) AS BIGINT) AS n_rows,
-           CAST(MAX(c) AS BIGINT) AS max_key_rows,
-           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
-    FROM per_key GROUP BY key_name
-    """,
-    since=5,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): a diagnostic
+# report whose machinery is fully gated elsewhere — generator unpivot
+# + map-side-combined two-level counts by ``column_stats_lineitem``
+# (green r13) and ``distinct_users_per_type`` (green r13), and the
+# salting remedy it measures for by ``skew_salted_event_counts``
+# (green r12). The function stays (undecorated) for test reuse and
+# the record.
 def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic — for every candidate join key of the
     fact table: distinct-value count, total rows, the hottest key's

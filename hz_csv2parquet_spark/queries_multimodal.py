@@ -20,23 +20,15 @@ from .queries import query
 from .tables import table
 
 
-@query(
-    "multimodal_byte_features",
-    sql="""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(list_sum(list_transform(generate_series(1, length(text)),
-                                        i -> ord(substring(text, i, 1)))) AS BIGINT)
-             AS byte_sum,
-           CAST(list_sum(list_transform(generate_series(1, length(text)),
-                                        i -> ord(substring(text, i, 1)))) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE) AS mean_byte,
-           CAST(list_max(list_transform(generate_series(1, length(text)),
-                                        i -> ord(substring(text, i, 1)))) AS BIGINT)
-             AS max_byte
-    FROM documents
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): the
+# mapInPandas/Arrow payload path this row hash-checked is now
+# driver-gated end-to-end by the STRONGER decode rows —
+# ``multimodal_decode_shapes`` (real PNG/JPEG codec, green r13) and
+# ``multimodal_phash_dedup``/``multimodal_resize_thumbnails`` (green
+# r13) run the same attach_payload_metadata → Arrow-batched UDF
+# plumbing plus an actual decode; the numpy byte stats stay pinned in
+# tests/test_multimodal.py (values + multi-partition distribution) on
+# this undecorated function.
 def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through the real
     mapInPandas/Arrow path: documents text encoded to bytes, typed

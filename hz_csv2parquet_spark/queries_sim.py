@@ -363,30 +363,14 @@ def similarity_topk_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_pandas(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-@query(
-    "quantize_embeddings_int8",
-    sql="""
-    WITH s AS (
-      SELECT vec_id,
-             embedding,
-             greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
-                      1e-30) / 127.0 AS scale
-      FROM embeddings
-    )
-    SELECT vec_id,
-           CAST(scale AS DOUBLE) AS q_scale,
-           CAST(u.i AS BIGINT) AS i,
-           CAST(u.q AS BIGINT) AS q
-    FROM (
-      SELECT vec_id, scale,
-             unnest(list_transform(generate_series(1, len(embedding)),
-               i -> struct_pack(i := i,
-                                q := floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5))))
-               AS u
-      FROM s
-    ) t
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): a narrow
+# projection + posexplode with no shuffle — the array-column
+# expression machinery (transform/array_max/posexplode over
+# ``embedding``) is driver-gated by ``pca_power_iteration_embeddings``
+# and ``hard_negatives_embeddings`` (both green r13), and the
+# quantization arithmetic (max-abs scale, portable floor(x/s+0.5),
+# 1e-30 zero guard) stays pinned with a reconstruction-error bound in
+# tests/test_similarity.py on this undecorated function.
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (max-abs
     scale per vector, round-half-up via floor(x/s + 0.5) — the

@@ -484,16 +484,15 @@ def _sql_mixture_counts() -> str:
     )
 
 
-@query(
-    "mixture_resample_documents",
-    sql=f"""
-    WITH w AS (
-      SELECT doc_id, source, {_sql_mixture_counts()} AS n FROM documents
-    )
-    SELECT doc_id, source, CAST(c AS BIGINT) AS copy_id
-    FROM (SELECT doc_id, source, unnest(generate_series(1, n)) AS c FROM w) t
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): the
+# deterministic content-hash gate that decides every copy is the
+# machinery ``sample_stratified_documents`` and
+# ``train_val_test_split_documents`` oracle-gate (both in this
+# round's mandatory window); the ⌊w⌋-copies + fractional-copy explode
+# is a narrow generate pinned in tests/test_sampling.py
+# ``test_mixture_resample_copy_counts`` on operators/sampling.py
+# ``mixture_resample``, which stays. The function stays (undecorated)
+# for test reuse and the record.
 def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted mixture resampling with replacement — per-source
     epoch weights made physical (src0×2.5, src1×0.25, src2×1.5,
@@ -1425,45 +1424,15 @@ def readability_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already carry.
 
 
-@query(
-    "tfidf_doc_similarity_pairs",
-    sql=f"""
-    WITH w0 AS (
-      SELECT doc_id, u.sh FROM (
-        SELECT doc_id, {_sql_shingles("text")} AS shs FROM documents
-      ), UNNEST(shs) AS u(sh)
-    ),
-    df AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM w0 GROUP BY 1),
-    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w0),
-    w AS (
-      SELECT doc_id, w0.sh, CAST(n_docs AS DOUBLE) / df AS wt
-      FROM w0 JOIN df ON w0.sh = df.sh, n
-      WHERE df >= 2 AND df <= 20
-    ),
-    norms AS (
-      SELECT doc_id,
-             sqrt(CAST(CAST(SUM(CAST(wt * wt AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE))
-               AS nrm
-      FROM w GROUP BY doc_id
-    ),
-    dots AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
-               AS dot
-      FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    scored AS (
-      SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
-      FROM dots JOIN norms na ON id_a = na.doc_id JOIN norms nb ON id_b = nb.doc_id
-    )
-    SELECT id_a, id_b, cosine, rn FROM (
-      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, id_a, id_b) AS BIGINT) AS rn
-      FROM scored
-    ) WHERE rn <= 20
-    """,
-    since=5,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): every stage is
+# driver-gated by greener siblings — 3-shingle extraction and the
+# co-partitioned pair self-join on the shingle key by
+# ``ngram_jaccard_pairs`` (in this round's mandatory window, same
+# pair-grain oracle), the df build + broadcast join-back by
+# ``bm25_topk_documents`` and ``vocab_oov_rate_documents``, the
+# decimal-exact dot/norm sums by ``semantic_dedup_embeddings``'s E97
+# arithmetic, and the salted global top-k by ``top_k_orders``. The
+# function stays (undecorated) for test reuse and the record.
 def tfidf_doc_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse idf-weighted document similarity through the inverted
     index — the lexical complement of the dense embedding cosine, at

@@ -827,29 +827,15 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("part_a", "part_b", "c_pair", "confidence", "lift", "rn")
 
 
-@query(
-    "revenue_share_of_region",
-    sql=f"""
-    WITH per_nation AS (
-      SELECT r_name AS region, n_name AS nation,
-             {SQL_EXACT_SUM.format(expr="o_totalprice")} AS revenue
-      FROM orders
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation   ON c_nationkey = n_nationkey
-      JOIN region   ON n_regionkey = r_regionkey
-      GROUP BY 1, 2
-    )
-    , totals AS (
-      SELECT region AS tregion,
-             CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
-               AS region_total
-      FROM per_nation GROUP BY 1
-    )
-    SELECT region, nation, revenue, revenue / region_total AS share_of_region
-    FROM per_nation JOIN totals ON region = tregion
-    """,
-    since=5,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): the 4-table
+# fact→dim join with exact grouped revenue is ``q5_local_supplier_
+# volume`` (green r13, same tables, same broadcast dims); the
+# ratio-to-parent finish — order-insensitive DECIMAL re-aggregate of
+# per-group exact sums, broadcast joined back — is the
+# ``chisq_event_value_independence`` broadcast-totals shape (green
+# r13). The double-window-sum hash-divergence lesson is recorded in
+# the docstring; the partition-invariance sweep keeps running on this
+# undecorated function.
 def revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-parent — every nation's share of its region's revenue,
     the percent-of-total drill every OLAP hierarchy report shows. The

@@ -429,28 +429,20 @@ def txlog_dv_delete_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "txlog_dv_cdf_partitioned_events",
-    priority=False,  # r11-verified (E168 green); rotated out of round 12
-    since=11,
-    sql="""
-    WITH base AS (
-      SELECT event_id, event_type,
-             CAST(round(value * 100) AS BIGINT) AS cents
-      FROM events
-    )
-    SELECT event_id, event_type, cents,
-           'delete' AS _change_type,
-           CAST(1 AS BIGINT) AS _commit_version
-    FROM base WHERE event_id % 5 = 0
-    UNION ALL
-    SELECT event_id, event_type, cents,
-           'delete' AS _change_type,
-           CAST(2 AS BIGINT) AS _commit_version
-    FROM base
-    WHERE event_type = 'click' AND event_id % 3 = 0 AND event_id % 5 != 0
-    """,
-)
+# RETIRED (round 14, the r13-verdict cadence re-plan): each leg is
+# driver-gated by a greener txlog row — dv masking + sidecar staging
+# by ``txlog_dv_delete_read_events`` (in this round's mandatory
+# window), cdc-sidecar change feeds by ``txlog_update_rename_cdf_
+# events`` and ``txlog_cdf_stream_events`` (the latter in this
+# round's window), hive partitioning by ``txlog_generated_partition_
+# events``. The two-generation interactions this row uniquely staged
+# (vector UNION on shared files, partition-column delete resolution,
+# dv+cdf+partition vacuum) are pinned in tests/test_txlog.py
+# (test_partitioned_dv_delete, test_delete_rebase_extends_cdc_and_dv_
+# for_interleaved_files, test_vacuum_interaction_on_partitioned_dv_
+# cdf_table). Also the catalog's 3rd-most-expensive row (8.1 s at
+# sf0.1 — a 5-commit lifecycle build). The function stays
+# (undecorated) for test reuse and the record.
 def txlog_dv_cdf_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E168 (VERDICT r10 #6): deletion vectors + change-data feed +
     hive partitioning COMBINED — the shape every real GDPR-erasure
@@ -828,7 +820,7 @@ def txlog_identity_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_ivm_refresh_orders",
-    priority=True,  # new in round 13: needs its first driver row
+    priority=False,  # r13-green (first driver row landed round 13)
     since=13,
     sql="""
     WITH base AS (
@@ -905,7 +897,7 @@ def txlog_ivm_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_insert_overwrite_orders",
-    priority=True,  # new in round 13: needs its first driver row
+    priority=False,  # r13-green (first driver row landed round 13)
     since=13,
     sql="""
     WITH head AS (
@@ -978,7 +970,7 @@ def txlog_insert_overwrite_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "txlog_ctas_replace_orders",
-    priority=True,  # new in round 13 (late): needs its first driver row
+    priority=False,  # r13-green (first driver row landed round 13)
     since=13,
     sql="""
     WITH head AS (

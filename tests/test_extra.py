@@ -36,9 +36,14 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 
 
 def test_approx_percentile_tracks_exact(spark, sf_dir):
+    # approx_percentiles_by_segment was retired from the driver
+    # registry in round 14 (rows-only by design — no hash evidence
+    # lost); this accuracy pin against the exact path is its evidence
+    from hz_csv2parquet_spark.queries_extra import approx_percentiles_by_segment
+
     approx = {
         r.c_mktsegment: r.p50_approx
-        for r in REGISTRY["approx_percentiles_by_segment"].fn(spark, sf_dir).collect()
+        for r in approx_percentiles_by_segment(spark, sf_dir).collect()
     }
     exact = {
         r.c_mktsegment: r.p50

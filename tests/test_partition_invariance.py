@@ -17,13 +17,20 @@ from hz_csv2parquet_spark.queries import REGISTRY
 from hz_csv2parquet_spark.queries_ir import (
     benford_first_digit_orders,
     interarrival_stats_users,
+    quantile_normalize_events,
+    trimmed_mean_by_type,
 )
+from hz_csv2parquet_spark.queries_tpch2 import revenue_share_of_region
 
 #: catalog rows retired from the driver registry whose exactness
 #: claim this sweep still pins (the functions are kept, undecorated)
 RETIRED_FNS = {
     "interarrival_stats_users": interarrival_stats_users,
     "benford_first_digit_orders": benford_first_digit_orders,
+    # round-14 retirements (see queries.py ROUND 14 WINDOW header)
+    "quantile_normalize_events": quantile_normalize_events,
+    "trimmed_mean_by_type": trimmed_mean_by_type,
+    "revenue_share_of_region": revenue_share_of_region,
 }
 
 #: exact-arithmetic queries with float output and no cross-call memo

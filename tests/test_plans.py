@@ -12,10 +12,21 @@ from __future__ import annotations
 import pytest
 
 from hz_csv2parquet_spark.queries import REGISTRY
+from hz_csv2parquet_spark.queries_ir import inverted_index_documents
+from hz_csv2parquet_spark.queries_text import tfidf_doc_similarity_pairs
+
+#: catalog rows retired from the driver registry whose plan-shape
+#: claims these pins still enforce (the functions are kept,
+#: undecorated — the round-13 ntile_customer_quartiles precedent)
+RETIRED_FNS = {
+    "inverted_index_documents": inverted_index_documents,
+    "tfidf_doc_similarity_pairs": tfidf_doc_similarity_pairs,
+}
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
+    fn = REGISTRY[name].fn if name in REGISTRY else RETIRED_FNS[name]
+    df = fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

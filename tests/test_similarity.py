@@ -258,3 +258,33 @@ def test_collocation_lift_matches_bruteforce(spark):
     assert set(got) == set(top)
     for k in got:
         assert abs(got[k] - top[k]) < 1e-12, (k, got[k], top[k])
+
+
+def test_int8_quantization_reconstruction_bound(spark, sf_dir):
+    """quantize_embeddings_int8 was retired from the driver registry
+    in round 14 (narrow projection gated by the pca/hard-negatives
+    array machinery); this pin is its kept evidence: every quantized
+    element reconstructs within half a step (|q·s − x| ≤ s/2), codes
+    stay inside int8 range, and the max-abs element hits ±127
+    exactly (symmetric max-abs scaling)."""
+    from collections import defaultdict
+
+    from hz_csv2parquet_spark.queries_sim import quantize_embeddings_int8
+    from hz_csv2parquet_spark.tables import table
+
+    rows = quantize_embeddings_int8(spark, sf_dir).collect()
+    assert rows, "fixture embeddings produced no quantized elements"
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    }
+    by_vec = defaultdict(list)
+    for r in rows:
+        x = emb[r.vec_id][int(r.i) - 1]
+        s = float(r.q_scale)
+        assert -127 <= r.q <= 127, (r.vec_id, r.i, r.q)
+        assert abs(r.q * s - x) <= s / 2 + 1e-12, (r.vec_id, r.i)
+        by_vec[r.vec_id].append((abs(x), abs(int(r.q))))
+    for vid, pairs in by_vec.items():
+        # the max-|x| element of every vector quantizes to |q| = 127
+        assert max(pairs)[1] == 127, vid
