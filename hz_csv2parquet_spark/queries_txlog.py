@@ -375,31 +375,64 @@ def txlog_restore_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "txlog_dv_delete_read_events",
-    priority=False,  # verified r10 (CORRECTNESS_r10: green); rotated out
+    priority=False,  # verified r10; rotated back in for round 14 (+ NOT NULL legs)
     since=10,
     sql="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(NULL AS VARCHAR) AS src
+      FROM events
+      UNION ALL
+      SELECT 1000000003, 'nn_widen', CAST(123 AS BIGINT), 'w'
+      UNION ALL
+      SELECT 1000000005, 'nn_widen', CAST(456 AS BIGINT), 'w'
+    )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum,
            CAST(MIN(event_id) AS BIGINT) AS min_id,
-           CAST(MAX(event_id) AS BIGINT) AS max_id
-    FROM events
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(COUNT(src) AS BIGINT) AS n_src
+    FROM base
     WHERE event_id % 7 != 0
     GROUP BY event_type
     """,
 )
 def txlog_dv_delete_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deletion-vector DELETE (merge-on-read, VERDICT r8 item 4):
-    create the events fixture as a two-file table (v0), DELETE every
-    event_id divisible by 7 on a ``deletion_vectors=True`` table (v1
-    — ZERO data files rewritten, one position sidecar per touched
-    file), then aggregate through the ``hz_txlog`` DSv2 reader, whose
+    """Deletion-vector DELETE (merge-on-read, VERDICT r8 item 4),
+    extended round 14 with the NOT NULL invariant lifecycle (VERDICT
+    r13 item 3 — Delta's NOT NULL column invariant semantics):
+
+    v0  create the events fixture as a two-file table;
+    v1  ``set_not_null("event_id")`` — validated METADATA-FIRST from
+        the logged per-file null counts (event_id is a stat column:
+        zero scan tasks, pure driver-side log arithmetic);
+    —   a violating append (NULL event_id) must REFUSE atomically:
+        the except-branch proves the raise, and the final hash proves
+        nothing leaked (a phantom commit would shift its group's
+        n/cents_sum against the oracle);
+    —   the same widening batch through PLAIN append must also
+        refuse (round-14 fix: staging an undeclared column would make
+        DSv2 log-schema reads and mergeSchema reads disagree — the
+        batch is only legal through the union-schema-logging verb);
+    v2  ``evolve_schema`` with the widening batch that carries the
+        constrained column passes (new ``src`` column → union schema
+        logged; the null-extension rule refuses widening batches
+        WITHOUT event_id, but must not over-refuse ones with it) —
+        old rows read ``src`` as NULL, so ``n_src`` pins the
+        null-fill direction per group;
+    v3  DELETE every event_id divisible by 7 on the
+        ``deletion_vectors=True`` table — ZERO data files rewritten,
+        one position sidecar per touched file;
+    then aggregate through the ``hz_txlog`` DSv2 reader, whose
     executors mask the vector positions out of the Arrow batches. A
-    hash match proves position masking is exact end to end: scan →
-    vector anti-set → aggregate equals the oracle's logical filter.
-    Scale: the delete costs O(deleted rows) sidecar bytes instead of
-    rewriting the touched files; readers pay one tiny vector read per
-    dv'd file."""
+    hash match proves position masking AND the constraint lifecycle
+    are exact end to end: scan → vector anti-set → mergeSchema
+    null-fill → aggregate equals the oracle's logical filter over
+    fixture ∪ widened literals. Scale: set_not_null is O(log) on a
+    fully-counted table; the delete costs O(deleted rows) sidecar
+    bytes instead of rewriting the touched files."""
     from .sources.txlog_source import register_txlog_source
 
     ev = table(spark, sf_dir, "events").select(
@@ -414,6 +447,30 @@ def txlog_dv_delete_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         deletion_vectors=True,
     )
     t.create(ev.repartitionByRange(2, "event_id").sortWithinPartitions("event_id"))
+    t.set_not_null("event_id")
+    violating = spark.createDataFrame(
+        [(None, "nn_violate", 1)], "event_id long, event_type string, cents long"
+    )
+    try:
+        t.append(violating)
+    except ValueError:
+        pass  # refused, as the invariant demands
+    else:  # pragma: no cover - a passing write here is a product bug
+        raise AssertionError("NOT NULL append with NULL event_id must refuse")
+    widening = spark.createDataFrame(
+        [
+            (1000000003, "nn_widen", 123, "w"),
+            (1000000005, "nn_widen", 456, "w"),
+        ],
+        "event_id long, event_type string, cents long, src string",
+    )
+    try:
+        t.append(widening)  # plain append must not smuggle new columns
+    except ValueError:
+        pass  # refused — evolve_schema is the explicit widening verb
+    else:  # pragma: no cover - a passing write here is a product bug
+        raise AssertionError("plain append with an unknown column must refuse")
+    t.evolve_schema(widening)
     t.delete_where("event_id % 7 = 0")
     register_txlog_source(spark)
     return (
@@ -425,6 +482,7 @@ def txlog_dv_delete_read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents_sum"),
             F.min("event_id").alias("min_id"),
             F.max("event_id").alias("max_id"),
+            F.count("src").alias("n_src"),
         )
     )
 

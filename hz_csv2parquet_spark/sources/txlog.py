@@ -2072,6 +2072,32 @@ class TxTable:
         table's GENERATED ALWAYS AS IDENTITY columns."""
         return dict(self._replay_state().get("identity", {}))
 
+    def _require_schema_subset(self, df: DataFrame, state: dict) -> None:
+        """Delta-style schema enforcement for appends: a batch may
+        OMIT table columns (the CHECK set's null-extension rule
+        decides whether null-filling past an invariant is legal), but
+        it may not CARRY columns the committed schema lacks. Staging
+        such a batch would write data files with an undeclared column
+        — invisible to log-schema readers (the DSv2 source) while
+        mergeSchema readers surface it: reader-dependent results, the
+        exact divergence the schema meta action exists to prevent.
+        :meth:`evolve_schema` is the explicit widening verb (it logs
+        the union schema in the same commit)."""
+        from pyspark.sql.types import StructType
+
+        if not state.get("schema"):
+            return
+        known = {
+            f.name
+            for f in StructType.fromJson(json.loads(state["schema"])).fields
+        }
+        extra = [c for c in df.columns if c not in known]
+        if extra:
+            raise ValueError(
+                f"append batch carries columns not in the table schema: "
+                f"{extra} — use evolve_schema() to widen the table"
+            )
+
     def append(self, df: DataFrame) -> int:
         """Blind append — add actions only, no reads rewritten.
 
@@ -2094,6 +2120,7 @@ class TxTable:
         base_v = self.version()
         state = self._replay_state(as_of=base_v)
         self._check_writer_features(state)
+        self._require_schema_subset(df, state)
         if state.get("identity"):
             # an identity append reads the high-water mark — not
             # blind; it owns its own (restaging) conflict loop,
@@ -2503,6 +2530,7 @@ class TxTable:
         if batch_id in state["txns"].get(app_id, set()):
             return None
         self._check_writer_features(state)
+        self._require_schema_subset(df, state)
         if state.get("identity"):
             return self._append_identity(
                 df, (app_id, batch_id), "STREAMING-APPEND",

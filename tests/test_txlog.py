@@ -160,6 +160,38 @@ def test_schema_evolution_null_fills(spark, tmp_path):
     assert rows[5] is None and rows[15] == "x"
 
 
+def test_append_refuses_undeclared_columns(spark, tmp_path):
+    """Round-14 schema enforcement (Delta parity): a plain append
+    whose batch CARRIES a column the committed schema lacks must
+    refuse — staging it would write data files with an undeclared
+    column, making the DSv2 log-schema read and a mergeSchema read
+    disagree. evolve_schema (the union-logging verb) accepts the same
+    batch; the log schema, snapshot, and DSv2 read then agree."""
+    import pytest as _pytest
+
+    from hz_csv2parquet_spark.sources.txlog_source import (
+        register_txlog_source,
+    )
+
+    t = _mk(spark, tmp_path, n=10, files=1)
+    wide = spark.createDataFrame([(99, 990, "x")], "k long, v long, tag string")
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        t.append(wide)
+    # streaming idempotent append enforces identically
+    with _pytest.raises(ValueError, match="evolve_schema"):
+        t.append_batch(wide, "appx", 0)
+    # nothing committed by the refusals
+    assert t.snapshot().count() == 10
+    t.evolve_schema(wide)
+    register_txlog_source(spark)
+    dsv2_cols = set(spark.read.format("hz_txlog").load(t.path).columns)
+    assert dsv2_cols == set(t.snapshot().columns) == {"k", "v", "tag"}
+    # a batch that merely OMITS columns still appends (null-extension
+    # rule territory, not schema enforcement)
+    t.append(spark.createDataFrame([(100, 1000)], "k long, v long"))
+    assert t.snapshot().filter(F.col("k") == 100).count() == 1
+
+
 def test_commit_conflict_raises(spark, tmp_path):
     t = _mk(spark, tmp_path, n=10, files=1)
     # a second writer sneaks in version 1
@@ -3002,11 +3034,18 @@ def test_review_r12_constraint_gate_hardening(spark, tmp_path):
     with pytest.raises(ValueError, match="backslash"):
         t.add_constraint("c", r"s <> 'a\tb'")
     t.add_constraint("v_pos", "v > 0")
-    ambiguous = spark.createDataFrame(
+    ambiguous = extra = spark.createDataFrame(
         [(2, 3, -9, "x")], "k long, v long, V long, s string"
     )
+    # round 14: plain append refuses the undeclared column EARLIER,
+    # at schema enforcement (see test_append_refuses_undeclared_columns)
+    with pytest.raises(ValueError, match="evolve_schema"):
+        t.append(extra)
+    # the r12 gate itself still holds on the verb where the extra
+    # column is legal: the case-duplicate reference must surface as
+    # a named constraint error, never silently unenforce v_pos
     with pytest.raises(Exception, match="v_pos"):
-        t.append(ambiguous)
+        t.evolve_schema(ambiguous)
     assert t.snapshot().count() == 1  # nothing committed
 
 
