@@ -716,10 +716,67 @@ class _UnknownTable(SqlFrontDoorError):
     registered transaction-log table."""
 
 
+#: Delta's SQL time-travel grammar on a query's FROM/JOIN items:
+#: ``FROM t VERSION AS OF 3`` / ``FROM t TIMESTAMP AS OF '...'``
+#: (the clause precedes any alias, as in Delta). The timestamp
+#: literal is single-quoted (with '' escaping) or a bare epoch
+#: number.
+_TT_CLAUSE = re.compile(
+    rf"(?is)\b(FROM|JOIN)\s+({_IDENT})\s+"
+    rf"(?:VERSION\s+AS\s+OF\s+(\d+)"
+    rf"|TIMESTAMP\s+AS\s+OF\s+('(?:[^']|'')*'|\d+(?:\.\d+)?))"
+)
+
+#: statements the time-travel rewrite applies to (query heads — the
+#: DML verbs own their own grammar and never carry AS OF).
+_QUERY_HEAD = re.compile(r"(?is)^\s*(?:SELECT|WITH|TABLE|\()")
+
+
+def _rewrite_time_travel(
+    spark: SparkSession, stmt: str, resolve: Callable[[str], object]
+) -> str:
+    """Rewrite every ``VERSION AS OF`` / ``TIMESTAMP AS OF`` clause to
+    a temp view over the DSv2 as-of read (``asOf`` resolves the
+    historical file set through add/remove log replay; ``timestampAsOf``
+    picks the latest commit at or before the timestamp via the
+    checkpoint timestamp index). Catalyst has no AS OF on Python data
+    sources, so the front door owns this syntax; a non-txlog target is
+    a named error, not a silent pass-through that Catalyst would
+    reject with a parse error pointing at the wrong layer."""
+
+    def _sub(m: re.Match) -> str:
+        kw, name, ver, ts = m.group(1), _unquote(m.group(2)), m.group(3), m.group(4)
+        try:
+            t = resolve(name)
+        except KeyError:
+            raise _UnknownTable(
+                f"time travel ({m.group(0).split(None, 2)[-1]!r}) requires a "
+                f"registered transaction-log table, and {name!r} is not one "
+                "(pass --table name=path)"
+            ) from None
+        reader = spark.read.format("hz_txlog")
+        if ver is not None:
+            reader = reader.option("asOf", ver)
+            view = f"__hz_tt_{name}_v{ver}"
+        else:
+            raw = ts.strip()
+            if raw.startswith("'"):
+                raw = raw[1:-1].replace("''", "'")
+            reader = reader.option("timestampAsOf", raw)
+            view = f"__hz_tt_{name}_t{re.sub(r'[^0-9A-Za-z]', '_', raw)}"
+        reader.load(t.path).createOrReplaceTempView(view)
+        return f"{kw} {view}"
+
+    return _TT_CLAUSE.sub(_sub, stmt)
+
+
 def routes(statement: str) -> bool:
-    """True iff the statement starts with a front-door verb (so it
-    will NOT be handed to ``spark.sql``)."""
+    """True iff the statement starts with a front-door verb, or is a
+    query carrying the time-travel grammar (so it will NOT be handed
+    to ``spark.sql`` unrewritten)."""
     stmt = statement.strip().rstrip(";")
+    if _QUERY_HEAD.match(stmt) and _TT_CLAUSE.search(stmt):
+        return True
     return any(pat.match(stmt) for pat, _, _ in _VERBS)
 
 
@@ -740,6 +797,12 @@ def execute(
     TABLE) — a ``None`` return, so the caller's ``spark.sql`` path
     executes the statement against the non-txlog target."""
     stmt = statement.strip().rstrip(";").strip()
+
+    if _QUERY_HEAD.match(stmt) and _TT_CLAUSE.search(stmt):
+        # SELECT ... FROM t VERSION AS OF n / TIMESTAMP AS OF '...' —
+        # rewrite each clause to a DSv2 as-of temp view, then let
+        # Catalyst run the (now plain) query
+        return spark.sql(_rewrite_time_travel(spark, stmt, resolve))
 
     def _target_is_foreign(verb_stmt: str) -> bool:
         """True iff the statement's table target is extractable AND

@@ -446,3 +446,72 @@ def test_alter_column_set_drop_not_null(spark, tmp_path):
     # verb-level refusals surface as ValueError (cmd_sql catches both)
     with pytest.raises(ValueError, match="no NOT NULL"):
         _run(spark, "ALTER TABLE t ALTER COLUMN v DROP NOT NULL", t)
+
+
+def test_select_version_as_of_routes_to_asof_read(spark, tmp_path):
+    """Delta's SQL time travel (round 14): VERSION AS OF rewrites to
+    the DSv2 asOf read; the historical file set comes from log
+    replay, not the current snapshot."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    t = _mk(spark, tmp_path, n=10, files=1)
+    t.append(spark.range(10, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    register_txlog_source(spark)
+    stmt = "SELECT COUNT(*) AS n, SUM(v) AS sv FROM t VERSION AS OF 0"
+    assert sqlfront.routes(stmt)
+    r0 = _run(spark, stmt, t).collect()[0]
+    assert (r0.n, r0.sv) == (10, sum(2 * k for k in range(10)))
+    # the latest read still sees both generations
+    r1 = _run(spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 1", t).collect()[0]
+    assert r1.n == 20
+    # alias after the clause, Delta-style
+    ra = _run(
+        spark,
+        "SELECT x.k FROM t VERSION AS OF 0 AS x WHERE x.k = 3",
+        t,
+    ).collect()
+    assert [r.k for r in ra] == [3]
+
+
+def test_select_timestamp_as_of_resolves_commit(spark, tmp_path):
+    """TIMESTAMP AS OF picks the latest commit at or before the
+    timestamp (batch semantics, via the checkpoint timestamp index)."""
+    import json as _json
+    import os as _os
+
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    t = _mk(spark, tmp_path, n=10, files=1)
+    t.append(spark.range(10, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    register_txlog_source(spark)
+    cts = t.commit_timestamps()
+    # epoch-seconds literal just after v0, before v1 would need a
+    # wall-clock gap — use v0's own stamp (at-or-before resolution)
+    r = _run(
+        spark,
+        f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF {cts[0]}",
+        t,
+    ).collect()[0]
+    assert r.n == 10
+    # a quoted post-head timestamp resolves to the latest version
+    r2 = _run(
+        spark,
+        f"SELECT COUNT(*) AS n FROM t TIMESTAMP AS OF {cts[1] + 1}",
+        t,
+    ).collect()[0]
+    assert r2.n == 20
+
+
+def test_select_time_travel_on_unregistered_table_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5, files=1)
+    with pytest.raises(SqlFrontDoorError, match="transaction-log table"):
+        _run(spark, "SELECT * FROM unknown_tbl VERSION AS OF 0", t)
+
+
+def test_select_without_as_of_still_falls_through(spark, tmp_path):
+    assert not sqlfront.routes("SELECT * FROM t WHERE note = 'VERSION'")
+    assert (
+        sqlfront.execute(spark, "SELECT 1 AS one", lambda n: None) is None
+    )
