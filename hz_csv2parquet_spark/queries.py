@@ -299,6 +299,25 @@ def query(
 #:   + tests/test_txlog.py).
 #: Catalog: 162 − 14 = 148 (steady-state demand 37/round, 26% slack
 #: under the 0.85×50 ceiling).
+#: FORWARD SMOOTHING (same round, after the window landed): the r16
+#: projection was exactly 50 (the whole r13 cohort) — feasible but
+#: zero slack for changed implementations. THREE more retirements
+#: from the r12 cohort cut the r15 mandatory set to 45, and the 5
+#: freed r15 slots should pull r13-cohort rows forward so r16 lands
+#: ≈45 too:
+#:   zscore_outliers_events (the algebraized DECIMAL z-score gate is
+#:   driver-gated verbatim by seasonal_anomaly_events — same
+#:   (n·v−S)² > k²(n·SS−S²) integer algebra, same broadcast-stats
+#:   second pass; moments by column_stats_lineitem, robust outliers
+#:   by mad_outliers_events),
+#:   source_similarity_minhash (shingle_hashes32 + the (a·h+b) mod p
+#:   family gated by the headline dedup_minhash_documents; the
+#:   per-source MIN reduction is associative algebra on a
+#:   |sources|-row frame),
+#:   full_outer_nation_presence (aggregate-then-full-outer +
+#:   zero-fill gated by corpus_diff_documents at doc_id grain and
+#:   streaming_attribution_outer for the stream-stream form).
+#: Catalog closes at 145 (demand 36.25/round, 28% slack).
 #: The window itself: the 16 rule-mandatory r10 rows (front-loaded —
 #: both the 3-round rule and the hard ceiling demand them) + ALL 33
 #: surviving r11 rows (so the r11 cohort zeroes out and round 15's

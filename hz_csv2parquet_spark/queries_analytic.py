@@ -135,27 +135,15 @@ def gap_fill_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D38 = "decimal(38,0)"
 
 
-@query(
-    "zscore_outliers_events",
-    sql="""
-    WITH c AS (
-      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc FROM events
-    ), s AS (
-      SELECT event_type, COUNT(*) AS n, SUM(vc) AS sm, SUM(vc * vc) AS ss
-      FROM c GROUP BY 1
-    )
-    SELECT c.event_type,
-           CAST(MAX(s.n) AS BIGINT) AS n,
-           CAST(MAX(s.sm) AS DOUBLE) / (100.0 * MAX(s.n)) AS value_mean,
-           CAST(SUM(CASE WHEN
-                  CAST(s.n * c.vc - s.sm AS HUGEINT) * CAST(s.n * c.vc - s.sm AS HUGEINT)
-                  > 4 * (CAST(s.n AS HUGEINT) * CAST(s.ss AS HUGEINT)
-                         - CAST(s.sm AS HUGEINT) * CAST(s.sm AS HUGEINT))
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM c JOIN s USING (event_type)
-    GROUP BY 1
-    """,
-)
+# RETIRED (round 14, forward smoothing for the r16 window): the
+# algebraized z-score gate — (n·v−S)² > k²·(n·SS−S²) in DECIMAL(38,0)
+# with the tiny stats frame broadcast back onto the facts — is
+# driver-gated VERBATIM by ``seasonal_anomaly_events`` (green r13;
+# same integer algebra at 3σ on (type, hour) keys, same two-pass
+# broadcast shape); exact moment sums by ``column_stats_lineitem``,
+# the robust-outlier alternative by ``mad_outliers_events`` (both
+# green r13). The function stays (undecorated) for test reuse and
+# the record.
 def zscore_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type outlier census: rows with |value − mean| > 2σ. The
     z-score gate is order-dependent in floating point (mean and

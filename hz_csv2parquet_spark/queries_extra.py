@@ -520,19 +520,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "full_outer_nation_presence",
-    sql="""
-    WITH c AS (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
-               FROM customer WHERE c_acctbal > 9800 GROUP BY 1),
-    s AS (SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
-          FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
-    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
-           coalesce(c.n_customers, 0) AS n_customers,
-           coalesce(s.n_suppliers, 0) AS n_suppliers
-    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
-    """,
-)
+# RETIRED (round 14, forward smoothing for the r16 window): the
+# aggregate-then-full-outer-join + coalesce/zero-fill shape is
+# driver-gated by ``corpus_diff_documents`` (same full-outer physical
+# operator at high-cardinality doc_id grain with a richer four-state
+# finish; r15-mandatory) and by ``streaming_attribution_outer`` (the
+# watermark-bounded stream-stream full outer). The function stays
+# (undecorated) for test reuse and the record.
 def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer join surface: per-nation customer vs rich-supplier
     presence, zero-filled on either missing side. Pre-aggregated

@@ -1100,7 +1100,15 @@ def _sql_source_similarity(num_hashes: int = 16) -> str:
     """
 
 
-@query("source_similarity_minhash", sql=_sql_source_similarity())
+# RETIRED (round 14, forward smoothing for the r16 window): the
+# 32-bit shingle hashing and the (a·h+b) mod p permutation family are
+# driver-gated by the headline ``dedup_minhash_documents`` (whose
+# oracle replays shingles, the coefficient family, and the per-doc
+# minima every round it runs); the per-source reduction is one
+# associative MIN to |sources| rows and the |sources|² compare is a
+# tiny-frame finish; exact-Jaccard truth stays with
+# ``ngram_jaccard_pairs`` (this round's window). The function stays
+# (undecorated) for test reuse and the record.
 def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise corpus-slice similarity: one MinHash signature PER
     SOURCE (component i = min of the i-th permutation over the union

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pytest
 
 from hz_csv2parquet_spark.queries import REGISTRY
+from hz_csv2parquet_spark.queries_analytic import zscore_outliers_events
 from hz_csv2parquet_spark.queries_ir import inverted_index_documents
 from hz_csv2parquet_spark.queries_text import tfidf_doc_similarity_pairs
 
@@ -21,6 +22,7 @@ from hz_csv2parquet_spark.queries_text import tfidf_doc_similarity_pairs
 RETIRED_FNS = {
     "inverted_index_documents": inverted_index_documents,
     "tfidf_doc_similarity_pairs": tfidf_doc_similarity_pairs,
+    "zscore_outliers_events": zscore_outliers_events,
 }
 
 
