@@ -321,14 +321,17 @@ def query(
 #: The window itself: the 16 rule-mandatory r10 rows (front-loaded —
 #: both the 3-round rule and the hard ceiling demand them) + ALL 33
 #: surviving r11 rows (so the r11 cohort zeroes out and round 15's
-#: mandatory set is exactly the 48 live r12 rows — the forward
+#: mandatory set is exactly the live r12 rows (48 at window-planning
+#: time; 45 after the same-round forward-smoothing retirements below)
+#: — the forward
 #: simulator passes with 2 slots of slack) + 1 changed-implementation
 #: row: txlog_time_travel_orders (r12-green, rerouted through the SQL
 #: front door's VERSION AS OF grammar this round — a landed feature
 #: earns its driver row on its landing round). The NOT NULL lifecycle
 #: evidence (r13 verdict item 3) rides txlog_dv_delete_read_events,
 #: already mandatory here — no extra slot. Round-15 plan ledger: the
-#: 48 live r12 rows (includes the two oldest real streaming runs,
+#: live r12 rows (45 post-smoothing; includes the two oldest real
+#: streaming runs,
 #: streaming_dedup_events + streaming_attribution_outer — the r13
 #: verdict's item-7 cadence ask lands there by construction); round
 #: 16's projected set is the 50 r13 rows, exactly at cap — round-15
