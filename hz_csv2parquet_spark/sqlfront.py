@@ -731,6 +731,21 @@ _TT_CLAUSE = re.compile(
 #: DML verbs own their own grammar and never carry AS OF).
 _QUERY_HEAD = re.compile(r"(?is)^\s*(?:SELECT|WITH|TABLE|\()")
 
+_SQ_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _mask_literals(stmt: str) -> str:
+    """Length-preserving copy with every single-quoted literal's
+    CONTENT blanked — so the time-travel grammar can never match text
+    inside a string (``WHERE note = '... VERSION AS OF 1'`` must not
+    be rewritten). Same-length masking keeps every match span valid
+    on the original statement."""
+    return _SQ_LITERAL.sub(lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", stmt)
+
+
+def _tt_clause(stmt: str) -> re.Match | None:
+    return _TT_CLAUSE.search(_mask_literals(stmt))
+
 
 def _rewrite_time_travel(
     spark: SparkSession, stmt: str, resolve: Callable[[str], object]
@@ -744,14 +759,22 @@ def _rewrite_time_travel(
     a named error, not a silent pass-through that Catalyst would
     reject with a parse error pointing at the wrong layer."""
 
-    def _sub(m: re.Match) -> str:
-        kw, name, ver, ts = m.group(1), _unquote(m.group(2)), m.group(3), m.group(4)
+    def _view_for(m: re.Match) -> str:
+        # match spans come from the literal-masked copy (same length
+        # as the original), so every group is re-read from the
+        # ORIGINAL statement — the masked copy blanks the timestamp
+        # literal's own content
+        kw = stmt[slice(*m.span(1))]
+        name = _unquote(stmt[slice(*m.span(2))])
+        ver = stmt[slice(*m.span(3))] if m.group(3) is not None else None
+        ts = stmt[slice(*m.span(4))] if m.group(4) is not None else None
         try:
             t = resolve(name)
         except KeyError:
+            clause = " ".join(stmt[slice(*m.span(0))].split()[2:])
             raise _UnknownTable(
-                f"time travel ({m.group(0).split(None, 2)[-1]!r}) requires a "
-                f"registered transaction-log table, and {name!r} is not one "
+                f"time travel ({clause!r}) requires a registered "
+                f"transaction-log table, and {name!r} is not one "
                 "(pass --table name=path)"
             ) from None
         reader = spark.read.format("hz_txlog")
@@ -767,7 +790,14 @@ def _rewrite_time_travel(
         reader.load(t.path).createOrReplaceTempView(view)
         return f"{kw} {view}"
 
-    return _TT_CLAUSE.sub(_sub, stmt)
+    # search on the masked copy; splice on the original by span
+    out, pos = [], 0
+    for m in _TT_CLAUSE.finditer(_mask_literals(stmt)):
+        out.append(stmt[pos : m.start()])
+        out.append(_view_for(m))
+        pos = m.end()
+    out.append(stmt[pos:])
+    return "".join(out)
 
 
 def routes(statement: str) -> bool:
@@ -775,7 +805,7 @@ def routes(statement: str) -> bool:
     query carrying the time-travel grammar (so it will NOT be handed
     to ``spark.sql`` unrewritten)."""
     stmt = statement.strip().rstrip(";")
-    if _QUERY_HEAD.match(stmt) and _TT_CLAUSE.search(stmt):
+    if _QUERY_HEAD.match(stmt) and _tt_clause(stmt):
         return True
     return any(pat.match(stmt) for pat, _, _ in _VERBS)
 
@@ -798,7 +828,7 @@ def execute(
     executes the statement against the non-txlog target."""
     stmt = statement.strip().rstrip(";").strip()
 
-    if _QUERY_HEAD.match(stmt) and _TT_CLAUSE.search(stmt):
+    if _QUERY_HEAD.match(stmt) and _tt_clause(stmt):
         # SELECT ... FROM t VERSION AS OF n / TIMESTAMP AS OF '...' —
         # rewrite each clause to a DSv2 as-of temp view, then let
         # Catalyst run the (now plain) query

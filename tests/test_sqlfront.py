@@ -515,3 +515,24 @@ def test_select_without_as_of_still_falls_through(spark, tmp_path):
     assert (
         sqlfront.execute(spark, "SELECT 1 AS one", lambda n: None) is None
     )
+
+
+def test_time_travel_grammar_ignores_string_literals(spark, tmp_path):
+    """A VERSION/TIMESTAMP AS OF phrase INSIDE a string literal must
+    not trigger the rewrite (the clause search runs on a
+    literal-masked copy); a real clause alongside a literal still
+    rewrites, and the literal — including one containing quotes —
+    passes through byte-identical."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    t = _mk(spark, tmp_path, n=4, files=1)
+    register_txlog_source(spark)
+    phantom = "SELECT 'FROM t VERSION AS OF 1' AS note"
+    assert not sqlfront.routes(phantom)
+    assert sqlfront.execute(spark, phantom, lambda n: None) is None
+    mixed = (
+        "SELECT COUNT(*) AS n, 'x VERSION AS OF 9 y' AS tag "
+        "FROM t VERSION AS OF 0 WHERE 'it''s' = 'it''s'"
+    )
+    r = _run(spark, mixed, t).collect()[0]
+    assert (r.n, r.tag) == (4, "x VERSION AS OF 9 y")
