@@ -731,16 +731,22 @@ _TT_CLAUSE = re.compile(
 #: DML verbs own their own grammar and never carry AS OF).
 _QUERY_HEAD = re.compile(r"(?is)^\s*(?:SELECT|WITH|TABLE|\()")
 
-_SQ_LITERAL = re.compile(r"'(?:[^']|'')*'")
+#: single-quoted ('' escape) and double-quoted strings — Spark's
+#: default parser reads BOTH as string literals (double quotes are
+#: identifiers only under spark.sql.ansi.doubleQuotedIdentifiers)
+_STR_LITERAL = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
 
 
 def _mask_literals(stmt: str) -> str:
-    """Length-preserving copy with every single-quoted literal's
-    CONTENT blanked — so the time-travel grammar can never match text
-    inside a string (``WHERE note = '... VERSION AS OF 1'`` must not
-    be rewritten). Same-length masking keeps every match span valid
-    on the original statement."""
-    return _SQ_LITERAL.sub(lambda m: "'" + " " * (len(m.group(0)) - 2) + "'", stmt)
+    """Length-preserving copy with every string literal's CONTENT
+    blanked — so the time-travel grammar can never match text inside
+    a string (``WHERE note = '... VERSION AS OF 1'`` must not be
+    rewritten). Same-length masking keeps every match span valid on
+    the original statement."""
+    return _STR_LITERAL.sub(
+        lambda m: m.group(0)[0] + " " * (len(m.group(0)) - 2) + m.group(0)[-1],
+        stmt,
+    )
 
 
 def _tt_clause(stmt: str) -> re.Match | None:
@@ -778,15 +784,27 @@ def _rewrite_time_travel(
                 "(pass --table name=path)"
             ) from None
         reader = spark.read.format("hz_txlog")
+        # a backticked table name may contain characters a view name
+        # cannot — sanitize, and suffix a short path digest so two
+        # names that sanitize identically (`a-b` vs `a_b`) can never
+        # share a view; the (path, version) pair makes any remaining
+        # collision a no-op replace of an identical definition
+        import hashlib
+
+        safe = (
+            re.sub(r"[^0-9A-Za-z]", "_", name)
+            + "_"
+            + hashlib.md5(t.path.encode()).hexdigest()[:8]
+        )
         if ver is not None:
             reader = reader.option("asOf", ver)
-            view = f"__hz_tt_{name}_v{ver}"
+            view = f"__hz_tt_{safe}_v{ver}"
         else:
             raw = ts.strip()
             if raw.startswith("'"):
                 raw = raw[1:-1].replace("''", "'")
             reader = reader.option("timestampAsOf", raw)
-            view = f"__hz_tt_{name}_t{re.sub(r'[^0-9A-Za-z]', '_', raw)}"
+            view = f"__hz_tt_{safe}_t{re.sub(r'[^0-9A-Za-z]', '_', raw)}"
         reader.load(t.path).createOrReplaceTempView(view)
         return f"{kw} {view}"
 

@@ -536,3 +536,25 @@ def test_time_travel_grammar_ignores_string_literals(spark, tmp_path):
     )
     r = _run(spark, mixed, t).collect()[0]
     assert (r.n, r.tag) == (4, "x VERSION AS OF 9 y")
+
+
+def test_time_travel_double_quoted_strings_and_odd_names(spark, tmp_path):
+    """Spark's default parser reads double-quoted text as a string
+    literal — a phantom clause inside one must not route; a
+    backtick-quoted table name with a dash still rewrites to a valid
+    view name."""
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    phantom = 'SELECT "x FROM t VERSION AS OF 2" AS note'
+    assert not sqlfront.routes(phantom)
+    assert sqlfront.execute(spark, phantom, lambda n: None) is None
+
+    t = TxTable(spark, str(tmp_path / "dash"), stat_cols=["k"])
+    t.create(spark.range(3).select(F.col("id").alias("k")))
+    register_txlog_source(spark)
+    r = sqlfront.execute(
+        spark,
+        "SELECT COUNT(*) AS n FROM `odd-name` VERSION AS OF 0",
+        lambda name: {"odd-name": t}[name],
+    ).collect()[0]
+    assert r.n == 3
