@@ -493,6 +493,7 @@ def cmd_table(args: argparse.Namespace) -> None:
         print(f"version: {t.version()}")
         print(f"files: {len(state['adds'])}")
         print(f"rows: {rows}")
+        print(f"size bytes: {t.detail()['sizeInBytes']}")
         stat_cols = sorted({c for a in state["adds"].values() for c in a.get("stats", {})})
         print(f"stat columns: {', '.join(stat_cols) if stat_cols else '(none)'}")
         pcols = state.get("partitionColumns") or []

@@ -2884,6 +2884,39 @@ class TxTable:
                     break
         return cts
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL payload (Delta's table-metadata one-row
+        surface): format, location, version, live-file count and
+        byte size, logged row count, partition columns, properties,
+        constraints, and writer features. Pure driver-side log
+        metadata plus one ``os.path.getsize`` per live file —
+        O(files), zero scan tasks (row counts come from the logged
+        add actions, never a read)."""
+        state = self._replay_state()
+        files = [
+            _data_file(self.path, r, state["adds"][r]) for r in state["adds"]
+        ]
+        size = 0
+        for f in files:
+            try:
+                size += os.path.getsize(f)
+            except OSError:
+                pass  # FSCK territory — detail() reports, never raises
+        cts = self.commit_timestamps()
+        return {
+            "format": "hz_txlog",
+            "location": self.path,
+            "version": self.version(),
+            "numFiles": len(files),
+            "sizeInBytes": size,
+            "numRows": sum(a.get("rows", 0) for a in state["adds"].values()),
+            "partitionColumns": list(state["partitionColumns"] or []),
+            "properties": dict(state.get("properties") or {}),
+            "constraints": dict(state.get("constraints") or {}),
+            "writerFeatures": sorted(state.get("writerFeatures", ())),
+            "lastModified": max(cts.values()) if cts else None,
+        }
+
     def history(self, limit: int | None = None) -> DataFrame:
         """DESCRIBE HISTORY: one row per commit, NEWEST FIRST —
         (version, timestamp, operation, info), the Delta audit

@@ -551,6 +551,41 @@ def _parse_fsck(stmt: str):
     return run
 
 
+def _parse_describe_detail(stmt: str):
+    m = re.match(rf"(?is)^DESCRIBE\s+DETAIL\s+({_IDENT})\s*$", stmt)
+    if not m:
+        raise SqlFrontDoorError("supported: DESCRIBE DETAIL <table>")
+    name = _unquote(m.group(1))
+
+    def run(spark, resolve):
+        import json as _json
+
+        d = resolve(name).detail()
+        row = (
+            d["format"],
+            d["location"],
+            int(d["version"]),
+            int(d["numFiles"]),
+            int(d["sizeInBytes"]),
+            int(d["numRows"]),
+            d["partitionColumns"],
+            _json.dumps(d["properties"], sort_keys=True),
+            _json.dumps(d["constraints"], sort_keys=True),
+            d["writerFeatures"],
+            None if d["lastModified"] is None else float(d["lastModified"]),
+        )
+        return spark.createDataFrame(
+            [row],
+            "format string, location string, version bigint, "
+            "numFiles bigint, sizeInBytes bigint, numRows bigint, "
+            "partitionColumns array<string>, properties string, "
+            "constraints string, writerFeatures array<string>, "
+            "lastModified double",
+        )
+
+    return run
+
+
 def _parse_describe_history(stmt: str):
     m = re.match(
         rf"(?is)^DESCRIBE\s+HISTORY\s+({_IDENT})(?:\s+LIMIT\s+(\d+))?\s*$",
@@ -705,6 +740,7 @@ _VERBS: list[tuple[re.Pattern, Callable, bool]] = [
     (re.compile(r"(?is)^\s*OPTIMIZE\b"), _parse_optimize, False),
     (re.compile(r"(?is)^\s*VACUUM\b"), _parse_vacuum, False),
     (re.compile(r"(?is)^\s*FSCK\b"), _parse_fsck, False),
+    (re.compile(r"(?is)^\s*DESCRIBE\s+DETAIL\b"), _parse_describe_detail, False),
     (re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\b"), _parse_describe_history, False),
     (re.compile(r"(?is)^\s*RESTORE\b"), _parse_restore, False),
     (re.compile(r"(?is)^\s*ALTER\s+TABLE\b"), _parse_alter, True),

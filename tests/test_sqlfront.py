@@ -558,3 +558,28 @@ def test_time_travel_double_quoted_strings_and_odd_names(spark, tmp_path):
         lambda name: {"odd-name": t}[name],
     ).collect()[0]
     assert r.n == 3
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL — Delta's one-row table-metadata surface:
+    log-derived file/row/size counts, partition columns, properties,
+    constraints, and writer features; O(files) driver metadata, no
+    scan tasks."""
+    import json as _json
+
+    t = TxTable(spark, str(tmp_path / "tbl"), stat_cols=["k"])
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    t.create(df.repartition(2), partition_by=["p"])
+    t.add_constraint("k_nonneg", "k >= 0")
+    r = _run(spark, "DESCRIBE DETAIL t", t).collect()[0]
+    assert r.format == "hz_txlog" and r.location == t.path
+    assert r.version == t.version() and r.numRows == 20
+    assert r.numFiles == len(t.files()) and r.sizeInBytes > 0
+    assert list(r.partitionColumns) == ["p"]
+    assert _json.loads(r.constraints) == {"k_nonneg": "k >= 0"}
+    assert r.lastModified is not None
+    with pytest.raises(SqlFrontDoorError, match="DESCRIBE DETAIL"):
+        _run(spark, "DESCRIBE DETAIL t LIMIT 3", t)
