@@ -551,6 +551,34 @@ def _parse_fsck(stmt: str):
     return run
 
 
+def _parse_show_tblproperties(stmt: str):
+    """SHOW TBLPROPERTIES <table> [('key')] — the read half of ALTER
+    TABLE ... SET TBLPROPERTIES: one (key, value) row per logged
+    property, or just the named key's row (Delta's single-key form).
+    An unknown key returns zero rows, matching Delta."""
+    m = re.match(
+        rf"(?is)^SHOW\s+TBLPROPERTIES\s+({_IDENT})"
+        rf"(?:\s*\(\s*'([^']+)'\s*\))?\s*$",
+        stmt,
+    )
+    if not m:
+        raise SqlFrontDoorError(
+            "supported: SHOW TBLPROPERTIES <table> [('key')]"
+        )
+    name, key = _unquote(m.group(1)), m.group(2)
+
+    def run(spark, resolve):
+        props = resolve(name).detail()["properties"]
+        rows = [
+            (k, str(v).lower() if isinstance(v, bool) else str(v))
+            for k, v in sorted(props.items())
+            if key is None or k == key
+        ]
+        return spark.createDataFrame(rows, "key string, value string")
+
+    return run
+
+
 def _parse_describe_detail(stmt: str):
     m = re.match(rf"(?is)^DESCRIBE\s+DETAIL\s+({_IDENT})\s*$", stmt)
     if not m:
@@ -740,6 +768,7 @@ _VERBS: list[tuple[re.Pattern, Callable, bool]] = [
     (re.compile(r"(?is)^\s*OPTIMIZE\b"), _parse_optimize, False),
     (re.compile(r"(?is)^\s*VACUUM\b"), _parse_vacuum, False),
     (re.compile(r"(?is)^\s*FSCK\b"), _parse_fsck, False),
+    (re.compile(r"(?is)^\s*SHOW\s+TBLPROPERTIES\b"), _parse_show_tblproperties, False),
     (re.compile(r"(?is)^\s*DESCRIBE\s+DETAIL\b"), _parse_describe_detail, False),
     (re.compile(r"(?is)^\s*DESCRIBE\s+HISTORY\b"), _parse_describe_history, False),
     (re.compile(r"(?is)^\s*RESTORE\b"), _parse_restore, False),

@@ -583,3 +583,16 @@ def test_describe_detail(spark, tmp_path):
     assert r.lastModified is not None
     with pytest.raises(SqlFrontDoorError, match="DESCRIBE DETAIL"):
         _run(spark, "DESCRIBE DETAIL t LIMIT 3", t)
+
+
+def test_show_tblproperties(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=5, files=1)
+    _run(spark, "ALTER TABLE t SET TBLPROPERTIES ('changeDataFeed'='true')", t)
+    rows = {r.key: r.value for r in _run(spark, "SHOW TBLPROPERTIES t", t).collect()}
+    assert rows["changeDataFeed"] == "true"
+    one = _run(spark, "SHOW TBLPROPERTIES t ('changeDataFeed')", t).collect()
+    assert [(r.key, r.value) for r in one] == [("changeDataFeed", "true")]
+    # unknown key: zero rows, Delta semantics
+    assert _run(spark, "SHOW TBLPROPERTIES t ('nope')", t).count() == 0
+    with pytest.raises(SqlFrontDoorError, match="SHOW TBLPROPERTIES"):
+        _run(spark, "SHOW TBLPROPERTIES t (bad)", t)
