@@ -391,10 +391,41 @@ def _parse_insert(stmt: str):
     return run
 
 
+def _clone_runner(cm: re.Match):
+    """``CREATE TABLE <tgt> [SHALLOW|DEEP] CLONE <src> [AS OF ...]``
+    — Delta's clone surface on the existing :meth:`TxTable.clone`
+    machinery: SHALLOW (default) commits file REFERENCES (O(files)
+    driver metadata, zero bytes whatever the table size); DEEP copies
+    the bytes on the executors. Both accept a clone point via the
+    time-travel forms."""
+    if_not_exists = bool(cm.group(1))
+    tgt, deep = _unquote(cm.group(2)), bool(cm.group(3) and "deep" in cm.group(3).lower())
+    src = _unquote(cm.group(4))
+    version = int(cm.group(5)) if cm.group(5) else None
+    ts = cm.group(6)
+
+    def run(spark, resolve):
+        target = resolve(tgt)
+        if target.version() >= 0:
+            if if_not_exists:
+                return _one_row(spark, "CLONE (exists)", target.version())
+            raise SqlFrontDoorError(
+                f"table {tgt!r} already exists — clone targets a fresh "
+                "path (or use IF NOT EXISTS for a no-op)"
+            )
+        c = resolve(src).clone(
+            target.path, version=version, timestamp=ts, deep=deep
+        )
+        return _one_row(spark, "DEEP CLONE" if deep else "SHALLOW CLONE", c.version())
+
+    return run
+
+
 def _parse_create(stmt: str):
     """``CREATE [OR REPLACE] TABLE <name> AS <query>`` and
     ``CREATE TABLE IF NOT EXISTS <name> AS <query>`` — CTAS into a
-    registered transaction-log table path. A plain column-list CREATE
+    registered transaction-log table path, plus the clone form
+    (see :func:`_clone_runner`). A plain column-list CREATE
     (no AS) is refused: the table layer derives its schema from the
     first written frame. OR REPLACE on an existing table routes
     through the DSv2 sink's atomic overwrite with overwriteSchema
@@ -402,9 +433,20 @@ def _parse_create(stmt: str):
     REPLACE TABLE shape)."""
     grammar = (
         "supported: CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <table> "
-        "AS <SELECT ...> (column-list CREATE is not supported — the "
-        "schema comes from the query)"
+        "AS <SELECT ...> | CREATE TABLE [IF NOT EXISTS] <table> "
+        "[SHALLOW|DEEP] CLONE <source> [VERSION AS OF <n> | TIMESTAMP "
+        "AS OF '<ts>'] (column-list CREATE is not supported — the "
+        "schema comes from the query or the clone source)"
     )
+    cm = re.match(
+        rf"(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
+        rf"(SHALLOW\s+|DEEP\s+)?CLONE\s+({_IDENT})"
+        rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+)"
+        rf"|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*$",
+        stmt,
+    )
+    if cm:
+        return _clone_runner(cm)
     m = re.match(
         rf"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
         rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+(.+)$",

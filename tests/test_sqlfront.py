@@ -596,3 +596,51 @@ def test_show_tblproperties(spark, tmp_path):
     assert _run(spark, "SHOW TBLPROPERTIES t ('nope')", t).count() == 0
     with pytest.raises(SqlFrontDoorError, match="SHOW TBLPROPERTIES"):
         _run(spark, "SHOW TBLPROPERTIES t (bad)", t)
+
+
+def test_create_table_clone_forms(spark, tmp_path):
+    """CREATE TABLE ... [SHALLOW|DEEP] CLONE <src> [VERSION AS OF n]
+    — Delta's clone surface over TxTable.clone: shallow commits file
+    references, the clone point honors time travel, an existing
+    target is an error (or an IF NOT EXISTS no-op)."""
+    src = _mk(spark, tmp_path, n=10, files=1)
+    src.append(spark.range(10, 15).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+
+    def rs(name):
+        return {
+            "s": src,
+            "c1": TxTable(spark, str(tmp_path / "c1")),
+            "c2": TxTable(spark, str(tmp_path / "c2")),
+        }[name]
+
+    out = sqlfront.execute(spark, "CREATE TABLE c1 SHALLOW CLONE s", rs).collect()[0]
+    assert out.operation == "SHALLOW CLONE"
+    assert rs("c1").snapshot().count() == 15
+    # time-traveled clone point: only generation 0
+    sqlfront.execute(spark, "CREATE TABLE c2 CLONE s VERSION AS OF 0", rs)
+    assert rs("c2").snapshot().count() == 10
+    # existing target refuses; IF NOT EXISTS no-ops
+    with pytest.raises(SqlFrontDoorError, match="already exists"):
+        sqlfront.execute(spark, "CREATE TABLE c1 SHALLOW CLONE s", rs)
+    noop = sqlfront.execute(
+        spark, "CREATE TABLE IF NOT EXISTS c1 SHALLOW CLONE s", rs
+    ).collect()[0]
+    assert noop.operation == "CLONE (exists)"
+    # the clone is independent: DML on it never touches the source
+    rs("c1").delete_where("k < 5")
+    assert rs("c1").snapshot().count() == 10 and src.snapshot().count() == 15
+
+
+def test_create_table_deep_clone(spark, tmp_path):
+    src = _mk(spark, tmp_path, n=6, files=1)
+    t = TxTable(spark, str(tmp_path / "deep"))
+    out = sqlfront.execute(
+        spark,
+        "CREATE TABLE d DEEP CLONE s",
+        lambda n: {"s": src, "d": t}[n],
+    ).collect()[0]
+    assert out.operation == "DEEP CLONE"
+    assert t.snapshot().count() == 6
+    # deep = bytes live under the clone's own root
+    assert all(f.startswith(t.path) for f in t.files())
