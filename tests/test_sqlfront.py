@@ -644,3 +644,43 @@ def test_create_table_deep_clone(spark, tmp_path):
     assert t.snapshot().count() == 6
     # deep = bytes live under the clone's own root
     assert all(f.startswith(t.path) for f in t.files())
+
+
+def test_front_door_parsers_never_crash_on_fuzz():
+    """Hypothesis fuzz over the verb grammars: ANY statement must
+    either parse, raise the named SqlFrontDoorError, or be a
+    fall-through — never an unhandled exception and never a hang
+    (catastrophic regex backtracking would time out here). Parsing is
+    pure string work, so no Spark session is needed: execute() is
+    probed only through routes() + the per-verb parse step."""
+    from hypothesis import given, settings, strategies as st
+
+    keywords = st.sampled_from(
+        [
+            "SELECT", "UPDATE", "DELETE", "MERGE", "INSERT", "CREATE",
+            "OPTIMIZE", "VACUUM", "FSCK", "DESCRIBE", "RESTORE", "ALTER",
+            "SHOW", "TABLE", "INTO", "FROM", "SET", "WHERE", "USING",
+            "VERSION", "TIMESTAMP", "AS", "OF", "CLONE", "SHALLOW",
+            "DEEP", "DETAIL", "HISTORY", "TBLPROPERTIES", "NOT", "NULL",
+            "t", "`odd name`", "'lit''eral'", '"dq"', "(", ")", ",",
+            "=", "*", "0", "42", "1.5", ";", "--", "x.y",
+        ]
+    )
+    statements = st.lists(keywords, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=300, deadline=2000)
+    @given(statements)
+    def _probe(stmt):
+        from hz_csv2parquet_spark.sqlfront import _VERBS, routes
+
+        routes(stmt)  # must never raise
+        s = stmt.strip().rstrip(";").strip()
+        for pat, parse, _cap in _VERBS:
+            if pat.match(s):
+                try:
+                    parse(s)
+                except SqlFrontDoorError:
+                    pass  # the named-grammar contract
+                break
+
+    _probe()
