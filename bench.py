@@ -8,6 +8,8 @@ and prints exactly ONE JSON line on stdout:
 
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "sf": <float>,
+     "host_canaries": {"numpy_matmul_2000_s": <sec>,
+                       "python_loop_1e7_s": <sec>},
      "vs_baseline": {"<name>": <ratio>, ...}, "regressions": [...]}
 
 Timing protocol: one untimed warm-up action per query (JVM/codegen
@@ -66,6 +68,37 @@ def _quiesce(spark) -> None:
         spark.sparkContext._jvm.System.gc()
     except Exception:
         pass  # GC hinting is best-effort; timing still proceeds
+
+
+def _host_canaries() -> dict[str, float]:
+    """Absolute CPU canaries (r14 verdict item 4): two fixed-work
+    single-core measurements whose floor-era readings are recorded in
+    BASELINE.md (numpy 2000x2000 float64 matmul ~0.415 s, pure-Python
+    1e7 add loop ~0.941 s). Recorded in EVERY bench artifact so a
+    future driver flag is adjudicable from the JSON alone — a canary
+    reading well above its era value charges slow queries to the
+    host, not the plan. min-of-2 each, ~3 s total."""
+    import numpy as np
+
+    def matmul() -> float:
+        rng = np.random.default_rng(7)
+        a = rng.random((2000, 2000))
+        b = rng.random((2000, 2000))
+        t0 = time.perf_counter()
+        a @ b
+        return time.perf_counter() - t0
+
+    def loop() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(10_000_000):
+            s += i
+        return time.perf_counter() - t0
+
+    return {
+        "numpy_matmul_2000_s": round(min(matmul() for _ in range(2)), 4),
+        "python_loop_1e7_s": round(min(loop() for _ in range(2)), 4),
+    }
 
 
 def main() -> int:
@@ -141,6 +174,12 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # host-state adjudication: absolute CPU canaries measured in
+        # this very process, after the timed queries (floor-era
+        # values in BASELINE.md round-13 — matmul 0.415 s, loop
+        # 0.941 s); the dedup_cluster_documents control rides in
+        # "queries"/"vs_baseline" as usual
+        "host_canaries": _host_canaries(),
     }
 
     if floors:

@@ -337,61 +337,85 @@ def query(
 #: 16's projected set is the 50 r13 rows, exactly at cap — round-15
 #: planning should retire 2-4 more from the r12/r13 cohorts to buy
 #: changed-implementation slack.
+#:
+#: ROUND 15 WINDOW. No red rows in r14 (50/50 hash-green, zero err).
+#: The rotation debt is cleared (r14 verdict: "routine maintenance")
+#: — the mandatory set is exactly the 45 live r12-cohort rows
+#: (recomputed from CORRECTNESS_r01..r14; the two designed rows-only
+#: sketches approx_distinct_users_per_type + similarity_topk_
+#: pandas_udf are among them and get their rows-only rows). The 5
+#: free slots pull r13-cohort rows FORWARD (r14 verdict item 1:
+#: smooth round-16 to ≤45 mandatory), chosen so every one doubles as
+#: changed-implementation coverage for this round's code motion:
+#:   txlog_restore_read_orders — REROUTED (r14 verdict item 2): the
+#:   restored state is now read through a SQL `CREATE TABLE ...
+#:   SHALLOW CLONE ... VERSION AS OF` target — the clone read path's
+#:   (absPath resolution, reader-feature gate) first driver row;
+#:   txlog_insert_overwrite_orders + txlog_ctas_replace_orders —
+#:   their INSERT/CTAS runners now time-travel-rewrite the query
+#:   BODY (advisor r14: `INSERT INTO t SELECT ... FROM s VERSION AS
+#:   OF n` used to die in Catalyst);
+#:   txlog_merge_read_events — merge/append sit on the schema-subset
+#:   gate made case-insensitive this round (advisor r14);
+#:   scan_prune_filter — cheap S2/S4 pushdown evidence refresh.
+#: Forward check: after r15 verifies these 50, round-16's mandatory
+#: set is the 45 remaining r13-cohort rows — 5 slots of slack.
+#: Catalog stays at 145 (r14 verdict item 6: ± evidence-replacing
+#: swaps only; demand 36.25/round, 28% slack).
 ROTATION: set[str] = {
-    # -- rule-mandatory: last green r10 (all 16 — hard ceiling) --
-    "q14_promo_revenue_ratio",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q4_priority_with_discounted_lines",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "redact_mask_documents",
-    "repetition_stats_documents",
-    "text_quality_by_lang",
-    "text_stats_documents",
-    "txlog_cdf_stream_events",
-    "txlog_dv_delete_read_events",  # + the NOT NULL lifecycle legs (r13 verdict item 3)
-    "vocab_zipf_histogram",
-    # -- all 33 surviving r11 rows (cohort zeroed; r15 = the r12 cohort) --
-    "asof_last_click",
-    "bm25_topk_documents",
-    "bucketed_join_revenue",
-    "compact_small_files",
-    "contamination_check_documents",
-    "csv_roundtrip_agg",
-    "gap_fill_hourly_events",
-    "geo_aggregate_lineitem",
-    "global_shuffle_documents",
-    "locf_carry_forward_events",
-    "multimodal_frame_index",
-    "ngram_jaccard_pairs",
-    "orc_roundtrip_agg",
-    "pack_sequences_documents",
-    "percentiles_by_segment_scalable",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "range_join_event_pairs",
-    "rolling_7d_active_users",
-    "sample_stratified_documents",
-    "scd2_snapshot_join_orders",
-    "schema_evolution_merge",
-    "semantic_dedup_embeddings",
-    "semi_anti_customers",
-    "sessionize_events",
-    "set_except_nations",
-    "skyline_orders",
-    "streaming_cdc_merge_events",
-    "top_k_orders",
-    "top_terms_per_lang",
-    "train_val_test_split_documents",
-    "udaf_grouped_agg_chars",
-    "window_rank_per_group",
-    # -- changed implementation this round (1): SQL-front-door
-    #    VERSION AS OF / TIMESTAMP AS OF reroute (r13 verdict item 5) --
-    "txlog_time_travel_orders",
+    # -- rule-mandatory: the 45 live r12-cohort rows --
+    "approx_distinct_users_per_type",  # rows-only by design (HLL)
+    "avro_roundtrip_agg",
+    "binned_agg_mean_1d",
+    "binned_agg_median_2d",
+    "boilerplate_ngram_stats",
+    "chunk_documents_overlap",
+    "collocations_by_lift",
+    "corpus_diff_documents",
+    "correlation_matrix_lineitem",
+    "debounce_events",
+    "dedup_canonical_documents",
+    "dedup_cluster_documents",
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "dedup_paragraph_documents",
+    "dedup_simhash_documents",
+    "dedup_substring_spans",
+    "embedding_centroids_by_label",
+    "embedding_near_pairs",
+    "event_path_trigrams",
+    "funnel_conversion_events",
+    "grouped_lang_stats_pandas",
+    "shard_assignment_documents",
+    "similarity_ivf_embeddings",
+    "similarity_lsh_embeddings",
+    "similarity_topk_embeddings",
+    "similarity_topk_pandas_udf",  # rows-only by design (float ulp)
+    "skew_salted_event_counts",
+    "streaming_attribution_join",
+    "streaming_attribution_outer",
+    "streaming_convert_roundtrip",
+    "streaming_dedup_events",
+    "streaming_enrich_events",
+    "streaming_funnel_user_state",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_stateful_user_stats",
+    "streaming_tumbling_counts",
+    "tokenize_regex_documents",
+    "txlog_changes_events",
+    "txlog_generated_partition_events",
+    "txlog_identity_merge_events",
+    "txlog_reorg_purge_events",
+    "txlog_update_rename_cdf_events",
+    "weighted_sample_documents",
+    # -- r13 rows pulled forward (r16 smoothing + changed-impl
+    #    coverage; see the ROUND 15 WINDOW ledger above) --
+    "scan_prune_filter",
+    "txlog_ctas_replace_orders",
+    "txlog_insert_overwrite_orders",
+    "txlog_merge_read_events",
+    "txlog_restore_read_orders",  # the SHALLOW CLONE reroute
 }
 
 

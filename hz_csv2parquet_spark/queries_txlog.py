@@ -360,12 +360,25 @@ def txlog_cdf_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txlog_restore_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESTORE (rollback-as-commit, VERDICT r8 item 3): create even
     keys (v0), append odd keys (v1), destructively DELETE a key range
-    (v2), then ``restore(1)`` and aggregate the LATEST snapshot. The
+    (v2), then ``restore(1)`` and aggregate the restored state. The
     oracle sees the full fixture — a hash match proves the rollback
     commit reconstructed exactly the v1 file set (re-add of the
     delete's victims, removal of its rewrites) through log surgery
     alone, with history intact underneath. Scale: restore writes no
-    data, O(changed files) log actions."""
+    data, O(changed files) log actions.
+
+    Round 15 (VERDICT r14 item 2, evidence-replacing): the read goes
+    through a ``CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF``
+    target built by the SQL front door (sqlfront.py ``_clone_runner``
+    → ``TxTable.clone``) — the clone's commit 0 REFERENCES the
+    restored generation's files at their source-absolute location
+    (``absPath``, zero bytes copied), so the hash match is the clone
+    read path's first end-to-end driver verification: absolute-path
+    file resolution, reader-feature gate, stats carry-over, all vs
+    the DuckDB oracle. Scale: shallow clone is O(files) driver-side
+    log metadata whatever the table size."""
+    from . import sqlfront
+
     oc = _orders_cents(spark, sf_dir)
     t = TxTable(
         spark,
@@ -377,8 +390,20 @@ def txlog_restore_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where("o_orderkey % 10 < 5")  # v2: destroy half the keys
     restored = t.restore(1)
     assert restored == 3
+    clone = TxTable(
+        spark,
+        scratch_dir("hz_txq_restore_clone_"),
+        stat_cols=["o_orderkey"],
+    )
+    out = sqlfront.execute(
+        spark,
+        "CREATE TABLE restored_clone SHALLOW CLONE restore_orders "
+        f"VERSION AS OF {restored}",
+        {"restored_clone": clone, "restore_orders": t}.__getitem__,
+    )
+    assert out is not None  # the clone grammar must route
     return (
-        t.snapshot()
+        clone.snapshot()
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

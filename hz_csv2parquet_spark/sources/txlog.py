@@ -2072,7 +2072,7 @@ class TxTable:
         table's GENERATED ALWAYS AS IDENTITY columns."""
         return dict(self._replay_state().get("identity", {}))
 
-    def _require_schema_subset(self, df: DataFrame, state: dict) -> None:
+    def _require_schema_subset(self, df: DataFrame, state: dict) -> DataFrame:
         """Delta-style schema enforcement for appends: a batch may
         OMIT table columns (the CHECK set's null-extension rule
         decides whether null-filling past an invariant is legal), but
@@ -2082,21 +2082,46 @@ class TxTable:
         mergeSchema readers surface it: reader-dependent results, the
         exact divergence the schema meta action exists to prevent.
         :meth:`evolve_schema` is the explicit widening verb (it logs
-        the union schema in the same commit)."""
+        the union schema in the same commit).
+
+        Matching is case-INsensitive, like Spark's default resolution
+        (caseSensitive=false), Delta's enforcement, and the front
+        door's INSERT alignment — a batch column 'K' against
+        committed 'k' is the SAME column, not an undeclared one
+        (advisor r14). Returns the batch with any case-variant
+        columns RENAMED to the committed casing, so staged parquet
+        files carry the canonical names and a case-sensitive parquet
+        field lookup can never null them out."""
         from pyspark.sql.types import StructType
 
         if not state.get("schema"):
-            return
-        known = {
-            f.name
+            return df
+        canonical = {
+            f.name.lower(): f.name
             for f in StructType.fromJson(json.loads(state["schema"])).fields
         }
-        extra = [c for c in df.columns if c not in known]
+        lowered = [c.lower() for c in df.columns]
+        dupes = sorted({c for c in lowered if lowered.count(c) > 1})
+        if dupes:
+            # two batch columns that differ only in case resolve to
+            # ONE table column — ambiguous under case-insensitive
+            # matching; refuse (Delta does the same)
+            raise ValueError(
+                f"append batch carries case-duplicate columns {dupes} — "
+                "ambiguous under case-insensitive resolution"
+            )
+        extra = [c for c in df.columns if c.lower() not in canonical]
         if extra:
             raise ValueError(
                 f"append batch carries columns not in the table schema: "
                 f"{extra} — use evolve_schema() to widen the table"
             )
+        renames = {
+            c: canonical[c.lower()]
+            for c in df.columns
+            if c != canonical[c.lower()]
+        }
+        return df.withColumnsRenamed(renames) if renames else df
 
     def append(self, df: DataFrame) -> int:
         """Blind append — add actions only, no reads rewritten.
@@ -2120,7 +2145,7 @@ class TxTable:
         base_v = self.version()
         state = self._replay_state(as_of=base_v)
         self._check_writer_features(state)
-        self._require_schema_subset(df, state)
+        df = self._require_schema_subset(df, state)
         if state.get("identity"):
             # an identity append reads the high-water mark — not
             # blind; it owns its own (restaging) conflict loop,
@@ -2530,7 +2555,7 @@ class TxTable:
         if batch_id in state["txns"].get(app_id, set()):
             return None
         self._check_writer_features(state)
-        self._require_schema_subset(df, state)
+        df = self._require_schema_subset(df, state)
         if state.get("identity"):
             return self._append_identity(
                 df, (app_id, batch_id), "STREAMING-APPEND",
@@ -2909,7 +2934,20 @@ class TxTable:
             "version": self.version(),
             "numFiles": len(files),
             "sizeInBytes": size,
-            "numRows": sum(a.get("rows", 0) for a in state["adds"].values()),
+            # LOGICAL row count: logged add rows minus each file's
+            # deletion-vector cardinality, so numRows agrees with
+            # SELECT COUNT(*) on dv-deleted tables (advisor r14)
+            "numRows": sum(
+                int(a.get("rows", 0))
+                - int((a.get("dv") or {}).get("deleted", 0))
+                for a in state["adds"].values()
+            ),
+            # clone localization progress: files still referenced at
+            # their source-absolute location (a fresh shallow clone
+            # has numFiles of them; compact() drives this to 0)
+            "numAbsPathFiles": sum(
+                1 for a in state["adds"].values() if a.get("absPath")
+            ),
             "partitionColumns": list(state["partitionColumns"] or []),
             "properties": dict(state.get("properties") or {}),
             "constraints": dict(state.get("constraints") or {}),

@@ -329,7 +329,7 @@ def _parse_insert(stmt: str):
 
     def run(spark, resolve):
         tbl = resolve(name)
-        rows = spark.sql(body)
+        rows = spark.sql(_rewrite_body_time_travel(spark, body, resolve))
         # VALUES and untyped literals land as whatever Spark infers —
         # align names/types to the table schema positionally so an
         # INSERT of (1, 10) into (k bigint, v bigint) round-trips
@@ -405,17 +405,25 @@ def _clone_runner(cm: re.Match):
     ts = cm.group(6)
 
     def run(spark, resolve):
-        target = resolve(tgt)
-        if target.version() >= 0:
-            if if_not_exists:
-                return _one_row(spark, "CLONE (exists)", target.version())
-            raise SqlFrontDoorError(
-                f"table {tgt!r} already exists — clone targets a fresh "
-                "path (or use IF NOT EXISTS for a no-op)"
+        # CLONE is lakehouse-only syntax — Catalyst cannot parse it,
+        # so an unregistered target/source must stay a NAMED error
+        # here; the CREATE verb's Spark-capable fall-through would
+        # otherwise re-hand the statement to spark.sql for a raw
+        # syntax error at the wrong layer (advisor r14)
+        try:
+            target = resolve(tgt)
+            if target.version() >= 0:
+                if if_not_exists:
+                    return _one_row(spark, "CLONE (exists)", target.version())
+                raise SqlFrontDoorError(
+                    f"table {tgt!r} already exists — clone targets a fresh "
+                    "path (or use IF NOT EXISTS for a no-op)"
+                )
+            c = resolve(src).clone(
+                target.path, version=version, timestamp=ts, deep=deep
             )
-        c = resolve(src).clone(
-            target.path, version=version, timestamp=ts, deep=deep
-        )
+        except _UnknownTable as e:
+            raise SqlFrontDoorError(str(e)) from None
         return _one_row(spark, "DEEP CLONE" if deep else "SHALLOW CLONE", c.version())
 
     return run
@@ -466,7 +474,7 @@ def _parse_create(stmt: str):
 
     def run(spark, resolve):
         tbl = resolve(name)
-        rows = spark.sql(body)
+        rows = spark.sql(_rewrite_body_time_travel(spark, body, resolve))
         if tbl.version() >= 0:
             if if_not_exists:
                 # the Spark/Delta contract: an existing table is left
@@ -638,6 +646,7 @@ def _parse_describe_detail(stmt: str):
             int(d["numFiles"]),
             int(d["sizeInBytes"]),
             int(d["numRows"]),
+            int(d["numAbsPathFiles"]),
             d["partitionColumns"],
             _json.dumps(d["properties"], sort_keys=True),
             _json.dumps(d["constraints"], sort_keys=True),
@@ -648,6 +657,7 @@ def _parse_describe_detail(stmt: str):
             [row],
             "format string, location string, version bigint, "
             "numFiles bigint, sizeInBytes bigint, numRows bigint, "
+            "numAbsPathFiles bigint, "
             "partitionColumns array<string>, properties string, "
             "constraints string, writerFeatures array<string>, "
             "lastModified double",
@@ -911,7 +921,14 @@ def _rewrite_time_travel(
             if raw.startswith("'"):
                 raw = raw[1:-1].replace("''", "'")
             reader = reader.option("timestampAsOf", raw)
-            view = f"__hz_tt_{safe}_t{re.sub(r'[^0-9A-Za-z]', '_', raw)}"
+            # the sanitized literal is NOT injective ('00:00:00' and
+            # '00-00-00' collide) — a raw-literal digest keeps two
+            # distinct timestamps on the same table on distinct views
+            view = (
+                f"__hz_tt_{safe}_t"
+                f"{re.sub(r'[^0-9A-Za-z]', '_', raw)}"
+                f"_{hashlib.md5(raw.encode()).hexdigest()[:8]}"
+            )
         reader.load(t.path).createOrReplaceTempView(view)
         return f"{kw} {view}"
 
@@ -923,6 +940,26 @@ def _rewrite_time_travel(
         pos = m.end()
     out.append(stmt[pos:])
     return "".join(out)
+
+
+def _rewrite_body_time_travel(
+    spark: SparkSession, body: str, resolve: Callable[[str], object]
+) -> str:
+    """Time-travel rewrite for a query BODY nested inside a routed
+    verb (``INSERT INTO t SELECT ... FROM s VERSION AS OF 2``, CTAS)
+    — Delta supports AS OF there too, and before this existed such a
+    clause fell through to ``spark.sql(body)`` and died with a
+    Catalyst parse error pointing at the wrong layer (advisor r14).
+    No statement Catalyst can parse carries AS OF, so an unknown
+    table here is a hard named error, never the Spark-capable
+    fall-through (which would re-hand the unparseable clause to
+    Catalyst)."""
+    if not _tt_clause(body):
+        return body
+    try:
+        return _rewrite_time_travel(spark, body, resolve)
+    except _UnknownTable as e:
+        raise SqlFrontDoorError(str(e)) from None
 
 
 def routes(statement: str) -> bool:

@@ -684,3 +684,119 @@ def test_front_door_parsers_never_crash_on_fuzz():
                 break
 
     _probe()
+
+
+def test_timestamp_as_of_view_names_are_injective(spark, tmp_path):
+    """Advisor r14: two distinct TIMESTAMP AS OF literals on the same
+    table that differ ONLY in punctuation ('+01:00' vs '-01:00' —
+    different instants!) must land on distinct temp views; the
+    sanitize-only name let the second createOrReplaceTempView clobber
+    the first inside one statement. Pinned via the rewrite's output
+    (the raw-literal digest suffix makes the mapping injective)."""
+    import re as _re
+
+    from hz_csv2parquet_spark.sources.txlog_source import register_txlog_source
+
+    register_txlog_source(spark)
+    t = _mk(spark, tmp_path, n=4, files=1)
+    stmt = (
+        "SELECT (SELECT COUNT(*) FROM t TIMESTAMP AS OF "
+        "'2999-01-02 03:04:05+01:00') AS a, (SELECT COUNT(*) FROM t "
+        "TIMESTAMP AS OF '2999-01-02 03:04:05-01:00') AS b"
+    )
+    rewritten = sqlfront._rewrite_time_travel(
+        spark, stmt, lambda name: {"t": t}[name]
+    )
+    views = _re.findall(r"__hz_tt_\w+", rewritten)
+    assert len(views) == 2 and views[0] != views[1], rewritten
+
+
+def test_insert_select_with_version_as_of_body(spark, tmp_path):
+    """Advisor r14: Delta allows AS OF inside an INSERT body —
+    ``INSERT INTO tgt SELECT ... FROM src VERSION AS OF 0`` used to
+    be handed to spark.sql unrewritten and die with a Catalyst parse
+    error at the wrong layer. Now the body is time-travel-rewritten
+    like a top-level query."""
+    src = _mk(spark, tmp_path, n=10, files=1)  # v0: k in [0, 10)
+    src.append(
+        spark.range(10, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )  # v1
+    tgt = TxTable(spark, str(tmp_path / "tgt"), stat_cols=["k"])
+    tgt.create(spark.range(0).select(F.col("id").alias("k"),
+                                     (F.col("id") * 2).alias("v")))
+    out = sqlfront.execute(
+        spark,
+        "INSERT INTO tgt SELECT * FROM src VERSION AS OF 0",
+        lambda n: {"src": src, "tgt": tgt}[n],
+    ).collect()[0]
+    assert out.operation == "INSERT"
+    assert tgt.snapshot().count() == 10  # v0's rows only, not 25
+    # unknown table inside the body: hard named error, never a
+    # Catalyst fall-through (AS OF is unparseable there)
+    with pytest.raises(SqlFrontDoorError, match="nosuch"):
+        sqlfront.execute(
+            spark,
+            "INSERT INTO tgt SELECT * FROM nosuch VERSION AS OF 0",
+            lambda n: {"tgt": tgt}[n],
+        )
+
+
+def test_ctas_with_time_travel_body(spark, tmp_path):
+    """Same advisor item, CTAS leg: CREATE TABLE ... AS SELECT ...
+    FROM src VERSION AS OF 0 rewrites the body before spark.sql."""
+    src = _mk(spark, tmp_path, n=8, files=1)
+    src.delete_where("k >= 3")  # v1: 3 rows live
+    tgt = TxTable(spark, str(tmp_path / "ctas_tt"), stat_cols=["k"])
+    out = sqlfront.execute(
+        spark,
+        "CREATE TABLE tgt AS SELECT k, v FROM src VERSION AS OF 0",
+        lambda n: {"src": src, "tgt": tgt}[n],
+    ).collect()[0]
+    assert out.operation == "CREATE TABLE"
+    assert tgt.snapshot().count() == 8  # pre-delete generation
+
+
+def test_clone_unknown_table_is_a_named_error(spark, tmp_path):
+    """Advisor r14: CLONE parses under the Spark-capable CREATE verb,
+    so an unknown source/target used to fall through to spark.sql —
+    which cannot parse CLONE. Both sides must stay named errors."""
+    src = _mk(spark, tmp_path, n=3, files=1)
+
+    def only_src(name):
+        return {"s": src}[name]
+
+    with pytest.raises(SqlFrontDoorError, match="nosuch"):
+        sqlfront.execute(
+            spark, "CREATE TABLE c SHALLOW CLONE nosuch",
+            lambda n: {"c": TxTable(spark, str(tmp_path / "c"))}[n],
+        )
+    with pytest.raises(SqlFrontDoorError, match="c2"):
+        sqlfront.execute(spark, "CREATE TABLE c2 SHALLOW CLONE s", only_src)
+
+
+def test_describe_detail_reports_clone_localization(spark, tmp_path):
+    """numAbsPathFiles (r14 verdict item 5): a fresh shallow clone
+    references every file at its source-absolute location; compact()
+    localizes — the count must go numFiles -> 0. Also pins the
+    dv-aware numRows (advisor r14): after a dv DELETE, numRows ==
+    SELECT COUNT(*), not the pre-delete physical sum."""
+    src = _mk(spark, tmp_path, n=20, files=2)
+    clone = src.clone(str(tmp_path / "cl"))
+    r = sqlfront.execute(
+        spark, "DESCRIBE DETAIL c", lambda n: {"c": clone}[n]
+    ).collect()[0]
+    assert r.numAbsPathFiles == r.numFiles > 0
+    clone.compact(target_files=1)
+    r2 = sqlfront.execute(
+        spark, "DESCRIBE DETAIL c", lambda n: {"c": clone}[n]
+    ).collect()[0]
+    assert r2.numAbsPathFiles == 0 and r2.numRows == 20
+    # dv-aware numRows on a merge-on-read DELETE
+    dv = TxTable(spark, str(tmp_path / "dv"), stat_cols=["k"],
+                 deletion_vectors=True)
+    dv.create(spark.range(10).select(F.col("id").alias("k")))
+    dv.delete_where("k < 4")
+    d = dv.detail()
+    assert d["numRows"] == 6 == dv.snapshot().count()

@@ -192,6 +192,30 @@ def test_append_refuses_undeclared_columns(spark, tmp_path):
     assert t.snapshot().filter(F.col("k") == 100).count() == 1
 
 
+def test_append_schema_enforcement_is_case_insensitive(spark, tmp_path):
+    """Advisor r14: Spark's default resolution (caseSensitive=false),
+    Delta's enforcement, and the front door's INSERT alignment all
+    match case-insensitively — a batch column 'K' against committed
+    'k' is the same column, not an undeclared one. The batch is also
+    RENAMED to the committed casing before staging, so the parquet
+    files carry canonical names and readers resolve them regardless
+    of parquet-level case sensitivity."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    upper = spark.createDataFrame([(50, 500)], "K long, V long")
+    t.append(upper)
+    snap = t.snapshot()
+    assert snap.columns == ["k", "v"]
+    got = snap.filter(F.col("k") == 50).collect()
+    assert [(r.k, r.v) for r in got] == [(50, 500)]
+    # streaming idempotent append takes the same gate
+    t.append_batch(spark.createDataFrame([(60, 600)], "K long, V long"),
+                   "ci_app", 0)
+    assert t.snapshot().filter(F.col("k") == 60).count() == 1
+    # genuinely undeclared columns still refuse, case notwithstanding
+    with pytest.raises(ValueError, match="evolve_schema"):
+        t.append(spark.createDataFrame([(1, 2, 3)], "K long, V long, Z long"))
+
+
 def test_commit_conflict_raises(spark, tmp_path):
     t = _mk(spark, tmp_path, n=10, files=1)
     # a second writer sneaks in version 1
@@ -3037,9 +3061,12 @@ def test_review_r12_constraint_gate_hardening(spark, tmp_path):
     ambiguous = extra = spark.createDataFrame(
         [(2, 3, -9, "x")], "k long, v long, V long, s string"
     )
-    # round 14: plain append refuses the undeclared column EARLIER,
-    # at schema enforcement (see test_append_refuses_undeclared_columns)
-    with pytest.raises(ValueError, match="evolve_schema"):
+    # round 15: plain append refuses the case-duplicate batch EARLIER,
+    # at schema enforcement — 'v' and 'V' resolve to ONE table column
+    # under case-insensitive matching, so the batch is ambiguous
+    # (round 14 refused it as an undeclared column; the advisor-r14
+    # case-insensitivity fix re-classifies it)
+    with pytest.raises(ValueError, match="case-duplicate"):
         t.append(extra)
     # the r12 gate itself still holds on the verb where the extra
     # column is legal: the case-duplicate reference must surface as
