@@ -429,22 +429,96 @@ def _clone_runner(cm: re.Match):
     return run
 
 
+def _column_list_create_runner(dm: re.Match, grammar: str):
+    """``CREATE TABLE t (a INT [NOT NULL], ...) [PARTITIONED BY
+    (...)]`` — commit an EMPTY table whose schema is the parsed DDL
+    (Delta's plain CREATE TABLE). The column defs pass to Spark's own
+    DDL parser verbatim (minus the NOT NULL markers, which the struct
+    literal can't carry); each NOT NULL column then gets its invariant
+    logged via ``set_not_null`` — trivially satisfiable on an empty
+    snapshot, enforced on every later write. One data-free commit
+    plus one metadata commit per invariant, O(1) whatever the future
+    table size."""
+    if_not_exists = bool(dm.group(2))
+    name, defs_raw = _unquote(dm.group(3)), dm.group(4)
+    part_cols = (
+        [_unquote(c) for c in _split_top(dm.group(5))]
+        if dm.group(5) is not None
+        else None
+    )
+    defs, not_null = [], []
+    for item in _split_top(defs_raw):
+        item = item.strip()
+        cm = re.match(
+            rf"(?s)^({_IDENT})\s+(.+?)(\s+NOT\s+NULL)?$", item, re.IGNORECASE
+        )
+        if not cm or not cm.group(2).strip():
+            raise SqlFrontDoorError(grammar)
+        col, typ = _unquote(cm.group(1)), cm.group(2).strip()
+        defs.append((col, typ))
+        if cm.group(3):
+            not_null.append(col)
+    if not defs:
+        raise SqlFrontDoorError(grammar)
+    if part_cols is not None:
+        known = {c.lower() for c, _ in defs}
+        missing = [c for c in part_cols if c.lower() not in known]
+        if missing:
+            raise SqlFrontDoorError(
+                f"PARTITIONED BY names undeclared column(s) {missing}"
+            )
+
+    def run(spark, resolve):
+        tbl = resolve(name)
+        if tbl.version() >= 0:
+            if if_not_exists:
+                return _one_row(spark, "CREATE TABLE (exists)", tbl.version())
+            raise SqlFrontDoorError(
+                f"table {name!r} already exists — use CREATE OR REPLACE "
+                "TABLE ... AS <query> (or IF NOT EXISTS)"
+            )
+        from pyspark.sql.types import StructType
+
+        try:
+            schema = StructType.fromDDL(
+                ", ".join(f"`{c}` {t}" for c, t in defs)
+            )
+        except Exception as e:
+            raise SqlFrontDoorError(
+                f"CREATE TABLE {name}: cannot parse column list "
+                f"({e}) — {grammar}"
+            ) from None
+        v = tbl.create(
+            spark.createDataFrame([], schema), partition_by=part_cols
+        )
+        for col in not_null:
+            v = tbl.set_not_null(col)
+        return _one_row(spark, "CREATE TABLE", v)
+
+    return run
+
+
 def _parse_create(stmt: str):
     """``CREATE [OR REPLACE] TABLE <name> AS <query>`` and
     ``CREATE TABLE IF NOT EXISTS <name> AS <query>`` — CTAS into a
     registered transaction-log table path, plus the clone form
-    (see :func:`_clone_runner`). A plain column-list CREATE
-    (no AS) is refused: the table layer derives its schema from the
-    first written frame. OR REPLACE on an existing table routes
-    through the DSv2 sink's atomic overwrite with overwriteSchema
-    (one commit; the old generation stays time-travelable — Delta's
-    REPLACE TABLE shape)."""
+    (see :func:`_clone_runner`) and the plain column-list form
+    ``CREATE TABLE t (a INT [NOT NULL], ...) [PARTITIONED BY (...)]``
+    (round 15 — commits an EMPTY table whose schema comes from the
+    parsed DDL; NOT NULL markers become column invariants via
+    :meth:`TxTable.set_not_null`, the Delta shape). OR REPLACE on an
+    existing table routes through the DSv2 sink's atomic overwrite
+    with overwriteSchema (one commit; the old generation stays
+    time-travelable — Delta's REPLACE TABLE shape); OR REPLACE with
+    a column list is refused (replacement takes its schema from a
+    query — use AS SELECT)."""
     grammar = (
         "supported: CREATE [OR REPLACE] TABLE [IF NOT EXISTS] <table> "
         "AS <SELECT ...> | CREATE TABLE [IF NOT EXISTS] <table> "
+        "(col TYPE [NOT NULL][, ...]) [PARTITIONED BY (col[, ...])] "
+        "| CREATE TABLE [IF NOT EXISTS] <table> "
         "[SHALLOW|DEEP] CLONE <source> [VERSION AS OF <n> | TIMESTAMP "
-        "AS OF '<ts>'] (column-list CREATE is not supported — the "
-        "schema comes from the query or the clone source)"
+        "AS OF '<ts>']"
     )
     cm = re.match(
         rf"(?is)^CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+"
@@ -455,6 +529,22 @@ def _parse_create(stmt: str):
     )
     if cm:
         return _clone_runner(cm)
+    dm = re.match(
+        rf"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
+        rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*"
+        # lazy body + anchored optional suffix: the shortest paren
+        # span whose TAIL parses as [PARTITIONED BY (...)] EOF — a
+        # greedy body would swallow the suffix into the column list
+        rf"\((.+?)\)\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*$",
+        stmt,
+    )
+    if dm:
+        if dm.group(1):
+            raise SqlFrontDoorError(
+                "CREATE OR REPLACE TABLE takes its schema from a query "
+                "(AS SELECT ...), not a column list"
+            )
+        return _column_list_create_runner(dm, grammar)
     m = re.match(
         rf"(?is)^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+"
         rf"(IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s+AS\s+(.+)$",

@@ -412,10 +412,13 @@ def test_create_table_as_select(spark, tmp_path):
     # exclusive modifiers are a named grammar error
     with pytest.raises(SqlFrontDoorError, match="exclusive"):
         _run(spark, "CREATE OR REPLACE TABLE IF NOT EXISTS t AS SELECT 1", t)
-    # column-list CREATE on a REGISTERED table is refused by name
-    # (on a foreign name it falls through to Catalyst instead)
-    with pytest.raises(SqlFrontDoorError, match="schema comes from"):
+    # column-list CREATE on a REGISTERED, EXISTING table is refused
+    # by name (round 15: the column-list form itself is supported —
+    # see test_create_table_column_list — but never as replacement)
+    with pytest.raises(SqlFrontDoorError, match="already exists"):
         _run(spark, "CREATE TABLE t (k BIGINT)", t)
+    with pytest.raises(SqlFrontDoorError, match="schema from a query"):
+        _run(spark, "CREATE OR REPLACE TABLE t (k BIGINT)", t)
 
 
 def test_create_table_foreign_target_falls_through(spark):
@@ -800,3 +803,50 @@ def test_describe_detail_reports_clone_localization(spark, tmp_path):
     dv.delete_where("k < 4")
     d = dv.detail()
     assert d["numRows"] == 6 == dv.snapshot().count()
+
+
+def test_create_table_column_list(spark, tmp_path):
+    """Round 15 (r14 verdict residual gap 3): plain column-list
+    CREATE TABLE commits an EMPTY table whose schema is the parsed
+    DDL; NOT NULL markers become column invariants; PARTITIONED BY
+    records the hive layout. Closes the last SQL-surface ergonomic
+    seam — a user can now declare a table before any data exists."""
+    t = TxTable(spark, str(tmp_path / "decl"), stat_cols=["k"])
+    out = sqlfront.execute(
+        spark,
+        "CREATE TABLE d (k BIGINT NOT NULL, v DECIMAL(10,2), "
+        "tags ARRAY<STRING>, p STRING) PARTITIONED BY (p)",
+        lambda n: {"d": t}[n],
+    ).collect()[0]
+    assert out.operation == "CREATE TABLE"
+    snap = t.snapshot()
+    assert snap.count() == 0
+    assert [f.simpleString() for f in snap.schema.fields] == [
+        "k:bigint", "v:decimal(10,2)", "tags:array<string>", "p:string",
+    ]
+    assert t.detail()["partitionColumns"] == ["p"]
+    # the NOT NULL invariant is live: a null-k append refuses
+    with pytest.raises(Exception, match="(?i)not null|null"):
+        t.append(spark.createDataFrame(
+            [(None, None, None, "a")],
+            "k bigint, v decimal(10,2), tags array<string>, p string",
+        ))
+    t.append(spark.createDataFrame(
+        [(1, None, None, "a")],
+        "k bigint, v decimal(10,2), tags array<string>, p string",
+    ))
+    assert t.snapshot().count() == 1
+    # IF NOT EXISTS no-ops on the now-existing table
+    noop = sqlfront.execute(
+        spark, "CREATE TABLE IF NOT EXISTS d (x INT)",
+        lambda n: {"d": t}[n],
+    ).collect()[0]
+    assert noop.operation == "CREATE TABLE (exists)"
+    # named errors: bad column list, undeclared partition column
+    t2 = TxTable(spark, str(tmp_path / "decl2"))
+    with pytest.raises(SqlFrontDoorError, match="cannot parse column list"):
+        sqlfront.execute(spark, "CREATE TABLE d2 (SELECT 1)",
+                         lambda n: {"d2": t2}[n])
+    with pytest.raises(SqlFrontDoorError, match="undeclared"):
+        sqlfront.execute(spark, "CREATE TABLE d2 (k INT) PARTITIONED BY (z)",
+                         lambda n: {"d2": t2}[n])
