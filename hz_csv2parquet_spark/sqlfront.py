@@ -328,7 +328,7 @@ def _parse_insert(stmt: str):
         )
 
     def run(spark, resolve):
-        tbl = resolve(name)
+        tbl = _resolve_tt_target(resolve, name, body, f"INSERT INTO {name}")
         rows = spark.sql(_rewrite_body_time_travel(spark, body, resolve))
         # VALUES and untyped literals land as whatever Spark infers —
         # align names/types to the table schema positionally so an
@@ -563,7 +563,7 @@ def _parse_create(stmt: str):
         raise SqlFrontDoorError(grammar)
 
     def run(spark, resolve):
-        tbl = resolve(name)
+        tbl = _resolve_tt_target(resolve, name, body, f"CREATE TABLE {name}")
         rows = spark.sql(_rewrite_body_time_travel(spark, body, resolve))
         if tbl.version() >= 0:
             if if_not_exists:
@@ -1030,6 +1030,27 @@ def _rewrite_time_travel(
         pos = m.end()
     out.append(stmt[pos:])
     return "".join(out)
+
+
+def _resolve_tt_target(
+    resolve: Callable[[str], object], name: str, body: str, what: str
+):
+    """Resolve a verb's TARGET table, but when the target is foreign
+    AND the query body carries a time-travel clause, raise a NAMED
+    error instead of letting the Spark-capable fall-through hand the
+    whole statement (AS OF clause included) to Catalyst, which cannot
+    parse it."""
+    try:
+        return resolve(name)
+    except _UnknownTable:
+        if _tt_clause(body):
+            raise SqlFrontDoorError(
+                f"{what}: target is not a registered transaction-log "
+                "table, and the query body carries a VERSION/TIMESTAMP "
+                "AS OF clause only the front door can execute "
+                "(pass --table name=path)"
+            ) from None
+        raise
 
 
 def _rewrite_body_time_travel(

@@ -744,6 +744,21 @@ def test_insert_select_with_version_as_of_body(spark, tmp_path):
             "INSERT INTO tgt SELECT * FROM nosuch VERSION AS OF 0",
             lambda n: {"tgt": tgt}[n],
         )
+    # foreign TARGET + time-travel body: also a named error — the
+    # Spark-capable fall-through would hand the AS OF clause to
+    # Catalyst, which cannot parse it
+    with pytest.raises(SqlFrontDoorError, match="front door"):
+        sqlfront.execute(
+            spark,
+            "INSERT INTO cat_tbl SELECT * FROM src VERSION AS OF 0",
+            lambda n: {"src": src}[n],
+        )
+    # ...while a foreign target with a PLAIN body still falls through
+    assert sqlfront.execute(
+        spark,
+        "INSERT INTO cat_tbl SELECT 1, 2",
+        lambda n: (_ for _ in ()).throw(KeyError(n)),
+    ) is None
 
 
 def test_ctas_with_time_travel_body(spark, tmp_path):
