@@ -665,6 +665,8 @@ def test_front_door_parsers_never_crash_on_fuzz():
             "SHOW", "TABLE", "INTO", "FROM", "SET", "WHERE", "USING",
             "VERSION", "TIMESTAMP", "AS", "OF", "CLONE", "SHALLOW",
             "DEEP", "DETAIL", "HISTORY", "TBLPROPERTIES", "NOT", "NULL",
+            "PARTITIONED", "BY", "INT", "BIGINT", "DECIMAL(10,2)",
+            "ARRAY<STRING>",
             "t", "`odd name`", "'lit''eral'", '"dq"', "(", ")", ",",
             "=", "*", "0", "42", "1.5", ";", "--", "x.y",
         ]
