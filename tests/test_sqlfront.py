@@ -867,3 +867,27 @@ def test_create_table_column_list(spark, tmp_path):
     with pytest.raises(SqlFrontDoorError, match="undeclared"):
         sqlfront.execute(spark, "CREATE TABLE d2 (k INT) PARTITIONED BY (z)",
                          lambda n: {"d2": t2}[n])
+
+
+def test_cli_sql_column_list_create_and_insert(tmp_path, spark, capsys):
+    """End-to-end through the CLI: declare a table with a column
+    list (name registered BEFORE the path exists — the documented
+    pre-registration pattern), INSERT into it, read it back."""
+    from hz_csv2parquet_spark.cli import main
+
+    tbl = str(tmp_path / "decl_tbl")
+    assert main([
+        "sql",
+        "CREATE TABLE d (k BIGINT NOT NULL, v STRING)",
+        "--table", f"d={tbl}",
+    ]) == 0
+    assert "CREATE TABLE" in capsys.readouterr().out
+    assert main([
+        "sql", "INSERT INTO d VALUES (1, 'a'), (2, 'b')",
+        "--table", f"d={tbl}",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "sql", "SELECT COUNT(*) AS n FROM d", "--table", f"d={tbl}",
+    ]) == 0
+    assert "2" in capsys.readouterr().out
