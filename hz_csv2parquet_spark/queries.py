@@ -643,8 +643,18 @@ def enrich_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation: partial-aggregable hash agg with
-    map-side combine, one exchange on the (2-value × 2-value) key."""
-    li = table(spark, sf_dir, "lineitem")
+    map-side combine, one exchange on the (2-value × 2-value) key.
+
+    ``spread`` (round 15): the fixture file is a single row group, so
+    the scan+partial-agg stage otherwise runs as ONE task and the
+    whole decimal-sum work is single-core (guide §2.5, "one huge
+    unsplittable file" — repartition right after the read). Measured
+    1.20 s → 0.75 s at sf0.1/32 cores; on a multi-file corpus spread
+    is a no-op and the plan is unchanged. Decimal-exact sums make the
+    result partitioning-invariant by construction."""
+    from .tables import spread
+
+    li = spread(table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -588,13 +588,18 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash / SimHash / Jaccard pipelines."""
     from .tables import spread
 
-    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "source", "text")
+    # ONE spread over the union (round 15): spreading the base table
+    # first put a RoundRobin exchange in BOTH union branches (two
+    # row-moves + local sorts) and a third stacked one downstream in
+    # the signature builders — the union of the raw scans followed by
+    # a single repartition is the same corpus with one exchange.
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     near = d.filter(F.col("doc_id") < 100).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         "source",
         F.concat(F.col("text"), F.lit(" zz9")).alias("text"),
     )
-    return d.unionByName(near)
+    return spread(d.unionByName(near))
 
 
 _SQL_NEAR_CORPUS = """

@@ -127,8 +127,20 @@ def spread(df: DataFrame) -> DataFrame:
     ``df.rdd.getNumPartitions()``, whose Python-RDD conversion
     re-triggers plan analysis on every call, needless overhead in a
     helper every text query goes through. Non-file plans (in-memory
-    ranges in tests) fall back to a single JVM-side partition count."""
+    ranges in tests) fall back to a single JVM-side partition count.
+
+    Round 15 (optimization): spread is a NO-OP when the plan already
+    carries an explicit repartition — ``inputFiles()`` sees through
+    exchanges to the underlying (single) file, so layered helpers
+    (corpus builder → signature builder, each calling spread) used to
+    stack two or three RoundRobin exchanges, each paying a full
+    row-move plus the sort-before-repartition pass. Measured at
+    sf0.1: the SimHash signature build dropped 1.74 s → 0.97 s and
+    the MinHash pipeline 1.65 s → 1.05 s removing the stacked
+    exchanges (guide §2.4 — remove shuffles outright)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    if "Repartition" in df._jdf.queryExecution().logical().toString():
+        return df
     files = df.inputFiles()
     if files:
         return df.repartition(target) if len(files) < target else df
