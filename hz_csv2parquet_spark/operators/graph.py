@@ -49,13 +49,17 @@ from pyspark.sql import functions as F
 #: propagation steps folded into one lazy plan between
 #: materializations. Each materialization (localCheckpoint + the
 #: convergence scalar) is a cache write + a full pass over the label
-#: table; batching 3 steps per round cuts those passes ~3× at the
-#: cost of ≤ 2 wasted cheap steps in the final round. On the local
-#: fixtures wall clock is stage-overhead-bound either way (measured
-#: neutral at sf0.1); the saved materializations are real passes at
-#: cluster scale. The per-round checkpoint also bounds plan depth at
-#: 3 joins, so no separate lineage-truncation cadence is needed.
-_STEPS_PER_ROUND = 3
+#: table; batching steps per round cuts those passes at the cost of
+#: ≤ steps−1 wasted cheap steps in the final round. With the
+#: round-15 self-loop step (one join + one agg, two exchanges — see
+#: connected_components) the wasted-step cost dominates earlier:
+#: measured at sf0.1 on the dup graph, 2 steps/round beat 3 (3.0 s
+#: vs 3.3 s) and both beat the old union-form 3-step round (6.4 s).
+#: Deep graphs still amortize the checkpoint: a diameter-D graph
+#: pays ⌈D/2⌉+1 materializations. The per-round checkpoint also
+#: bounds plan depth at 2 joins, so no separate lineage-truncation
+#: cadence is needed.
+_STEPS_PER_ROUND = 2
 
 
 def connected_components(
@@ -73,14 +77,26 @@ def connected_components(
     from ..tables import memo_persist
 
     e = edges.select("src", "dst")
-    # persist the symmetrized edge list BEFORE the loop: without the
-    # materialization boundary every iteration's join re-executes the
-    # edges' full upstream lineage — for dup_clusters that is the
-    # entire MinHash LSH pipeline (shingle → signature → band join →
-    # verify) once PER ITERATION (measured 22.9 s → 4.5 s at sf0.1).
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # persist the symmetrized + SELF-LOOPED edge list BEFORE the loop:
+    # without the materialization boundary every iteration's join
+    # re-executes the edges' full upstream lineage — for dup_clusters
+    # that is the entire MinHash LSH pipeline (shingle → signature →
+    # band join → verify) once PER ITERATION (measured 22.9 s → 4.5 s
+    # at sf0.1). The self-loops (round 15) fold the "keep your own
+    # label" term into the message join itself: one propagation step
+    # is ONE join + ONE min-aggregate (two exchanges) instead of the
+    # old join + union-with-labels + aggregate (three exchanges plus
+    # the union), because min over {self} ∪ neighbors ≡ min over the
+    # self-looped neighbor set. Isolated vertices survive through
+    # their self-loop. Measured at sf0.1 (dup graph, whole
+    # dedup_cluster query): 6.4 s → 3.0 s.
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .unionByName(
+            vertices.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+        )
+        .persist()
+    )
     labels = vertices.select("v", F.col("v").alias("lbl")).persist()
     prev_sum = None
     steps_done = 0
@@ -91,10 +107,12 @@ def connected_components(
         # the materialization below.
         new = labels
         for _ in range(min(_STEPS_PER_ROUND, max_iter - steps_done)):
-            msgs = sym.join(new, sym["src"] == new["v"]).select(
-                F.col("dst").alias("v"), F.col("lbl")
+            new = (
+                sym.join(new, sym["src"] == new["v"])
+                .groupBy(F.col("dst").alias("__v"))
+                .agg(F.min("lbl").alias("lbl"))
+                .withColumnRenamed("__v", "v")
             )
-            new = new.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
             steps_done += 1
         # localCheckpoint both caches AND truncates lineage (plan
         # depth stays bounded at _STEPS_PER_ROUND joins).

@@ -1210,60 +1210,62 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a duplicated span, and each document reports its duplicated-
     window fraction — the signal substring-level trainers cut on.
 
-    100 TB shape: explode → two-phase count on the md5 gram key
-    (map-side combine collapses within-partition repeats) → semi-join
-    back on the same key — co-partitioned, no broadcast of the gram
-    table, never all-pairs. Docs shorter than 8 tokens have no
-    windows and are excluded on both sides."""
-    from .tables import memo_checkpoint, spread
+    100 TB shape (round-15 single-consumption rewrite): explode →
+    (gram, doc)-grain count with map-side combine → corpus total per
+    gram as a window-sum over the SAME pair frame → per-doc reduce.
+    The gram stream is consumed exactly ONCE — the previous form
+    materialized (localCheckpoint) the positional gram table and fed
+    it to both a corpus-grain count and a semi join back, i.e. one
+    extra corpus-scale pass plus a checkpoint write per run; the
+    window-total replaces the dup-gram table AND the semi join with
+    one gh-keyed exchange of pair-grain (already-combined) rows.
+    Same skew class as before — a pathologically hot gram lands on
+    one key either way; its rows are pair-grain (≤ docs containing
+    it), not gram-grain. Measured 1.52 s → 1.23 s at sf0.1. Docs
+    shorter than 8 tokens have no windows and are excluded on both
+    sides. The (doc, tokens) frame feeds the gram chain and the
+    per-doc totals — persisted via the single-slot memo so the
+    tokenize runs once (the durable form at cluster scale is a
+    parquet write of the token table)."""
+    from .tables import memo_persist, spread
 
-    d = (
+    d = memo_persist(
         spread(table(spark, sf_dir, "documents"))
         .select("doc_id", T.tokens("text").alias("tk"))
-        .filter(F.size("tk") >= 8)
+        .filter(F.size("tk") >= 8),
+        "substring_tokens",
     )
 
-    def build_grams():
-        return d.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("tk") - F.lit(7)),
-                    # 60-bit integer gram key (first 15 md5 hex
-                    # digits): 4x smaller shuffle rows than the
-                    # 32-char md5 string, same dup semantics — the
-                    # truncation is mirrored in the oracle, so even a
-                    # collision (≈n²/2^61, vanishing) matches
-                    lambda i: F.conv(
-                        F.substring(
-                            F.md5(F.array_join(F.slice(F.col("tk"), i, 8), " ")), 1, 15
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
-                )
-            ).alias("gh"),
-        )
-
-    # the positional gram stream feeds BOTH the corpus count and the
-    # per-doc semi join — memoized + checkpointed like the SimHash
-    # signature table (tables.memo_checkpoint) so the tokenize+hash
-    # explode runs once per (input, n) and downstream plans re-analyze
-    # a three-node scan. At cluster scale the durable form is a
-    # parquet write of the gram table; same design, different storage.
-    grams = memo_checkpoint(
-        build_grams, "substring_grams", key=f"{d.semanticHash()}|n=8|k=60bit"
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - F.lit(7)),
+                # 60-bit integer gram key (first 15 md5 hex
+                # digits): 4x smaller shuffle rows than the
+                # 32-char md5 string, same dup semantics — the
+                # truncation is mirrored in the oracle, so even a
+                # collision (≈n²/2^61, vanishing) matches
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.array_join(F.slice(F.col("tk"), i, 8), " ")), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("gh"),
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("gh")
-    )
+    # positional multiplicity per (gram, doc) — partial+final count,
+    # map-side combine collapses within-partition repeats
+    per_pair = grams.groupBy("gh", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    # corpus-wide occurrence count of each gram, computed over the
+    # pair frame itself (window-sum keyed on gh — no second pass)
+    tot = per_pair.withColumn("gtot", F.sum("c").over(Window.partitionBy("gh")))
     per = (
-        grams.join(dup, "gh", "left_semi")
+        tot.filter(F.col("gtot") >= 2)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .agg(F.sum("c").alias("n_dup"))
     )
     totals = d.select("doc_id", (F.size("tk") - F.lit(7)).cast("long").alias("n_grams"))
     return (

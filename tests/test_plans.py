@@ -322,16 +322,17 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_substring_dedup_two_phase_gram_count(spark, sf_dir):
-    # the gram count is partial+final on the gram-hash key (map-side
-    # combine collapses within-partition repeats before the shuffle),
-    # and the dup filter feeds a LeftSemi join — the declarative form
-    # Catalyst sizes per-scale: broadcast at fixture size, shuffled
-    # co-partitioned when the dup set outgrows the threshold
+def test_substring_dedup_single_consumption(spark, sf_dir):
+    # round-15 shape: the gram stream is consumed ONCE — (gh, doc)
+    # pair counts with map-side combine (partial+final on the gram
+    # key), then the corpus-wide gram total is a window-sum over the
+    # same pair frame. No dup-gram table, no semi join back, no
+    # checkpoint write of the positional gram stream.
     plan = plan_of(spark, sf_dir, "dedup_substring_spans")
-    assert "LeftSemi" in plan
     assert "hashpartitioning(gh" in plan
     assert "partial_count" in plan
+    assert "Window" in plan  # gtot = sum(c) over (partition by gh)
+    assert "LeftSemi" not in plan  # old two-consumer shape is gone
 
 
 def test_hard_negatives_broadcasts_labeled_queries(spark, sf_dir):
