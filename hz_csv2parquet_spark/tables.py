@@ -8,6 +8,7 @@ under an ``sf_dir`` such as ``/root/testdata/sf0.01``.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -139,7 +140,13 @@ def spread(df: DataFrame) -> DataFrame:
     the MinHash pipeline 1.65 s → 1.05 s removing the stacked
     exchanges (guide §2.4 — remove shuffles outright)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if "Repartition" in df._jdf.queryExecution().logical().toString():
+    # only a SHUFFLING repartition counts as "already spread": coalesce
+    # renders as `Repartition n, false` and narrows parallelism, so it
+    # must not suppress the re-spread (tests/test_io.py pins this)
+    logical = df._jdf.queryExecution().logical().toString()
+    if "RepartitionByExpression" in logical or re.search(
+        r"Repartition \d+, true", logical
+    ):
         return df
     files = df.inputFiles()
     if files:
