@@ -128,7 +128,25 @@ def binned_agg(
         work = work.withColumn(idc, spec.bin_id())
         id_cols.append(idc)
 
-    out = work.groupBy(*id_cols).agg(_agg_expr(mode, val_col).alias(out_col))
+    # round 15: median's partial_percentile does NOT reduce — its
+    # buffers carry every value through the exchange anyway — and a
+    # single-row-group input scans as ONE task, so the whole buffer
+    # build serialized. Hash-distribute the raw rows on the bin key
+    # instead: the groupBy reuses that exchange (guide §2.4), the
+    # percentile build runs one wave wide, and no second row-move is
+    # paid (same shuffled bytes — values moved as rows, not buffers).
+    # Measured at sf0.1: binned_agg_median_2d 1.03 s → 0.67 s.
+    # Reducing modes keep the partial-agg-then-tiny-exchange shape:
+    # their map side collapses to ≤|grid| rows, and round-robining
+    # the input first measurably HURT the small-scan cases (extra
+    # exchange, nothing to amortize — binned_agg_mean_1d 0.25 s →
+    # 0.34 s), so it stays out. Results are partitioning-invariant by
+    # construction (exact decimal sums / exact interpolating
+    # percentile).
+    narrow = work.select(*id_cols, val_col)
+    if mode == "median":
+        narrow = narrow.repartition(*id_cols)
+    out = narrow.groupBy(*id_cols).agg(_agg_expr(mode, val_col).alias(out_col))
     for idc, spec in zip(id_cols, specs):
         out = out.withColumn(spec.out_col, spec.bin_center(idc))
     return out.select(*[s.out_col for s in specs], out_col)
