@@ -136,6 +136,56 @@ def lsh_topk(
     ).select("query_id", "neighbor_id", "cosine", "rn")
 
 
+def _centroid_array(k: DataFrame) -> DataFrame:
+    """Collapse a (cell, __kv) centroid table into ONE row holding an
+    array of (cell, kv) structs — the broadcastable form that makes
+    cell assignment a row-local fold (see :func:`_nearest_cell`)."""
+    return k.agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("__kv").alias("kv"))).alias(
+            "__cents"
+        )
+    )
+
+
+def _nearest_cell(vec: Column, cents_arr: Column) -> Column:
+    """struct(c, cell) of ``vec``'s nearest centroid from the
+    collected centroid array — a pure projection (no shuffle, no
+    sort). The fold comparison replicates a (cosine DESC, cell ASC)
+    window order exactly: NaN ranks greatest (Spark's comparison
+    operators follow its NaN total order), a NULL cosine loses to any
+    non-NULL, and an all-NULL row keeps the smallest cell id. The
+    winner is permutation-invariant (strict total order with a
+    deterministic tie-break), so ``collect_list``'s nondeterministic
+    order cannot leak into the result.
+
+    Two stages on purpose: ``transform`` scores every centroid ONCE,
+    then the fold only compares the scored structs — a single-stage
+    fold that builds the scored struct inside its comparison branches
+    re-evaluates the 64-term cosine on every reference (lambda bodies
+    get no common-subexpression elimination; measured ~5× the
+    arithmetic)."""
+    scored = F.transform(
+        cents_arr,
+        lambda ct: F.struct(cosine(vec, ct["kv"]).alias("c"), ct["cell"].alias("cell")),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        take = (
+            (x["c"].isNotNull() & acc["c"].isNull())
+            | (x["c"] > acc["c"])
+            | (x["c"].eqNullSafe(acc["c"]) & (x["cell"] < acc["cell"]))
+        )
+        # init sentinel: both fields NULL → take unconditionally
+        return F.when(acc["c"].isNull() & acc["cell"].isNull(), x).otherwise(
+            F.when(take, x).otherwise(acc)
+        )
+
+    init = F.struct(
+        F.lit(None).cast("double").alias("c"), F.lit(None).cast("long").alias("cell")
+    )
+    return F.aggregate(scored, init, step)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -143,6 +193,7 @@ def kmeans_centroids(
     k: int = 8,
     iters: int = 2,
     train_mod: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over the embedding column —
     the trained coarse quantizer for IVF. Output: (cell, vec_col).
@@ -173,27 +224,46 @@ def kmeans_centroids(
         cents = corpus.filter(F.col(id_col) < k).select(
             F.col(id_col).cast("long").alias("cell"), F.col(vec_col).alias("__kv")
         )
-        s = sample.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+        # the M-step's no-explode shape needs the (fixed) vector
+        # width: either declared by the caller — then asserted per row
+        # via checked_dim, so a wrong declaration fails loudly instead
+        # of computing truncated means — or probed with one bounded
+        # 1-row collect. IVF vectors are fixed-dim by construction
+        # (ragged input would already break the banded-LSH assertion).
+        d = dim if dim is not None else len(corpus.select(vec_col).head()[0])
+        s = sample.select(
+            F.col(id_col).alias("__vid"),
+            (checked_dim(F.col(vec_col), d) if dim is not None else F.col(vec_col)).alias(
+                "__v"
+            ),
+        )
         for _ in range(iters):
-            scored = s.join(F.broadcast(cents)).select(
-                "__vid", "__v", "cell", cosine(F.col("__v"), F.col("__kv")).alias("__cos")
+            # E-step as a row-local fold over the collected centroid
+            # array (same winner as the old (cos DESC, cell) window —
+            # see _nearest_cell): the old per-iteration shuffle+sort
+            # of |sample|·K scored rows is gone; assignment is a
+            # projection behind a 1-row broadcast.
+            assigned = s.join(F.broadcast(_centroid_array(cents))).select(
+                _nearest_cell(F.col("__v"), F.col("__cents"))["cell"].alias("cell"),
+                "__v",
             )
-            w = Window.partitionBy("__vid").orderBy(F.col("__cos").desc(), F.col("cell"))
-            assigned = (
-                scored.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+            # M-step: element-wise mean as ``dim`` per-position DECIMAL
+            # sums in ONE partial-aggregable groupBy — replaces the old
+            # posexplode → groupBy(cell, pos) → collect_list/sort_array
+            # re-assembly (two shuffles of |sample|·dim exploded rows).
+            # DECIMAL addition is exact and order-independent, so the
+            # sums — and the double division by the cell count — are
+            # bit-identical to the exploded form the oracle replays.
+            # Emitted as ONE parsed expression: the Column-composed
+            # form costs dim × ~7 py4j round trips per iteration
+            # (~3 s of pure driver time at dim 64 — the same trap
+            # banded_lsh_bucket documents).
+            mus = ", ".join(
+                "CAST(sum(CAST(CAST(element_at(__v, {i}) AS DOUBLE)"
+                " AS DECIMAL(38,10))) AS DOUBLE) / CAST(count(1) AS DOUBLE)".format(i=i)
+                for i in range(1, d + 1)
             )
-            ex = assigned.select("cell", F.posexplode("__v").alias("pos", "x"))
-            m = ex.groupBy("cell", "pos").agg(
-                (
-                    F.sum(F.col("x").cast("double").cast("decimal(38,10)")).cast("double")
-                    / F.count(F.lit(1)).cast("double")
-                ).alias("mu")
-            )
-            cents = m.groupBy("cell").agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "mu"))), lambda st: st["mu"]
-                ).alias("__kv")
-            )
+            cents = assigned.groupBy("cell").agg(F.expr(f"array({mus})").alias("__kv"))
         return cents
 
     # thunk/key memo: training stays one lazy plan WITHIN a call (each
@@ -204,7 +274,7 @@ def kmeans_centroids(
     cents = memo_checkpoint(
         _train,
         "kmeans_centroids",
-        f"{corpus.semanticHash()}|{id_col}|{vec_col}|{k}|{iters}|{train_mod}",
+        f"{corpus.semanticHash()}|{id_col}|{vec_col}|{k}|{iters}|{train_mod}|{dim}",
     )
     return cents.select("cell", F.col("__kv").alias(vec_col))
 
@@ -215,23 +285,55 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """IVF cell assignment: each vector's ``nprobe`` nearest
     centroids by cosine (deterministic tie-break on centroid id).
     ``centroids`` is a (cell, vec_col) table — e.g. the output of
     :func:`kmeans_centroids` — and is broadcast; cost is |corpus|·K
     cosines — linear, which is the whole point of IVF. Output: id,
-    cell, probe_rank."""
+    cell, probe_rank (+ ``vec_col`` when ``keep_vec``).
+
+    ``nprobe=1`` (the corpus-sized path) is an argmax, not a rank,
+    and with the centroids broadcast the argmax is ROW-LOCAL: the
+    K centroids are collected into one array row, cross-attached by a
+    1-row broadcast, and each vector folds its nearest centroid out
+    of that array in a single projection — ZERO exchanges, nothing
+    sorted, and the vector never leaves its row (``keep_vec`` is
+    free). The fold's comparison replicates the old window's
+    (cosine DESC, cell ASC) total order exactly, including the edges:
+    NaN ranks greatest (Spark comparison operators follow the NaN
+    total order), a NULL cosine loses to any non-NULL, and an
+    all-NULL row keeps the smallest cell id. The old plan shuffled
+    and sorted all |corpus|·K scored rows just to rank them per
+    vector. ``centroids`` must be non-empty (K ≥ 1 by construction).
+
+    ``nprobe>1`` (the query-side path, |Q| rows) keeps the window
+    rank."""
     c = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
     k = centroids.select("cell", F.col(vec_col).alias("__kv"))
+    if nprobe == 1:
+        arr = _centroid_array(k)
+        best = _nearest_cell(F.col("__v"), F.col("__cents"))
+        return c.join(F.broadcast(arr)).select(
+            F.col("__vid").alias(id_col),
+            best["cell"].alias("cell"),
+            F.lit(1).alias("probe_rank"),
+            *([F.col("__v").alias(vec_col)] if keep_vec else []),
+        )
     scored = c.join(F.broadcast(k)).select(
-        "__vid", "cell", cosine(F.col("__v"), F.col("__kv")).alias("__cos")
+        "__vid", "__v", "cell", cosine(F.col("__v"), F.col("__kv")).alias("__cos")
     )
     w = Window.partitionBy("__vid").orderBy(F.col("__cos").desc(), F.col("cell"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
-        .select(F.col("__vid").alias(id_col), "cell", F.col("__rn").alias("probe_rank"))
+        .select(
+            F.col("__vid").alias(id_col),
+            "cell",
+            F.col("__rn").alias("probe_rank"),
+            *([F.col("__v").alias(vec_col)] if keep_vec else []),
+        )
     )
 
 
@@ -245,6 +347,7 @@ def ivf_topk(
     nprobe: int = 2,
     iters: int = 2,
     train_mod: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: centroids come from
     deterministic Lloyd's k-means (:func:`kmeans_centroids` — init =
@@ -258,11 +361,15 @@ def ivf_topk(
     from ..tables import memo_persist
 
     cents = memo_persist(
-        kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters, train_mod),
+        kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters, train_mod, dim),
         "ivf_centroids",
     )
-    cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(id_col, "cell")
-    corpus_cells = corpus.join(cells, id_col).select(
+    # keep_vec: the assignment aggregate carries each vector next to
+    # its cell, so no corpus-by-id re-join is needed to build the
+    # inverted file — one shuffle join of the full corpus removed
+    corpus_cells = ivf_assign(
+        corpus, cents, id_col, vec_col, nprobe=1, keep_vec=True
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
     )
     probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
@@ -433,6 +540,7 @@ def semantic_dedup(
     n_centroids: int = 8,
     iters: int = 2,
     train_mod: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with k-means, then
@@ -453,16 +561,20 @@ def semantic_dedup(
     (1/``train_mod``), deterministic, and oracle-replayable."""
     from ..tables import memo_persist
 
-    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters, train_mod)
-    cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
-        F.col(id_col).alias("__id"), "cell"
-    )
-    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    cents = kmeans_centroids(corpus, id_col, vec_col, n_centroids, iters, train_mod, dim)
     # both self-join legs read the assignment frame — persist it via
     # the single-slot memo so the |corpus|·k assignment cosines run
     # once, not once per leg (at real scale this is the parquet-write
-    # boundary between the assign and compare stages).
-    withv = memo_persist(cells.join(base, "__id"), "semantic_cells")
+    # boundary between the assign and compare stages). keep_vec rides
+    # each vector through the assignment aggregate, so the old
+    # corpus-by-id re-join that reattached vectors is gone outright.
+    withv = memo_persist(
+        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1, keep_vec=True).select(
+            F.col(id_col).alias("__id"), "cell", F.col(vec_col).alias("__v")
+        ),
+        "semantic_cells",
+    )
+    cells = withv.select("__id", "cell")
     a, b = withv.alias("a"), withv.alias("b")
     dropped = (
         a.join(

@@ -298,8 +298,12 @@ def similarity_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .tables import spread
 
     emb = spread(table(spark, sf_dir, "embeddings"))
+    # dim=64 is the fixture's pinned vector width (TESTDATA.md;
+    # asserted per row by checked_dim inside the trainer) — declaring
+    # it skips the trainer's 1-row width probe job
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=3, iters=2, train_mod=4
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=3, iters=2,
+        train_mod=4, dim=64,
     )
 
 
@@ -344,7 +348,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     plant = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
-    return semantic_dedup(emb.unionByName(plant), threshold=0.95)
+    return semantic_dedup(emb.unionByName(plant), threshold=0.95, dim=64)
 
 
 @query("similarity_topk_pandas_udf", sql=None)
@@ -656,7 +660,7 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 5)
     brute = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
-    ivf = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=3).select(
+    ivf = ivf_topk(emb, q, k=10, n_centroids=8, nprobe=3, dim=64).select(
         "query_id", "neighbor_id"
     )
     return _recall_frame(brute, ivf)
