@@ -51,6 +51,16 @@ PROBES = [
     "text_stats_documents",
     "similarity_topk_embeddings",
     "similarity_lsh_embeddings",
+    # round-15: the trained-quantizer IVF path joined the probe after
+    # its assignment rewrite (row-local fold over broadcast
+    # centroids) — training is sample-sized, assignment map-only,
+    # probed-cell scan linear in the corpus, so alpha ≈ 1 is the
+    # design claim. semantic_dedup is deliberately NOT probed: its
+    # in-cell comparison is O(n²/k) BY DESIGN and the published
+    # config scales k with the corpus, which the fixed-k query
+    # cannot do — a fixed-k probe would measure that documented
+    # trade, not a regression.
+    "similarity_ivf_embeddings",
 ]
 
 #: fail the probe if any operator's fitted exponent exceeds this —
