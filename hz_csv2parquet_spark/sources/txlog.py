@@ -55,6 +55,7 @@ Delta/Iceberg MERGE shape: touched-file rewrite, not table rewrite.
 
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
@@ -3625,11 +3626,31 @@ class TxTable:
         # on a non-empty batch now mean "no pruning possible": NULL
         # keys can never equality-match an existing row (SQL MERGE
         # semantics), so the batch takes the touched=[] insert path.
-        bounds = updates.agg(
+        agg_cols = [
             F.min(prune_col).alias("lo"),
             F.max(prune_col).alias("hi"),
             F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
+        ]
+        if resolve is None:
+            # the duplicate-key probe rides the SAME single-pass
+            # aggregate (one job, one scan of the batch — it used to
+            # be its own groupBy+count job): rows with a NULL in any
+            # key column are independent INSERTS (equality can never
+            # match them) and are excluded from both counts, exactly
+            # the old na.drop(subset=keys) semantics; duplicates
+            # exist iff the all-keys-non-null row count exceeds the
+            # distinct key-tuple count.
+            nn_key = F.when(
+                functools.reduce(
+                    lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+                ),
+                F.struct(*[F.col(k) for k in keys]),
+            )
+            agg_cols += [
+                F.count(nn_key).alias("nn_rows"),
+                F.count_distinct(nn_key).alias("nn_keys"),
+            ]
+        bounds = updates.agg(*agg_cols).collect()[0]
         if bounds.n == 0:
             # Empty update batch: no data work, but a txn-stamped call
             # still records its marker (marker-only commit) so callers
@@ -3654,24 +3675,13 @@ class TxTable:
                     if attempt == self._REBASE_ATTEMPTS - 1:
                         raise
                     time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
-        if resolve is None:
-            # rows with a NULL in any key column can never match a
-            # target row (equality conjunction), so several of them
-            # are independent INSERTS, not an ambiguous multi-update —
-            # only non-NULL-keyed duplicates are a caller error
-            dup = (
-                updates.na.drop(subset=keys)
-                .groupBy(*keys)
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
+        if resolve is None and bounds.nn_rows != bounds.nn_keys:
+            # computed in the bounds aggregate above — only
+            # non-NULL-keyed duplicates are a caller error
+            raise ValueError(
+                f"merge_upsert: update batch has multiple rows per key {keys}; "
+                "deduplicate first or pass a resolve function"
             )
-            if dup:
-                raise ValueError(
-                    f"merge_upsert: update batch has multiple rows per key {keys}; "
-                    "deduplicate first or pass a resolve function"
-                )
         for attempt in range(retries + 1):
             if attempt and txn is not None and txn[1] in self.committed_txns(txn[0]):
                 return None  # the winner of the lost race was our twin

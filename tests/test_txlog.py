@@ -496,6 +496,36 @@ def test_merge_duplicate_update_keys_raise(spark, tmp_path):
     assert t.snapshot().count() == 10  # nothing committed
 
 
+def test_merge_duplicate_probe_ignores_null_keys(spark, tmp_path):
+    """The duplicate-key probe (now fused into the bounds aggregate —
+    r15 optimization) must keep the old ``na.drop(subset=keys)``
+    semantics exactly: several rows whose key (or ANY composite-key
+    field) is NULL are independent INSERTS, never a duplicate error;
+    a real duplicate among the non-NULL-keyed rows still raises."""
+    t = _mk(spark, tmp_path, n=10, files=1)
+    # two all-NULL keys + one real key: inserts, no raise
+    ups = spark.createDataFrame(
+        [(None, -1), (None, -2), (5, -5)], "k long, v long"
+    )
+    t.merge_upsert(ups, "k")
+    assert t.snapshot().count() == 12
+    # composite key: rows NULL in ONE field are also insert-only
+    t2 = TxTable(spark, str(tmp_path / "tbl2"), stat_cols=["a"])
+    t2.create(spark.createDataFrame([(1, 1, 0)], "a long, b long, v long"))
+    mixed = spark.createDataFrame(
+        [(1, None, -1), (1, None, -2), (None, 2, -3)],
+        "a long, b long, v long",
+    )
+    t2.merge_upsert(mixed, ["a", "b"])
+    assert t2.snapshot().count() == 4
+    # but a genuine non-NULL composite duplicate still raises
+    dup = spark.createDataFrame(
+        [(1, 1, -1), (1, 1, -2)], "a long, b long, v long"
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        t2.merge_upsert(dup, ["a", "b"])
+
+
 def test_merge_resolver_last_writer_wins(spark, tmp_path):
     """A resolve hook owns match semantics: last-writer-wins by ms —
     an update batch carrying an OLDER value for a key must NOT
