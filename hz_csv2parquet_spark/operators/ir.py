@@ -62,49 +62,81 @@ def bm25_topk(
     ``query_terms`` bag.
 
     Plan shape (the one you'd run at 100 TB):
-      1. one narrow scan → per-doc (dl, per-query-term tf) via a
-         pre-filtered explode (non-query tokens never leave the map
-         side),
-      2. corpus size + avgdl + per-term df reduced to a |terms|-row
-         stats frame → **broadcast**,
-      3. score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+      1. ONE tokenize pass: the (doc, token-array) frame is
+         materialized via the single-slot memo — the plan below it
+         fans out to three consumers (corpus stats, tf, df) and
+         DataFrame plans share no common subtrees, so without the
+         boundary the corpus would be re-read and re-tokenized once
+         per consumer (measured: four full tokenize passes per run
+         before round 15). At cluster scale the durable form of the
+         memo is a parquet write of the same narrow frame.
+      2. per-doc (dl, per-query-term tf) via a pre-filtered explode
+         over the materialized arrays (non-query tokens die map-side;
+         dl rides the exploded rows so no doc-grain join is needed),
+      3. corpus size + avgdl reduced to ONE broadcast row; per-term
+         df as a window-count over the already-reduced (doc, term)
+         frame (vocab grain — the top_terms_per_lang idiom) instead
+         of a second corpus-scale aggregation,
+      4. score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
          summed through DECIMAL(38,10) so the float sum is
          order-insensitive (functions/exact.py),
-      4. TakeOrdered top-k on (score DESC, doc id) — per-partition
+      5. TakeOrdered top-k on (score DESC, doc id) — per-partition
          partial top-k, never a global sort.
+
+    (A fully map-side variant — per-term tf via array filter/size
+    lambdas, zero explode — measured 1.7× SLOWER at sf0.1:
+    higher-order array lambdas run interpreted, outside whole-stage
+    codegen. The explode+isin form here keeps the token hot path in
+    codegen and pays the tokenize exactly once.)
     """
+    from ..tables import memo_persist
+
     terms = sorted(set(query_terms))
-    toks = documents.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    base = memo_persist(
+        documents.select(F.col(id_col), tokens(text_col).alias("__t")),
+        "bm25_tokens",
     )
-    qtoks = toks.filter(F.col("tok").isin(terms))
 
-    # per-(doc, term) tf over the filtered stream — small by construction
-    tf = qtoks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-
-    # corpus stats: N, avgdl (one row); df per query term (≤ |terms| rows)
-    dl = doc_token_stats(documents, id_col, text_col)
-    corpus = dl.agg(
+    # corpus stats: N, avgdl — one row off the materialized arrays,
+    # map-side collapsible, no tokenize (same expressions as the old
+    # doc_token_stats pass: count over all rows, sum of size(tokens))
+    corpus = base.select(F.size("__t").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     )
-    df_t = qtoks.groupBy("tok").agg(
-        F.count_distinct(F.col(id_col)).alias("df")
+
+    # per-(doc, term) tf with dl riding along — the filtered stream is
+    # small by construction; min(dl) is exact (dl is constant per doc)
+    tf = (
+        base.select(
+            F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("tok")
+        )
+        .filter(F.col("tok").isin(terms))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
 
-    stats = df_t.crossJoin(F.broadcast(corpus)).select(
-        "tok",
-        (
-            (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
-        ).alias("idf_num"),
-        (F.col("df").cast("double") + F.lit(0.5)).alias("idf_den"),
-        (
-            F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
-        ).alias("avgdl"),
+    # per-term df: one row per (doc, term) above, so a window COUNT
+    # partitioned on the term is exactly the old
+    # count_distinct(doc) — computed at (doc,term) grain with one tiny
+    # exchange instead of re-aggregating the corpus token stream
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
     )
 
     scored = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(stats), "tok")
+        tf.crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            "tf",
+            "dl",
+            (
+                (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+            ).alias("idf_num"),
+            (F.col("df").cast("double") + F.lit(0.5)).alias("idf_den"),
+            (
+                F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
         .select(
             F.col(id_col),
             (

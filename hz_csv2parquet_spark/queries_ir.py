@@ -460,41 +460,50 @@ def lm_bigram_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared output, and the mean-probability ordering is what the
     gate thresholds anyway). Scale shape: the model is a (w1,w2)-keyed
     aggregate of the same pair stream it scores — both sides of the
-    scoring join shuffle on the bigram key (co-partitioned); U joins
-    model-side on w1 (model-grain, not corpus-grain); V is a scalar
+    scoring join shuffle on the bigram key (co-partitioned); U is a
+    model-grain window-sum on w1 (never corpus-grain); V is a scalar
     broadcast. Sums route through DECIMAL(38,10) so the per-doc mean
     is partition-order-independent."""
     from .functions.text import tokens
-
-    base = table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("t")
-    )
-    fb = base.filter(F.size("t") >= 2)
     from .tables import memo_checkpoint
 
-    # the (doc, w1, w2) pair stream feeds BOTH the model build and the
-    # scoring join — checkpoint it once (keyed: fixture dirs are
-    # immutable) instead of re-tokenizing the corpus per consumer; at
-    # 100 TB the durable form is a parquet write of the same frame
-    pairs = memo_checkpoint(
-        lambda: fb.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
-                )
-            ).alias("bg"),
-        ).select("doc_id", "bg.w1", "bg.w2"),
-        "lm_bigram_pairs",
+    # tokenization (regex normalize + split) is the expensive per-row
+    # work and THREE consumers need its output (bigram model build,
+    # scoring join, vocabulary count) — checkpoint the token arrays
+    # once (keyed: fixture dirs are immutable) so the corpus text is
+    # read and tokenized exactly once per run; at 100 TB the durable
+    # form is a parquet write of the same frame. Round 15: this
+    # replaces a checkpoint of the bigram-pair stream that still left
+    # the vocabulary count re-tokenizing the corpus a second time.
+    base = memo_checkpoint(
+        lambda: table(spark, sf_dir, "documents").select(
+            "doc_id", tokens("text").alias("t")
+        ),
+        "lm_bigram_base",
         f"lm_bigram|{sf_dir}",
     )
+    fb = base.filter(F.size("t") >= 2)
+    pairs = fb.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
     b = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
-    u = b.groupBy("w1").agg(F.sum("bc").alias("uc"))
+    # unigram continuation totals as a window-sum over the bigram
+    # table itself: sum(bc) partitioned on w1 is the exact long sum
+    # the old groupBy("w1")+join("w1") computed, but it reuses the ONE
+    # (w1,w2) aggregation instead of re-running the pair-stream
+    # aggregate a second time under the join's right branch (DataFrame
+    # plans share no common subexpressions — guide §2.4)
+    uw = Window.partitionBy("w1")
     v = base.select(F.explode("t").alias("tok")).agg(
         F.count_distinct("tok").alias("vsz")
     )
     model = (
-        b.join(u, "w1")
+        b.withColumn("uc", F.sum("bc").over(uw))
         .crossJoin(F.broadcast(v))
         .select(
             "w1",
