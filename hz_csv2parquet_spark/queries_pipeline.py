@@ -218,11 +218,23 @@ def boilerplate_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     blurbs); per document, report how much of it is boilerplate. The
     gram document-frequency table is corpus-vocabulary-sized —
     broadcast back to the gram stream, so the corpus never shuffles
-    for the join; the only wide stage keys on the gram itself."""
-    from .operators.dedup import shingle_set
+    for the join; the only wide stage keys on the gram itself.
 
-    d = spread(table(spark, sf_dir, "documents")).select("doc_id", "text")
-    g = d.select("doc_id", F.explode(shingle_set("text", _BP_N)).alias("gram"))
+    Round 15: the shingle frame is memo-persisted (the
+    contamination-check pattern) — the gram stream feeds BOTH the
+    document-frequency aggregate and the final per-doc join, so the
+    un-materialized plan computed the normalize/tokenize/5-gram
+    pipeline twice per run."""
+    from .operators.dedup import shingle_set
+    from .tables import memo_persist
+
+    d = memo_persist(
+        spread(table(spark, sf_dir, "documents")).select(
+            "doc_id", shingle_set("text", _BP_N).alias("__sh")
+        ),
+        "boilerplate_shingles",
+    )
+    g = d.select("doc_id", F.explode("__sh").alias("gram"))
     gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("dfq"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     boiler = (F.lit(20) * F.col("dfq") > F.col("n_docs")).cast("long")

@@ -535,10 +535,19 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     DECIMAL(38,10) sums make every iterate bit-stable under any
     partitioning, which is what lets the oracle replay all three
     iterations and hash-match the final loadings."""
-    from .tables import spread
+    from .tables import memo_persist, spread
 
-    emb = spread(table(spark, sf_dir, "embeddings")).select(
-        F.slice("embedding", 1, _PCA_DIMS).alias("x")
+    # round 15: persist the sliced projection — each iteration is a
+    # separate consumer of the corpus frame (DataFrame plans share no
+    # common subtrees), so the un-materialized plan re-read and
+    # re-sliced the parquet corpus once per iteration (3 scans/run);
+    # at cluster scale this is the one-time projection write every
+    # iterative-linear-algebra job starts with
+    emb = memo_persist(
+        spread(table(spark, sf_dir, "embeddings")).select(
+            F.slice("embedding", 1, _PCA_DIMS).alias("x")
+        ),
+        "pca_corpus",
     )
     v = None  # 1-row DataFrame with column v: array<double>
     spark_v0 = emb.sparkSession.range(1).select(

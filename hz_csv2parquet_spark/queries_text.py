@@ -1328,20 +1328,31 @@ def collocations_by_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bigram grain, both map-side combined); unigram counts join
     back at bigram grain co-partitioned on the word key; the scalar
     totals arrive via a 1-row broadcast; global top-20 through the
-    salted two-phase top-k. Nothing is ever per-pair quadratic."""
-    from .operators.topk import grouped_topk
-    from .tables import spread
+    salted two-phase top-k. Nothing is ever per-pair quadratic.
 
-    d = spread(table(spark, sf_dir, "documents")).select(T.tokens("text").alias("tk"))
+    Round 15: the tokenized frame is memo-persisted — it feeds THREE
+    consumers (totals, unigram counts, bigram counts) and the unigram
+    aggregate a further two (both sides of the lift join), so the
+    un-materialized plan re-read and re-tokenized the corpus four
+    times per run. The vocab-grain unigram table is persisted too, so
+    its aggregation runs once, not once per join side."""
+    from .operators.topk import grouped_topk
+    from .tables import memo_persist, spread
+
+    d = memo_persist(
+        spread(table(spark, sf_dir, "documents")).select(T.tokens("text").alias("tk")),
+        "collocations_tokens",
+    )
     n = F.size("tk")
     tot = d.agg(
         F.sum(n).cast("long").alias("n_tok"),
         F.sum(n - 1).cast("long").alias("n_big"),
     )
-    uni = (
+    uni = memo_persist(
         d.select(F.explode("tk").alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c_w"))
+        .agg(F.count(F.lit(1)).alias("c_w")),
+        "collocations_uni",
     )
     pairs = F.zip_with(
         F.slice(F.col("tk"), 1, n - 1),

@@ -783,7 +783,17 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     back co-partitioned on the part key; the transaction total is a
     1-row broadcast; the global top-20 is the salted two-phase
     top-k. Confidence/lift are pure count ratios — deterministic
-    doubles on both engines."""
+    doubles on both engines.
+
+    Round 15, measured and NOT landed: memo-persisting the distinct
+    basket-item frame (it feeds five consumers, so this plan re-runs
+    the lineitem scan + distinct once per consumer) read 2.6 s vs
+    2.0 s un-materialized across six interleaved solo samples — on
+    local[32] the five chains run as concurrent stages on idle cores,
+    while the cache serializes materialize-then-consume. At cluster
+    scale the five-fold recompute is the loser and the durable form
+    is a parquet write of the distinct frame; locally the bench gate
+    measures seconds, so the recompute form stays."""
     from .operators.topk import grouped_topk
 
     items = (
