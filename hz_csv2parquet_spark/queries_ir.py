@@ -893,8 +893,16 @@ def keywords_per_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rational idf — same no-transcendental argument as E95). The
     per-doc variant of E29's corpus-level tf-idf: the rank window
     partitions on high-cardinality doc_id, so the sort under it is
-    one document's vocabulary, never the corpus; df table joins at
-    token grain (model-grain, not token-stream grain)."""
+    one document's vocabulary, never the corpus.
+
+    Round 15: df is a window COUNT over the reduced (doc, token)
+    frame partitioned on the token (one row per (doc, token), so the
+    window count IS the old ``groupBy(token)`` document frequency) —
+    the old df-aggregate + token-grain join re-executed the whole
+    tokenize → explode → tf subtree a second time under the join's
+    right branch (DataFrame plans share no common subtrees). The plan
+    is now a LINEAR chain: one tokenize pass, tf exchange → token
+    window → doc window, no join beyond the 1-row broadcast."""
     from .functions.text import tokens as _tokens
 
     base = table(spark, sf_dir, "documents").select(
@@ -902,11 +910,12 @@ def keywords_per_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = base.select("doc_id", F.explode("t").alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
     n = base.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n))
+        tf.crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "token",
