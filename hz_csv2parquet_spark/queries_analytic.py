@@ -528,7 +528,13 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAD → gate), each a per-type aggregate with the tiny stats frame
     broadcast back — facts never shuffle; exact per-group medians are
     the acknowledged E19 trade with the E77 two-phase rank as the
-    100 TB swap."""
+    100 TB swap.
+
+    Round 15: the MAD aggregate carries n/med2 through (constant
+    within a group, so max() is the value) instead of re-joining m1 —
+    the old ``m1.join(m2)`` re-executed m1's whole facts pass a
+    second time under the join's left branch, making the three-pass
+    design a four-pass plan."""
     vc = F.round(F.col("value") * 100).cast("long")
     c = table(spark, sf_dir, "events").select("event_type", vc.alias("__vc"))
     m1 = c.groupBy("event_type").agg(
@@ -537,10 +543,11 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = c.join(F.broadcast(m1), "event_type")
     d2 = F.abs(F.lit(2) * F.col("__vc") - F.col("__med2"))
-    m2 = j.groupBy("event_type").agg(
-        F.round(F.median(d2) * 2).cast("long").alias("__mad2d")
+    stats = j.groupBy("event_type").agg(
+        F.round(F.median(d2) * 2).cast("long").alias("__mad2d"),
+        F.max("__n").alias("__n"),
+        F.max("__med2").alias("__med2"),
     )
-    stats = m1.join(m2, "event_type")
     out = (
         c.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
