@@ -465,22 +465,23 @@ def lm_bigram_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Sums route through DECIMAL(38,10) so the per-doc mean
     is partition-order-independent."""
     from .functions.text import tokens
-    from .tables import memo_checkpoint
+    from .tables import memo_persist
 
     # tokenization (regex normalize + split) is the expensive per-row
     # work and THREE consumers need its output (bigram model build,
-    # scoring join, vocabulary count) — checkpoint the token arrays
-    # once (keyed: fixture dirs are immutable) so the corpus text is
-    # read and tokenized exactly once per run; at 100 TB the durable
-    # form is a parquet write of the same frame. Round 15: this
-    # replaces a checkpoint of the bigram-pair stream that still left
-    # the vocabulary count re-tokenizing the corpus a second time.
-    base = memo_checkpoint(
-        lambda: table(spark, sf_dir, "documents").select(
+    # scoring join, vocabulary count) — persist the token arrays once
+    # so the corpus text is read and tokenized exactly once per run;
+    # at 100 TB the durable form is a parquet write of the same frame.
+    # Round 15: this replaces a localCheckpoint of the bigram-pair
+    # stream that still left the vocabulary count re-tokenizing the
+    # corpus a second time (and persist over checkpoint: the base plan
+    # is a two-node scan+project, so the lineage cut bought nothing
+    # while its eager materialization job cost ~0.2 s per run).
+    base = memo_persist(
+        table(spark, sf_dir, "documents").select(
             "doc_id", tokens("text").alias("t")
         ),
         "lm_bigram_base",
-        f"lm_bigram|{sf_dir}",
     )
     fb = base.filter(F.size("t") >= 2)
     pairs = fb.select(
