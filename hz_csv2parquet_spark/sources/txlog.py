@@ -304,6 +304,48 @@ def _decoded_rel_col():
 _PV_UNION_MAX = 32
 
 
+def _dv_schema():
+    """Deletion-vector sidecar schema — fixed by construction
+    (:meth:`TxTable._stage_dv` writes exactly these two columns), so
+    sidecar reads never need a footer-inference job."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [StructField("fname", StringType()), StructField("pos", LongType())]
+    )
+
+
+_DV_SCHEMA = _dv_schema()
+
+
+def _physical_read_schema(
+    schema_json: str, mapping: dict | None, adds: dict[str, dict]
+):
+    """Explicit parquet read schema for data files: the committed
+    schema in PHYSICAL column names, every field nullable (files
+    written before a column evolved in null-fill it — Spark's own
+    explicit-schema parquet semantics), minus hive-partitioned
+    columns (``_stage`` writes those as directory segments via
+    ``partitionBy``; their values reattach from the logged
+    ``partitionValues``, whose keys — physical, like the files — are
+    exactly the exclusion set)."""
+    from pyspark.sql.types import StructField, StructType
+
+    pv_keys: set[str] = set()
+    for a in adds.values():
+        pv = a.get("partitionValues")
+        if pv:
+            pv_keys.update(pv)
+    phys = _cm_map(mapping)
+    return StructType(
+        [
+            StructField(phys.get(f.name, f.name), f.dataType, True)
+            for f in StructType.fromJson(json.loads(schema_json)).fields
+            if phys.get(f.name, f.name) not in pv_keys
+        ]
+    )
+
+
 def _norm_action(a: dict) -> dict:
     """An add action stripped of ``dataChange`` — provenance (append
     vs maintenance), not content: two adds differing only by it
@@ -3095,6 +3137,22 @@ class TxTable:
                 df, mapping, keep_extra=(keep_rel,) if keep_rel else ()
             )
 
+        # the LOG is the schema authority (the Delta read model):
+        # passing it to the scan skips the footer-inference job every
+        # bare spark.read.parquet dispatches — at 100 TB that job is a
+        # distributed footer sweep over the live file set, paid per
+        # verb. partitionValues-keyed columns are never stored in data
+        # files (``_stage`` writes them as hive dirs), so they are
+        # excluded; files missing later-evolved columns null-fill,
+        # dropped-column residue is never read — both exactly the
+        # mergeSchema-read semantics this replaces (and the DSv2
+        # source's existing log-schema contract).
+        read_schema = (
+            _physical_read_schema(schema_json, mapping, adds)
+            if schema_json
+            else None
+        )
+
         dv_of = {
             _data_file(self.path, rel, a): a["dv"]
             for rel, a in adds.items()
@@ -3125,7 +3183,9 @@ class TxTable:
                 pcols = sorted({c for pv in pv_of.values() for c in pv})
                 rel = keep_rel or "__hz_rel"
                 out = to_logical(
-                    self._read_files_core(files, dv_of, rel_col=rel)
+                    self._read_files_core(
+                        files, dv_of, rel_col=rel, read_schema=read_schema
+                    )
                 ).join(
                     F.broadcast(self._pv_frame(files, pv_of, pcols, types, rel)),
                     rel,
@@ -3137,7 +3197,9 @@ class TxTable:
                 parts: list[DataFrame] = []
                 for key, fs in groups.items():
                     df = to_logical(
-                        self._read_files_core(fs, dv_of, rel_col=keep_rel)
+                        self._read_files_core(
+                            fs, dv_of, rel_col=keep_rel, read_schema=read_schema
+                        )
                     )
                     for col, val in key:
                         dt = types.get(col)
@@ -3153,7 +3215,11 @@ class TxTable:
             ordered = [fld.name for fld in schema.fields if fld.name in out.columns]
             extra = [c for c in out.columns if c not in ordered]
             return out.select(*ordered, *extra)
-        return to_logical(self._read_files_core(files, dv_of, rel_col=keep_rel))
+        return to_logical(
+            self._read_files_core(
+                files, dv_of, rel_col=keep_rel, read_schema=read_schema
+            )
+        )
 
     def _pv_frame(
         self,
@@ -3185,8 +3251,21 @@ class TxTable:
         )
         return self.spark.createDataFrame(rows, mapping_schema)
 
+    def _reader(self, read_schema=None):
+        """A parquet reader with the caller's LOG-derived physical
+        schema when available (zero schema-inference jobs), falling
+        back to a mergeSchema footer sweep only when no committed
+        schema exists to trust (the convert path)."""
+        if read_schema is not None:
+            return self.spark.read.schema(read_schema)
+        return self.spark.read.option("mergeSchema", "true")
+
     def _read_files_core(
-        self, files: list[str], dv_of: dict[str, dict], rel_col: str | None = None
+        self,
+        files: list[str],
+        dv_of: dict[str, dict],
+        rel_col: str | None = None,
+        read_schema=None,
     ) -> DataFrame:
         """``rel_col`` keeps the DECODED table-relative path as a
         column on every branch (from ``_metadata.file_path``, which
@@ -3196,20 +3275,20 @@ class TxTable:
         dvd = [f for f in files if f in dv_of]
         parts: list[DataFrame] = []
         if plain:
-            df = self.spark.read.option("mergeSchema", "true").parquet(*plain)
+            df = self._reader(read_schema).parquet(*plain)
             if rel_col:
                 df = df.withColumn(rel_col, _decoded_rel_col())
             parts.append(df)
         if dvd:
             scan = (
-                self.spark.read.option("mergeSchema", "true")
+                self._reader(read_schema)
                 .parquet(*dvd)
                 .withColumn("__hz_fname", _dv_key_col())
                 .withColumn("__hz_pos", F.col("_metadata.row_index"))
             )
             if rel_col:
                 scan = scan.withColumn(rel_col, _decode_uri_col(F.col("__hz_fname")))
-            dv = self.spark.read.parquet(
+            dv = self.spark.read.schema(_DV_SCHEMA).parquet(
                 *[_data_file(self.path, dv_of[f]["path"], dv_of[f]) for f in dvd]
             ).select(
                 F.col("fname").alias("__dv_fname"), F.col("pos").alias("__dv_pos")
@@ -3328,7 +3407,7 @@ class TxTable:
             return base
         state = self._replay_state()
         self._check_writer_features(state)
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         types = {
             f.name: f.dataType.simpleString()
@@ -3365,7 +3444,21 @@ class TxTable:
         if not scope:
             return base
         files = [_data_file(self.path, rel, state["adds"][rel]) for rel in scope]
-        reader = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        # log-schema read restricted to the indexed physical columns:
+        # no footer-inference job, guaranteed column pruning. A file
+        # not carrying an evolved column reads it as NULL, which the
+        # isNotNull gate below drops — byte-identical sidecars to the
+        # old mergeSchema + present-column check.
+        idx_schema = StructType(
+            [
+                StructField(f.name, f.dataType, True)
+                for f in _physical_read_schema(
+                    state["schema"], mapping, state["adds"]
+                ).fields
+                if f.name in want
+            ]
+        )
+        reader = self.spark.read.schema(idx_schema).parquet(*files)
         present = set(reader.columns)
         base_df = reader.withColumn("__hz_rel", _decoded_rel_col())
         parts = []
@@ -3976,11 +4069,29 @@ class TxTable:
         if not files:
             return base
         pred_sql = predicate if isinstance(predicate, str) else None
-        touched = self._detect_matches(files, state, pred, pred_sql)
+        staged_dv: list[dict] | None = None
+        if dv_on:
+            # merge-on-read: detection rides the vector-staging scan
+            # (one distributed pass over the stats/bloom candidates
+            # instead of detect + re-scan of the touched survivors)
+            cand = self._prune_candidates(files, state, pred_sql)
+            staged_dv, touched = ([], [])
+            if cand:
+                staged_dv, touched = self._stage_dv_detect(
+                    cand,
+                    state["adds"],
+                    pred,
+                    state["schema"],
+                    state.get("columnMapping"),
+                )
+        else:
+            touched = self._detect_matches(files, state, pred, pred_sql)
         actions: list[dict] = []
         if touched:
             actions.extend(
-                self._delete_actions(touched, state, pred, dv_on, cdf_on)
+                self._delete_actions(
+                    touched, state, pred, dv_on, cdf_on, staged_dv=staged_dv
+                )
             )
         elif txn is None:
             return base  # nothing matched, nothing to record
@@ -4059,18 +4170,15 @@ class TxTable:
                 state, base = head, head_v
                 time.sleep(random.uniform(0, min(0.001 * (attempt + 1), 0.05)))
 
-    def _detect_matches(
-        self, files: list[str], state: dict, pred, pred_sql: str | None = None
+    def _prune_candidates(
+        self, files: list[str], state: dict, pred_sql: str | None
     ) -> list[str]:
-        """The DELETE detection scan: which of ``files`` hold LIVE
-        rows matching ``pred``. With a SQL-string predicate the log
-        stats pre-prune the candidate set DRIVER-SIDE first
-        (``_can_match_stats`` — the Delta data-skipping step: a
-        selective delete on a 100k-file table schedules zero scan
-        tasks for provably-unmatchable files); then one distributed
-        dv-masked, pv-attached read over the survivors — Catalyst
-        pushes data-column predicates into the parquet scans — and
-        the driver receives only file keys, O(files)."""
+        """Driver-side file skipping shared by the DML detection
+        paths: log min/max/null stats (``_can_match_stats`` — the
+        Delta data-skipping step: a selective delete on a 100k-file
+        table schedules zero scan tasks for provably-unmatchable
+        files), then per-file bloom sidecars for equality/IN atoms.
+        Pure log metadata — no Spark jobs."""
         if pred_sql is not None and self.spark is not None:
             can_match = None
             try:
@@ -4110,6 +4218,18 @@ class TxTable:
                 files = self._bloom_prune(files, state, pred_sql)
             except Exception:
                 pass  # skipping is only an optimization
+        return files
+
+    def _detect_matches(
+        self, files: list[str], state: dict, pred, pred_sql: str | None = None
+    ) -> list[str]:
+        """The DELETE detection scan: which of ``files`` hold LIVE
+        rows matching ``pred``. Stats/bloom pre-pruning driver-side
+        (:meth:`_prune_candidates`); then one distributed dv-masked,
+        pv-attached read over the survivors — Catalyst pushes
+        data-column predicates into the parquet scans — and the
+        driver receives only file keys, O(files)."""
+        files = self._prune_candidates(files, state, pred_sql)
         if not files:
             return []
         return [
@@ -4128,14 +4248,23 @@ class TxTable:
         ]
 
     def _delete_actions(
-        self, touched: list[str], state: dict, pred, dv_on: bool, cdf_on: bool
+        self,
+        touched: list[str],
+        state: dict,
+        pred,
+        dv_on: bool,
+        cdf_on: bool,
+        staged_dv: list[dict] | None = None,
     ) -> list[dict]:
         """The remove/add/dv/cdc action set that deletes
         ``pred``-matching rows from ``touched`` files, computed
         against ``state``. Factored out of :meth:`delete_where` so
         its conflict-resolution loop can extend a staged DELETE with
         interleaved-append files without re-running the full-table
-        detection scan."""
+        detection scan. ``staged_dv`` carries vector actions the
+        fused detect-and-stage path already wrote (the main dv DML
+        path); when None the vectors stage here (the rebase
+        extension)."""
         actions: list[dict] = []
         mapping = state.get("columnMapping")
         # dv-aware read: only LIVE rows participate — in the
@@ -4145,7 +4274,9 @@ class TxTable:
         )
         if dv_on:
             actions.extend(
-                self._stage_dv(
+                staged_dv
+                if staged_dv is not None
+                else self._stage_dv(
                     touched, state["adds"], pred, state["schema"], mapping=mapping
                 )
             )
@@ -4251,12 +4382,33 @@ class TxTable:
         if not files:
             return base
         pred_sql = predicate if isinstance(predicate, str) else None
-        touched = self._detect_matches(files, state, pred, pred_sql)
+        staged_dv: list[dict] | None = None
+        if dv_on:
+            # merge-on-read: detection rides the vector-staging scan
+            # (same fusion as delete_where)
+            cand = self._prune_candidates(files, state, pred_sql)
+            staged_dv, touched = ([], [])
+            if cand:
+                staged_dv, touched = self._stage_dv_detect(
+                    cand,
+                    state["adds"],
+                    pred,
+                    state["schema"],
+                    state.get("columnMapping"),
+                )
+        else:
+            touched = self._detect_matches(files, state, pred, pred_sql)
         actions: list[dict] = []
         if touched:
             actions.extend(
                 self._update_actions(
-                    touched, state, pred, assignments, dv_on, cdf_on
+                    touched,
+                    state,
+                    pred,
+                    assignments,
+                    dv_on,
+                    cdf_on,
+                    staged_dv=staged_dv,
                 )
             )
         elif txn is None:
@@ -4284,11 +4436,13 @@ class TxTable:
         assignments: dict,
         dv_on: bool,
         cdf_on: bool,
+        staged_dv: list[dict] | None = None,
     ) -> list[dict]:
         """The action set applying ``assignments`` to
         ``pred``-matching rows of ``touched`` files against
         ``state`` — :meth:`_delete_actions`' sibling, same factoring
-        for the conflict-extension path."""
+        for the conflict-extension path (and the same ``staged_dv``
+        hand-off from the fused detect-and-stage main path)."""
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(state["schema"]))
@@ -4331,7 +4485,9 @@ class TxTable:
             # merge-on-read: mask the old positions, append the
             # transformed rows as fresh files — O(updated rows)
             actions.extend(
-                self._stage_dv(
+                staged_dv
+                if staged_dv is not None
+                else self._stage_dv(
                     touched, state["adds"], pred, state["schema"], mapping=mapping
                 )
             )
@@ -4371,28 +4527,32 @@ class TxTable:
             )
         return actions
 
-    def _stage_dv(
+    def _dv_match_positions(
         self,
-        touched: list[str],
+        files: list[str],
         adds: dict,
         pred,
-        schema_json: str | None = None,
-        mapping: dict | None = None,
-    ) -> list[dict]:
-        """Merge-on-read DELETE: write one position sidecar per
-        touched file and return the re-emitted add actions carrying
-        it. Positions come from the scan's ``_metadata.row_index``
-        (file-global parquet row order — stable); a file that already
-        has a vector gets the UNION of old and new positions (its old
-        sidecar becomes vacuum-able). The vector write itself is
-        distributed — one ``applyInPandas`` group per file — and the
-        driver receives O(touched files) rows, never positions."""
+        schema_json: str | None,
+        mapping: dict | None,
+    ) -> DataFrame:
+        """(fname, pos) of every RAW row of ``files`` matching
+        ``pred`` — partition values reattached per pv group (literal
+        branches at low cardinality, one scan + broadcast metadata
+        join above ``_PV_UNION_MAX``), positions from the scan's
+        ``_metadata.row_index`` (file-global parquet row order —
+        stable). Raw = deletion vectors NOT masked; callers account
+        for already-masked positions themselves."""
         def scan_logical(df: DataFrame) -> DataFrame:
             # files store physical names; ``pred`` speaks logical
             return _scan_to_logical(df, mapping, keep_extra=("fname", "pos"))
 
+        read_schema = (
+            _physical_read_schema(schema_json, mapping, adds)
+            if schema_json
+            else None
+        )
         pv_groups: dict[tuple, list[str]] = {}
-        for f in touched:
+        for f in files:
             rel = _rel_key(f)
             pv = _rekey_logical(adds[rel].get("partitionValues"), mapping)
             pv_groups.setdefault(tuple(sorted(pv.items())), []).append(f)
@@ -4412,57 +4572,105 @@ class TxTable:
                     adds[_rel_key(f)].get("partitionValues"),
                     mapping,
                 )
-                for f in touched
+                for f in files
             }
             pcols = sorted({c for pv in pv_of.values() for c in pv})
-            hits = (
+            return (
                 scan_logical(
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*touched)
+                    self._reader(read_schema)
+                    .parquet(*files)
                     .withColumn("fname", _dv_key_col())
                     .withColumn("pos", F.col("_metadata.row_index"))
                     .withColumn("__hz_rel", _decode_uri_col(F.col("fname")))
                 )
                 .join(
-                    F.broadcast(self._pv_frame(touched, pv_of, pcols, types)),
+                    F.broadcast(self._pv_frame(files, pv_of, pcols, types)),
                     "__hz_rel",
                     "left",
                 )
                 .filter(pred.eqNullSafe(F.lit(True)))
                 .select("fname", "pos")
             )
-        else:
-            branches = []
-            for key, fs in pv_groups.items():
-                raw = scan_logical(
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*fs)
-                    .withColumn("fname", _dv_key_col())
-                    .withColumn("pos", F.col("_metadata.row_index"))
-                )
-                for col, val in key:
-                    dt = types.get(col)
-                    lit = F.lit(pv_cast(val, dt)) if dt is not None else F.lit(val)
-                    raw = raw.withColumn(col, lit.cast(dt) if dt is not None else lit)
-                branches.append(
-                    raw.filter(pred.eqNullSafe(F.lit(True))).select("fname", "pos")
-                )
-            hits = branches[0]
-            for b in branches[1:]:
-                hits = hits.unionByName(b)
+        branches = []
+        for key, fs in pv_groups.items():
+            raw = scan_logical(
+                self._reader(read_schema)
+                .parquet(*fs)
+                .withColumn("fname", _dv_key_col())
+                .withColumn("pos", F.col("_metadata.row_index"))
+            )
+            for col, val in key:
+                dt = types.get(col)
+                lit = F.lit(pv_cast(val, dt)) if dt is not None else F.lit(val)
+                raw = raw.withColumn(col, lit.cast(dt) if dt is not None else lit)
+            branches.append(
+                raw.filter(pred.eqNullSafe(F.lit(True))).select("fname", "pos")
+            )
+        hits = branches[0]
+        for b in branches[1:]:
+            hits = hits.unionByName(b)
+        return hits
+
+    def _old_dv_rows(self, files: list[str], adds: dict) -> DataFrame | None:
+        """Already-masked (fname, pos) rows of ``files``' existing
+        sidecars — None when no file carries a vector."""
         old_dvs = [
             _data_file(
                 self.path,
                 adds[_rel_key(f)]["dv"]["path"],
                 adds[_rel_key(f)]["dv"],
             )
-            for f in touched
+            for f in files
             if adds[_rel_key(f)].get("dv")
         ]
-        if old_dvs:
-            hits = hits.unionByName(
-                self.spark.read.parquet(*old_dvs).select("fname", "pos")
-            )
+        if not old_dvs:
+            return None
+        return (
+            self.spark.read.schema(_DV_SCHEMA)
+            .parquet(*old_dvs)
+            .select("fname", "pos")
+        )
+
+    def _dv_add_actions(self, meta, adds: dict) -> list[dict]:
+        """Re-emitted add actions from vector-writer meta rows."""
+        from urllib.parse import unquote
+
+        actions = []
+        for r in meta:
+            # the key is the percent-encoded rel path; unquote maps it
+            # back to the on-disk relative path the add action uses
+            add = dict(adds[unquote(r.fname)])
+            # a vector write IS a data change even when the prior add
+            # was a dataChange:false compaction product — feeds and
+            # streams must see this commit, not skip it as maintenance
+            add.pop("dataChange", None)
+            add["dv"] = {"path": r.dv, "deleted": int(r.n)}
+            actions.append({"add": add})
+        return actions
+
+    def _stage_dv(
+        self,
+        touched: list[str],
+        adds: dict,
+        pred,
+        schema_json: str | None = None,
+        mapping: dict | None = None,
+    ) -> list[dict]:
+        """Merge-on-read DELETE over an already-detected ``touched``
+        set: write one position sidecar per touched file and return
+        the re-emitted add actions carrying it. A file that already
+        has a vector gets the UNION of old and new positions (its old
+        sidecar becomes vacuum-able). The vector write itself is
+        distributed — one ``applyInPandas`` group per file — and the
+        driver receives O(touched files) rows, never positions.
+        (The main DML path uses :meth:`_stage_dv_detect`, which fuses
+        detection into this scan; this entry remains for the
+        conflict-rebase extension, whose touched set comes from the
+        interleaved-append detection.)"""
+        hits = self._dv_match_positions(touched, adds, pred, schema_json, mapping)
+        old = self._old_dv_rows(touched, adds)
+        if old is not None:
+            hits = hits.unionByName(old)
         hits = hits.distinct()
         os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
         table_path = self.path
@@ -4495,20 +4703,84 @@ class TxTable:
             .applyInPandas(write_vector, "fname string, dv string, n long")
             .collect()
         )
+        return self._dv_add_actions(meta, adds)
+
+    def _stage_dv_detect(
+        self,
+        candidates: list[str],
+        adds: dict,
+        pred,
+        schema_json: str | None = None,
+        mapping: dict | None = None,
+    ) -> tuple[list[dict], list[str]]:
+        """Detection FUSED into merge-on-read vector staging (round
+        16, guide §2.3): ONE distributed scan over the stats/bloom
+        candidate files replaces the separate dv-masked detection
+        read plus the re-scan of its touched survivors. Per file —
+        row-locally inside its vector-writer group, no extra joins —
+        a file is TOUCHED iff it has a matching position not already
+        masked by its old vector; only touched files get a sidecar
+        (old ∪ new positions, the same set :meth:`_stage_dv`
+        produces) and only they appear in the returned actions, so a
+        no-op DELETE stages nothing and commits nothing, exactly as
+        the detect-then-stage path behaved. Returns (add actions,
+        touched data-file paths)."""
+        hits = self._dv_match_positions(
+            candidates, adds, pred, schema_json, mapping
+        ).withColumn("is_new", F.lit(True))
+        old = self._old_dv_rows(candidates, adds)
+        if old is not None:
+            hits = hits.unionByName(old.withColumn("is_new", F.lit(False)))
+        os.makedirs(os.path.join(self.path, "_dv"), exist_ok=True)
+        table_path = self.path
+
+        def write_vector(pdf):
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as _pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            new = set(pdf.loc[pdf["is_new"], "pos"])
+            old_pos = set(pdf.loc[~pdf["is_new"], "pos"])
+            if not (new - old_pos):
+                # every matching row is already masked (or none
+                # matched and only old-vector rows grouped here):
+                # the file is NOT touched — no sidecar, no action
+                return _pd.DataFrame({"fname": [], "dv": [], "n": []})
+            merged = sorted(new | old_pos)
+            rel = _os.path.join("_dv", f"dv-{_uuid.uuid4().hex}.parquet")
+            fname = pdf["fname"].iloc[0]
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "fname": _pa.array([str(fname)] * len(merged)),
+                        "pos": _pa.array(
+                            [int(p) for p in merged], type=_pa.int64()
+                        ),
+                    }
+                ),
+                _os.path.join(table_path, rel),
+            )
+            return _pd.DataFrame(
+                {"fname": [fname], "dv": [rel], "n": [len(merged)]}
+            )
+
+        meta = (
+            hits.groupBy("fname")
+            .applyInPandas(write_vector, "fname string, dv string, n long")
+            .collect()
+        )
         from urllib.parse import unquote
 
-        actions = []
-        for r in meta:
-            # the key is the percent-encoded rel path; unquote maps it
-            # back to the on-disk relative path the add action uses
-            add = dict(adds[unquote(r.fname)])
-            # a vector write IS a data change even when the prior add
-            # was a dataChange:false compaction product — feeds and
-            # streams must see this commit, not skip it as maintenance
-            add.pop("dataChange", None)
-            add["dv"] = {"path": r.dv, "deleted": int(r.n)}
-            actions.append({"add": add})
-        return actions
+        touched = [
+            _data_file(
+                self.path, unquote(r.fname), adds.get(unquote(r.fname))
+            )
+            for r in meta
+        ]
+        return self._dv_add_actions(meta, adds), touched
 
     def _partition_scope(self, state: dict, where: str | None) -> list[str]:
         """Live relative paths whose logged ``partitionValues``
@@ -5236,8 +5508,16 @@ class TxTable:
                             "which vacuum has reclaimed — consume feeds inside "
                             "the retention window"
                         )
+                # cdc sidecars store the full physical row (partition
+                # values included — _stage_cdc never partitionBys) plus
+                # _change_type; the log schema types them exactly, so
+                # no footer-inference job
                 cdf = _scan_to_logical(
-                    self.spark.read.option("mergeSchema", "true").parquet(*cdcs),
+                    self.spark.read.schema(
+                        _physical_read_schema(
+                            state["schema"], state.get("columnMapping"), {}
+                        ).add("_change_type", "string")
+                    ).parquet(*cdcs),
                     state.get("columnMapping"),
                     keep_extra=("_change_type",),
                 )

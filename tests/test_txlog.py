@@ -1464,6 +1464,58 @@ def test_noop_dv_delete_commits_nothing(spark, tmp_path):
     assert t.changes(0).count() == 1  # the marker-only commit is changeless
 
 
+def test_dv_delete_fused_detection_touches_only_matching_files(spark, tmp_path):
+    """Round 16: dv DELETE/UPDATE detection is FUSED into the
+    vector-staging scan — one distributed pass over the stats/bloom
+    candidates decides touched-ness per file (a matching position not
+    already masked) and writes only touched files' sidecars. Pins the
+    two properties the fusion must preserve: (a) a file whose rows
+    don't match — even one carrying an old vector — is not re-emitted
+    and keeps its sidecar byte-identical; (b) the whole delete
+    dispatches a SINGLE distributed pass (no separate detection scan:
+    job count bounded by the one fused pipeline)."""
+    t = TxTable(
+        spark, str(tmp_path / "tbl"), stat_cols=["k"], deletion_vectors=True
+    )
+    # two files with disjoint key ranges so stats CANNOT prune (the
+    # predicates below straddle both ranges' [min,max]) — touched-ness
+    # must come from the fused scan, not the driver-side skipping
+    a = spark.createDataFrame([(i, i) for i in range(0, 10)], "k long, v long")
+    b = spark.createDataFrame([(i, i) for i in range(10, 20)], "k long, v long")
+    t.create(a.coalesce(1))
+    t.append(b.coalesce(1))
+    # v2: vector on the first file only
+    t.delete_where("k = 3 or k = 23")
+    adds_v2 = {
+        x["add"]["path"]: x["add"]
+        for x in json.load(open(_version_file(t.path, 2)))
+        if "add" in x
+    }
+    assert len(adds_v2) == 1  # only the k=3 file re-emitted
+    old_sidecar = next(iter(adds_v2.values()))["dv"]["path"]
+    old_bytes = open(os.path.join(t.path, old_sidecar), "rb").read()
+    # v3: delete that matches only the SECOND file; the first file's
+    # old vector enters the fused scan as candidate state but must
+    # not produce a new sidecar or a re-emitted add
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("fused_dv", "fused_dv")
+    t.delete_where("k = 13 or k = 3")  # k=3 already masked, k=13 live
+    sc.setJobGroup(None, None)
+    jobs = len(set(tracker.getJobIdsForGroup("fused_dv") or []))
+    # one fused applyInPandas pipeline (2 AQE stages) — the old
+    # detect-then-stage path dispatched >= 5 jobs here
+    assert jobs <= 3, f"dv delete dispatched {jobs} jobs — detection unfused?"
+    acts_v3 = json.load(open(_version_file(t.path, 3)))
+    re_emitted = {x["add"]["path"] for x in acts_v3 if "add" in x}
+    assert re_emitted == {p for p in t._replay_state()["adds"] if p not in adds_v2}
+    # the untouched file's sidecar pointer and bytes are unchanged
+    state = t._replay_state()
+    assert state["adds"][next(iter(adds_v2))]["dv"]["path"] == old_sidecar
+    assert open(os.path.join(t.path, old_sidecar), "rb").read() == old_bytes
+    assert {r.k for r in t.snapshot().collect()} == set(range(20)) - {3, 13}
+
+
 def test_compact_binpacks_only_small_files(spark, tmp_path):
     """Selective OPTIMIZE (VERDICT r10 #3): with max_file_rows, only
     under-target files rewrite — a small append onto a compacted
