@@ -362,60 +362,96 @@ def query(
 #: set is the 45 remaining r13-cohort rows — 5 slots of slack.
 #: Catalog stays at 145 (r14 verdict item 6: ± evidence-replacing
 #: swaps only; demand 36.25/round, 28% slack).
+#: ROUND 16 WINDOW (optimization round 2). No red rows in r15 (48/50
+#: hash-green + the 2 designed rows-only sketches). The r15 verdict's
+#: item 1 is the window's first constraint: 12-15 queries whose
+#: implementations changed in the r15 optimization commits landed
+#: AFTER the r15 window froze and have no driver row on the new code —
+#: this window must lead with them. The second constraint is this
+#: round's own code motion: the txlog read-path rework (log-schema
+#: reads engine-wide + the fused dv detection) changes the
+#: implementation of EVERY TxTable-backed query, so all 15 of those
+#: earn rows here too. Composition:
+#:   - 21 changed-implementation rows OUTSIDE the r13 cohort: the 7
+#:     r15-debt rows last green r14 (bm25_topk, semantic_dedup,
+#:     geo_aggregate, q1, ngram_jaccard, txlog_cdf_stream,
+#:     streaming_cdc_merge), the 12 further TxTable rows changed by
+#:     this round's txlog rework (compact_small_files + 11 txlog_*),
+#:     and 2 rows touched by this round's planned optimizations
+#:     (funnel_conversion_events — scale-conditional materialization,
+#:     VERDICT item 6; similarity_ivf_embeddings — the bounded
+#:     _centroid_array, VERDICT item 5).
+#:   - 29 r13-cohort rows (of 45): the 10 that are themselves
+#:     changed-implementation (the 8 r15-debt cohort rows + this
+#:     round's rfm_segmentation + copurchase targets) + the 19
+#:     alphabetically-first of the untouched remainder.
+#: The 16 deferred r13 rows (multimodal_* ×4, pagerank, pivot,
+#: q5/q10/q12/q13/q17, quality_percentile_filter, retention_cohorts,
+#: seasonal_anomaly, trend_slope, vocab_oov) are NOT rule-mandatory at
+#: r16 planning (age 3 at latest=15; the 3-round rule bites at
+#: latest−3 = 12) and become exactly round 17's mandatory set — 16
+#: rows, far under the cap, so the forward simulation passes. Round
+#: 17 planning MUST lead with them (the rotation watchdogs will
+#: demand it the moment CORRECTNESS_r16 lands).
 ROTATION: set[str] = {
-    # -- rule-mandatory: the 45 live r12-cohort rows --
-    "approx_distinct_users_per_type",  # rows-only by design (HLL)
-    "avro_roundtrip_agg",
-    "binned_agg_mean_1d",
-    "binned_agg_median_2d",
-    "boilerplate_ngram_stats",
-    "chunk_documents_overlap",
-    "collocations_by_lift",
-    "corpus_diff_documents",
-    "correlation_matrix_lineitem",
-    "debounce_events",
-    "dedup_canonical_documents",
-    "dedup_cluster_documents",
-    "dedup_exact_documents",
-    "dedup_minhash_documents",
-    "dedup_paragraph_documents",
-    "dedup_simhash_documents",
-    "dedup_substring_spans",
-    "embedding_centroids_by_label",
-    "embedding_near_pairs",
-    "event_path_trigrams",
-    "funnel_conversion_events",
-    "grouped_lang_stats_pandas",
-    "shard_assignment_documents",
-    "similarity_ivf_embeddings",
-    "similarity_lsh_embeddings",
-    "similarity_topk_embeddings",
-    "similarity_topk_pandas_udf",  # rows-only by design (float ulp)
-    "skew_salted_event_counts",
-    "streaming_attribution_join",
-    "streaming_attribution_outer",
-    "streaming_convert_roundtrip",
-    "streaming_dedup_events",
-    "streaming_enrich_events",
-    "streaming_funnel_user_state",
-    "streaming_session_windows",
-    "streaming_sliding_counts",
-    "streaming_stateful_user_stats",
-    "streaming_tumbling_counts",
-    "tokenize_regex_documents",
+    # -- r15-debt changed implementations outside the r13 cohort
+    #    (VERDICT r15 item 1) --
+    "bm25_topk_documents",
+    "geo_aggregate_lineitem",
+    "ngram_jaccard_pairs",
+    "q1_pricing_summary",
+    "semantic_dedup_embeddings",
+    "streaming_cdc_merge_events",
+    "txlog_cdf_stream_events",
+    # -- TxTable rows changed by this round's txlog read-path rework
+    #    (log-schema reads + fused dv detection) --
+    "compact_small_files",
     "txlog_changes_events",
+    "txlog_ctas_replace_orders",
+    "txlog_dv_delete_read_events",
     "txlog_generated_partition_events",
     "txlog_identity_merge_events",
-    "txlog_reorg_purge_events",
-    "txlog_update_rename_cdf_events",
-    "weighted_sample_documents",
-    # -- r13 rows pulled forward (r16 smoothing + changed-impl
-    #    coverage; see the ROUND 15 WINDOW ledger above) --
-    "scan_prune_filter",
-    "txlog_ctas_replace_orders",
     "txlog_insert_overwrite_orders",
     "txlog_merge_read_events",
-    "txlog_restore_read_orders",  # the SHALLOW CLONE reroute
+    "txlog_reorg_purge_events",
+    "txlog_restore_read_orders",
+    "txlog_time_travel_orders",
+    "txlog_update_rename_cdf_events",
+    # -- rows touched by this round's planned optimizations --
+    "funnel_conversion_events",
+    "similarity_ivf_embeddings",
+    # -- r13-cohort rows that are themselves changed implementations --
+    "binned_agg_max_2d",
+    "copurchase_part_pairs",
+    "ivf_recall_eval",
+    "keywords_per_document",
+    "levenshtein_near_pairs",
+    "lm_bigram_score_documents",
+    "mad_outliers_events",
+    "pca_power_iteration_embeddings",
+    "rfm_segmentation_customers",
+    "txlog_ivm_refresh_orders",
+    # -- r13-cohort fill, alphabetically-first of the untouched
+    #    remainder (the rest defer to round 17's mandatory set) --
+    "checksum_orders_table",
+    "chisq_event_value_independence",
+    "collate_union_all",
+    "column_stats_lineitem",
+    "data_quality_checks",
+    "distinct_users_per_type",
+    "enrich_broadcast_lookup",
+    "event_diversity_users",
+    "geo_radius_join_lineitem",
+    "grouping_sets_revenue",
+    "hard_negatives_embeddings",
+    "hierarchy_depths_documents",
+    "hourly_peaks_events",
+    "impute_group_median_events",
+    "incremental_agg_merge_orders",
+    "interval_coverage_users",
+    "json_extract_events",
+    "jsonl_roundtrip_agg",
+    "mmr_rerank_embeddings",
 }
 
 
