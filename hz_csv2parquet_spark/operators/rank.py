@@ -44,6 +44,7 @@ def two_phase_rank(
     buckets: int = 256,
     rn_col: str = "rn",
     n_col: str = "n_part",
+    offsets: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``rn_col`` (1-based rank of ``value_col`` within
     ``part_cols``, ties broken by ``tie_cols``) and ``n_col`` (the
@@ -55,23 +56,35 @@ def two_phase_rank(
     in the under/overflow buckets (0 and buckets+1), which sort
     first/last — correctness does not depend on the bounds, only cell
     balance does.
+
+    ``offsets`` lets a caller supply the phase-2 frame (columns
+    ``[*part_cols, "__bkt", "__off", n_col]``) computed elsewhere —
+    e.g. several ranks' histograms fused into ONE aggregate pass over
+    a shared base, so chained ranks don't each re-derive their
+    histogram through the previous ranks' window lineage. It must
+    hold exactly the per-(partition, bucket) cumulative counts this
+    function would compute; when None the histogram computes here,
+    unchanged.
     """
     base = df.withColumn(
         "__bkt", F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(buckets))
     )
-    counts = base.groupBy(*part_cols, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
-    wcum = (
-        Window.partitionBy(*part_cols)
-        .orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wtot = Window.partitionBy(*part_cols)
-    offsets = counts.select(
-        *part_cols,
-        "__bkt",
-        F.coalesce(F.sum("__n").over(wcum), F.lit(0)).alias("__off"),
-        F.sum("__n").over(wtot).alias(n_col),
-    )
+    if offsets is None:
+        counts = base.groupBy(*part_cols, "__bkt").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        wcum = (
+            Window.partitionBy(*part_cols)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wtot = Window.partitionBy(*part_cols)
+        offsets = counts.select(
+            *part_cols,
+            "__bkt",
+            F.coalesce(F.sum("__n").over(wcum), F.lit(0)).alias("__off"),
+            F.sum("__n").over(wtot).alias(n_col),
+        )
     within = Window.partitionBy(*part_cols, "__bkt").orderBy(value_col, *tie_cols)
     return (
         base.join(F.broadcast(offsets), [*part_cols, "__bkt"])

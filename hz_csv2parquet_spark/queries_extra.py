@@ -9,7 +9,7 @@ independent implementation), plus ROLLUP and interpolating
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.exact import exact_sum
@@ -775,11 +775,62 @@ def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq": (0.0, 64.0),
         "monetary_c": (0.0, 2.0e9),
     }
+    # ONE aggregate pass computes all three 256-bucket histograms
+    # (round 16, guide §2.3 — they share the memo'd base scan): the
+    # chained form let each rank derive its histogram from the
+    # PREVIOUS rank's output, whose lineage re-executes the earlier
+    # rank windows — 6 full-frame window sorts where 3 suffice. The
+    # exploded (metric, bucket) pairs map-side-combine to at most
+    # 3·(256+2) rows before the one tiny shuffle; per-metric
+    # cumulative offsets are windows over that aggregate-sized frame,
+    # memo-persisted for the three consumers. Counts, offsets and
+    # totals are bit-identical to what each two_phase_rank pass
+    # computed itself (same width_bucket arithmetic over the same
+    # base rows), so the ranks — and the oracle hash — are unchanged.
+    w_cum = (
+        Window.partitionBy("__m")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("__m")
+    offsets_all = memo_persist(
+        a.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("__m"),
+                            F.width_bucket(
+                                F.col(m), F.lit(lo), F.lit(hi), F.lit(256)
+                            ).alias("__bkt"),
+                        )
+                        for m, (lo, hi) in bounds.items()
+                    ]
+                )
+            ).alias("__x")
+        )
+        .select("__x.*")
+        .groupBy("__m", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__m",
+            "__bkt",
+            F.coalesce(F.sum("__n").over(w_cum), F.lit(0)).alias("__off"),
+            F.sum("__n").over(w_tot).alias("__npart"),
+        ),
+        "rfm_offsets",
+    )
     out = a
     for metric, (lo, hi) in bounds.items():
         r = two_phase_rank(
             out, ["__all"], metric, ["o_custkey"], lo=lo, hi=hi,
             rn_col=f"__rn_{metric}", n_col=f"__n_{metric}",
+            offsets=offsets_all.filter(F.col("__m") == metric).select(
+                F.lit(0).alias("__all"),
+                "__bkt",
+                "__off",
+                F.col("__npart").alias(f"__n_{metric}"),
+            ),
         )
         out = r.withColumn(
             f"{metric[0]}_q" if metric != "monetary_c" else "m_q",

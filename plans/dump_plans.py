@@ -27,7 +27,7 @@ def main() -> int:
     spark = get_spark(app="hz_plan_dump")
     if not names:
         names = [n for n, q in REGISTRY.items() if q.headline and not q.streaming]
-    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "r15")
+    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "r16")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         memo_clear()
