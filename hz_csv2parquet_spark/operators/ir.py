@@ -57,6 +57,7 @@ def bm25_topk(
     text_col: str,
     query_terms: list[str],
     k: int = 10,
+    memo_slot: str = "bm25_tokens",
 ) -> DataFrame:
     """Top-``k`` documents by BM25 (rational-idf variant) for a fixed
     ``query_terms`` bag.
@@ -88,13 +89,25 @@ def bm25_topk(
     higher-order array lambdas run interpreted, outside whole-stage
     codegen. The explode+isin form here keeps the token hot path in
     codegen and pays the tokenize exactly once.)
+
+    ``memo_slot`` names the single-slot memo this operator's token
+    arrays occupy (advisor r15): the memo registry holds ONE live
+    frame per slot, so composing two bm25_topk frames in one job —
+    different corpora or term bags — must pass distinct slots or the
+    later build evicts the earlier frame's cache before it executes.
+    NULL-``id_col`` rows (advisor r15): the oracle counts them in the
+    corpus stats (``COUNT(*)`` over dl) but its ``tf JOIN dl USING
+    (doc_id)`` and ``COUNT(DISTINCT doc_id)`` drop them from tf/df
+    and the scored output — so the tf stream below filters them
+    explicitly (the pre-r15 doc-grain join did it implicitly) while
+    the corpus aggregate stays unfiltered.
     """
     from ..tables import memo_persist
 
     terms = sorted(set(query_terms))
     base = memo_persist(
         documents.select(F.col(id_col), tokens(text_col).alias("__t")),
-        "bm25_tokens",
+        memo_slot,
     )
 
     # corpus stats: N, avgdl — one row off the materialized arrays,
@@ -107,7 +120,8 @@ def bm25_topk(
     # per-(doc, term) tf with dl riding along — the filtered stream is
     # small by construction; min(dl) is exact (dl is constant per doc)
     tf = (
-        base.select(
+        base.filter(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col), F.size("__t").alias("dl"), F.explode("__t").alias("tok")
         )
         .filter(F.col("tok").isin(terms))

@@ -136,14 +136,40 @@ def lsh_topk(
     ).select("query_id", "neighbor_id", "cosine", "rn")
 
 
+#: K ceiling for the one-row centroid fold (VERDICT r15 item 5). The
+#: collected array is ONE row of K·dim doubles broadcast to every
+#: executor, and the fold is O(K·dim) per corpus row — fine at the
+#: k-means K of 8–64 and comfortable to ~16k cells × dim 64 (≈ 8M
+#: doubles, a ~64 MB broadcast row). A 100 TB deployment sizing K ~
+#: √n beyond that must NOT silently build a near-GB single row: the
+#: assertion below fails the job loudly, and ``ivf_assign(...,
+#: large_k=True)`` keeps the window-rank path alive as the documented
+#: fallback (bit-equal order, shuffles |corpus|·K scored rows).
+_CENTROID_FOLD_MAX = 16_384
+
+
 def _centroid_array(k: DataFrame) -> DataFrame:
     """Collapse a (cell, __kv) centroid table into ONE row holding an
     array of (cell, kv) structs — the broadcastable form that makes
-    cell assignment a row-local fold (see :func:`_nearest_cell`)."""
+    cell assignment a row-local fold (see :func:`_nearest_cell`).
+    Executes a runtime K-ceiling check on the single collected row
+    (``_CENTROID_FOLD_MAX``): an oversized centroid set fails loudly
+    instead of degrading into a giant broadcast row."""
+    arr = F.collect_list(F.struct(F.col("cell"), F.col("__kv").alias("kv")))
     return k.agg(
-        F.collect_list(F.struct(F.col("cell"), F.col("__kv").alias("kv"))).alias(
-            "__cents"
+        F.when(F.size(arr) <= F.lit(_CENTROID_FOLD_MAX), arr)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ivf_assign: centroid count exceeds the one-row fold "
+                        f"ceiling ({_CENTROID_FOLD_MAX}); pass large_k=True "
+                        "to take the window-rank assignment path"
+                    )
+                )
+            )
         )
+        .alias("__cents")
     )
 
 
@@ -286,6 +312,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     nprobe: int = 1,
     keep_vec: bool = False,
+    large_k: bool = False,
 ) -> DataFrame:
     """IVF cell assignment: each vector's ``nprobe`` nearest
     centroids by cosine (deterministic tie-break on centroid id).
@@ -309,10 +336,15 @@ def ivf_assign(
     vector. ``centroids`` must be non-empty (K ≥ 1 by construction).
 
     ``nprobe>1`` (the query-side path, |Q| rows) keeps the window
-    rank."""
+    rank, as does ``large_k=True``: the fold's one-row centroid array
+    is bounded at ``_CENTROID_FOLD_MAX`` cells (asserted at runtime —
+    see :func:`_centroid_array`), and a deployment sizing K past it
+    opts into the window path explicitly (same total order, so the
+    results are bit-identical; it shuffles the |corpus|·K scored rows
+    the fold avoids)."""
     c = corpus.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
     k = centroids.select("cell", F.col(vec_col).alias("__kv"))
-    if nprobe == 1:
+    if nprobe == 1 and not large_k:
         arr = _centroid_array(k)
         best = _nearest_cell(F.col("__v"), F.col("__cents"))
         return c.join(F.broadcast(arr)).select(

@@ -140,6 +140,14 @@ def spread(df: DataFrame) -> DataFrame:
     the MinHash pipeline 1.65 s → 1.05 s removing the stacked
     exchanges (guide §2.4 — remove shuffles outright)."""
     target = df.sparkSession.sparkContext.defaultParallelism
+    # cheap probe first (round 16): a plan with enough input files
+    # never re-spreads regardless of what else it carries, so the
+    # O(plan-size) logical stringification (a py4j round trip in a
+    # helper every text query passes through) only runs when a
+    # repartition could actually change the answer
+    files = df.inputFiles()
+    if files and len(files) >= target:
+        return df
     # only a SHUFFLING repartition counts as "already spread": coalesce
     # renders as `Repartition n, false` and narrows parallelism, so it
     # must not suppress the re-spread (tests/test_io.py pins this)
@@ -148,9 +156,8 @@ def spread(df: DataFrame) -> DataFrame:
         r"Repartition \d+, true", logical
     ):
         return df
-    files = df.inputFiles()
     if files:
-        return df.repartition(target) if len(files) < target else df
+        return df.repartition(target)  # file-backed, too few files
     n = df._jdf.rdd().getNumPartitions()
     return df.repartition(target) if n < target else df
 

@@ -34,21 +34,26 @@ def main() -> int:
     from hz_csv2parquet_spark.tables import memo_clear
 
     spark = get_spark(app="hz_scan_sweep")
-    for name, q in REGISTRY.items():
-        if q.streaming:
-            continue
-        try:
-            memo_clear()
-            plan = (
-                q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-            )
-        except Exception as exc:  # noqa: BLE001 - report, keep sweeping
-            print(f"{name}: ERR {type(exc).__name__}")
-            continue
-        tables = re.findall(r"file:[^\]]*?/(\w+)\.parquet", plan)
-        cnt = collections.Counter(tables)
-        if any(c > 1 for c in cnt.values()):
-            print(f"{name}: {dict(cnt)} inmem={plan.count('InMemoryRelation')}")
+    try:
+        for name, q in REGISTRY.items():
+            if q.streaming:
+                continue
+            try:
+                memo_clear()
+                plan = (
+                    q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception as exc:  # noqa: BLE001 - report, keep sweeping
+                print(f"{name}: ERR {type(exc).__name__}")
+                continue
+            tables = re.findall(r"file:[^\]]*?/(\w+)\.parquet", plan)
+            cnt = collections.Counter(tables)
+            if any(c > 1 for c in cnt.values()):
+                print(f"{name}: {dict(cnt)} inmem={plan.count('InMemoryRelation')}")
+    finally:
+        # the last query's memo_persist frames otherwise stay in the
+        # CacheManager when the sweep exits (advisor r15)
+        memo_clear()
     return 0
 
 

@@ -528,6 +528,55 @@ def test_bm25_matches_bruteforce(spark, docs):
         assert gs == pytest.approx(es, abs=1e-8)
 
 
+def test_bm25_null_doc_id_matches_oracle_join_semantics(spark):
+    """Advisor r15: the oracle's ``tf JOIN dl USING (doc_id)`` drops
+    NULL-id rows from the scored output while its ``COUNT(*)`` corpus
+    stats still count them. The linearized operator (no doc-grain
+    join since r15) must reproduce exactly that split."""
+    from hz_csv2parquet_spark.operators.ir import BM25_B, BM25_K1, bm25_topk
+
+    rows = [(0, "a a b"), (1, "b c"), (None, "a a a a")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(sdf, "doc_id", "text", ["a", "b"], k=5).collect()
+    }
+    assert None not in got and set(got) == {0, 1}
+    # oracle arithmetic: n_docs=3 and avgdl include the NULL-id doc;
+    # df counts only non-null docs (COUNT(DISTINCT doc_id))
+    n, avgdl = 3, (3 + 2 + 4) / 3
+    df_t = {"a": 1, "b": 2}
+
+    def brute(toks):
+        s = 0.0
+        for t in ("a", "b"):
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = (n - df_t[t] + 0.5) / (df_t[t] + 0.5)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (len(toks) / avgdl))
+            )
+        return s
+
+    assert got[0] == pytest.approx(brute(["a", "a", "b"]), abs=1e-8)
+    assert got[1] == pytest.approx(brute(["b", "c"]), abs=1e-8)
+
+
+def test_bm25_two_frames_compose_with_distinct_memo_slots(spark):
+    """Advisor r15: two bm25_topk frames in one job share the global
+    single-slot memo — with distinct slots the earlier frame's cached
+    base survives the later build and both score correctly."""
+    from hz_csv2parquet_spark.operators.ir import bm25_topk
+
+    d1 = spark.createDataFrame([(0, "a b"), (1, "b b")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(7, "a a")], "doc_id long, text string")
+    f1 = bm25_topk(d1, "doc_id", "text", ["b"], k=2, memo_slot="bm25_t1")
+    f2 = bm25_topk(d2, "doc_id", "text", ["a"], k=1, memo_slot="bm25_t2")
+    both = f1.select("doc_id").unionByName(f2.select("doc_id"))
+    assert {r.doc_id for r in both.collect()} == {0, 1, 7}
+
+
 @given(
     events=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 1_800_000)),

@@ -288,3 +288,48 @@ def test_int8_quantization_reconstruction_bound(spark, sf_dir):
     for vid, pairs in by_vec.items():
         # the max-|x| element of every vector quantizes to |q| = 127
         assert max(pairs)[1] == 127, vid
+
+
+def test_ivf_assign_large_k_window_path_matches_fold(spark):
+    """Round 16 (VERDICT r15 item 5): the one-row centroid fold is
+    bounded at _CENTROID_FOLD_MAX cells; large_k=True keeps the
+    window-rank assignment alive as the big-K fallback and must
+    produce bit-identical assignments (the fold replicates the
+    window's (cosine DESC, cell ASC) order)."""
+    from hz_csv2parquet_spark.operators.similarity import ivf_assign
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3) + 0.1, float((i * 7) % 5), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 1.0]), (1, [0.0, 1.0, 1.0]), (2, [1.0, 1.0, 0.0])],
+        "cell long, embedding array<double>",
+    )
+    fold = {(r.vec_id, r.cell) for r in ivf_assign(corpus, cents).collect()}
+    wind = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign(corpus, cents, large_k=True).collect()
+    }
+    assert fold == wind and len(fold) == 40
+
+
+def test_centroid_fold_ceiling_raises_loudly(spark, monkeypatch):
+    """An oversized centroid set must FAIL the fold path at runtime
+    (never silently build a near-GB broadcast row)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from hz_csv2parquet_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "_CENTROID_FOLD_MAX", 2)
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(c), 1.0]) for c in range(3)],
+        "cell long, embedding array<double>",
+    )
+    with _pytest.raises((Py4JJavaError, PySparkException), match="fold\\s+ceiling|large_k"):
+        S.ivf_assign(corpus, cents).collect()
