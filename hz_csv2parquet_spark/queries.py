@@ -383,16 +383,25 @@ def query(
 #:     _centroid_array, VERDICT item 5).
 #:   - 29 r13-cohort rows (of 45): the 10 that are themselves
 #:     changed-implementation (the 8 r15-debt cohort rows + this
-#:     round's rfm_segmentation + copurchase targets) + the 19
+#:     round's rfm_segmentation + copurchase targets) + the 17
 #:     alphabetically-first of the untouched remainder.
-#: The 16 deferred r13 rows (multimodal_* ×4, pagerank, pivot,
+#: LATE-ROUND AMENDMENT (the r12 displacement precedent): the
+#: duplicate-scan sweep surfaced two more changed implementations —
+#: q15_top_supplier and skyline_orders (scale-conditional
+#: materialization of their two-consumer aggregate frames). A changed
+#: implementation earns its driver row on its landing round, so they
+#: displace the two alphabetically-LAST r13 fill rows
+#: (jsonl_roundtrip_agg, mmr_rerank_embeddings → the round-17
+#: mandatory ledger). Window stays exactly 50.
+#: The 18 deferred r13 rows (multimodal_* ×4, pagerank, pivot,
 #: q5/q10/q12/q13/q17, quality_percentile_filter, retention_cohorts,
-#: seasonal_anomaly, trend_slope, vocab_oov) are NOT rule-mandatory at
-#: r16 planning (age 3 at latest=15; the 3-round rule bites at
-#: latest−3 = 12) and become exactly round 17's mandatory set — 16
-#: rows, far under the cap, so the forward simulation passes. Round
-#: 17 planning MUST lead with them (the rotation watchdogs will
-#: demand it the moment CORRECTNESS_r16 lands).
+#: seasonal_anomaly, trend_slope, vocab_oov, jsonl_roundtrip_agg,
+#: mmr_rerank_embeddings) are NOT rule-mandatory at r16 planning
+#: (age 3 at latest=15; the 3-round rule bites at latest−3 = 12) and
+#: become exactly round 17's mandatory set — 18 rows, far under the
+#: cap, so the forward simulation passes. Round 17 planning MUST lead
+#: with them (the rotation watchdogs will demand it the moment
+#: CORRECTNESS_r16 lands).
 ROTATION: set[str] = {
     # -- r15-debt changed implementations outside the r13 cohort
     #    (VERDICT r15 item 1) --
@@ -419,7 +428,9 @@ ROTATION: set[str] = {
     "txlog_update_rename_cdf_events",
     # -- rows touched by this round's planned optimizations --
     "funnel_conversion_events",
+    "q15_top_supplier",
     "similarity_ivf_embeddings",
+    "skyline_orders",
     # -- r13-cohort rows that are themselves changed implementations --
     "binned_agg_max_2d",
     "copurchase_part_pairs",
@@ -450,8 +461,6 @@ ROTATION: set[str] = {
     "incremental_agg_merge_orders",
     "interval_coverage_users",
     "json_extract_events",
-    "jsonl_roundtrip_agg",
-    "mmr_rerank_embeddings",
 }
 
 
